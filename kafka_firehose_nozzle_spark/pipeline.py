@@ -1,0 +1,55 @@
+"""The routing pipeline: envelopes -> (topic, value) rows.
+
+This is the reference's entire hot data path (kafka.go:305-340 and
+encoder.go:15-18) restated as one pure DataFrame -> DataFrame function —
+identical in batch tests and the streaming job (SURVEY.md §3.2):
+
+    switch eventType -> topic     (P1 + P3, route_topic_expr)
+    topic == ""      -> drop      (P2, filter)
+    toJSON(event)                 (S2, sonde_json)
+
+Operationally it is a single narrow projection + filter: no shuffle, fully
+whole-stage-codegen'd, trivially scalable — throughput is bounded by source
+read + Kafka write, which is exactly the property the reference engineered
+for with easyjson + N workers (encoder_test.go:41-67, cli.go:341-349).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_firehose_nozzle_spark.config import Config, TopicConfig
+from kafka_firehose_nozzle_spark.functions.routing import route_topic_expr
+from kafka_firehose_nozzle_spark.functions.sonde_json import sonde_json
+from kafka_firehose_nozzle_spark.stats import observe_consume, observe_routed
+
+
+def route_envelopes(
+    df: DataFrame,
+    topics: TopicConfig,
+    with_observe: bool = False,
+    consume_observation=None,
+    routed_observation=None,
+) -> DataFrame:
+    """Envelope DataFrame -> routed DataFrame[(topic, value)].
+
+    Rows with no destination (unknown event type, or type disabled in
+    config) are dropped, matching kafka.go:333-338. With ``with_observe``,
+    the reference's consume/ignore/forward counters (stats.go:19-37) ride
+    along as observed metrics — computed inside the same stage, no extra
+    pass. Pass Observation objects for batch mode; streaming uses the
+    default named observations read by the listener.
+    """
+    if with_observe:
+        df = observe_consume(df, consume_observation)
+    routed = df.withColumn("topic", route_topic_expr(df, topics))
+    if with_observe:
+        routed = observe_routed(routed, routed_observation)
+    return routed.filter(F.col("topic").isNotNull()).select(
+        "topic", sonde_json(routed).alias("value")
+    )
+
+
+def route_envelopes_config(df: DataFrame, config: Config, **kw) -> DataFrame:
+    return route_envelopes(df, config.kafka.topic, **kw)
