@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+- Signatures (minhash/simhash/fingerprint) are computed per-row with
+  higher-order array functions — zero shuffle, fused into the scan.
+- Candidate generation is banded LSH: an equi-join on (band_index,
+  band_hash) buckets. Shuffle volume is O(num_bands * rows) small keys,
+  AQE handles skewed buckets. No quadratic self-join ever runs on the
+  full corpus; pairwise verification happens only within buckets.
+- Exact dedup is a single hash aggregation on the 128-bit fingerprint.
+
+Hashes derive from md5 so the DuckDB oracle can replicate results
+bit-for-bit (both engines agree on md5 hex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_firehose_nozzle_spark.operators.text import normalize_text, tokens
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (array<string>)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _h(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash from md5 (replicable in DuckDB as
+    ('0x' || substr(md5(x || '#<seed>'), 1, 15))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(text: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature (array<long>, length num_hashes) over 3-word
+    shingles. Per-row, no shuffle: min_i over h_i(shingle)."""
+    sh = word_shingles(text)
+
+    # NB: a two-parameter lambda passed to F.transform/F.filter is treated
+    # as (element, index) by Spark — bind the seed via a closure factory.
+    def hasher(seed: int):
+        return lambda s: _h(s, seed)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_bands(sig: Column, num_bands: int = 4, rows_per_band: int = 2) -> Column:
+    """LSH band hashes: array<string> of md5(band slice). Two documents
+    agree on a band iff that band's signature rows all match."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    sig = minhash_signature(F.col(text_col), num_hashes)
+    return df.withColumn("minhash_sig", sig).withColumn(
+        "lsh_bands", minhash_bands(F.col("minhash_sig"), num_bands, num_hashes // num_bands)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash.
+
+    Shuffles only (band_index, band_hash, id) — tiny rows — then
+    equi-joins within buckets. Distinct pair set, deduped across bands.
+    """
+    banded = (
+        with_minhash(df, text_col, num_hashes, num_bands)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode("lsh_bands").alias("band_ix", "band_hash"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only (never the full
+    cross product). Joins shingle arrays in, verifies with array
+    intersect/union — per-pair compute, no further shuffle after the two
+    broadcast-able joins."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("sh", "sh_a"), pairs.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.withColumnRenamed("sh", "sh_b").withColumnRenamed("id", "id2"),
+            F.col("id_b") == F.col("id2"),
+        )
+        .drop("id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def token_hashes(text: Column) -> Column:
+    """md5-derived 60-bit hash per distinct token (array<long>) — the
+    shared input for simhash bits. Materialize this once (withColumn)
+    before deriving bits so the hash array isn't recomputed per bit."""
+    return F.transform(
+        F.array_distinct(tokens(normalize_text(text))), lambda t: _h(t, 0)
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash over a precomputed token-hash array: bit i is the majority
+    vote of the tokens' i-th hash bits. Deterministic across engines
+    (DuckDB: same md5-derived hashes, same bit tests).
+
+    ``bits`` defaults to 16 — enough for near-dup bucketing tests while
+    keeping the expression tree (one array scan per bit) shallow.
+    """
+    n = F.size(hashes)
+
+    def bit_test(mask: int):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, bit_test(1 << i)))
+        acc = acc + F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint of a document (see simhash_from_hashes)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups by md5 fingerprint of normalized text.
+    One hash aggregation; partial aggregation (map-side combine) makes
+    this scan-bound at scale."""
+    from kafka_firehose_nozzle_spark.operators.text import fingerprint
+
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_keep_first(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id row per identical (normalized) text."""
+    from pyspark.sql import Window
+
+    from kafka_firehose_nozzle_spark.operators.text import fingerprint
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``block_col`` is the blocking key (a cluster/bucket id): pairs are only
+    compared within a block, turning O(n^2) into sum of per-block
+    quadratics. At 100 TB the block id comes from a coarse LSH / IVF
+    assignment (similarity.py); here any low-cardinality column works.
+    """
+    from kafka_firehose_nozzle_spark.operators.similarity import cosine
+
+    sel = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is deployed on large corpora:
+
+- ``cosine_topk``: exact brute-force top-k against a query vector — the
+  baseline. One narrow pass (no shuffle except the final top-k, which is
+  a tree-reduced TakeOrdered, not a global sort).
+- ``ivf_assign`` + ``ivf_topk``: IVF-style scale path — assign every
+  vector to its nearest of C centroids (broadcast join against the tiny
+  centroid table, no shuffle of the corpus), then search only the probed
+  cells. At 100 TB: partition/cluster the corpus by cell id so a query
+  prunes ~C/nprobe of the data at the parquet-scan level.
+
+Dot products use F.zip_with + F.aggregate on array<double> — JVM-side,
+no Python. (A pandas-UDF BLAS path is a later optimization for wide
+batches; the built-in expression keeps the whole plan codegen'd.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame
+    [query_id, query_vec]. The query side is broadcast — the corpus is
+    scanned once, never shuffled; LIMIT k is a TakeOrdered (per-partition
+    top-k + driver merge), not a global sort."""
+    q = F.broadcast(query)
+    joined = df.crossJoin(q)
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    sim = cosine(
+        F.col(vec_col).cast("array<double>"), F.col("query_vec").cast("array<double>")
+    )
+    # order by the raw similarity (deterministic: same fold order as the
+    # oracle) with id tie-break; round only in the output projection
+    return (
+        joined.select(F.col(id_col), sim.alias("_sim"))
+        .orderBy(F.desc("_sim"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("_sim", 4).alias("cos_sim"))
+    )
+
+
+def query_vector(
+    df: DataFrame, query_id: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """1-row [query_id, query_vec] DataFrame for cosine_topk."""
+    return df.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+
+
+# --- IVF-style ANN (scale path) ---------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine).
+
+    ``centroids``: [cell_id, centroid(array<double>)] — small, broadcast.
+    The corpus is never shuffled; output adds a ``cell_id`` column. At
+    scale, write the corpus partitioned by cell_id so queries prune scans.
+    """
+    c = F.broadcast(centroids)
+    scored = df.crossJoin(c).withColumn(
+        "_sim",
+        cosine(F.col(vec_col).cast("array<double>"), F.col("centroid")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim", "centroid")
+    )
+
+
+def kmeans_like_centroids(
+    df: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cheap deterministic centroid seeding: average vectors within
+    hash-assigned groups (one aggregation; good enough to exercise the IVF
+    plumbing — swap in k-means|| offline training for production)."""
+    d = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_cells)).alias("cell_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    return (
+        d.groupBy("cell_id", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "cell_id",
+            F.transform(F.col("pc"), lambda x: x.getField("c")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the nprobe nearest cells only.
+
+    ``assigned`` must carry cell_id (from ivf_assign). The cell filter is
+    a semi-join against an nprobe-row broadcast — with cell-partitioned
+    storage it becomes partition pruning at the scan.
+    """
+    q = F.broadcast(query)
+    probe_cells = (
+        centroids.crossJoin(q)
+        .select(
+            "cell_id",
+            cosine(F.col("centroid"), F.col("query_vec").cast("array<double>")).alias(
+                "_sim"
+            ),
+        )
+        .orderBy(F.desc("_sim"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    pruned = assigned.join(F.broadcast(probe_cells), "cell_id", "left_semi")
+    return cosine_topk(pruned, query, k, id_col, vec_col)

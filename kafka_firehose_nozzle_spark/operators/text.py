@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language-ID heuristic, fingerprinting.
+
+All pure column expressions (JVM codegen, no UDFs, no shuffle) — at 100 TB
+these fuse into the parquet scan stage. Deterministic md5-based hashing is
+used for fingerprints so results are reproducible across engines (the
+DuckDB oracle computes the identical formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small function-word list used by the quality/lang heuristics. Chosen from
+# common English function words; the heuristic is deterministic, which is
+# what matters for oracle checking.
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered."""
+    return F.filter(F.split(F.trim(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish proxy: word-pieces split on non-alphanumerics plus a
+    4-chars-per-piece length charge for long words (rough subword count)."""
+    words = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.when(F.length(w) <= 4, F.lit(1)).otherwise(
+            F.ceil(F.length(w) / 4).cast("int")
+        ),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword
+    presence + low punctuation. (Gopher-style rule-of-thumb filters.)"""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(text) >= 0.01, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.0)
+    wordlen = avg_word_len(text)
+    wordlen_ok = F.when((wordlen >= 2) & (wordlen <= 12), 1.0).otherwise(0.0)
+    return (length_ok + stop_ok + punct_ok + wordlen_ok) / F.lit(4.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID from function-word hits (n-gram heuristic).
+
+    Deterministic and cheap; real corpora would use a trained model — the
+    operator contract (a string lang code column) is what downstream
+    pipelines depend on.
+    """
+    toks = F.slice(tokens(F.lower(text)), 1, 64)  # cap work per row
+
+    def hits(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    en = hits(["the", "and", "of", "is", "to"])
+    de = hits(["der", "die", "das", "und", "ist"])
+    fr = hits(["le", "la", "les", "et", "est"])
+    es = hits(["el", "los", "las", "y", "es"])
+    return (
+        F.when((de > en) & (de >= fr) & (de >= es), "de")
+        .when((fr > en) & (fr >= es), "fr")
+        .when(es > en, "es")
+        .otherwise("en")
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapse + lowercase + trim: canonical form for hashing."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint: md5 over normalized text (stable across
+    engines; DuckDB md5() produces the identical hex)."""
+    return F.md5(normalize_text(text))
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5-derived 60-bit
+    value over the document's word 8-grams. Robust to local edits (the min
+    survives unless the minimal window changes)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    grams = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    return F.array_min(hashes)

@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # the driver's testdata parquet uses TIMESTAMP(NANOS); read as
+        # int64 nanos (the engine's native time representation, §1.3) and
+        # derive TimestampType where queries need it
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
