@@ -1,0 +1,122 @@
+"""CLI entrypoint (reference CLI.Run, cli.go:73-376).
+
+Flag > config file > default precedence replicated from cli.go:157-179;
+defaults from cli.go:29-58. ``$UAA_PASSWORD`` feeds -password
+(cli.go:57,101).
+
+Usage:
+    python -m kafka_firehose_nozzle_spark.cli --config nozzle.toml \
+        [--subscription ID] [--username U] [--password P] \
+        [--debug] [--server] [--stats-interval N] [--worker N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+from kafka_firehose_nozzle_spark.config import Config, load_config
+
+DEFAULT_CFG_PATH = "example/kafka-firehose-nozzle.toml"  # cli.go:31
+DEFAULT_STATS_INTERVAL = 10  # seconds, cli.go:35
+DEFAULT_USERNAME = "admin"  # cli.go:38
+DEFAULT_SUBSCRIPTION_ID = "debug-kafka-firehose-nozzle"  # cli.go:46
+DEFAULT_IDLE_TIMEOUT = 60  # cli.go:50
+DEFAULT_RETRY_COUNT = 5  # cli.go:53
+ENV_PASSWORD = "UAA_PASSWORD"  # cli.go:57
+
+EXIT_OK = 0
+EXIT_ERROR = 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kafka-firehose-nozzle-spark",
+        description="Forward CloudFoundry firehose events to Kafka (PySpark)",
+    )
+    p.add_argument("--config", default=DEFAULT_CFG_PATH)
+    p.add_argument("--subscription", default="")
+    p.add_argument("--username", default="")
+    p.add_argument("--password", default=os.environ.get(ENV_PASSWORD, ""))
+    p.add_argument("--log-level", default="INFO")
+    p.add_argument("--worker", type=int, default=os.cpu_count())
+    p.add_argument("--stats-interval", type=int, default=DEFAULT_STATS_INTERVAL)
+    p.add_argument("--server", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--checkpoint", default="")
+    return p
+
+
+def resolve_config(args: argparse.Namespace) -> Config:
+    """Apply flag > config > default precedence (cli.go:157-179)."""
+    config = load_config(args.config)
+
+    if args.subscription:
+        config.subscription_id = args.subscription
+    elif not config.subscription_id:
+        config.subscription_id = DEFAULT_SUBSCRIPTION_ID
+
+    if args.username:
+        config.cf.username = args.username
+    elif not config.cf.username:
+        config.cf.username = DEFAULT_USERNAME
+
+    if args.password:
+        config.cf.password = args.password
+
+    if config.cf.idle_timeout == 0:
+        config.cf.idle_timeout = DEFAULT_IDLE_TIMEOUT
+
+    if config.cf.retry_count == 0:
+        config.cf.retry_count = DEFAULT_RETRY_COUNT
+
+    return config
+
+
+def run(argv: list[str]) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        config = resolve_config(args)
+    except FileNotFoundError as e:
+        print(f"[ERROR] Failed to load configuration file: {e}", file=sys.stderr)
+        return EXIT_ERROR
+
+    from kafka_firehose_nozzle_spark.server import start_stats_server
+    from kafka_firehose_nozzle_spark.session import get_spark
+    from kafka_firehose_nozzle_spark.stats import Stats
+    from kafka_firehose_nozzle_spark.streaming.job import (
+        firehose_stream,
+        start_pipeline,
+    )
+
+    spark = get_spark("kafka-firehose-nozzle", shuffle_partitions=args.worker)
+    stats = Stats()
+    ticker_stop = stats.start_per_sec_ticker()
+
+    http_server = start_stats_server(stats) if args.server else None
+
+    checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="nozzle-ckpt-")
+    envelopes = firehose_stream(spark, config)
+    sink = "console" if args.debug else "kafka"  # cli.go:222-235
+    handle = start_pipeline(
+        spark, envelopes, config, checkpoint, sink=sink, stats=stats
+    )
+    try:
+        handle.query.awaitTermination()
+    except KeyboardInterrupt:  # SIGINT handling, cli.go:328-334
+        handle.stop()
+    finally:
+        ticker_stop.set()
+        if http_server:
+            http_server.shutdown()
+    return EXIT_OK
+
+
+def main() -> None:
+    raise SystemExit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

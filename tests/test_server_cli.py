@@ -1,0 +1,82 @@
+"""Stats HTTP endpoint (server.go:15-85) + CLI precedence (cli.go:157-179)."""
+
+import json
+import urllib.request
+
+from kafka_firehose_nozzle_spark.cli import build_parser, resolve_config
+from kafka_firehose_nozzle_spark.server import start_stats_server
+from kafka_firehose_nozzle_spark.stats import Stats
+
+TOML = """\
+subscription_id = "from-config"
+[cf]
+username = "cfg-user"
+password = "cfg-pass"
+[kafka]
+brokers = ["b:9092"]
+"""
+
+
+def test_stats_endpoint():
+    stats = Stats()
+    stats.inc("consume", 7)
+    stats.inc("forwarded", 7)
+    server = start_stats_server(stats, port=0)  # ephemeral port
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats/app") as r:
+            body = json.loads(r.read())
+        assert body["consume"] == 7
+        assert body["delay"] == 7
+        assert "subinupt_buffer" in body  # stats.go:64 typo preserved
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats/runtime") as r:
+            assert "max_rss_kb" in json.loads(r.read())
+
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def _resolve(tmp_path, argv):
+    p = tmp_path / "c.toml"
+    p.write_text(TOML)
+    args = build_parser().parse_args(["--config", str(p), *argv])
+    return resolve_config(args)
+
+
+def test_flag_overrides_config(tmp_path):
+    c = _resolve(tmp_path, ["--subscription", "from-flag", "--username", "flag-user"])
+    assert c.subscription_id == "from-flag"
+    assert c.cf.username == "flag-user"
+
+
+def test_config_wins_over_default(tmp_path):
+    c = _resolve(tmp_path, [])
+    assert c.subscription_id == "from-config"
+    assert c.cf.username == "cfg-user"
+    assert c.cf.password == "cfg-pass"
+
+
+def test_defaults_applied(tmp_path):
+    p = tmp_path / "empty.toml"
+    p.write_text('[kafka]\nbrokers=["b:9092"]\n')
+    args = build_parser().parse_args(["--config", str(p)])
+    c = resolve_config(args)
+    assert c.subscription_id == "debug-kafka-firehose-nozzle"  # cli.go:46
+    assert c.cf.username == "admin"  # cli.go:38
+    assert c.cf.idle_timeout == 60  # cli.go:50
+    assert c.cf.retry_count == 5  # cli.go:53
+
+
+def test_env_password(tmp_path, monkeypatch):
+    monkeypatch.setenv("UAA_PASSWORD", "env-secret")
+    p = tmp_path / "c.toml"
+    p.write_text('[kafka]\nbrokers=["b:9092"]\n')
+    args = build_parser().parse_args(["--config", str(p)])
+    c = resolve_config(args)
+    assert c.cf.password == "env-secret"
