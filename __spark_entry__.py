@@ -190,6 +190,15 @@ SHARED_SQL: dict[str, str] = {
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'error'
     """,
+    # range join: lineitems shipped within 30 days of their order's date
+    "order_shipment_window": """
+        SELECT o_orderpriority, COUNT(*) AS n_shipments,
+            COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderpriority
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -449,6 +458,334 @@ ORACLE_EMB_DUPS = """
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 2: simhash, LSH near-dup end-to-end, token/quality metrics, pivot,
+# as-of join, IVF ANN, centroid norms, multimodal batch features
+# --------------------------------------------------------------------------
+
+# oracle fragment: cosine over double lists with identical fold order
+def _sim_sql(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(len({a})), i -> {a}[i + 1] * {b}[i + 1])) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16")
+    )
+
+
+def _oracle_simhash() -> str:
+    hashes = (
+        "list_transform(list_distinct(toks), t -> "
+        "('0x' || substr(md5(t || '#0'), 1, 15))::BIGINT)"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0)) > len(hs) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        hh AS (SELECT doc_id, {hashes} AS hs FROM t)
+        SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash16 FROM hh
+    """
+
+
+# planted near-duplicates: every document re-appears (id + 1000000) with
+# its last word dropped; LSH must surface orig->copy candidate pairs.
+_PLANT_OFFSET = 1_000_000
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    )
+    return docs.unionAll(mutated)
+
+
+_PLANTED_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_PLANT_OFFSET} AS doc_id,
+               regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+        FROM documents
+"""
+
+# oracle fragments for minhash signature + 4 two-row bands over planted docs
+_ORACLE_SIG8 = ", ".join(
+    f"list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT)) AS m{i}"
+    for i in range(8)
+)
+_ORACLE_BANDS_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_ix, md5(m{2*b}::VARCHAR || ',' || m{2*b+1}::VARCHAR) AS band_hash FROM sig"
+    for b in range(4)
+)
+_ORACLE_LSH_CAND = f"""
+    WITH docs2 AS ({_PLANTED_SQL}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    sh AS (SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(len(toks) - 2), i ->
+                array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t),
+    sig AS (SELECT doc_id, {_ORACLE_SIG8} FROM sh),
+    bands AS ({_ORACLE_BANDS_UNION}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_ix = b.band_ix AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id)
+"""
+
+
+def q_lsh_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over the corpus + planted near-dups."""
+    return D.lsh_candidate_pairs(
+        _planted_docs(spark, sf_dir), num_hashes=8, num_bands=4
+    )
+
+
+ORACLE_LSH_PLANTED = _ORACLE_LSH_CAND + "SELECT id_a, id_b FROM cand"
+
+
+def q_jaccard_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= 0.5."""
+    docs2 = _planted_docs(spark, sf_dir)
+    cands = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    return D.jaccard_verify_pairs(cands, docs2, threshold=0.5)
+
+
+ORACLE_JACCARD_PLANTED = _ORACLE_LSH_CAND + """,
+    jac AS (SELECT id_a, id_b,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+    WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+    FROM documents)
+    SELECT doc_id, len(ws) AS n_ws_tokens,
+        CAST(list_sum(list_transform(words, w ->
+            CASE WHEN length(w) <= 4 THEN 1
+                 ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END)) AS INT)
+            AS n_bpe_ish
+    FROM t
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+
+
+ORACLE_QUALITY = """
+    WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT doc_id,
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(
+            ['the','a','of','to','and','in','is','it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t)
+    SELECT doc_id, (
+        (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN n_chars = 0 OR CAST(n_chars - n_nopunct AS DOUBLE) / n_chars <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+                   AND CAST(tok_chars AS DOUBLE) / n_tok <= 12 THEN 1.0 ELSE 0.0 END)
+    ) / 4.0 AS quality
+    FROM m
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+ORACLE_PIVOT = "SELECT user_id, " + ", ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_asof_purchase_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    order at-or-before the event time (merge_asof per key via cogrouped
+    applyInPandas — operators/asof.py)."""
+    from kafka_firehose_nozzle_spark.operators.asof import asof_join
+
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", (F.col("user_id") + 1).alias("custkey"), "ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    joined = asof_join(
+        purchases, orders, on="ts", by="custkey", right_value_cols=["o_orderkey"]
+    )
+    return joined.select(
+        "event_id",
+        "custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+    )
+
+
+ORACLE_ASOF = """
+    WITH p AS (SELECT event_id, user_id + 1 AS custkey, ts FROM events
+               WHERE event_type = 'purchase'),
+    j AS (SELECT p.event_id, p.custkey, o.o_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY p.event_id
+                ORDER BY o.o_orderdate DESC NULLS LAST,
+                         o.o_orderkey DESC NULLS LAST) AS rn
+          FROM p LEFT JOIN orders o
+            ON o.o_custkey = p.custkey AND o.o_orderdate <= p.ts)
+    SELECT event_id, custkey, o_orderkey AS last_orderkey FROM j WHERE rn = 1
+"""
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign to 8 medoid cells, probe the 2 nearest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.medoid_centroids(emb, 8)
+    assigned = S.ivf_assign(emb, cents)
+    return S.ivf_topk(assigned, cents, S.query_vector(emb, 0), k=10, nprobe=2)
+
+
+ORACLE_IVF = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < 8),
+    assign AS (SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_sim_sql('e.v', 'c.centroid')} DESC, c.cell_id) AS rn
+        FROM e CROSS JOIN c) ranked WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probes AS (SELECT cell_id FROM c CROSS JOIN q
+               ORDER BY {_sim_sql('centroid', 'qv')} DESC, cell_id LIMIT 2),
+    cand AS (SELECT e.vec_id, e.v FROM e
+             JOIN assign ON e.vec_id = assign.vec_id
+             WHERE assign.cell_id IN (SELECT cell_id FROM probes)
+               AND e.vec_id <> 0)
+    SELECT vec_id, ROUND({_sim_sql('v', 'qv')}, 4) AS cos_sim
+    FROM cand CROSS JOIN q
+    ORDER BY {_sim_sql('v', 'qv')} DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm of the per-label mean embedding (array aggregation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col("pc"), lambda x: x.getField("c") * x.getField("c")
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                4,
+            ).alias("centroid_norm"),
+        )
+    )
+
+
+ORACLE_CENTROID_NORMS = """
+    WITH e AS (SELECT label, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+               FROM embeddings),
+    comp AS (SELECT label, i AS pos,
+        CAST(SUM(CAST(v[i + 1] AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM e CROSS JOIN range(64) t(i) GROUP BY label, i),
+    agg AS (SELECT label, list(c * c ORDER BY pos) AS cs FROM comp GROUP BY label)
+    SELECT label, ROUND(sqrt(list_sum(cs)), 4) AS centroid_norm FROM agg
+"""
+
+
+def q_media_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as opaque binary media, features
+    extracted in Arrow batches via mapInPandas."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        documents_as_media,
+        media_features,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media_features(media)
+
+
+ORACLE_MEDIA = """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "stats_counters": q_stats_counters,
@@ -459,6 +796,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "lsh_planted_dups": q_lsh_planted_dups,
+    "jaccard_planted_dups": q_jaccard_planted_dups,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "pivot_event_counts": q_pivot_event_counts,
+    "asof_purchase_orders": q_asof_purchase_orders,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "embedding_centroid_norms": q_embedding_centroid_norms,
+    "media_batch_stats": q_media_batch_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -471,6 +818,16 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": ORACLE_MINHASH,
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_dup_pairs": ORACLE_EMB_DUPS,
+    "simhash_fingerprints": _oracle_simhash(),
+    "lsh_planted_dups": ORACLE_LSH_PLANTED,
+    "jaccard_planted_dups": ORACLE_JACCARD_PLANTED,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "quality_scores": ORACLE_QUALITY,
+    "pivot_event_counts": ORACLE_PIVOT,
+    "asof_purchase_orders": ORACLE_ASOF,
+    "ivf_ann_topk": ORACLE_IVF,
+    "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
+    "media_batch_stats": ORACLE_MEDIA,
 }
 
 

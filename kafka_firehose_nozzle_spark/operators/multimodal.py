@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB multimodal corpora (images/audio/video as columns):
+
+- payloads are ``binary`` columns; metadata is a typed struct alongside
+  (media_type, width/height/duration, codec). Parquet stores binary
+  chunks column-oriented, so metadata-only scans never touch the bytes
+  (column pruning) and predicate pushdown works on the typed fields.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` operators — per-partition, zero shuffle; at scale the
+  decode stage is compute-bound and scales linearly with executors.
+- the actual codec work (PIL/ffmpeg/torchaudio) is NOT in this
+  container, so ``decode_image``/``sample_frames`` raise
+  NotImplementedError behind a clearly marked seam, while
+  ``media_features`` computes real deterministic features (byte length,
+  content hash) so the Spark-side contract — schemas, batching, UDF
+  signatures — is fully exercised and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: the documents table as a media table (text bytes as the
+    opaque payload) — lets the multimodal plumbing run on driver
+    testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("utf-8").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def media_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes (mapInPandas).
+
+    Features here are deterministic (length + md5) so the distributed
+    plumbing is testable without codec libraries; a real pipeline swaps
+    the inner function for image embeddings etc. without touching the
+    plan shape.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payload.map(lambda b: len(b) if b is not None else 0),
+                    "content_hash": payload.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=FEATURES_SCHEMA
+    )
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Image decode seam: payload -> pixel tensor columns.
+
+    NOT IMPLEMENTED in this environment (no PIL/opencv in the image).
+    The production implementation decodes inside mapInPandas batches —
+    same signature as media_features.
+    """
+    raise NotImplementedError(
+        "image decode requires a codec library (PIL/opencv) not present "
+        "in this environment; plumbing is exercised via media_features"
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling seam (ffmpeg) — same contract as decode_image."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg, not present in this environment"
+    )

@@ -77,6 +77,22 @@ def query_vector(
 # --- IVF-style ANN (scale path) ---------------------------------------------
 
 
+def medoid_centroids(
+    df: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroids: the first ``num_cells`` vectors by id act
+    as cell medoids. No averaging — fully reproducible across engines
+    (used by the oracle-checked IVF query); production swaps in trained
+    centroids without changing the plan shape."""
+    return df.filter(F.col(id_col) < num_cells).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
