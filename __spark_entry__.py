@@ -199,6 +199,57 @@ SHARED_SQL: dict[str, str] = {
           AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         GROUP BY o_orderpriority
     """,
+    # correlated scalar subquery (TPC-H Q17 style): small-quantity orders
+    "q17_small_qty_revenue": """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand LIKE 'Brand#1%'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+    # CUBE with GROUPING() null-vs-rollup disambiguation
+    "revenue_cube": """
+        SELECT l_returnflag, l_linestatus,
+            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+            CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_base,
+            COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    # full outer join: customers without orders + order coverage per custkey
+    "customer_order_coverage": """
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+            COUNT(o_orderkey) AS n_orders,
+            MAX(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS has_no_orders
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        GROUP BY COALESCE(c_custkey, o_custkey)
+    """,
+    # scalar string/math function coverage (exact-valued functions only)
+    "scalar_string_math": """
+        SELECT c_custkey,
+            UPPER(c_name) AS name_upper,
+            LOWER(c_mktsegment) AS seg_lower,
+            LENGTH(c_name) AS name_len,
+            SUBSTR(c_name, 1, 8) AS name_prefix,
+            REVERSE(c_mktsegment) AS seg_rev,
+            LPAD(CAST(c_custkey AS STRING), 10, '0') AS key_padded,
+            ABS(c_acctbal) AS bal_abs,
+            CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+            CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+            c_custkey % 7 AS key_mod7,
+            GREATEST(c_nationkey, 12) AS nk_hi,
+            LEAST(c_nationkey, 12) AS nk_lo
+        FROM customer
+    """,
+    # date-part extraction coverage
+    "order_date_parts": """
+        SELECT o_orderkey,
+            YEAR(o_orderdate) AS yr, QUARTER(o_orderdate) AS qtr,
+            MONTH(o_orderdate) AS mon, DAY(o_orderdate) AS dom,
+            DATE_TRUNC('month', o_orderdate) AS month_start
+        FROM orders
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -786,6 +837,45 @@ ORACLE_MEDIA = """
 """
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window, the same operator the
+    streaming path uses with a watermark) in batch mode; the oracle derives
+    identical sessions via lag + cumulative sum."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+    WITH d AS (
+        SELECT user_id, ts,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS sess_ix
+        FROM d
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_ix
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "stats_counters": q_stats_counters,
@@ -806,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
+    "session_window_agg": q_session_window_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -828,6 +919,7 @@ ORACLES: dict[str, str] = {
     "ivf_ann_topk": ORACLE_IVF,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
+    "session_window_agg": ORACLE_SESSION_WINDOW,
 }
 
 
