@@ -1,0 +1,162 @@
+"""Stateful streaming extensions (SURVEY.md §2.5 ST6/ST7 north-star).
+
+The reference explicitly delegates CounterEvent accumulation downstream —
+"maintaining the total is left to the consumer" (sonde-go metric.pb.go:54)
+— and has no event-time windows or dedup (SURVEY.md ST6/ST7). These
+operators ARE that downstream, Spark-first:
+
+- ``counter_running_totals``: per-(origin, name) running totals of
+  CounterEvent deltas via ``applyInPandasWithState``. State is one row of
+  (total, n_deltas) per key — O(distinct counters), not O(events); each
+  micro-batch emits the updated totals for keys seen in that batch.
+- ``windowed_event_rates``: watermarked tumbling-window counts per event
+  type — the distributed, event-time upgrade of the reference's 1-second
+  processing-time rate (stats.go:98-111).
+- ``dedup_envelopes``: at-least-once -> effectively-once de-duplication
+  with a bounded state window (dropDuplicatesWithinWatermark).
+
+All three take the envelope DataFrame (streaming or batch where noted) so
+they compose with the routing pipeline.
+
+At scale: every operator here shuffles once on its grouping key and keeps
+per-key state bounded; watermarks cap state growth for windows and dedup.
+Skewed counter names (one hot counter) are fine — state per key is a
+single row, and the shuffle spreads keys across partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_firehose_nozzle_spark import schemas
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+COUNTER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("running_total", T.LongType(), True),
+        T.StructField("n_deltas", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def counter_deltas(envelopes: DataFrame) -> DataFrame:
+    """CounterEvent rows projected to (origin, name, delta)."""
+    return envelopes.filter(
+        F.col("eventType") == schemas.COUNTER_EVENT
+    ).select(
+        "origin",
+        F.col("counterEvent.name").alias("name"),
+        F.col("counterEvent.delta").alias("delta"),
+    )
+
+
+def _accumulate(
+    key: tuple,
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    total, n = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        total += int(pdf["delta"].sum())
+        n += len(pdf)
+    state.update((total, n))
+    yield pd.DataFrame(
+        {
+            "origin": [key[0]],
+            "name": [key[1]],
+            "running_total": [total],
+            "n_deltas": [n],
+        }
+    )
+
+
+def counter_running_totals(envelopes: DataFrame) -> DataFrame:
+    """Streaming running totals per (origin, counter name).
+
+    Each micro-batch emits one updated row per counter key present in the
+    batch (use outputMode("update")). No timeout: counters are monotonic
+    and long-lived, matching the reference's process-lifetime counters.
+    """
+    return (
+        counter_deltas(envelopes)
+        .groupBy("origin", "name")
+        .applyInPandasWithState(
+            _accumulate,
+            outputStructType=COUNTER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_event_rates(
+    envelopes: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts per event type.
+
+    Works on streaming and batch envelope frames (batch ignores the
+    watermark — Spark drops it from the batch plan). Late rows beyond the
+    watermark are discarded; state is one aggregate row per
+    (window, eventType) until the watermark closes the window.
+    """
+    with_ts = envelopes.withColumn(
+        "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark)
+    return (
+        with_ts.groupBy(
+            F.window("event_time", window).alias("w"), F.col("eventType")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "eventType",
+            "n_events",
+        )
+    )
+
+
+def dedup_envelopes(
+    envelopes: DataFrame,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate envelopes (same origin + type + timestamp) keeping
+    the first, with state bounded to the watermark horizon. Upgrades the
+    reference's at-least-once redelivery (SURVEY.md ST1) to
+    effectively-once on the natural key.
+    """
+    keys = ["origin", "eventType", "timestamp"]
+    with_ts = envelopes.withColumn(
+        "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
+    )
+    if with_ts.isStreaming:
+        deduped = with_ts.withWatermark(
+            "event_time", within
+        ).dropDuplicatesWithinWatermark(keys)
+    else:
+        deduped = with_ts.dropDuplicates(keys)
+    return deduped.drop("event_time")

@@ -1,0 +1,257 @@
+"""Unit tests for the analytics operator library: as-of join, dedup,
+similarity, text analysis, multimodal plumbing. Edge cases the driver's
+oracle queries don't reach (empty groups, tolerance, no-match keys)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_firehose_nozzle_spark.operators import dedup as D
+from kafka_firehose_nozzle_spark.operators import similarity as S
+from kafka_firehose_nozzle_spark.operators import text as TX
+from kafka_firehose_nozzle_spark.operators.asof import asof_join
+from kafka_firehose_nozzle_spark.operators.multimodal import (
+    decode_image,
+    documents_as_media,
+    media_features,
+    sample_frames,
+)
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(ev=1, key="a", ts=_ts(10)),
+            Row(ev=2, key="a", ts=_ts(30)),
+            Row(ev=3, key="b", ts=_ts(5)),   # before any right row
+            Row(ev=4, key="c", ts=_ts(20)),  # key absent on the right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(key="a", ts=_ts(8), px=100),
+            Row(key="a", ts=_ts(25), px=200),
+            Row(key="b", ts=_ts(6), px=300),
+        ]
+    )
+    return left, right
+
+
+def test_asof_join_backward_match(spark):
+    left, right = _asof_frames(spark)
+    got = {
+        r["ev"]: r["px"]
+        for r in asof_join(
+            left, right, on="ts", by="key", right_value_cols=["px"]
+        ).collect()
+    }
+    # ev1: right@8 is latest <= 10; ev2: right@25; ev3: nothing <= 5;
+    # ev4: key has no right rows at all
+    assert got == {1: 100, 2: 200, 3: None, 4: None}
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _asof_frames(spark)
+    got = {
+        r["ev"]: r["px"]
+        for r in asof_join(
+            left, right, on="ts", by="key",
+            right_value_cols=["px"], tolerance="3 minutes",
+        ).collect()
+    }
+    # ev1 (10 - 8 = 2min) within tolerance; ev2 (30 - 25 = 5min) not
+    assert got == {1: 100, 2: None, 3: None, 4: None}
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left, right = _asof_frames(spark)
+    out = asof_join(left, right, on="ts", by="key", right_value_cols=["px"])
+    assert out.count() == left.count()
+    assert [f.name for f in out.schema.fields] == ["ev", "key", "ts", "px"]
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def test_dedup_exact_keep_first(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello  World"),
+            Row(doc_id=2, text="hello world"),   # same after normalization
+            Row(doc_id=3, text="something else"),
+        ]
+    )
+    kept = D.dedup_exact_keep_first(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_lsh_finds_planted_near_dup(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " extra"),  # near-dup of 1
+            Row(doc_id=3, text="completely different content about spark "
+                               "structured streaming engines and kafka"),
+        ]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, num_hashes=8, num_bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " tail"),
+            Row(doc_id=3, text="unrelated words entirely disjoint vocabulary "
+                               "zebra xylophone quartz"),
+        ]
+    )
+    sh = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", D.simhash(F.col("text"), bits=16).alias("h")
+        ).collect()
+    }
+    ham_dup = bin(sh[1] ^ sh[2]).count("1")
+    ham_diff = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_dup < ham_diff
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+def _vec_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.0]),
+        ]
+    )
+
+
+def test_cosine_topk_order(spark):
+    df = _vec_df(spark)
+    q = S.query_vector(df, 0)
+    got = [r["vec_id"] for r in S.cosine_topk(df, q, k=3).collect()]
+    assert got == [1, 2, 3]  # by descending cosine to [1, 0]
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    df = _vec_df(spark)
+    cents = S.medoid_centroids(df, 2)
+    q = S.query_vector(df, 0)
+    assigned = S.ivf_assign(df, cents)
+    # probing every cell makes IVF exact: must equal brute-force order
+    ivf = [r["vec_id"] for r in S.ivf_topk(assigned, cents, q, k=3, nprobe=2).collect()]
+    brute = [r["vec_id"] for r in S.cosine_topk(df, q, k=3).collect()]
+    assert ivf == brute == [1, 2, 3]
+
+
+def test_ivf_nprobe_prunes_to_probed_cells(spark):
+    df = _vec_df(spark)
+    cents = S.medoid_centroids(df, 2)
+    q = S.query_vector(df, 0)
+    assigned = S.ivf_assign(df, cents)
+    probed = {r["vec_id"] for r in S.ivf_topk(assigned, cents, q, k=4, nprobe=1).collect()}
+    # cell 0 = {query itself} here, so pruning must exclude vectors
+    # assigned to the unprobed cell — a strict subset of brute force
+    brute = {r["vec_id"] for r in S.cosine_topk(df, q, k=4).collect()}
+    assert probed < brute
+
+
+# --- text ----------------------------------------------------------------------
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=1, text="the cat is on the mat and the dog is in the house"),
+            Row(i=2, text="der hund ist gross und die katze ist klein"),
+            Row(i=3, text="le chat est sur la table et les livres sont ici"),
+            Row(i=4, text="los gatos y el perro es grande y las casas"),
+        ]
+    )
+    got = {r["i"]: r["l"] for r in df.select("i", TX.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es"}
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame([Row(text="  The quick   brown fox  ")])
+    row = df.select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.normalize_text(F.col("text")).alias("norm"),
+    ).collect()[0]
+    assert row["n"] == 4
+    assert row["norm"] == "the quick brown fox"
+    import hashlib
+
+    assert row["fp"] == hashlib.md5(b"the quick brown fox").hexdigest()
+
+
+def test_rolling_hash_fingerprint_robust_to_tail_edit(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [Row(i=1, text=base), Row(i=2, text=base + " thirteen")]
+    )
+    got = [
+        r["fp"]
+        for r in df.select(
+            TX.rolling_hash_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    ]
+    # min-over-8-grams usually survives a tail append
+    assert got[0] == got[1]
+
+
+# --- multimodal ------------------------------------------------------------------
+
+
+def test_media_features_deterministic(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="")])
+    media = documents_as_media(docs)
+    got = {r["media_id"]: r for r in media_features(media).collect()}
+    assert got[1]["n_bytes"] == 5
+    assert got[1]["content_hash"] == hashlib.md5(b"hello").hexdigest()
+    assert got[2]["n_bytes"] == 0
+
+
+def test_media_schema_prunes_payload(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello")])
+    media = documents_as_media(docs)
+    meta_only = media.select("media_id", "meta.codec")
+    assert "payload" not in meta_only.columns
+    assert meta_only.collect()[0]["codec"] == "utf-8"
+
+
+def test_decode_seams_raise(spark):
+    docs = documents_as_media(
+        spark.createDataFrame([Row(doc_id=1, text="x")])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(docs)
+    with pytest.raises(NotImplementedError):
+        sample_frames(docs)

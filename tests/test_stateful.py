@@ -1,0 +1,172 @@
+"""Stateful streaming: running counter totals across micro-batches,
+watermarked windows, streaming dedup (SURVEY.md ST6/ST7 north-star)."""
+
+from pyspark.sql import functions as F
+
+from kafka_firehose_nozzle_spark import schemas
+from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
+from kafka_firehose_nozzle_spark.streaming.stateful import (
+    counter_deltas,
+    counter_running_totals,
+    dedup_envelopes,
+    windowed_event_rates,
+)
+
+
+def _write_batches(spark, path: str, n: int, batches: int) -> None:
+    # one parquet file per directory-batch; maxFilesPerTrigger=1 replays
+    # them as separate micro-batches in lexical order
+    per = n // batches
+    for b in range(batches):
+        (
+            synthetic_envelope_df(spark, per, seed=b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(schemas.ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def test_counter_running_totals_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "env")
+    _write_batches(spark, src, 2000, batches=2)
+
+    q = (
+        counter_running_totals(_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("ct_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emitted row per key = final running total; must equal the
+    # batch-computed sum over ALL files
+    out = spark.sql("SELECT * FROM ct_out").toPandas()
+    finals = (
+        out.groupby(["origin", "name"]).last().reset_index()
+    )  # memory sink appends in batch order
+    expected = (
+        counter_deltas(
+            spark.read.schema(schemas.ENVELOPE_SCHEMA).parquet(src)
+        )
+        .groupBy("origin", "name")
+        .agg(
+            F.sum("delta").alias("running_total"),
+            F.count(F.lit(1)).alias("n_deltas"),
+        )
+        .toPandas()
+    )
+    merged = finals.merge(
+        expected, on=["origin", "name"], suffixes=("_got", "_want")
+    )
+    assert len(merged) == len(expected) > 0
+    assert (merged["running_total_got"] == merged["running_total_want"]).all()
+    assert (merged["n_deltas_got"] == merged["n_deltas_want"]).all()
+    # state persisted across micro-batches: keys emitted in both batches
+    # must show a strictly growing total in the update stream
+    multi = out.groupby(["origin", "name"]).size()
+    assert (multi >= 2).any()
+
+
+def test_windowed_event_rates_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "env")
+    # fixture timestamps span only ~1ms — spread each micro-batch file over
+    # its own hour so the watermark actually closes windows (file b owns
+    # hour b; files never overlap, so no row is ever late)
+    for b in range(3):
+        (
+            synthetic_envelope_df(spark, 500, seed=b)
+            .withColumn(
+                "timestamp",
+                F.col("timestamp")
+                + F.lit(b * 3_600_000_000_000)
+                + F.pmod(F.xxhash64("timestamp", F.lit(b)), F.lit(50))
+                * F.lit(60_000_000_000),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = (
+        windowed_event_rates(_stream(spark, src), window="1 minute")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_df = windowed_event_rates(
+        spark.read.schema(schemas.ENVELOPE_SCHEMA).parquet(src)
+    ).toPandas()
+    # append mode only emits windows closed by the watermark; every
+    # emitted row must match the batch aggregate exactly
+    got = spark.sql("SELECT * FROM win_out").toPandas()
+    assert len(got) > 0, "watermark must have closed at least one window"
+    merged = got.merge(
+        batch_df,
+        on=["window_start", "window_end", "eventType"],
+        suffixes=("_got", "_want"),
+    )
+    assert len(merged) == len(got)
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+
+
+def test_dedup_envelopes_streaming(spark, tmp_path):
+    src = str(tmp_path / "env")
+    # same seed twice -> every envelope duplicated across two files
+    for _ in range(2):
+        (
+            synthetic_envelope_df(spark, 500, seed=7)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = (
+        dedup_envelopes(_stream(spark, src))
+        .select("origin", "eventType", "timestamp")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT * FROM dd_out")
+    distinct_keys = (
+        spark.read.schema(schemas.ENVELOPE_SCHEMA)
+        .parquet(src)
+        .select("origin", "eventType", "timestamp")
+        .distinct()
+        .count()
+    )
+    assert out.count() == distinct_keys == 500
+    assert out.distinct().count() == distinct_keys
+
+
+def test_dedup_envelopes_batch(spark):
+    df = synthetic_envelope_df(spark, 300, seed=3)
+    doubled = df.unionAll(df)
+    assert dedup_envelopes(doubled).count() == 300
