@@ -241,13 +241,19 @@ def embedding_dup_pairs(
     quadratics. At 100 TB the block id comes from a coarse LSH / IVF
     assignment (similarity.py); here any low-cardinality column works.
     """
-    from kafka_firehose_nozzle_spark.operators.similarity import cosine
+    from kafka_firehose_nozzle_spark.operators.similarity import (
+        cosine_prenormed,
+        l2_norm,
+    )
 
     sel = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
     )
+    # hoist the per-row norm out of the O(pairs) join: computed once per
+    # row here, reused for every pair the row participates in
+    sel = sel.withColumn("nrm", l2_norm(F.col("v")))
     a, b = sel.alias("a"), sel.alias("b")
     return (
         a.join(
@@ -257,7 +263,12 @@ def embedding_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
