@@ -250,6 +250,29 @@ SHARED_SQL: dict[str, str] = {
             DATE_TRUNC('month', o_orderdate) AS month_start
         FROM orders
     """,
+    # analytic-function coverage: lag/lead/ntile/percent_rank/cume_dist/
+    # first_value over per-customer order history
+    "order_analytics": """
+        SELECT o_custkey, o_orderkey,
+            LAG(o_totalprice) OVER w AS prev_price,
+            LEAD(o_totalprice) OVER w AS next_price,
+            FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+            NTILE(4) OVER w AS qtile,
+            PERCENT_RANK() OVER w AS pr,
+            CUME_DIST() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    # min_by / max_by (deterministic: custkey is unique per segment)
+    "segment_minmax_by": """
+        SELECT c_mktsegment,
+            MAX_BY(c_name, c_custkey) AS last_customer,
+            MIN_BY(c_name, c_custkey) AS first_customer,
+            MAX(c_acctbal) AS max_bal,
+            MIN(c_acctbal) AS min_bal,
+            COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -876,6 +899,196 @@ ORACLE_SESSION_WINDOW = """
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 3: sonde-JSON round-trip source, JSON props extraction, corpus
+# bigrams, lang-ID confusion, per-source profiling, listagg
+# --------------------------------------------------------------------------
+
+
+def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 encoder + its inverse as a source: events -> envelopes -> sonde
+    JSON -> parse back -> route. Proves sonde-JSON files/topics are a
+    lossless replayable envelope source; per-topic counts must equal
+    route_topics exactly.
+
+    The ``localCheckpoint`` models the materialization boundary that exists
+    in reality between the two halves (the Kafka topic / JSON file): the
+    decoder's ~40 field references each inline the paired
+    from_json(to_json(<full envelope struct>)) if encode and decode share
+    one lineage, and Catalyst's per-field-access json-schema pruning
+    (OptimizeJsonExprs) then optimizes each copy separately — 200+ s of
+    pure plan-optimization time at ANY data size. The barrier keeps both
+    halves' plans small; encode runs once, spilling MEMORY_AND_DISK."""
+    from kafka_firehose_nozzle_spark.functions.sonde_json import (
+        envelopes_from_json_with_value,
+        sonde_json,
+    )
+
+    env = events_to_envelopes(_t(spark, sf_dir, "events"))
+    encoded = env.select(sonde_json(env).alias("value")).localCheckpoint(
+        eager=False
+    )
+    decoded = envelopes_from_json_with_value(encoded, "value")
+    routed = route_envelopes(decoded, ROUTE_TOPICS, value_col="value")
+    return routed.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (from_json) over the events ``props`` column:
+    per-event-type stats of the embedded ``k`` value."""
+    events = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (
+                F.sum(F.col("k").cast("decimal(18,4)"))
+                .cast("decimal(30,6)")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_PROPS_JSON = """
+    WITH t AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+        CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS DOUBLE)
+            / COUNT(*) AS avg_k,
+        MIN(k) AS min_k, MAX(k) AS max_k
+    FROM t GROUP BY event_type
+"""
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams. explode -> partial-aggregated
+    count -> TakeOrdered 20 (no global sort); at 100 TB the map-side
+    combine keeps the shuffle at distinct-bigram, not token, cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+ORACLE_BIGRAM_TOPK = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    b AS (SELECT unnest(list_transform(range(len(toks) - 1), i ->
+               array_to_string(list_slice(toks, i + 1, i + 2), ' '))) AS bigram
+          FROM t WHERE len(toks) >= 2)
+    SELECT bigram, COUNT(*) AS n FROM b
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: ground-truth ``lang`` column vs the
+    n-gram-heuristic prediction."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+    WITH t AS (SELECT lang, list_slice({_TOKS}, 1, 64) AS toks FROM documents),
+    h AS (SELECT lang,
+        len(list_filter(toks, x -> list_contains(['the','and','of','is','to'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS fr,
+        len(list_filter(toks, x -> list_contains(['el','los','las','y','es'], x))) AS es
+    FROM t)
+    SELECT lang, CASE
+        WHEN de > en AND de >= fr AND de >= es THEN 'de'
+        WHEN fr > en AND fr >= es THEN 'fr'
+        WHEN es > en THEN 'es'
+        ELSE 'en' END AS lang_pred, COUNT(*) AS n
+    FROM h GROUP BY 1, 2
+"""
+
+
+def q_source_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc count, distinct languages, exact
+    decimal-summed avg length, total whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            TX.token_count(F.col("text")).alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,4)"))
+                .cast("decimal(30,6)")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_SOURCE_PROFILE = """
+    WITH t AS (SELECT source, lang, n_chars,
+        len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+            AS n_toks
+    FROM documents)
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS DOUBLE)
+            / COUNT(*) AS avg_chars,
+        SUM(n_toks) AS total_tokens
+    FROM t GROUP BY source
+"""
+
+
+def q_segment_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per nation, the sorted distinct market
+    segments joined with ','. collect_set + array_sort + array_join is the
+    deterministic Spark form (listagg without a within-group sort is not)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+ORACLE_SEGMENT_LISTAGG = """
+    SELECT c_nationkey,
+        string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "stats_counters": q_stats_counters,
@@ -897,6 +1110,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "session_window_agg": q_session_window_agg,
+    "roundtrip_route_topics": q_roundtrip_route_topics,
+    "props_json_stats": q_props_json_stats,
+    "bigram_topk": q_bigram_topk,
+    "lang_confusion": q_lang_confusion,
+    "source_doc_profile": q_source_doc_profile,
+    "segment_listagg": q_segment_listagg,
 }
 
 ORACLES: dict[str, str] = {
@@ -920,6 +1139,12 @@ ORACLES: dict[str, str] = {
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "session_window_agg": ORACLE_SESSION_WINDOW,
+    "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,
+    "props_json_stats": ORACLE_PROPS_JSON,
+    "bigram_topk": ORACLE_BIGRAM_TOPK,
+    "lang_confusion": ORACLE_LANG_CONFUSION,
+    "source_doc_profile": ORACLE_SOURCE_PROFILE,
+    "segment_listagg": ORACLE_SEGMENT_LISTAGG,
 }
 
 

@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "ann_cosine_topk",
     "embedding_dup_pairs",
+    "roundtrip_route_topics",
+    "bigram_topk",
 ]
 
 
@@ -47,8 +49,10 @@ def main() -> None:
     spark = get_spark("kfn-bench")
 
     qs = entrymod.queries()
-    # warm up the JVM + parquet footers with a trivial action
+    # warm up the JVM + parquet readers + codegen with trivial actions so
+    # the first measured query doesn't absorb one-time JIT/startup cost
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{sf_dir}/events.parquet").groupBy("event_type").count().count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -31,6 +31,7 @@ def route_envelopes(
     with_observe: bool = False,
     consume_observation=None,
     routed_observation=None,
+    value_col: str | None = None,
 ) -> DataFrame:
     """Envelope DataFrame -> routed DataFrame[(topic, value)].
 
@@ -40,14 +41,25 @@ def route_envelopes(
     along as observed metrics — computed inside the same stage, no extra
     pass. Pass Observation objects for batch mode; streaming uses the
     default named observations read by the listener.
+
+    ``value_col``: for streams that already carry the encoded payload
+    (e.g. envelopes parsed from a sonde-JSON source), name the column to
+    forward verbatim instead of re-encoding. Mirrors the reference, which
+    serializes exactly once per message (encoder.go:15-18) — and avoids
+    composing to_json over from_json in one plan, which Catalyst
+    optimizes pathologically (predicate substitution through the paired
+    parse/serialize tree).
     """
     if with_observe:
         df = observe_consume(df, consume_observation)
     routed = df.withColumn("topic", route_topic_expr(df, topics))
     if with_observe:
         routed = observe_routed(routed, routed_observation)
+    value = (
+        F.col(value_col) if value_col is not None else sonde_json(routed)
+    )
     return routed.filter(F.col("topic").isNotNull()).select(
-        "topic", sonde_json(routed).alias("value")
+        "topic", value.alias("value")
     )
 
 

@@ -64,3 +64,34 @@ def test_golden_log_message_length(spark):
         .collect()[0]
     )
     assert row.n == 225
+
+
+def test_sonde_json_roundtrip(spark):
+    """decode(encode(envelope)) re-encodes to the identical bytes — the
+    decoder inverts base64 bytes and unsigned-u64 renderings exactly."""
+    from kafka_firehose_nozzle_spark.functions.sonde_json import (
+        envelopes_from_json,
+    )
+
+    df = canonical_envelope_df(spark)
+    encoded = df.select("origin", sonde_json(df).alias("value"))
+    decoded = envelopes_from_json(encoded, "value")
+    reencoded = decoded.select(
+        "origin", sonde_json(decoded).alias("value")
+    )
+    want = {r.origin: r.value for r in encoded.collect()}
+    got = {r.origin: r.value for r in reencoded.collect()}
+    assert got == want
+
+
+def test_sonde_json_malformed_rows_drop(spark):
+    from kafka_firehose_nozzle_spark.functions.sonde_json import (
+        envelopes_from_json,
+    )
+
+    bad = spark.createDataFrame(
+        [("{not json",), ('{"origin":"x","eventType":5}',)], ["value"]
+    )
+    out = envelopes_from_json(bad, "value").filter("eventType IS NOT NULL")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].origin == "x"
