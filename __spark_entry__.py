@@ -17,6 +17,7 @@ identical IEEE fold orders) so value hashes agree across engines.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,7 +60,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime-settable; ensures the driver's own session can read the
     # TIMESTAMP(NANOS) testdata even if built without our session factory
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # The local testdata is one single-row-group file per table, so the
+    # scan yields ONE split no matter how many cores exist. On a real lake
+    # a 100 TB table arrives as thousands of row groups and this branch
+    # never fires; locally, rebalance fact/corpus tables so downstream
+    # stages use all cores — the documents/embeddings tables are tiny on
+    # disk but compute-heavy per byte (explode, hashing, pairwise joins).
+    # Dims below 256 KB stay single-split (they broadcast anyway).
+    # (Catalyst still pushes filters/pruning through a Repartition node.)
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        nbytes = 0
+    if nbytes > 256 << 10:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     for c in _TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -42,14 +42,23 @@ EVENT_TYPE_CASE_SQL = (
 def events_to_envelopes(events: DataFrame) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) -> ENVELOPE_SCHEMA.
 
-    A single narrow projection — no shuffle; at 100 TB this fuses into the
-    scan and routing stages under whole-stage codegen.
+    Two stacked narrow projections — no shuffle; at 100 TB both fuse into
+    the scan and routing stages under whole-stage codegen. The event-type
+    CASE is materialized in the first projection so the payload structs
+    reference a cheap int column: inlining the 5-branch string CASE into
+    every struct (and again into every pushed-down predicate) multiplies
+    the expression tree ~10x and puts seconds of Catalyst analysis time on
+    every query over this adapter. (CollapseProject leaves the split alone
+    because the CASE is non-cheap and referenced many times.)
     """
     et_col = F.col("event_type")
-    et = F.lit(None).cast("int")
+    et_case = F.lit(None).cast("int")
     for name, code in EVENT_TYPE_MAP.items():
-        et = F.when(et_col == name, F.lit(code)).otherwise(et)
-    et = F.coalesce(et, F.lit(-1))
+        et_case = F.when(et_col == name, F.lit(code)).otherwise(et_case)
+    et_case = F.coalesce(et_case, F.lit(-1))
+
+    events = events.select("*", et_case.alias("_et"))
+    et = F.col("_et")
 
     app_id = F.format_string("app-%d", F.col("user_id"))
     ts_ns = (F.unix_micros(F.col("ts")) * 1000).alias("timestamp")
