@@ -289,6 +289,174 @@ SHARED_SQL: dict[str, str] = {
             COUNT(*) AS n
         FROM customer GROUP BY c_mktsegment
     """,
+    # TPC-H Q4 style: orders with any late lineitem (EXISTS), per priority.
+    # "Late" adapted to the reduced schema: shipped >60 days after order.
+    "q4_priority_late": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q7 style: trade volume between two nations by ship year
+    "q7_nation_trade": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            YEAR(l_shipdate) AS yr,
+            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+        GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+    """,
+    # TPC-H Q8 style: one nation's market share inside a region per year
+    "q8_market_share": f"""
+        SELECT YEAR(o_orderdate) AS yr,
+            CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV}
+                               ELSE CAST(0 AS DECIMAL(10,4)) END)
+                 AS DECIMAL(30,6)) AS DOUBLE)
+            / CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE)
+                AS mkt_share
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY YEAR(o_orderdate)
+    """,
+    # TPC-H Q9 style: profit (revenue minus retail cost) by supplier
+    # nation and year; partsupp is absent so p_retailprice stands in
+    "q9_profit": f"""
+        SELECT n_name, YEAR(o_orderdate) AS yr,
+            CAST(CAST(SUM({_REV}
+                - CAST(p_retailprice AS DECIMAL(10,4))
+                  * CAST(l_quantity AS DECIMAL(10,4)))
+                 AS DECIMAL(30,6)) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, YEAR(o_orderdate)
+    """,
+    # TPC-H Q10 style: top-20 customers by returned-lineitem revenue
+    "q10_returned_revenue": f"""
+        SELECT c_custkey, c_name, n_name,
+            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # TPC-H Q12 style: priority-class shipment counts per ship year
+    # (CASE aggregation; shipmode is absent so late/ontime classes split)
+    "q12_priority_classes": """
+        SELECT YEAR(l_shipdate) AS yr,
+            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS high_line_count,
+            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY YEAR(l_shipdate)
+    """,
+    # TPC-H Q14 style: promo-part revenue share in one quarter
+    "q14_promo_share": f"""
+        SELECT CAST(100 AS DOUBLE)
+            * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                 ELSE CAST(0 AS DECIMAL(10,4)) END)
+                   AS DECIMAL(30,6)) AS DOUBLE)
+            / CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE)
+                AS promo_revenue_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    # TPC-H Q16 style: distinct supplier count per brand/size bucket
+    "q16_supplier_variety": """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO' AND p_size < 30
+        GROUP BY p_brand, p_size
+    """,
+    # TPC-H Q18 style: large-volume orders (HAVING subquery + semi join)
+    "q18_big_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 180
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    """,
+    # TPC-H Q19 style: OR-of-ANDs predicate (brand x size x quantity bands)
+    "q19_banded_revenue": f"""
+        SELECT CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 21)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity >= 10 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    # TPC-H Q21 style: suppliers owning the last shipment of
+    # multi-supplier orders (window-free formulation: max-shipdate join)
+    "q21_last_shipper": """
+        WITH last AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS max_shipdate,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l ON s_suppkey = l.l_suppkey
+        JOIN last ON l.l_orderkey = last.l_orderkey
+                 AND l.l_shipdate = last.max_shipdate
+        WHERE last.n_suppliers > 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    # TPC-H Q22 style: idle rich customers by name-prefix code
+    # (scalar avg subquery + anti join)
+    "q22_idle_customers": """
+        SELECT SUBSTR(c_name, 10, 2) AS code, COUNT(*) AS numcust,
+            CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS DOUBLE) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+                SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
+                       AS DECIMAL(30,6)) AS DOUBLE) / COUNT(*)
+                FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY SUBSTR(c_name, 10, 2)
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
