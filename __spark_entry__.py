@@ -457,6 +457,115 @@ SHARED_SQL: dict[str, str] = {
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY SUBSTR(c_name, 10, 2)
     """,
+    # bit / bool aggregate coverage (identical names in both engines)
+    "bit_bool_aggs": """
+        SELECT l_returnflag,
+            BIT_AND(l_linenumber) AS lines_and,
+            BIT_OR(l_linenumber) AS lines_or,
+            BIT_XOR(l_linenumber) AS lines_xor,
+            BOOL_AND(l_quantity > 1) AS all_multi,
+            BOOL_OR(l_discount > 0.09) AS any_deep_discount,
+            COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # sliding-frame moving average (ROWS BETWEEN), decimal-exact division
+    "moving_avg_spend": """
+        SELECT o_custkey, o_orderkey,
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                 OVER w AS DECIMAL(30,6)) AS DOUBLE)
+            / COUNT(*) OVER w AS moving_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    # value-range window frame (RANGE BETWEEN n PRECEDING)
+    "range_frame_peers": """
+        SELECT o_orderkey, o_totalprice,
+            COUNT(*) OVER (ORDER BY o_totalprice
+                           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+                AS n_similar_cheaper
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+    """,
+    # string-function coverage round 2: split_part/position/left/right/
+    # translate/repeat/ascii/chr — exact string semantics in both engines
+    "scalar_string_extra": """
+        SELECT c_custkey,
+            SPLIT_PART(c_name, '#', 2) AS cust_num,
+            POSITION('#' IN c_name) AS hash_pos,
+            LEFT(c_mktsegment, 3) AS seg3,
+            RIGHT(c_name, 4) AS name_tail,
+            TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS seg_xlat,
+            REPEAT(LEFT(c_mktsegment, 1), 3) AS seg_echo,
+            ASCII(c_mktsegment) AS seg_ascii,
+            CHR(65 + CAST(c_custkey % 26 AS INT)) AS letter
+        FROM customer
+    """,
+    # explicit GROUPING SETS (finer than ROLLUP/CUBE)
+    "grouping_sets_flagstatus": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+    """,
+    # UNION ALL + global sort + LIMIT/OFFSET pagination
+    "union_paginated": """
+        SELECT * FROM (
+            SELECT c_custkey AS key, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier
+        ) u
+        ORDER BY key, kind
+        LIMIT 50 OFFSET 10
+    """,
+    # inline VALUES dimension joined against a fact table
+    "values_dim_join": """
+        SELECT pr.label, COUNT(*) AS n_orders,
+            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS DOUBLE) AS total
+        FROM orders
+        JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+                     ('3-MEDIUM', 'normal'), ('4-NOT SPECIFIED', 'normal'),
+                     ('5-LOW', 'lazy')) AS pr(priority, label)
+          ON o_orderpriority = pr.priority
+        GROUP BY pr.label
+    """,
+    # variance / stddev / correlation via exact decimal moments — the
+    # built-in stddev/corr differ between engines in the last 1-2 ULPs
+    # (different summation orders), so the moments are decimal-exact sums
+    # and the final arithmetic is the identical IEEE expression in both.
+    # Wide decimals (> 2^53 of scaled integer) go through VARCHAR before
+    # DOUBLE: DuckDB's int128->double cast double-rounds, while string
+    # parsing is correctly rounded in both engines.
+    "dispersion_stats": """
+        WITH m AS (
+            SELECT l_returnflag,
+                COUNT(*) AS n,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS DOUBLE) AS sx,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2)))
+                     AS DECIMAL(30,6)) AS DOUBLE) AS sxx,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS DOUBLE) AS sy,
+                CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DECIMAL(38,6)) AS VARCHAR(64)) AS DOUBLE) AS syy,
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DECIMAL(38,6)) AS VARCHAR(64)) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+            (sxx - sx * sx / n) / (n - 1) AS var_qty,
+            SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+            (sxy - sx * sy / n)
+                / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n))
+                AS corr_qty_price
+        FROM m
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -1273,6 +1382,109 @@ ORACLE_SEGMENT_LISTAGG = """
 """
 
 
+def q_percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of l_quantity per return flag. Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the same linear
+    interpolation; quantity values are small integers so the interpolated
+    doubles are bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_quantity, 0.9)").alias("q90"),
+    )
+
+
+ORACLE_PERCENTILES = """
+    SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS q25,
+        quantile_cont(l_quantity, 0.5) AS q50,
+        quantile_cont(l_quantity, 0.75) AS q75,
+        quantile_cont(l_quantity, 0.9) AS q90
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_order_linenumber_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction/inspection per order: sorted collect_list of
+    line numbers rendered as a string (hash-safe), plus size and
+    membership predicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    lns = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", lns).alias("linenumbers"),
+        F.size(lns).alias("n_lines"),
+        F.array_contains(lns, 4).alias("has_line4"),
+        F.element_at(lns, 1).alias("first_line"),
+        F.element_at(lns, -1).alias("last_line"),
+    )
+
+
+ORACLE_LINENUMBER_SETS = """
+    WITH g AS (SELECT l_orderkey, list_sort(array_agg(l_linenumber)) AS lns
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+        array_to_string(lns, ',') AS linenumbers,
+        len(lns) AS n_lines,
+        list_contains(lns, 4) AS has_line4,
+        lns[1] AS first_line,
+        lns[-1] AS last_line
+    FROM g
+"""
+
+
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode / unnest-with-index): first 5
+    normalized tokens of each document with their position."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(TX.tokens(TX.normalize_text(F.col("text"))), 1, 5)
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+
+
+ORACLE_TOKEN_POSITIONS = f"""
+    WITH t AS (SELECT doc_id, list_slice({_TOKS}, 1, 5) AS toks
+               FROM documents)
+    SELECT doc_id, u.i AS pos, toks[u.i + 1] AS token
+    FROM t, unnest(range(len(toks))) AS u(i)
+"""
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-rare terms: tokens appearing in at most 1/5th of documents,
+    ranked by total occurrences. Integer-only outputs (hash-safe); the
+    shuffle is at distinct-term cardinality after partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    # scale-relative rarity threshold (docs/5) via a broadcast scalar —
+    # no driver-side action, works at any corpus size
+    thr = docs.agg((F.count(F.lit(1)) / 5).alias("_thr"))
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .join(F.broadcast(thr))
+        .filter(F.col("df") <= F.col("_thr"))
+        .drop("_thr")
+        .orderBy(F.desc("tf"), "term")
+        .limit(25)
+    )
+
+
+ORACLE_RARE_TERMS = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    g AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          FROM t GROUP BY term)
+    SELECT term, tf, df FROM g WHERE df <= (SELECT COUNT(*) / 5 FROM documents)
+    ORDER BY tf DESC, term LIMIT 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "stats_counters": q_stats_counters,
@@ -1300,6 +1512,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "source_doc_profile": q_source_doc_profile,
     "segment_listagg": q_segment_listagg,
+    "percentile_quantities": q_percentile_quantities,
+    "order_linenumber_sets": q_order_linenumber_sets,
+    "token_positions": q_token_positions,
+    "rare_terms": q_rare_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -1329,6 +1545,10 @@ ORACLES: dict[str, str] = {
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "source_doc_profile": ORACLE_SOURCE_PROFILE,
     "segment_listagg": ORACLE_SEGMENT_LISTAGG,
+    "percentile_quantities": ORACLE_PERCENTILES,
+    "order_linenumber_sets": ORACLE_LINENUMBER_SETS,
+    "token_positions": ORACLE_TOKEN_POSITIONS,
+    "rare_terms": ORACLE_RARE_TERMS,
 }
 
 
