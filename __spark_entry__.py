@@ -566,6 +566,22 @@ SHARED_SQL: dict[str, str] = {
                 AS corr_qty_price
         FROM m
     """,
+    # interval self-join (batch analog of the streaming error<-http
+    # correlation, streaming/stateful.correlate_errors_with_http): for
+    # each error event, how many views the same user made in the prior
+    # 10 minutes
+    "error_prior_views": """
+        SELECT e.user_id, e.event_id AS error_event_id,
+            COUNT(v.event_id) AS prior_views
+        FROM events e
+        LEFT JOIN events v
+          ON v.user_id = e.user_id
+         AND v.event_type = 'view'
+         AND v.ts >= e.ts - INTERVAL 10 MINUTE
+         AND v.ts < e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY e.user_id, e.event_id
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (

@@ -140,6 +140,63 @@ def windowed_event_rates(
     )
 
 
+def correlate_errors_with_http(
+    envelopes: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream interval join (ST7 north-star): for every Error
+    envelope, the HttpStartStop requests from the same origin in the
+    preceding ``lookback`` window — the "what was this origin serving
+    when it errored" correlation the reference leaves to downstream.
+
+    Streaming semantics: both sides are watermarked, and the join
+    condition bounds the error time to [http_time, http_time + lookback],
+    so Spark can expire buffered state once the watermark passes the
+    interval (no unbounded state). Works identically on a batch frame
+    (watermarks are dropped from batch plans).
+
+    At scale this shuffles both sides on ``origin`` once; state per key is
+    bounded by the lookback horizon, and AQE handles origin skew.
+    """
+    ts = F.timestamp_micros(F.expr("timestamp div 1000"))
+    errors = (
+        envelopes.filter(F.col("eventType") == schemas.ERROR)
+        .select(
+            F.col("origin").alias("err_origin"),
+            ts.alias("err_time"),
+            F.col("error.code").alias("err_code"),
+        )
+    )
+    https = (
+        envelopes.filter(F.col("eventType") == schemas.HTTP_START_STOP)
+        .select(
+            F.col("origin").alias("http_origin"),
+            ts.alias("http_time"),
+            F.col("httpStartStop.statusCode").alias("status_code"),
+            F.col("httpStartStop.uri").alias("uri"),
+        )
+    )
+    if errors.isStreaming:
+        errors = errors.withWatermark("err_time", watermark)
+        https = https.withWatermark("http_time", watermark)
+    return errors.join(
+        https,
+        on=(
+            (F.col("err_origin") == F.col("http_origin"))
+            & (F.col("http_time") <= F.col("err_time"))
+            & (
+                F.col("http_time")
+                >= F.col("err_time") - F.expr(f"INTERVAL {lookback}")
+            )
+        ),
+        how="inner",
+    ).select(
+        "err_origin", "err_time", "err_code",
+        "http_time", "status_code", "uri",
+    )
+
+
 def dedup_envelopes(
     envelopes: DataFrame,
     within: str = "10 minutes",

@@ -170,3 +170,39 @@ def test_dedup_envelopes_batch(spark):
     df = synthetic_envelope_df(spark, 300, seed=3)
     doubled = df.unionAll(df)
     assert dedup_envelopes(doubled).count() == 300
+
+
+def test_correlate_errors_with_http_streaming_matches_batch(spark, tmp_path):
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        correlate_errors_with_http,
+    )
+
+    src = str(tmp_path / "env_join")
+    _write_batches(spark, src, 3000, batches=3)
+
+    q = (
+        correlate_errors_with_http(_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("joined_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = spark.sql("SELECT * FROM joined_out").toPandas()
+
+    batch_env = spark.read.schema(schemas.ENVELOPE_SCHEMA).parquet(src)
+    batch = correlate_errors_with_http(batch_env).toPandas()
+
+    assert len(batch) > 0, "fixture should produce at least one correlation"
+    key = ["err_origin", "err_time", "err_code", "http_time", "uri"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    # streaming inner interval join emits exactly the batch result once
+    # all files are processed (no late data in the fixture)
+    assert len(s) == len(b)
+    assert (s[key].values == b[key].values).all()
