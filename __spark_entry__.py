@@ -582,6 +582,14 @@ SHARED_SQL: dict[str, str] = {
         WHERE e.event_type = 'error'
         GROUP BY e.user_id, e.event_id
     """,
+    # document length histogram: 100-char buckets (training-data profile)
+    "doc_length_histogram": """
+        SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket_100,
+            COUNT(*) AS n_docs,
+            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY CAST(FLOOR(n_chars / 100) AS BIGINT)
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -950,6 +958,106 @@ ORACLE_JACCARD_PLANTED = _ORACLE_LSH_CAND + """,
         len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
         FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
     SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+
+def q_lsh_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: LSH candidate pairs -> connected
+    components (iterative min-label propagation; one shuffle per round,
+    rounds = cluster diameter). Oracle is a DuckDB recursive CTE over the
+    same candidate edges."""
+    docs2 = _planted_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    return D.dup_components(pairs)
+
+
+ORACLE_DUP_COMPONENTS = (
+    _ORACLE_LSH_CAND.replace("WITH docs2", "WITH RECURSIVE docs2", 1)
+    + """,
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id
+"""
+)
+
+
+def q_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with synthesized contact lines (the
+    corpus itself has none): emails, IPv4, phone numbers -> placeholders.
+    Pure regexp_replace chain — codegen'd, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.format_string(
+            " contact user%d@example.com at 10.0.%d.7 or +1-555-%04d-001",
+            F.col("doc_id"),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.pmod(F.col("doc_id"), F.lit(10000)),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        TX.scrub_pii(dirty).alias("clean_text"),
+        (F.length(dirty) - F.length(TX.scrub_pii(dirty))).alias("chars_removed"),
+    )
+
+
+ORACLE_PII = """
+    WITH d AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com at 10.0.'
+             || (doc_id % 256) || '.7 or +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-001'
+            AS dirty FROM documents),
+    s AS (SELECT doc_id, dirty,
+        regexp_replace(regexp_replace(regexp_replace(dirty,
+            '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+            '\\+\\d[\\d\\-]{7,}\\d', '<PHONE>', 'g') AS clean_text
+        FROM d)
+    SELECT doc_id, clean_text,
+        length(dirty) - length(clean_text) AS chars_removed
+    FROM s
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 5 documents per language by md5
+    hash rank — reproducible on any engine at any parallelism."""
+    from kafka_firehose_nozzle_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 5).select("lang", "doc_id")
+
+
+ORACLE_STRATIFIED = """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS rk
+        FROM documents) t
+    WHERE rk <= 5
+"""
+
+
+def q_hash_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% document sample: shuffle-free hash filter that
+    evaluates inside the scan stage."""
+    from kafka_firehose_nozzle_spark.operators.sampling import hash_fraction_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_fraction_sample(docs, "doc_id", 20).select("doc_id", "lang")
+
+
+ORACLE_HASH_FRACTION = """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT * 100
+          < 65536 * 20
 """
 
 
@@ -1532,6 +1640,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_linenumber_sets": q_order_linenumber_sets,
     "token_positions": q_token_positions,
     "rare_terms": q_rare_terms,
+    "lsh_dup_components": q_lsh_dup_components,
+    "pii_scrubbed": q_pii_scrubbed,
+    "stratified_sample": q_stratified_sample,
+    "hash_fraction_docs": q_hash_fraction_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1565,6 +1677,10 @@ ORACLES: dict[str, str] = {
     "order_linenumber_sets": ORACLE_LINENUMBER_SETS,
     "token_positions": ORACLE_TOKEN_POSITIONS,
     "rare_terms": ORACLE_RARE_TERMS,
+    "lsh_dup_components": ORACLE_DUP_COMPONENTS,
+    "pii_scrubbed": ORACLE_PII,
+    "stratified_sample": ORACLE_STRATIFIED,
+    "hash_fraction_docs": ORACLE_HASH_FRACTION,
 }
 
 

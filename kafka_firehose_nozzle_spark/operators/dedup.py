@@ -272,3 +272,54 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dup_components(
+    pairs: DataFrame,
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    the minimum doc id of its duplicate cluster as ``component_id``.
+
+    Iterative min-label propagation (the standard shuffle-based CC
+    algorithm): each round joins labels across edges both ways and keeps
+    the per-node minimum; converged when no label changes. Rounds needed =
+    component diameter — tiny for dup clusters — and each round is one
+    shuffle on the node id, so 100 TB corpora cost O(diameter) shuffles of
+    the (node, label) pairs, never a cross product. The driver-side loop
+    only checks a scalar convergence count per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # cut lineage for the loop
+    for _ in range(max_iterations):
+        # neighbor labels, then per-node min against the current label
+        neighbor = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)  # keep plans O(1) per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))

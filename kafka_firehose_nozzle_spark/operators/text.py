@@ -125,3 +125,21 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
     return F.array_min(hashes)
+
+
+# PII patterns: RE2-safe subset (works in both Java regex and DuckDB's RE2)
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d\-]{7,}\d"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and international phone numbers.
+
+    Training-data hygiene op: pure JVM ``regexp_replace`` chain (no UDF,
+    codegen'd, embarrassingly parallel — order matters: emails first so
+    their digit runs can't be half-eaten by the phone pattern).
+    """
+    out = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    return F.regexp_replace(out, _PII_PHONE, "<PHONE>")

@@ -255,3 +255,40 @@ def test_decode_seams_raise(spark):
         decode_image(docs)
     with pytest.raises(NotImplementedError):
         sample_frames(docs)
+
+
+def test_dup_components_chain_and_islands(spark):
+    from kafka_firehose_nozzle_spark.operators.dedup import dup_components
+
+    # chain 1-2-3 (diameter 2), pair 10-11, isolated nodes absent
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    got = {r["doc_id"]: r["component_id"] for r in dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_scrub_pii_redacts_all_three_kinds(spark):
+    from kafka_firehose_nozzle_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [Row(t="mail a.b+c@ex-1.org ip 192.168.0.1 tel +1-555-0100-001 end")]
+    )
+    out = df.select(scrub_pii(F.col("t")).alias("c")).collect()[0]["c"]
+    assert out == "mail <EMAIL> ip <IP> tel <PHONE> end"
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from kafka_firehose_nozzle_spark.operators.sampling import stratified_sample
+
+    rows = [Row(k=f"s{i % 3}", id=i) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    a = sorted((r["k"], r["id"]) for r in stratified_sample(df, "k", "id", 4).collect())
+    b = sorted(
+        (r["k"], r["id"])
+        for r in stratified_sample(df.repartition(7), "k", "id", 4).collect()
+    )
+    assert a == b  # layout-independent
+    from collections import Counter
+
+    assert all(v == 4 for v in Counter(k for k, _ in a).values())
