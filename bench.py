@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "embedding_dup_pairs",
     "roundtrip_route_topics",
     "bigram_topk",
+    "q9_profit",
+    "q18_big_orders",
+    "error_prior_views",
+    "dispersion_stats",
+    "lsh_dup_components",
 ]
 
 

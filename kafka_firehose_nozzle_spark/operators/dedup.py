@@ -45,10 +45,14 @@ def _h(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
-def minhash_signature(text: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature (array<long>, length num_hashes) over 3-word
-    shingles. Per-row, no shuffle: min_i over h_i(shingle)."""
-    sh = word_shingles(text)
+def minhash_from_shingles(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature (array<long>) from a shingle-array column.
+
+    Pass a *materialized column* (see with_minhash), not the shingle
+    expression itself: the signature references its input once per hash,
+    and an inlined shingle construction would be re-evaluated num_hashes
+    times per row (measured ~40x slowdown on the LSH pipeline).
+    """
 
     # NB: a two-parameter lambda passed to F.transform/F.filter is treated
     # as (element, index) by Spark — bind the seed via a closure factory.
@@ -56,8 +60,19 @@ def minhash_signature(text: Column, num_hashes: int = 8) -> Column:
         return lambda s: _h(s, seed)
 
     return F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(shingles, hasher(i)))
+            for i in range(num_hashes)
+        ]
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature (array<long>, length num_hashes) over 3-word
+    shingles. Per-row, no shuffle: min_i over h_i(shingle). Convenience
+    form for single-expression use; pipelines should materialize shingles
+    first (with_minhash)."""
+    return minhash_from_shingles(word_shingles(text), num_hashes)
 
 
 def minhash_bands(sig: Column, num_bands: int = 4, rows_per_band: int = 2) -> Column:
@@ -85,9 +100,23 @@ def with_minhash(
     num_hashes: int = 8,
     num_bands: int = 4,
 ) -> DataFrame:
-    sig = minhash_signature(F.col(text_col), num_hashes)
-    return df.withColumn("minhash_sig", sig).withColumn(
-        "lsh_bands", minhash_bands(F.col("minhash_sig"), num_bands, num_hashes // num_bands)
+    # Stage each non-cheap array through its own projection: CollapseProject
+    # keeps multiply-referenced non-cheap expressions staged, so shingles
+    # are built once per row, not once per hash (and the signature once,
+    # not once per band).
+    return (
+        df.withColumn("_shingles", word_shingles(F.col(text_col)))
+        .withColumn(
+            "minhash_sig",
+            minhash_from_shingles(F.col("_shingles"), num_hashes),
+        )
+        .withColumn(
+            "lsh_bands",
+            minhash_bands(
+                F.col("minhash_sig"), num_bands, num_hashes // num_bands
+            ),
+        )
+        .drop("_shingles")
     )
 
 
@@ -103,12 +132,23 @@ def lsh_candidate_pairs(
     Shuffles only (band_index, band_hash, id) — tiny rows — then
     equi-joins within buckets. Distinct pair set, deduped across bands.
     """
+    # posexplode_outer, deliberately: inner posexplode adds an implicit
+    # size(arr) > 0 filter, and predicate pushdown substitutes the FULL
+    # bands∘minhash∘shingles expression into that filter below the scan —
+    # every row then evaluates the whole pipeline twice (measured 10x+ on
+    # the LSH bench). Bands are a fixed-length array literal, never empty,
+    # so outer semantics are identical and no filter is generated.
     banded = (
         with_minhash(df, text_col, num_hashes, num_bands)
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode("lsh_bands").alias("band_ix", "band_hash"),
+            F.posexplode_outer("lsh_bands").alias("band_ix", "band_hash"),
         )
+        # materialize once: the self-join would otherwise evaluate the
+        # whole signature pipeline independently on each side. The stored
+        # rows are 3 small columns x num_bands per doc — far cheaper than
+        # a second pass over the corpus text.
+        .localCheckpoint(eager=False)
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -289,17 +329,22 @@ def dup_components(
     the (node, label) pairs, never a cross product. The driver-side loop
     only checks a scalar convergence count per round.
     """
+    # Materialize the (possibly expensive) pair pipeline ONCE before any
+    # reuse: the union of both directions, the node list, and every loop
+    # round all read these edges, and without the lineage cut each reader
+    # would recompute the full upstream plan (LSH signatures etc.).
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)  # one shuffle, reused every round
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    edges = edges.localCheckpoint(eager=False)  # cut lineage for the loop
     for _ in range(max_iterations):
         # neighbor labels, then per-node min against the current label
         neighbor = (
