@@ -646,6 +646,18 @@ ORACLE_ROUTE_TOPICS = f"""
 """
 
 
+def q_route_topics_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The route_topics aggregation through the salted two-stage path
+    (operators/skew.py): identical results, skew-proof shuffle layout —
+    each hot topic fans out over 32 salts before the final per-topic sum.
+    """
+    from kafka_firehose_nozzle_spark.operators.skew import salted_counts
+
+    env = events_to_envelopes(_t(spark, sf_dir, "events"))
+    routed = route_envelopes(env, ROUTE_TOPICS)
+    return salted_counts(routed, "topic", salt_from=["value"], n_salts=32)
+
+
 def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the reference's consume/ignore/forward counters as one
     aggregation over the envelope stream (stats.go:19-37)."""
@@ -1611,6 +1623,7 @@ ORACLE_RARE_TERMS = f"""
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
+    "route_topics_salted": q_route_topics_salted,
     "stats_counters": q_stats_counters,
     "doc_stats": q_doc_stats,
     "lang_pred_counts": q_lang_pred_counts,
@@ -1648,6 +1661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "route_topics": ORACLE_ROUTE_TOPICS,
+    "route_topics_salted": ORACLE_ROUTE_TOPICS,
     "stats_counters": ORACLE_STATS_COUNTERS,
     "doc_stats": ORACLE_DOC_STATS,
     "lang_pred_counts": ORACLE_LANG_PRED,

@@ -292,3 +292,14 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     from collections import Counter
 
     assert all(v == 4 for v in Counter(k for k, _ in a).values())
+
+
+def test_salted_counts_equal_direct_groupby(spark):
+    from kafka_firehose_nozzle_spark.operators.skew import salted_counts
+
+    # heavy skew: 90% of rows share one key
+    rows = [Row(k="hot" if i % 10 else f"cold{i}", v=float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    direct = {(r["k"], r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {(r["k"], r["n"]) for r in salted_counts(df, "k", ["v"]).collect()}
+    assert salted == direct
