@@ -1530,6 +1530,51 @@ ORACLE_SEGMENT_LISTAGG = """
 """
 
 
+def q_embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: left-fold
+    sum of squares (AGGREGATE), reversed-self dot product (ZIP_WITH +
+    AGGREGATE), max component. Left folds produce the identical IEEE
+    result in both engines (same add order)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.reverse(F.col("embedding")),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        x2.alias("sq_norm"),
+        rev_dot.alias("rev_dot"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.size("embedding").alias("n_dims"),
+    )
+
+
+ORACLE_EMB_HOF = """
+    SELECT vec_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (acc, x) -> acc + x) AS sq_norm,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(len(embedding)), i ->
+                CAST(embedding[i + 1] AS DOUBLE)
+                * CAST(embedding[len(embedding) - i] AS DOUBLE))),
+            (acc, x) -> acc + x) AS rev_dot,
+        CAST(list_max(embedding) AS DOUBLE) AS max_component,
+        len(embedding) AS n_dims
+    FROM embeddings
+"""
+
+
 def q_percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of l_quantity per return flag. Spark's exact
     ``percentile`` and DuckDB's ``quantile_cont`` share the same linear
@@ -1661,6 +1706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "source_doc_profile": q_source_doc_profile,
     "segment_listagg": q_segment_listagg,
+    "embedding_hof_stats": q_embedding_hof_stats,
     "percentile_quantities": q_percentile_quantities,
     "order_linenumber_sets": q_order_linenumber_sets,
     "token_positions": q_token_positions,
@@ -1699,6 +1745,7 @@ ORACLES: dict[str, str] = {
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "source_doc_profile": ORACLE_SOURCE_PROFILE,
     "segment_listagg": ORACLE_SEGMENT_LISTAGG,
+    "embedding_hof_stats": ORACLE_EMB_HOF,
     "percentile_quantities": ORACLE_PERCENTILES,
     "order_linenumber_sets": ORACLE_LINENUMBER_SETS,
     "token_positions": ORACLE_TOKEN_POSITIONS,
