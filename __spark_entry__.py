@@ -1530,6 +1530,28 @@ ORACLE_SEGMENT_LISTAGG = """
 """
 
 
+def q_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (stack): customer numeric columns to
+    (metric, value) rows — the inverse of pivot_event_counts."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE),"
+            " 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+ORACLE_UNPIVOT = """
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE)
+    FROM customer
+"""
+
+
 def q_embedding_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the embedding column: left-fold
     sum of squares (AGGREGATE), reversed-self dot product (ZIP_WITH +
@@ -1706,6 +1728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "source_doc_profile": q_source_doc_profile,
     "segment_listagg": q_segment_listagg,
+    "unpivot_customer": q_unpivot_customer,
     "embedding_hof_stats": q_embedding_hof_stats,
     "percentile_quantities": q_percentile_quantities,
     "order_linenumber_sets": q_order_linenumber_sets,
@@ -1745,6 +1768,7 @@ ORACLES: dict[str, str] = {
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "source_doc_profile": ORACLE_SOURCE_PROFILE,
     "segment_listagg": ORACLE_SEGMENT_LISTAGG,
+    "unpivot_customer": ORACLE_UNPIVOT,
     "embedding_hof_stats": ORACLE_EMB_HOF,
     "percentile_quantities": ORACLE_PERCENTILES,
     "order_linenumber_sets": ORACLE_LINENUMBER_SETS,
