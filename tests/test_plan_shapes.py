@@ -1,0 +1,56 @@
+"""Physical-plan regression guards: the properties that make these
+queries scale are asserted on the plan text, so a refactor that silently
+loses a pushdown, broadcast, or partial aggregation fails CI — not a
+100 TB run. (Plans at sf0.001; shapes are size-independent here because
+dims stay under the broadcast threshold at every SF we test.)"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_joins_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_pushes_date_filter_to_scan(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("c_mktsegment" in p or "IsNotNull" in p for p in pushed)
+
+
+def test_route_topics_single_shuffle(spark):
+    plan = _plan(spark, "route_topics")
+    # one aggregation exchange + the local-rebalance round robin at most
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:500]
+
+
+def test_bigram_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "bigram_topk")
+    # map-side combine: a partial_count HashAggregate must exist, and the
+    # final sort is a bounded TakeOrdered, not a global Sort
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_pairs_no_cartesian(spark):
+    plan = _plan(spark, "lsh_planted_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_topk_is_take_ordered(spark):
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
