@@ -911,6 +911,41 @@ def _oracle_simhash() -> str:
     """
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming <= 2 over 16 bits) via the
+    banded chunk join — pigeonhole-complete, never a cross product. The
+    oracle computes the same pair set by brute force (sf0.01 is small
+    enough), so it checks the banding loses nothing; results compare as
+    per-Hamming pair counts (the full pair set is ~200k rows on the
+    small-vocab synthetic corpus)."""
+    pairs = D.simhash_near_pairs(_planted_docs(spark, sf_dir))
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _oracle_simhash_near_pairs() -> str:
+    hashes = (
+        "list_transform(list_distinct(toks), t -> "
+        "('0x' || substr(md5(t || '#0'), 1, 15))::BIGINT)"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0)) > len(hs) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+        WITH docs2 AS ({_PLANTED_SQL}),
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+        hh AS (SELECT doc_id, {hashes} AS hs FROM t),
+        sh_out AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash16
+                   FROM hh)
+        SELECT bit_count(xor(a.simhash16, b.simhash16)) AS hamming,
+            COUNT(*) AS n_pairs
+        FROM sh_out a JOIN sh_out b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+        GROUP BY 1
+    """
+
+
 # planted near-duplicates: every document re-appears (id + 1000000) with
 # its last word dropped; LSH must surface orig->copy candidate pairs.
 _PLANT_OFFSET = 1_000_000
@@ -1712,6 +1747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "lsh_planted_dups": q_lsh_planted_dups,
     "jaccard_planted_dups": q_jaccard_planted_dups,
     "token_counts": q_token_counts,
@@ -1752,6 +1788,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN,
     "embedding_dup_pairs": ORACLE_EMB_DUPS,
     "simhash_fingerprints": _oracle_simhash(),
+    "simhash_near_pairs": _oracle_simhash_near_pairs(),
     "lsh_planted_dups": ORACLE_LSH_PLANTED,
     "jaccard_planted_dups": ORACLE_JACCARD_PLANTED,
     "token_counts": ORACLE_TOKEN_COUNTS,

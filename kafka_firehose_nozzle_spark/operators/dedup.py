@@ -368,3 +368,60 @@ def dup_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    chunks: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Banded chunk join (the SimHash analog of MinHash banding): split the
+    fingerprint into ``chunks`` equal bit ranges; by pigeonhole, any pair
+    within ``chunks - 1`` differing bits agrees on at least one chunk, so
+    an equi-join per chunk finds every qualifying pair without a cross
+    product. Candidates are then verified exactly with
+    bit_count(a XOR b). Shuffle volume: (chunk_ix, chunk_val, id) rows.
+    """
+    assert max_hamming < chunks, "pigeonhole recall requires hamming < chunks"
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    ).localCheckpoint(eager=False)  # computed once, reused by both sides
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.posexplode_outer(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), width * c).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_ix", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_ix") == F.col("b.chunk_ix"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
