@@ -217,3 +217,65 @@ def dedup_envelopes(
     else:
         deduped = with_ts.dropDuplicates(keys)
     return deduped.drop("event_time")
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor as _StatefulProcessor,
+)
+
+
+class _CounterTotalsProcessor(_StatefulProcessor):
+    """transformWithState processor: per-(origin, name) running totals.
+
+    Spark 4's arbitrary-state API (the successor of
+    applyInPandasWithState): typed ValueState per key, Arrow-batched
+    input, update-mode emission of the post-batch totals. Same semantics
+    as counter_running_totals — the test asserts both APIs agree."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "total LONG, n LONG")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        total, n = 0, 0
+        if self._state.exists():
+            prev = self._state.get()
+            total, n = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            total += int(pdf["delta"].fillna(0).sum())
+            n += len(pdf)
+        self._state.update((total, n))
+        yield pd.DataFrame(
+            {
+                "origin": [key[0]],
+                "name": [key[1]],
+                "running_total": [total],
+                "n_deltas": [n],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def counter_running_totals_tws(envelopes: DataFrame) -> DataFrame:
+    """counter_running_totals on the transformWithStateInPandas API —
+    identical output contract, Spark-4-native state management (TTL,
+    timers, and multiple typed state variables become available)."""
+    return (
+        counter_deltas(envelopes)
+        .groupBy("origin", "name")
+        .transformWithStateInPandas(
+            _CounterTotalsProcessor(),
+            outputStructType=COUNTER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
