@@ -583,13 +583,17 @@ SHARED_SQL: dict[str, str] = {
         GROUP BY e.user_id, e.event_id
     """,
     # calendar-function coverage round 2: last_day / weekofyear /
-    # dayofyear / week truncation / interval month arithmetic
+    # dayofyear / week truncation / interval month arithmetic.
+    # DATE-typed outputs are cast to TIMESTAMP: Spark's DATE arrives in
+    # pandas as object(datetime.date) while DuckDB's arrives as
+    # datetime64, so the driver's canonicalizer stringifies them
+    # differently; TIMESTAMP round-trips identically in both engines.
     "order_calendar": """
         SELECT o_orderkey,
-            LAST_DAY(o_orderdate) AS month_end,
+            CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end,
             WEEKOFYEAR(o_orderdate) AS iso_week,
             DAYOFYEAR(o_orderdate) AS doy,
-            CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS week_start,
+            CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS week_start,
             o_orderdate + INTERVAL 1 MONTH AS next_month,
             GREATEST(o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS floored
         FROM orders
@@ -1420,9 +1424,13 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
+            # decimal sum -> VARCHAR -> DOUBLE: DuckDB's int128->double
+            # cast double-rounds above 2^53; string parsing is correctly
+            # rounded in both engines (same route as dispersion_stats).
             (
                 F.sum(F.col("k").cast("decimal(18,4)"))
                 .cast("decimal(30,6)")
+                .cast("string")
                 .cast("double")
                 / F.count(F.lit(1))
             ).alias("avg_k"),
@@ -1437,7 +1445,8 @@ ORACLE_PROPS_JSON = """
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
     SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
-        CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS DOUBLE)
+        CAST(CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DECIMAL(30,6))
+             AS VARCHAR(64)) AS DOUBLE)
             / COUNT(*) AS avg_k,
         MIN(k) AS min_k, MAX(k) AS max_k
     FROM t GROUP BY event_type
@@ -1520,9 +1529,11 @@ def q_source_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct(F.col("lang")).alias("n_langs"),
+            # VARCHAR-routed decimal->double (see q_props_json_stats)
             (
                 F.sum(F.col("n_chars").cast("decimal(18,4)"))
                 .cast("decimal(30,6)")
+                .cast("string")
                 .cast("double")
                 / F.count(F.lit(1))
             ).alias("avg_chars"),
@@ -1537,7 +1548,8 @@ ORACLE_SOURCE_PROFILE = """
             AS n_toks
     FROM documents)
     SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-        CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DECIMAL(30,6)) AS DOUBLE)
+        CAST(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DECIMAL(30,6))
+             AS VARCHAR(64)) AS DOUBLE)
             / COUNT(*) AS avg_chars,
         SUM(n_toks) AS total_tokens
     FROM t GROUP BY source
