@@ -893,8 +893,10 @@ def _sim_sql(a: str, b: str) -> str:
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16")
+    # with_simhash stages the token-hash array once per row instead of
+    # inlining it into each of the 16 per-bit majority expressions.
+    return D.with_simhash(docs, "text", "simhash16", bits=16).select(
+        "doc_id", "simhash16"
     )
 
 
@@ -1063,10 +1065,18 @@ def q_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("doc_id"), F.lit(10000)),
         ),
     )
-    return docs.select(
-        "doc_id",
-        TX.scrub_pii(dirty).alias("clean_text"),
-        (F.length(dirty) - F.length(TX.scrub_pii(dirty))).alias("chars_removed"),
+    # Stage dirty and the scrubbed text each in their own projection so
+    # the 3-regex chain runs once per row, not once per referencing
+    # expression (CollapseProject keeps multiply-referenced non-cheap
+    # expressions staged).
+    return (
+        docs.select("doc_id", dirty.alias("_dirty"))
+        .withColumn("clean_text", TX.scrub_pii(F.col("_dirty")))
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.length("_dirty") - F.length("clean_text")).alias("chars_removed"),
+        )
     )
 
 
@@ -1321,15 +1331,18 @@ ORACLE_CENTROID_NORMS = """
 
 
 def q_media_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents as opaque binary media, features
-    extracted in Arrow batches via mapInPandas."""
+    """Multimodal plumbing: documents as opaque binary media. Features
+    that built-ins can express (length, md5) stay JVM-side — no Python
+    evaluator in this plan; the Arrow-batched mapInPandas path
+    (media_features) remains the seam for real codec work and keeps its
+    own unit test."""
     from kafka_firehose_nozzle_spark.operators.multimodal import (
         documents_as_media,
-        media_features,
+        media_features_builtin,
     )
 
     media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return media_features(media)
+    return media_features_builtin(media)
 
 
 ORACLE_MEDIA = """

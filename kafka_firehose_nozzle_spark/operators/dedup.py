@@ -227,8 +227,34 @@ def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint of a document (see simhash_from_hashes)."""
+    """SimHash fingerprint of a document (see simhash_from_hashes).
+
+    NOTE: as a single Column expression this inlines ``token_hashes``
+    into every per-bit term (~``bits``× evaluation). Inside a DataFrame
+    pipeline prefer :func:`with_simhash`, which stages the hash array in
+    its own projection so it is computed once per row.
+    """
     return simhash_from_hashes(token_hashes(text), bits)
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    bits: int = 16,
+) -> DataFrame:
+    """Add a SimHash column with the token-hash array staged once.
+
+    Same CollapseProject reasoning as :func:`with_minhash`: the
+    normalize+tokenize+distinct+md5 array is non-cheap and referenced by
+    every per-bit majority vote, so materializing it in its own
+    projection keeps it single-evaluation per row.
+    """
+    return (
+        df.withColumn("_token_hashes", token_hashes(F.col(text_col)))
+        .withColumn(out_col, simhash_from_hashes(F.col("_token_hashes"), bits))
+        .drop("_token_hashes")
+    )
 
 
 def exact_dup_groups(
@@ -390,9 +416,11 @@ def simhash_near_pairs(
     assert max_hamming < chunks, "pigeonhole recall requires hamming < chunks"
     width = bits // chunks
     mask = (1 << width) - 1
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
-    ).localCheckpoint(eager=False)  # computed once, reused by both sides
+    sh = (
+        with_simhash(df, text_col, "sh", bits)
+        .select(F.col(id_col).alias("id"), "sh")
+        .localCheckpoint(eager=False)  # computed once, reused by both sides
+    )
     chunked = sh.select(
         "id",
         "sh",

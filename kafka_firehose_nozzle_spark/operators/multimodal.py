@@ -101,6 +101,20 @@ def media_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     )
 
 
+def media_features_builtin(media: DataFrame) -> DataFrame:
+    """JVM-side equivalent of :func:`media_features` for features that
+    built-in functions can express (byte length, md5). Stays inside
+    whole-stage codegen — no Python evaluator in the plan — so this is
+    the path for anything expressible without a codec; ``media_features``
+    (mapInPandas) remains the seam for real decode work only.
+    """
+    return media.select(
+        "media_id",
+        F.coalesce(F.length("payload"), F.lit(0)).cast("int").alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Image decode seam: payload -> pixel tensor columns.
 

@@ -54,3 +54,25 @@ def test_lsh_pairs_no_cartesian(spark):
 def test_ann_topk_is_take_ordered(spark):
     plan = _plan(spark, "ann_cosine_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_scrub_chain_evaluated_once(spark):
+    # clean_text and chars_removed both reference the 3-regex scrub; the
+    # staged projection must keep exactly one copy of the chain in the plan
+    plan = _plan(spark, "pii_scrubbed")
+    assert plan.count("<EMAIL>") == 1, plan[:1000]
+    assert plan.count("<PHONE>") == 1
+
+
+def test_media_stats_has_no_python_evaluator(spark):
+    plan = _plan(spark, "media_batch_stats")
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_simhash_token_hashes_staged_once(spark):
+    # with_simhash materializes the md5 token-hash array in its own
+    # projection; the 16 per-bit expressions must reference it, not
+    # re-derive it (one md5 call in the plan, not 16)
+    plan = _plan(spark, "simhash_fingerprints")
+    assert plan.count("md5(") <= 2, plan.count("md5(")
