@@ -21,9 +21,16 @@ Source options (all strings, per the DataSource API):
   (ST4; cli.go:53, default 5)
 - ``maxBatchRows``  cap per micro-batch (backpressure, replaces the
   reference's channel-buffer tuning, kafka.go:24-25)
+- ``filterType``  server-side event filter (SRC3): ``logs`` or
+  ``metrics``, appended to the websocket URL as ``filter-type=...``
+  exactly like noaa (noaa/consumer/filter.go:3-20, firehose.go:42-44);
+  also enforced client-side so fixture mode honors it
 - ``fixtureRows``  TEST MODE: emit N deterministic canonical envelopes
   per batch instead of connecting (keeps CI network-free; the websocket
   dependency is import-gated)
+- ``fixtureWire``  with fixtureRows: route the fixture envelopes through
+  the dropsonde wire codec (encode -> decode) so CI exercises the same
+  decode path live traffic takes
 
 Rows conform to schemas.ENVELOPE_SCHEMA.
 """
@@ -91,9 +98,25 @@ def fetch_uaa_token(
     return f"{body['token_type']} {body['access_token']}"
 
 
-def firehose_url(doppler_addr: str, subscription_id: str) -> str:
-    """wss URL for the firehose endpoint (noaa firehose.go:42-44)."""
-    return f"{doppler_addr.rstrip('/')}/firehose/{subscription_id}"
+# filterType -> allowed eventType set (noaa filter.go:3-20 semantics:
+# logs = LogMessage only; metrics = the three metric envelope types)
+FILTER_EVENT_TYPES = {
+    "logs": frozenset({schemas.LOG_MESSAGE}),
+    "metrics": frozenset(
+        {schemas.VALUE_METRIC, schemas.COUNTER_EVENT, schemas.CONTAINER_METRIC}
+    ),
+}
+
+
+def firehose_url(
+    doppler_addr: str, subscription_id: str, filter_type: str = ""
+) -> str:
+    """wss URL for the firehose endpoint (noaa firehose.go:42-44), with
+    the optional server-side filter-type query param (filter.go:11-19)."""
+    url = f"{doppler_addr.rstrip('/')}/firehose/{subscription_id}"
+    if filter_type:
+        url += f"?filter-type={filter_type}"
+    return url
 
 
 class FirehoseStreamReader(SimpleDataSourceStreamReader):
@@ -106,6 +129,16 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         self.options = options
         self.max_batch = int(options.get("maxBatchRows", DEFAULT_MAX_BATCH_ROWS))
         self.fixture_rows = int(options.get("fixtureRows", 0))
+        self.fixture_wire = options.get("fixtureWire", "false") == "true"
+        self.filter_type = options.get("filterType", "")
+        if self.filter_type and self.filter_type not in FILTER_EVENT_TYPES:
+            raise ValueError(
+                f"filterType must be 'logs' or 'metrics', got "
+                f"{self.filter_type!r}"
+            )
+        # client-side guard; live connections ALSO push the filter to the
+        # server via the filter-type query param (noaa filter.go:11-19)
+        self._allowed = FILTER_EVENT_TYPES.get(self.filter_type)
         self._conn = None
 
     def initialOffset(self) -> dict:
@@ -131,7 +164,9 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
                 == "true",
             )
         url = firehose_url(
-            self.options["dopplerAddress"], self.options["subscriptionID"]
+            self.options["dopplerAddress"],
+            self.options["subscriptionID"],
+            self.filter_type,
         )
         self._conn = ws_client.connect(
             url,
@@ -148,24 +183,40 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         for i in range(self.fixture_rows):
             r = dict(canon[(start_n + i) % len(canon)])
             r["timestamp"] = (r["timestamp"] or 0) + start_n + i
-            rows.append(_envelope_dict_to_tuple(r))
+            if self.fixture_wire:
+                # same path live traffic takes: wire bytes -> decode
+                from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+                    encode_envelope,
+                )
+
+                rows.append(_decode_dropsonde(encode_envelope(r)))
+            else:
+                rows.append(_envelope_dict_to_tuple(r))
         return rows
+
+    def _keep(self, row: tuple) -> bool:
+        # eventType is ENVELOPE_SCHEMA field 1
+        return self._allowed is None or row[1] in self._allowed
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         n = start["n"]
         if self.fixture_rows:
-            rows = self._fixture_batch(n)
-            return iter(rows), {"n": n + len(rows)}
+            rows = [r for r in self._fixture_batch(n) if self._keep(r)]
+            return iter(rows), {"n": n + self.fixture_rows}
         conn = self._connect()
         rows = []
+        n_read = 0
         idle = float(self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT))
-        while len(rows) < self.max_batch:
+        while n_read < self.max_batch:
             try:
                 msg = conn.recv(timeout=0.05 if rows else idle)
             except TimeoutError:
                 break
-            rows.append(_decode_dropsonde(msg))
-        return iter(rows), {"n": n + len(rows)}
+            n_read += 1
+            row = _decode_dropsonde(msg)
+            if self._keep(row):  # belt over the server-side filter
+                rows.append(row)
+        return iter(rows), {"n": n + n_read}
 
     def commit(self, end: dict) -> None:
         pass
@@ -196,16 +247,14 @@ def _envelope_dict_to_tuple(r: dict) -> tuple:
 def _decode_dropsonde(msg: bytes) -> tuple:
     """Dropsonde protobuf wire bytes -> envelope tuple (S1).
 
-    The live decode path needs the sonde descriptor; the container image
-    has no protobuf runtime wired for it, so live decoding is stubbed —
-    the plumbing (schema, offsets, batching) is exercised via fixture
-    mode. A production build plugs `from_protobuf` or generated bindings
-    here. (Reference decode happens inside noaa, consumer.go:103.)
+    Hand-rolled proto2 wire parser (see dropsonde_wire.py) — the same
+    decode the reference gets from ``proto.Unmarshal`` inside noaa
+    (go-nozzle consumer.go:103), with no descriptor or protobuf runtime
+    required on executors.
     """
-    raise NotImplementedError(
-        "dropsonde protobuf decode requires the sonde descriptor; "
-        "use fixtureRows mode in this environment"
-    )
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import decode_envelope
+
+    return _envelope_dict_to_tuple(decode_envelope(bytes(msg)))
 
 
 class FirehoseDataSource(DataSource):

@@ -1,0 +1,176 @@
+"""S1: dropsonde protobuf wire codec — golden bytes, round-trips, and the
+firehose reader's live-decode path driven through fixture-wire mode.
+
+Golden semantics mirror the reference's decode fixtures
+(helper_test.go:12-107, kafka_test.go:557-603): the canonical envelopes
+serialized by sonde-go must decode to the same rows our fixtures declare.
+The golden byte strings below were hand-assembled from the proto2 wire
+spec + the sonde-go field numbers (envelope.pb.go:98-117 etc.), NOT
+produced by the codec under test.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_firehose_nozzle_spark import schemas
+from kafka_firehose_nozzle_spark.fixtures import (
+    TEST_APP_ID,
+    TEST_TS,
+    canonical_envelopes,
+)
+from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+    decode_envelope,
+    encode_envelope,
+)
+from kafka_firehose_nozzle_spark.sources.firehose import (
+    FirehoseStreamReader,
+    _envelope_dict_to_tuple,
+)
+
+# events.Envelope{origin:"fake-origin-2" eventType:ValueMetric
+#   timestamp:TEST_TS valueMetric:{name:"df" value:0.99}}
+GOLDEN_VM = (
+    b"\n\rfake-origin-2\x10\x060\xfc\x99\xc6\xc0\xb3\xaa\xe9\xa3\x14"
+    b"J\r\n\x02df\x11\xaeG\xe1z\x14\xae\xef?"
+)
+
+# events.Envelope{origin:"fake-origin-1" eventType:LogMessage
+#   timestamp:TEST_TS logMessage:{message:"hello" message_type:OUT
+#   timestamp:TEST_TS app_id:TEST_APP_ID source_type:"DEA"}}
+GOLDEN_LOG = (
+    b"\n\rfake-origin-1\x10\x050\xfc\x99\xc6\xc0\xb3\xaa\xe9\xa3\x14"
+    b"B>\n\x05hello\x10\x01\x18\xfc\x99\xc6\xc0\xb3\xaa\xe9\xa3\x14"
+    b'"$3356a5c7-e86c-442a-b14f-ce5cc4f80ed1*\x03DEA'
+)
+
+
+def test_golden_value_metric_decodes():
+    env = decode_envelope(GOLDEN_VM)
+    assert env["origin"] == "fake-origin-2"
+    assert env["eventType"] == schemas.VALUE_METRIC
+    assert env["timestamp"] == TEST_TS
+    assert env["valueMetric"] == {"name": "df", "value": 0.99, "unit": None}
+    assert env["logMessage"] is None and env["tags"] is None
+
+
+def test_golden_log_message_decodes():
+    env = decode_envelope(GOLDEN_LOG)
+    assert env["eventType"] == schemas.LOG_MESSAGE
+    lm = env["logMessage"]
+    assert lm["message"] == b"hello"
+    assert lm["message_type"] == schemas.MESSAGE_TYPE_OUT
+    assert lm["timestamp"] == TEST_TS
+    assert lm["app_id"] == TEST_APP_ID
+    assert lm["source_type"] == "DEA"
+    assert lm["source_instance"] is None
+
+
+def test_encoder_reproduces_golden_bytes():
+    vm = decode_envelope(GOLDEN_VM)
+    log = decode_envelope(GOLDEN_LOG)
+    assert encode_envelope(vm) == GOLDEN_VM
+    assert encode_envelope(log) == GOLDEN_LOG
+
+
+def test_unknown_fields_are_skipped():
+    # append field 99 varint and field 98 length-delimited — a proto2
+    # decoder must tolerate fields it doesn't know
+    # tags are multi-byte varints: field 99 varint = b"\x98\x06",
+    # field 98 length-delimited = b"\x92\x06"
+    extra = GOLDEN_VM + b"\x98\x06\x2a" + b"\x92\x06\x03xyz"
+    assert decode_envelope(extra) == decode_envelope(GOLDEN_VM)
+
+
+def test_truncated_bytes_raise():
+    with pytest.raises(ValueError):
+        decode_envelope(GOLDEN_VM[:-3])
+
+
+def test_all_canonical_envelopes_roundtrip():
+    # every fixture row (incl. negative-wrapped uint64 UUID halves and the
+    # eventType=-1 unknown row) survives encode -> decode exactly
+    for env in canonical_envelopes():
+        assert decode_envelope(encode_envelope(env)) == env
+
+
+_maybe_str = st.none() | st.text(max_size=20)
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    origin=st.text(max_size=30),
+    event_type=_i32,
+    timestamp=st.none() | _i64,
+    deployment=_maybe_str,
+    ip=_maybe_str,
+    tags=st.none()
+    | st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=4),
+    ce=st.none()
+    | st.fixed_dictionaries(
+        {"name": st.text(max_size=10), "delta": st.none() | _i64, "total": st.none() | _i64}
+    ),
+    vm=st.none()
+    | st.fixed_dictionaries(
+        {
+            "name": st.text(max_size=10),
+            "value": st.floats(allow_nan=False),
+            "unit": _maybe_str,
+        }
+    ),
+)
+def test_roundtrip_property(origin, event_type, timestamp, deployment, ip, tags, ce, vm):
+    env = {
+        "origin": origin,
+        "eventType": event_type,
+        "timestamp": timestamp,
+        "deployment": deployment,
+        "job": None,
+        "index": None,
+        "ip": ip,
+        "tags": tags or None,
+        "httpStartStop": None,
+        "logMessage": None,
+        "valueMetric": vm,
+        "counterEvent": ce,
+        "error": None,
+        "containerMetric": None,
+    }
+    assert decode_envelope(encode_envelope(env)) == env
+
+
+def test_double_wire_is_fixed64_little_endian():
+    # the value field must be wire type 1 (8-byte LE IEEE754), not varint
+    env = decode_envelope(GOLDEN_VM)
+    raw = encode_envelope(env)
+    assert struct.pack("<d", 0.99) in raw
+
+
+# --- reader: fixture-wire mode drives the live decode path ------------------
+
+
+def test_fixture_wire_mode_matches_plain_fixture_mode():
+    plain = FirehoseStreamReader({"fixtureRows": "8"})
+    wired = FirehoseStreamReader({"fixtureRows": "8", "fixtureWire": "true"})
+    rows_p, off_p = plain.read({"n": 0})
+    rows_w, off_w = wired.read({"n": 0})
+    assert list(rows_p) == list(rows_w)
+    assert off_p == off_w == {"n": 8}
+
+
+def test_decode_dropsonde_returns_schema_order_tuple():
+    from kafka_firehose_nozzle_spark.sources.firehose import _decode_dropsonde
+
+    row = _decode_dropsonde(GOLDEN_LOG)
+    expected = _envelope_dict_to_tuple(decode_envelope(GOLDEN_LOG))
+    assert row == expected
+    # spot-check positional contract against ENVELOPE_SCHEMA
+    names = [f.name for f in schemas.ENVELOPE_SCHEMA.fields]
+    assert row[names.index("origin")] == "fake-origin-1"
+    assert row[names.index("eventType")] == schemas.LOG_MESSAGE
