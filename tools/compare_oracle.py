@@ -3,6 +3,9 @@ queries()[name] on Spark and oracle_sql()[name] on DuckDB, compare
 row-count + schema + order-insensitive values.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+
+Also importable: tests/test_oracle_full.py runs the full registry through
+``compare_all`` as a slow test so driver-unchecked queries can't rot.
 """
 
 from __future__ import annotations
@@ -15,7 +18,6 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
-from kafka_firehose_nozzle_spark.session import get_spark
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -27,55 +29,75 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-compare", 8)
+def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in entrymod.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare_query(spark, con, sf_dir: str, name: str) -> str | None:
+    """Run one registry query on both engines; None on match, else a
+    human-readable failure description."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    failed = []
-    for name, fn in qs.items():
+    try:
+        got = qs[name](spark, sf_dir).toPandas()
+    except Exception as e:
+        return f"spark error {type(e).__name__}: {str(e)[:300]}"
+    if name not in oracles:
+        return None  # rows-only query: driver applies the weaker check
+    try:
+        want = con.execute(oracles[name]).df()
+    except Exception as e:
+        return f"duckdb error {str(e)[:300]}"
+    g, w = canon(got), canon(want)
+    if list(g.columns) != list(w.columns):
+        return f"columns {list(g.columns)} vs {list(w.columns)}"
+    if len(g) != len(w):
+        return f"rows {len(g)} vs {len(w)}"
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+    except AssertionError as e:
+        return f"values differ: {str(e)[:400]}"
+    return None
+
+
+def compare_all(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, str]:
+    """Run every registry query; return {name: failure} (empty = all pass)."""
+    con = oracle_connection(sf_dir)
+    failures: dict[str, str] = {}
+    for name in entrymod.queries():
         if only and name not in only:
             continue
-        try:
-            got = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
-            failed.append(name)
+        err = compare_query(spark, con, sf_dir, name)
+        if err is not None:
+            failures[name] = err
+    return failures
+
+
+def main() -> int:
+    from kafka_firehose_nozzle_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or None
+    spark = get_spark("oracle-compare", 8)
+    con = oracle_connection(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    n_run = 0
+    for name in qs:
+        if only and name not in only:
             continue
-        if name not in oracles:
-            print(f"OK?  {name}: rows={len(got)} (no oracle, rows-only)")
-            continue
-        try:
-            want = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+        n_run += 1
+        err = compare_query(spark, con, sf_dir, name)
+        if err is not None:
+            print(f"FAIL {name}: {err}")
             failed.append(name)
-            continue
-        g, w = canon(got), canon(want)
-        if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
-            failed.append(name)
-            continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
-            failed.append(name)
-            continue
-        try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"PASS {name}: rows={len(g)}")
-        except AssertionError as e:
-            print(f"FAIL {name}: values differ\n{str(e)[:500]}")
-            # show a few mismatching cells
-            neq = (g != w) & ~(g.isna() & w.isna())
-            bad = neq.any(axis=1)
-            print(pd.concat([g[bad].head(3), w[bad].head(3)], keys=["got", "want"]))
-            failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} PASS; failed: {failed}")
+        elif name not in oracles:
+            print(f"OK?  {name}: rows-only (no oracle)")
+        else:
+            print(f"PASS {name}")
+    print(f"\n{n_run - len(failed)}/{n_run} PASS; failed: {failed}")
     return 1 if failed else 0
 
 
