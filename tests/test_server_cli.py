@@ -42,6 +42,38 @@ def test_stats_endpoint():
         server.shutdown()
 
 
+def test_index_and_pprof_endpoints():
+    # server.go:33 registers "/", server.go:10 imports net/http/pprof
+    server = start_stats_server(Stats(), port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/") as r:
+            assert r.headers["Content-Type"] == "text/html"
+            body = r.read().decode()
+        for link in ("/stats/runtime", "/stats/app", "/debug/pprof/"):
+            assert link in body  # server.go:53-58 link list
+
+        with urllib.request.urlopen(f"{base}/debug/pprof/") as r:
+            idx = r.read().decode()
+        assert "threads" in idx and "heap" in idx
+
+        with urllib.request.urlopen(f"{base}/debug/pprof/threads") as r:
+            dump = r.read().decode()
+        assert "stats-http" in dump  # the serving thread sees itself
+
+        # first call arms tracemalloc, second returns a snapshot
+        urllib.request.urlopen(f"{base}/debug/pprof/heap").read()
+        with urllib.request.urlopen(f"{base}/debug/pprof/heap") as r:
+            heap = r.read().decode()
+        assert "traced_current=" in heap
+    finally:
+        server.shutdown()
+        import tracemalloc
+
+        tracemalloc.stop()
+
+
 def _resolve(tmp_path, argv):
     p = tmp_path / "c.toml"
     p.write_text(TOML)
