@@ -1257,6 +1257,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(assigned, cents, S.query_vector(emb, 0), k=10, nprobe=2)
 
 
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN: spherical Lloyd's k-means centroids (10 cells,
+    zero-shuffle literal-centroid assignment + one partial-agg shuffle
+    per iteration), probe the 2 nearest cells. Rows-only driver check:
+    iterative training isn't single-statement-SQL-expressible; recall is
+    bounded in tests/test_operators.py::test_kmeans_centroids_train_and_recall."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.kmeans_centroids(emb, 10, max_iter=4)
+    assigned = S.ivf_assign(emb, cents)
+    return S.ivf_topk(assigned, cents, S.query_vector(emb, 0), k=10, nprobe=2)
+
+
 ORACLE_IVF = f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
@@ -1780,6 +1792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": q_pivot_event_counts,
     "asof_purchase_orders": q_asof_purchase_orders,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "ivf_trained_topk": q_ivf_trained_topk,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "session_window_agg": q_session_window_agg,

@@ -176,6 +176,81 @@ def kmeans_like_centroids(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    num_cells: int,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained IVF centroids: Lloyd's k-means, expressed Spark-first.
+
+    Scale shape per iteration (the part that must survive 100 TB):
+
+    - **assignment is a pure map, zero shuffle** — the C centroids are a
+      scalar-scale object (C × dim doubles), so they ride into the plan
+      as literal arrays and each row computes its argmax-cosine cell
+      locally. No corpus crossJoin, no per-row window.
+    - **update is one partial-aggregated shuffle** — posexplode to
+      (cell, pos, v) then avg; map-side combine reduces the shuffle to
+      ≤ C × dim groups per task regardless of corpus size.
+    - the driver only ever materializes the centroid table itself
+      (like the connected-components loop reading a scalar per round),
+      never corpus rows.
+
+    Init is the deterministic hash-group average (kmeans_like_centroids),
+    so training is reproducible run-to-run. Returns [cell_id, centroid]
+    compatible with ivf_assign/ivf_topk.
+    """
+    import math
+
+    spark = df.sparkSession
+
+    def unit(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [x / n for x in c]
+
+    seed = {
+        int(r["cell_id"]): [float(x) for x in r["centroid"]]
+        for r in kmeans_like_centroids(df, num_cells, id_col, vec_col).collect()
+    }
+    # dense 0..C-1 index; a hash cell empty at tiny SF borrows a neighbor
+    cur = [seed.get(i, seed[min(seed)]) for i in range(num_cells)]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(max_iter):
+        # centroids pre-normalized driver-side: argmax cosine == argmax dot,
+        # so the per-row assignment is C*dim multiply-adds and nothing else
+        cents = F.array(
+            *[F.array(*[F.lit(x) for x in unit(c)]) for c in cur]
+        )
+        sims = F.transform(cents, lambda c: dot(v, c))
+        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        updated = (
+            df.select(cell.alias("cell_id"), F.posexplode(v).alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "cell_id",
+                F.transform(F.col("pc"), lambda x: x.getField("c")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        nxt_map = {
+            int(r["cell_id"]): [float(x) for x in r["centroid"]]
+            for r in updated.collect()
+        }
+        nxt = [nxt_map.get(i, cur[i]) for i in range(num_cells)]
+        if nxt == cur:
+            break
+        cur = nxt
+    return spark.createDataFrame(
+        list(enumerate(cur)), "cell_id bigint, centroid array<double>"
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

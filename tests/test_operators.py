@@ -168,6 +168,51 @@ def test_ivf_full_probe_matches_brute_force(spark):
     assert ivf == brute == [1, 2, 3]
 
 
+def test_kmeans_centroids_train_and_recall(spark):
+    """Trained-IVF recall@10 measured against brute force (VERDICT r1
+    item 10). The sf0.01 embeddings corpus is nearly structureless in
+    cosine space (within-label mean cos 0.0016 vs cross-label 0.0003 —
+    even ideal label-mean centroids only reach ~0.34 recall at
+    nprobe=2), so the meaningful bounds are: trained cells must beat the
+    random-probe baseline (nprobe/C = 0.2) by a clear margin, and
+    probing every cell must be exact."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = S.kmeans_centroids(emb, 10, max_iter=4)
+    rows = cents.collect()
+    assert sorted(r["cell_id"] for r in rows) == list(range(10))
+    assert all(len(r["centroid"]) == 64 for r in rows)
+    # training is deterministic: same input -> identical centroids
+    again = S.kmeans_centroids(emb, 10, max_iter=4).collect()
+    assert {r["cell_id"]: r["centroid"] for r in again} == {
+        r["cell_id"]: r["centroid"] for r in rows
+    }
+
+    assigned = S.ivf_assign(emb, cents).localCheckpoint()
+    recalls = []
+    for qid in (0, 7, 123, 250, 499):
+        q = S.query_vector(emb, qid)
+        ann = {
+            r["vec_id"]
+            for r in S.ivf_topk(assigned, cents, q, k=10, nprobe=2).collect()
+        }
+        brute = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+        recalls.append(len(ann & brute) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.35, recalls  # random probing would give ~0.2
+
+    # probing all cells makes IVF exact
+    q = S.query_vector(emb, 0)
+    full = {
+        r["vec_id"]
+        for r in S.ivf_topk(assigned, cents, q, k=10, nprobe=10).collect()
+    }
+    brute0 = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    assert full == brute0
+
+
 def test_ivf_nprobe_prunes_to_probed_cells(spark):
     df = _vec_df(spark)
     cents = S.medoid_centroids(df, 2)
