@@ -1098,6 +1098,62 @@ ORACLE_PII = """
 """
 
 
+# oracle fragment: word 3-grams of the normalized tokens (matches
+# operators.text.word_ngrams(n=3))
+_GRAMS3 = (
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2), "
+    "i -> array_to_string(toks[i + 1:i + 3], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition (1 - distinct/total word 3-grams): the
+    boilerplate/looped-generation quality gate. Pure column expressions,
+    fused into the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.repetition_score(F.col("text"), 3).alias("rep_3gram")
+    )
+
+
+ORACLE_REPETITION = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, {_GRAMS3} AS grams FROM t)
+    SELECT doc_id,
+        ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+            AS rep_3gram
+    FROM g
+"""
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: per held-out doc (doc_id % 5 = 0), the
+    fraction of its distinct word 3-grams found anywhere in the train
+    split. Explode + hash semi-join + partial-agg count — never a
+    pairwise doc comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    test = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return TX.ngram_containment(train, test)
+
+
+ORACLE_CONTAINMENT = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, {_GRAMS3} AS grams FROM t),
+    tr AS (SELECT DISTINCT unnest(list_distinct(grams)) AS gram FROM g
+           WHERE doc_id % 5 <> 0),
+    te AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+           WHERE doc_id % 5 = 0),
+    m AS (SELECT doc_id, COUNT(*) AS mt FROM te
+          WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS tt FROM te GROUP BY doc_id)
+    SELECT tot.doc_id,
+        ROUND(COALESCE(mt, 0) / CAST(tt AS DOUBLE), 6) AS containment
+    FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: 5 documents per language by md5
     hash rank — reproducible on any engine at any parallelism."""
@@ -1810,6 +1866,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rare_terms": q_rare_terms,
     "lsh_dup_components": q_lsh_dup_components,
     "pii_scrubbed": q_pii_scrubbed,
+    "repetition_scores": q_repetition_scores,
+    "ngram_containment": q_ngram_containment,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
 }
@@ -1851,6 +1909,8 @@ ORACLES: dict[str, str] = {
     "rare_terms": ORACLE_RARE_TERMS,
     "lsh_dup_components": ORACLE_DUP_COMPONENTS,
     "pii_scrubbed": ORACLE_PII,
+    "repetition_scores": ORACLE_REPETITION,
+    "ngram_containment": ORACLE_CONTAINMENT,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
 }

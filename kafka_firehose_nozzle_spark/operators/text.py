@@ -127,6 +127,74 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     return F.array_min(hashes)
 
 
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams of the normalized text (array<string>); documents
+    shorter than n words yield their single joined form."""
+    toks = tokens(normalize_text(text))
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct/total word n-grams.
+
+    Standard LLM-corpus quality gate (repetitive boilerplate, looped
+    generations score high). Pure column expression — int/int division,
+    so both engines produce the identical double.
+    """
+    grams = word_ngrams(text, n)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+    )
+
+
+def ngram_containment(
+    train,
+    test,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """Train/test contamination check: per test document, the fraction of
+    its distinct word n-grams that appear anywhere in the train corpus.
+
+    Scale shape: explode distinct n-grams per test doc (narrow), build the
+    train corpus's distinct gram set with one hash aggregation, then a
+    shuffled hash semi-join on the gram followed by a partial-aggregated
+    per-doc count. No pairwise document comparison anywhere — cost is
+    O(grams), not O(docs^2). At 100 TB the semi-join is the place to add
+    a bloom filter on the train-gram set; the plan shape is unchanged.
+    """
+    tg = test.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    tr = (
+        train.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+        )
+        .distinct()
+    )
+    matched = (
+        tg.join(tr, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    total = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("_t"))
+    return total.join(matched, id_col, "left").select(
+        id_col,
+        F.round(F.coalesce(F.col("_m"), F.lit(0)) / F.col("_t"), 6).alias(
+            "containment"
+        ),
+    )
+
+
 # PII patterns: RE2-safe subset (works in both Java regex and DuckDB's RE2)
 _PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

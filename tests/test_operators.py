@@ -255,6 +255,45 @@ def test_token_counts_and_quality(spark):
     assert row["fp"] == hashlib.md5(b"the quick brown fox").hexdigest()
 
 
+def test_repetition_score(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=1, text="a b c a b c a b c"),  # heavy 3-gram repetition
+            Row(i=2, text="one two three four five"),  # all distinct
+            Row(i=3, text="hi"),  # shorter than n: single joined gram
+        ]
+    )
+    got = {
+        r["i"]: r["rep"]
+        for r in df.select(
+            "i", TX.repetition_score(F.col("text"), 3).alias("rep")
+        ).collect()
+    }
+    # "a b c ..." has 7 3-grams, 3 distinct -> 1 - 3/7
+    assert got[1] == round(1 - 3 / 7, 6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_ngram_containment(spark):
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat sat on the mat today")]
+    )
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the cat sat on a rug"),  # shares "the cat sat"
+            Row(doc_id=11, text="completely novel text here now"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["containment"]
+        for r in TX.ngram_containment(train, test).collect()
+    }
+    # doc 10: 4 distinct 3-grams, 2 contained ("the cat sat", "cat sat on")
+    assert got[10] == 0.5
+    assert got[11] == 0.0
+
+
 def test_rolling_hash_fingerprint_robust_to_tail_edit(spark):
     base = "one two three four five six seven eight nine ten eleven twelve"
     df = spark.createDataFrame(
