@@ -398,6 +398,54 @@ SHARED_SQL: dict[str, str] = {
         GROUP BY p_brand, p_size
     """,
     # TPC-H Q18 style: large-volume orders (HAVING subquery + semi join)
+    # TPC-H Q7 style: volume shipping between two nations by year
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+            CAST(CAST(SUM(vol) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   YEAR(l_shipdate) AS l_year, {_REV} AS vol
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                 AND TIMESTAMP '1997-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    # TPC-H Q10 style: returned-item revenue by customer, top 20
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name,
+            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+            c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # TPC-H Q14 style: promo revenue share by ship year. Each decimal sum
+    # goes to DOUBLE via the VARCHAR route before the division (the
+    # documented int128->double trap), identically in both engines.
+    "q14_promo_share": f"""
+        SELECT YEAR(l_shipdate) AS l_year,
+            CAST(COALESCE(CAST(CAST(SUM({_REV}) FILTER (WHERE p_type = 'PROMO')
+                     AS DECIMAL(30,6)) AS VARCHAR(64)), '0') AS DOUBLE) * 100.0
+            / CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64))
+                   AS DOUBLE) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY YEAR(l_shipdate)
+    """,
     "q18_big_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))

@@ -56,6 +56,19 @@ def test_ann_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q7_broadcasts_dims_no_cartesian(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q14_pushes_join_and_partial_agg(spark):
+    plan = _plan(spark, "q14_promo_share")
+    assert "BroadcastHashJoin" in plan  # part side broadcasts
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
 def test_pii_scrub_chain_evaluated_once(spark):
     # clean_text and chars_removed both reference the 3-regex scrub; the
     # staged projection must keep exactly one copy of the chain in the plan
