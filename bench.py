@@ -81,9 +81,42 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "routing_events_per_sec": _routing_throughput(spark),
             }
         )
     )
+
+
+def _routing_throughput(spark, n: int = 2_000_000) -> int:
+    """Routing-pipeline events/s on the 6-type synthetic envelope mix
+    (BASELINE.md engine-benchmark table: 'recorded at first
+    implementation; tracked per PR'). The full hot path — route + topic
+    template + byte-exact sonde JSON encode — runs to completion into the
+    noop sink (count() alone would let Catalyst prune the encoded value
+    column). min-of-2, like the query timings."""
+    from kafka_firehose_nozzle_spark.config import Config, KafkaConfig, TopicConfig
+    from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
+    from kafka_firehose_nozzle_spark.pipeline import route_envelopes_config
+
+    config = Config()
+    config.kafka = KafkaConfig(
+        brokers=["localhost:9092"],
+        topic=TopicConfig(
+            log_message_fmt="log-%s",
+            value_metric="metric",
+            container_metric="containermetric",
+            http_start_stop="httpstartstop",
+            counter_event="counterevent",
+            error="error",
+        ),
+    )
+    routed = route_envelopes_config(synthetic_envelope_df(spark, n), config)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        routed.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return int(n / best)
 
 
 if __name__ == "__main__":
