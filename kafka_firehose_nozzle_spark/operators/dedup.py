@@ -372,25 +372,28 @@ def dup_components(
         .withColumn("label", F.col("id"))
     )
     for _ in range(max_iterations):
-        # neighbor labels, then per-node min against the current label
+        # neighbor labels, then per-node min against the current label.
+        # The node's own (old) label rides through the union under a flag,
+        # so convergence detection needs no join against the previous
+        # round — min-propagation only ever lowers labels, and the single
+        # aggregation yields both the new label and whether it dropped.
         neighbor = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
-            labels.union(neighbor)
+        merged = (
+            labels.select("id", "label", F.lit(True).alias("_own"))
+            .union(neighbor.select("id", "label", F.lit(False).alias("_own")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)  # keep plans O(1) per round
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
+            .localCheckpoint(eager=True)  # keep plans O(1) per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # scan of the materialized round result — no shuffle, no join
+        changed = merged.filter(F.col("label") < F.col("_old")).limit(1).count()
+        labels = merged.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
