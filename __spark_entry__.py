@@ -1099,6 +1099,36 @@ ORACLE_DUP_COMPONENTS = (
 )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidates -> connected components ->
+    keep one canonical doc per cluster (the min id), drop the rest. The
+    final step is a left-anti join of the corpus against the
+    non-canonical member set — at 100 TB the anti-join side is only the
+    duplicate fringe, orders of magnitude smaller than the corpus."""
+    docs2 = _planted_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    comp = D.dup_components(pairs)
+    drop = comp.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
+    return docs2.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+ORACLE_DEDUP_CORPUS = (
+    _ORACLE_LSH_CAND.replace("WITH docs2", "WITH RECURSIVE docs2", 1)
+    + """,
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+    SELECT d.doc_id FROM docs2 d
+    WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE component_id <> id)
+"""
+)
+
+
 def q_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents with synthesized contact lines (the
     corpus itself has none): emails, IPv4, phone numbers -> placeholders.
@@ -1913,6 +1943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_positions": q_token_positions,
     "rare_terms": q_rare_terms,
     "lsh_dup_components": q_lsh_dup_components,
+    "dedup_corpus": q_dedup_corpus,
     "pii_scrubbed": q_pii_scrubbed,
     "repetition_scores": q_repetition_scores,
     "ngram_containment": q_ngram_containment,
@@ -1956,6 +1987,7 @@ ORACLES: dict[str, str] = {
     "token_positions": ORACLE_TOKEN_POSITIONS,
     "rare_terms": ORACLE_RARE_TERMS,
     "lsh_dup_components": ORACLE_DUP_COMPONENTS,
+    "dedup_corpus": ORACLE_DEDUP_CORPUS,
     "pii_scrubbed": ORACLE_PII,
     "repetition_scores": ORACLE_REPETITION,
     "ngram_containment": ORACLE_CONTAINMENT,
