@@ -185,6 +185,16 @@ SHARED_SQL: dict[str, str] = {
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY date_trunc('minute', ts)
     """,
+    # bit / boolean aggregate coverage (order-insensitive, exact ints)
+    "flag_aggregates": """
+        SELECT l_returnflag,
+            BIT_OR(l_linenumber) AS ln_or,
+            BIT_AND(l_linenumber) AS ln_and,
+            BIT_XOR(l_orderkey) AS key_xor,
+            BOOL_AND(l_quantity > 0) AS all_positive,
+            BOOL_OR(l_discount > 0.09) AS any_high_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
     # semi + anti join via EXISTS / NOT EXISTS
     "urgent_only_customers": """
         SELECT c.c_custkey, c.c_name FROM customer c
@@ -1383,6 +1393,81 @@ ORACLE_ASOF = """
 """
 
 
+def q_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase event matched to the user's
+    earliest order at-or-after the event time (direction="forward")."""
+    from kafka_firehose_nozzle_spark.operators.asof import asof_join
+
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", (F.col("user_id") + 1).alias("custkey"), "ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    joined = asof_join(
+        purchases,
+        orders,
+        on="ts",
+        by="custkey",
+        right_value_cols=["o_orderkey"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "custkey",
+        F.col("o_orderkey").alias("next_orderkey"),
+    )
+
+
+ORACLE_ASOF_FWD = """
+    WITH p AS (SELECT event_id, user_id + 1 AS custkey, ts FROM events
+               WHERE event_type = 'purchase'),
+    j AS (SELECT p.event_id, p.custkey, o.o_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY p.event_id
+                ORDER BY o.o_orderdate ASC NULLS LAST,
+                         o.o_orderkey ASC NULLS LAST) AS rn
+          FROM p LEFT JOIN orders o
+            ON o.o_custkey = p.custkey AND o.o_orderdate >= p.ts)
+    SELECT event_id, custkey, o_orderkey AS next_orderkey FROM j WHERE rn = 1
+"""
+
+
+def q_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min width, 5 min slide): every event
+    lands in exactly two overlapping windows. The streaming path uses the
+    identical F.window operator with a watermark."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
+# each event belongs to windows starting at its 5-min floor and the one
+# before it (width 10 = 2 slides); Spark aligns slides to the epoch, and
+# 5 minutes divides DuckDB's time_bucket origin offset exactly
+ORACLE_SLIDING = """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        FROM events
+    )
+    SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end,
+           COUNT(*) AS n_events
+    FROM w GROUP BY w_start
+"""
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign to 8 medoid cells, probe the 2 nearest."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1925,6 +2010,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "pivot_event_counts": q_pivot_event_counts,
     "asof_purchase_orders": q_asof_purchase_orders,
+    "asof_next_order": q_asof_next_order,
+    "sliding_window_rates": q_sliding_window_rates,
     "ivf_ann_topk": q_ivf_ann_topk,
     "ivf_trained_topk": q_ivf_trained_topk,
     "embedding_centroid_norms": q_embedding_centroid_norms,
@@ -1970,6 +2057,8 @@ ORACLES: dict[str, str] = {
     "quality_scores": ORACLE_QUALITY,
     "pivot_event_counts": ORACLE_PIVOT,
     "asof_purchase_orders": ORACLE_ASOF,
+    "asof_next_order": ORACLE_ASOF_FWD,
+    "sliding_window_rates": ORACLE_SLIDING,
     "ivf_ann_topk": ORACLE_IVF,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,

@@ -26,11 +26,15 @@ def asof_join(
     by: str,
     right_value_cols: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """left columns + the matched right value columns (None if no right
-    row at-or-before). ``on``: timestamp column name in both sides;
-    ``by``: equi-key. Right-side ties on ``on`` resolve to the last row
-    in (on, value_cols...) sort order — deterministic.
+    """left columns + the matched right value columns (None if no match).
+    ``on``: timestamp column name in both sides; ``by``: equi-key.
+    ``direction``: "backward" (most recent right row at-or-before, the
+    default), "forward" (earliest at-or-after), or "nearest" — the
+    pd.merge_asof directions. Ties on ``on`` resolve deterministically:
+    the right side is mergesorted by (on, value_cols...), and merge_asof
+    takes the last such row for backward, the first for forward.
     """
     out_fields = list(left.schema.fields)
     right_schema = {f.name: f for f in right.schema.fields}
@@ -56,7 +60,7 @@ def asof_join(
             lsorted,
             rsorted[[on, *right_value_cols]],
             on=on,
-            direction="backward",
+            direction=direction,
             tolerance=tol,
             suffixes=("", "_r"),
         )
