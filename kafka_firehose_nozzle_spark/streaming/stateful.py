@@ -113,8 +113,12 @@ def windowed_event_rates(
     envelopes: DataFrame,
     window: str = "1 minute",
     watermark: str = "5 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts per event type.
+    """Event-time windowed counts per event type — tumbling by default,
+    sliding when ``slide`` < ``window`` (each event then lands in
+    window/slide overlapping windows; same operator the batch
+    ``sliding_window_rates`` oracle query uses).
 
     Works on streaming and batch envelope frames (batch ignores the
     watermark — Spark drops it from the batch plan). Late rows beyond the
@@ -128,7 +132,8 @@ def windowed_event_rates(
         with_ts = with_ts.withWatermark("event_time", watermark)
     return (
         with_ts.groupBy(
-            F.window("event_time", window).alias("w"), F.col("eventType")
+            F.window("event_time", window, slide or window).alias("w"),
+            F.col("eventType"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

@@ -208,6 +208,29 @@ def test_correlate_errors_with_http_streaming_matches_batch(spark, tmp_path):
     assert (s[key].values == b[key].values).all()
 
 
+def test_windowed_rates_sliding(spark):
+    """slide < window: every event lands in window/slide overlapping
+    windows (batch mode; streaming uses the identical operator)."""
+    from kafka_firehose_nozzle_spark.fixtures import canonical_envelope_df
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        windowed_event_rates,
+    )
+
+    env = canonical_envelope_df(spark)
+    n_env = env.count()
+    tumbling = windowed_event_rates(env, window="10 minutes")
+    sliding = windowed_event_rates(env, window="10 minutes", slide="5 minutes")
+    import pyspark.sql.functions as F
+
+    assert tumbling.agg(F.sum("n_events")).collect()[0][0] == n_env
+    # each event counted exactly twice across the overlapping windows
+    assert sliding.agg(F.sum("n_events")).collect()[0][0] == 2 * n_env
+    # slide grid is finer: at least as many distinct window starts
+    assert sliding.select("window_start").distinct().count() >= (
+        tumbling.select("window_start").distinct().count()
+    )
+
+
 def test_windowed_rates_drop_late_rows(spark, tmp_path):
     """ST6: rows older than the watermark horizon are dropped once the
     watermark has advanced past their window."""
