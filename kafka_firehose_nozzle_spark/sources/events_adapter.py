@@ -39,6 +39,25 @@ EVENT_TYPE_CASE_SQL = (
 )
 
 
+def _ts_micros(events: DataFrame) -> F.Column:
+    """Epoch-microseconds of ``ts`` regardless of how the parquet was
+    written: TIMESTAMP (tz-aware), TIMESTAMP_NTZ (plain ``timestamp[us]``
+    with no isAdjustedToUTC — what the driver's generator emits now), or
+    LongType nanos (``timestamp[ns]`` under
+    spark.sql.legacy.parquet.nanosAsLong). The session time zone is pinned
+    to UTC (session.py), so casting NTZ -> TIMESTAMP is value-preserving
+    and matches DuckDB's naive-timestamp epoch extraction.
+    """
+    import pyspark.sql.types as T
+
+    dt = events.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return (F.col("ts") / F.lit(1000)).cast("long")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.unix_micros(F.col("ts").cast("timestamp"))
+    return F.unix_micros(F.col("ts"))
+
+
 def events_to_envelopes(events: DataFrame) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) -> ENVELOPE_SCHEMA.
 
@@ -57,11 +76,13 @@ def events_to_envelopes(events: DataFrame) -> DataFrame:
         et_case = F.when(et_col == name, F.lit(code)).otherwise(et_case)
     et_case = F.coalesce(et_case, F.lit(-1))
 
-    events = events.select("*", et_case.alias("_et"))
+    events = events.select(
+        "*", et_case.alias("_et"), _ts_micros(events).alias("_ts_us")
+    )
     et = F.col("_et")
 
     app_id = F.format_string("app-%d", F.col("user_id"))
-    ts_ns = (F.unix_micros(F.col("ts")) * 1000).alias("timestamp")
+    ts_ns = (F.col("_ts_us") * 1000).alias("timestamp")
 
     return events.select(
         F.format_string("origin-%d", F.pmod(F.col("user_id"), F.lit(4))).alias(
@@ -77,9 +98,9 @@ def events_to_envelopes(events: DataFrame) -> DataFrame:
         F.when(
             et == schemas.HTTP_START_STOP,
             F.named_struct(
-                F.lit("startTimestamp"), F.unix_micros(F.col("ts")) * 1000,
+                F.lit("startTimestamp"), F.col("_ts_us") * 1000,
                 F.lit("stopTimestamp"),
-                F.unix_micros(F.col("ts")) * 1000 + (F.col("value") * 1e6).cast("long"),
+                F.col("_ts_us") * 1000 + (F.col("value") * 1e6).cast("long"),
                 F.lit("requestId"), F.named_struct(
                     F.lit("low"), F.col("event_id"),
                     F.lit("high"), F.col("user_id"),
@@ -104,7 +125,7 @@ def events_to_envelopes(events: DataFrame) -> DataFrame:
             F.named_struct(
                 F.lit("message"), F.encode(F.col("props"), "utf-8"),
                 F.lit("message_type"), F.lit(schemas.MESSAGE_TYPE_OUT),
-                F.lit("timestamp"), F.unix_micros(F.col("ts")) * 1000,
+                F.lit("timestamp"), F.col("_ts_us") * 1000,
                 F.lit("app_id"), app_id,
                 F.lit("source_type"), F.lit("APP"),
                 F.lit("source_instance"), F.lit(None).cast("string"),
