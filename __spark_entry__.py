@@ -515,6 +515,108 @@ SHARED_SQL: dict[str, str] = {
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY SUBSTR(c_name, 10, 2)
     """,
+    # TPC-H Q2 style: min-cost supplier per part in a region (correlated
+    # scalar subquery). The testdata has no partsupp table; the supply
+    # relation is derived from lineitem as each (part, supplier)'s minimum
+    # observed unit price. unit_cost stays DOUBLE throughout: IEEE divide
+    # and MIN are order-independent and bit-identical across engines.
+    "q2_min_cost_supplier": """
+        WITH supply AS (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM part
+        JOIN supply ON p_partkey = partkey
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+          AND unit_cost = (
+              SELECT MIN(s2.unit_cost)
+              FROM supply s2
+              JOIN supplier sp ON sp.s_suppkey = s2.suppkey
+              JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE s2.partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    # TPC-H Q6 style: forecast revenue change (single-pass filtered sum)
+    "q6_forecast_revenue": """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,4))
+                             * CAST(l_discount AS DECIMAL(10,4)))
+                    AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    # TPC-H Q11 style: parts whose one-nation supply value exceeds 0.1% of
+    # the total (scalar subquery over a reused CTE). partsupp-free: value =
+    # lineitem revenue from NATION_3 suppliers. The threshold compare is
+    # kept in exact decimal — val * 1000 > total — so no engine-specific
+    # decimal-division rounding can flip a borderline row.
+    "q11_important_parts": """
+        WITH value_by_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS val
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, CAST(CAST(val AS DECIMAL(30,6)) AS DOUBLE) AS part_value
+        FROM value_by_part
+        WHERE val * 1000 > (SELECT SUM(val) FROM value_by_part)
+    """,
+    # TPC-H Q13 style: customer order-count distribution (left outer join
+    # with a join-time filter, then a two-level aggregate)
+    "q13_order_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    # TPC-H Q15 style: top supplier by quarterly revenue (CTE + MAX scalar
+    # subquery; revenue fixed to double identically before the compare)
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # TPC-H Q20 style: suppliers who moved significant volume of a part
+    # family in a year (nested IN subqueries -> semi-join chain;
+    # partsupp-free: volume threshold on lineitem instead of availqty)
+    "q20_part_promotion": """
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5' AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'red%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 50
+        )
+    """,
     # bit / bool aggregate coverage (identical names in both engines)
     "bit_bool_aggs": """
         SELECT l_returnflag,
