@@ -389,7 +389,7 @@ SHARED_SQL: dict[str, str] = {
         GROUP BY YEAR(l_shipdate)
     """,
     # TPC-H Q14 style: promo-part revenue share in one quarter
-    "q14_promo_share": f"""
+    "q14_promo_quarter": f"""
         SELECT CAST(100 AS DOUBLE)
             * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
                                  ELSE CAST(0 AS DECIMAL(10,4)) END)
@@ -407,7 +407,6 @@ SHARED_SQL: dict[str, str] = {
         WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO' AND p_size < 30
         GROUP BY p_brand, p_size
     """,
-    # TPC-H Q18 style: large-volume orders (HAVING subquery + semi join)
     # TPC-H Q7 style: volume shipping between two nations by year
     "q7_volume_shipping": f"""
         SELECT supp_nation, cust_nation, l_year,
@@ -456,6 +455,7 @@ SHARED_SQL: dict[str, str] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY YEAR(l_shipdate)
     """,
+    # TPC-H Q18 style: large-volume orders (HAVING subquery + semi join)
     "q18_big_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
@@ -1773,12 +1773,16 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal sum -> VARCHAR -> DOUBLE: DuckDB's int128->double
             # cast double-rounds above 2^53; string parsing is correctly
             # rounded in both engines (same route as dispersion_stats).
-            (
+            # The final division is rounded to 6dp so the emitted value is
+            # representation-stable across engine builds (last-ulp division
+            # differences can't survive the hasher).
+            F.round(
                 F.sum(F.col("k").cast("decimal(18,4)"))
                 .cast("decimal(30,6)")
                 .cast("string")
                 .cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                6,
             ).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
@@ -1791,9 +1795,9 @@ ORACLE_PROPS_JSON = """
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                FROM events)
     SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
-        CAST(CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DECIMAL(30,6))
+        ROUND(CAST(CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DECIMAL(30,6))
              AS VARCHAR(64)) AS DOUBLE)
-            / COUNT(*) AS avg_k,
+            / COUNT(*), 6) AS avg_k,
         MIN(k) AS min_k, MAX(k) AS max_k
     FROM t GROUP BY event_type
 """
@@ -1875,13 +1879,15 @@ def q_source_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct(F.col("lang")).alias("n_langs"),
-            # VARCHAR-routed decimal->double (see q_props_json_stats)
-            (
+            # VARCHAR-routed decimal->double (see q_props_json_stats);
+            # round(6) makes the emitted average representation-stable.
+            F.round(
                 F.sum(F.col("n_chars").cast("decimal(18,4)"))
                 .cast("decimal(30,6)")
                 .cast("string")
                 .cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                6,
             ).alias("avg_chars"),
             F.sum("n_toks").alias("total_tokens"),
         )
@@ -1894,9 +1900,9 @@ ORACLE_SOURCE_PROFILE = """
             AS n_toks
     FROM documents)
     SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-        CAST(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DECIMAL(30,6))
-             AS VARCHAR(64)) AS DOUBLE)
-            / COUNT(*) AS avg_chars,
+        ROUND(CAST(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4)))
+             AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
+            / COUNT(*), 6) AS avg_chars,
         SUM(n_toks) AS total_tokens
     FROM t GROUP BY source
 """

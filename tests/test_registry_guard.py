@@ -1,0 +1,71 @@
+"""Registry integrity guards (no Spark needed, runs fast).
+
+VERDICT r2 item 2: a duplicate literal key in ``SHARED_SQL`` silently
+shadowed the round-1 ``q14_promo_share`` query — the dict keeps the last
+binding, so coverage shrank by one query and the ``>= N`` size floor
+couldn't notice a same-name overwrite.  This test AST-parses the module
+and rejects duplicate literal keys in every module-level dict literal
+that feeds the registry.
+"""
+
+import ast
+import collections
+import pathlib
+
+ENTRY = pathlib.Path(__file__).resolve().parent.parent / "__spark_entry__.py"
+
+GUARDED = {"SHARED_SQL", "QUERIES", "ORACLES"}
+
+
+def _module_dict_literals():
+    tree = ast.parse(ENTRY.read_text())
+    out = {}
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            value = node.value
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            targets = [node.target.id]
+            value = node.value
+        else:
+            continue
+        if not isinstance(value, ast.Dict):
+            continue
+        for name in targets:
+            out[name] = value
+    return out
+
+
+def test_guarded_dicts_exist():
+    found = set(_module_dict_literals())
+    assert GUARDED <= found, f"missing registry dicts: {GUARDED - found}"
+
+
+def test_no_duplicate_literal_keys():
+    for name, node in _module_dict_literals().items():
+        keys = [
+            k.value
+            for k in node.keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        ]
+        dupes = [k for k, n in collections.Counter(keys).items() if n > 1]
+        assert not dupes, f"duplicate keys in {name}: {dupes}"
+
+
+def test_registry_names_unique_across_sources():
+    """A SHARED_SQL name must not also appear as a QUERIES literal key —
+    queries() would silently prefer the SHARED_SQL version."""
+    dicts = _module_dict_literals()
+
+    def keys(name):
+        return {
+            k.value
+            for k in dicts[name].keys
+            if isinstance(k, ast.Constant) and isinstance(k.value, str)
+        }
+
+    overlap = keys("SHARED_SQL") & keys("QUERIES")
+    assert not overlap, f"names defined in both SHARED_SQL and QUERIES: {overlap}"

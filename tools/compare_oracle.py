@@ -3,6 +3,12 @@ queries()[name] on Spark and oracle_sql()[name] on DuckDB, compare
 row-count + schema + order-insensitive values.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+       python tools/compare_oracle.py --dump QUERY [sf_dir]
+
+``--dump`` prints engine versions and ``repr()`` of every float cell from
+both engines side by side (canonical row order), so a hash-fail seen only
+in the driver's environment can be diagnosed from the committed artifact
+instead of guessed at.
 
 Also importable: tests/test_oracle_full.py runs the full registry through
 ``compare_all`` as a slow test so driver-unchecked queries can't rot.
@@ -75,8 +81,40 @@ def compare_all(spark, sf_dir: str, only: set[str] | None = None) -> dict[str, s
     return failures
 
 
+def dump_query(spark, sf_dir: str, name: str) -> None:
+    """Print per-cell reprs of the Spark and DuckDB results for one query
+    (float columns only — the cells a hasher could disagree on)."""
+    import pyspark
+
+    print(f"# dump {name} at {sf_dir}")
+    print(f"# pyspark {pyspark.__version__}  duckdb {duckdb.__version__}  "
+          f"pandas {pd.__version__}  python {sys.version.split()[0]}")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = oracle_connection(sf_dir)
+    got = canon(qs[name](spark, sf_dir).toPandas())
+    if name not in oracles:
+        print("# no oracle SQL registered (rows-only query)")
+        want = None
+    else:
+        want = canon(con.execute(oracles[name]).df())
+    float_cols = [c for c in got.columns if got[c].dtype.kind == "f"]
+    print(f"# float columns: {float_cols or '(none)'}")
+    for i in range(len(got)):
+        for c in float_cols:
+            s = got[c].iloc[i]
+            w = want[c].iloc[i] if want is not None and c in want else None
+            mark = "" if (w is None or repr(s) == repr(w)) else "   <-- DIFF"
+            print(f"row {i} {c}: spark={s!r} duckdb={w!r}{mark}")
+
+
 def main() -> int:
     from kafka_firehose_nozzle_spark.session import get_spark
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--dump":
+        name = sys.argv[2]
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+        dump_query(get_spark("oracle-dump", 8), sf_dir, name)
+        return 0
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) or None
