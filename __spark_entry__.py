@@ -1581,11 +1581,15 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF ANN: spherical Lloyd's k-means centroids (10 cells,
     zero-shuffle literal-centroid assignment + one partial-agg shuffle
-    per iteration), probe the 2 nearest cells. Rows-only driver check:
-    iterative training isn't single-statement-SQL-expressible; recall is
-    bounded in tests/test_operators.py::test_kmeans_centroids_train_and_recall."""
+    per iteration), probe the 2 nearest cells.
+
+    Oracle-checked since r3: mod-C seeding + exact-decimal component
+    averages make training bit-reproducible in plain SQL, so the DuckDB
+    oracle replays all 4 Lloyd's iterations as unrolled CTEs
+    (ORACLE_IVF_TRAINED). Recall vs brute force is separately bounded in
+    tests/test_operators.py::test_kmeans_centroids_train_and_recall."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = S.kmeans_centroids(emb, 10, max_iter=4)
+    cents = S.kmeans_centroids(emb, 10, max_iter=4, init="mod")
     assigned = S.ivf_assign(emb, cents)
     return S.ivf_topk(assigned, cents, S.query_vector(emb, 0), k=10, nprobe=2)
 
@@ -1611,6 +1615,84 @@ ORACLE_IVF = f"""
     FROM cand CROSS JOIN q
     ORDER BY {_sim_sql('v', 'qv')} DESC, vec_id LIMIT 10
 """
+
+
+def _ivf_trained_oracle(num_cells: int = 10, max_iter: int = 4) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_centroids(init='mod') + IVF
+    search. Lloyd's with a FIXED iteration count needs no recursion: each
+    iteration is (normalize -> assign -> decimal-avg update -> empty-cell
+    fallback), chained as four CTE blocks. Bit-equality with Spark holds
+    because every float-order-sensitive reduction is either an exact
+    decimal sum (component averages) or the same left-fold dot product
+    both engines use (list_sum / F.aggregate); convergence early-exit on
+    the Spark side is a fixed point, so extra unrolled iterations are
+    no-ops."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(len({a})), "
+            f"i -> {a}[i + 1] * {b}[i + 1]))"
+        )
+
+    davg = "CAST(SUM(CAST(val AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)"
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, y -> CAST(y AS "
+        "DOUBLE)) AS v FROM embeddings)",
+        "ex AS (SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS "
+        "val FROM e)",
+        f"c0 AS (SELECT cell_id, list(c ORDER BY pos) AS centroid FROM ("
+        f"SELECT vec_id % {num_cells} AS cell_id, pos, {davg} AS c "
+        f"FROM ex GROUP BY 1, 2) g GROUP BY cell_id)",
+    ]
+    prev = "c0"
+    for i in range(1, max_iter + 1):
+        norm = "sqrt(list_sum(list_transform(centroid, y -> y * y)))"
+        ctes.append(
+            f"u{i} AS (SELECT cell_id, list_transform(centroid, x -> x / "
+            f"(CASE WHEN {norm} = 0 THEN 1.0 ELSE {norm} END)) AS uc "
+            f"FROM {prev})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cell_id FROM ("
+            f"SELECT e.vec_id, u.cell_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dot('e.v', 'u.uc')} DESC, "
+            f"u.cell_id) AS rn FROM e CROSS JOIN u{i} u) r WHERE rn = 1)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT a.cell_id, ex.pos, {davg} AS c "
+            f"FROM ex JOIN a{i} a USING (vec_id) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.cell_id, COALESCE(g.centroid, p.centroid) "
+            f"AS centroid FROM {prev} p LEFT JOIN ("
+            f"SELECT cell_id, list(c ORDER BY pos) AS centroid FROM n{i} "
+            f"GROUP BY cell_id) g USING (cell_id))"
+        )
+        prev = f"c{i}"
+    ctes += [
+        f"assign AS (SELECT vec_id, cell_id FROM ("
+        f"SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY "
+        f"{_sim_sql('e.v', 'c.centroid')} DESC, c.cell_id) AS rn "
+        f"FROM e CROSS JOIN {prev} c) r WHERE rn = 1)",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"probes AS (SELECT cell_id FROM {prev} CROSS JOIN q "
+        f"ORDER BY {_sim_sql('centroid', 'qv')} DESC, cell_id LIMIT 2)",
+        "cand AS (SELECT e.vec_id, e.v FROM e "
+        "JOIN assign ON e.vec_id = assign.vec_id "
+        "WHERE assign.cell_id IN (SELECT cell_id FROM probes) "
+        "AND e.vec_id <> 0)",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT vec_id, ROUND({_sim_sql('v', 'qv')}, 4) AS cos_sim
+    FROM cand CROSS JOIN q
+    ORDER BY {_sim_sql('v', 'qv')} DESC, vec_id LIMIT 10
+"""
+    )
+
+
+ORACLE_IVF_TRAINED = _ivf_trained_oracle(10, 4)
 
 
 def q_embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2168,6 +2250,7 @@ ORACLES: dict[str, str] = {
     "asof_next_order": ORACLE_ASOF_FWD,
     "sliding_window_rates": ORACLE_SLIDING,
     "ivf_ann_topk": ORACLE_IVF,
+    "ivf_trained_topk": ORACLE_IVF_TRAINED,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "session_window_agg": ORACLE_SESSION_WINDOW,

@@ -151,22 +151,20 @@ def ivf_assign(
     )
 
 
-def kmeans_like_centroids(
-    df: DataFrame,
-    num_cells: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Cheap deterministic centroid seeding: average vectors within
-    hash-assigned groups (one aggregation; good enough to exercise the IVF
-    plumbing — swap in k-means|| offline training for production)."""
-    d = df.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_cells)).alias("cell_id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
-    )
+def _component_avg(d: DataFrame) -> DataFrame:
+    """(cell_id, pos, v) -> per-cell centroid arrays, with the component
+    average routed through an exact decimal sum: decimal addition is
+    order-independent, so the resulting centroids are bit-identical across
+    partitionings AND across engines (a double SUM/AVG is fold-order
+    dependent; DuckDB and Spark would disagree in the last ulp)."""
     return (
         d.groupBy("cell_id", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
         .groupBy("cell_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
@@ -176,12 +174,40 @@ def kmeans_like_centroids(
     )
 
 
+def kmeans_like_centroids(
+    df: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+) -> DataFrame:
+    """Cheap deterministic centroid seeding: average vectors within
+    ``init``-assigned groups (one aggregation; good enough to exercise the
+    IVF plumbing — swap in k-means|| offline training for production).
+
+    ``init="hash"`` groups by xxhash64(id) % C; ``init="mod"`` groups by
+    id % C — equally arbitrary for seeding, but expressible in ANSI SQL,
+    which lets the DuckDB oracle replay the whole training run."""
+    if init == "hash":
+        cell = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_cells))
+    elif init == "mod":
+        cell = F.pmod(F.col(id_col), F.lit(num_cells))
+    else:
+        raise ValueError(f"unknown init {init!r} (want 'hash' or 'mod')")
+    d = df.select(
+        cell.alias("cell_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    return _component_avg(d)
+
+
 def kmeans_centroids(
     df: DataFrame,
     num_cells: int,
     max_iter: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
 ) -> DataFrame:
     """Trained IVF centroids: Lloyd's k-means, expressed Spark-first.
 
@@ -198,9 +224,12 @@ def kmeans_centroids(
       (like the connected-components loop reading a scalar per round),
       never corpus rows.
 
-    Init is the deterministic hash-group average (kmeans_like_centroids),
-    so training is reproducible run-to-run. Returns [cell_id, centroid]
-    compatible with ivf_assign/ivf_topk.
+    Init is the deterministic group average (kmeans_like_centroids; see
+    its ``init`` modes) and every component average is an exact decimal
+    sum, so training is bit-reproducible run-to-run and — with
+    ``init="mod"`` — replayable by a plain-SQL oracle (the 4-iteration
+    unrolled CTE in ``__spark_entry__.ORACLE_IVF_TRAINED``). Returns
+    [cell_id, centroid] compatible with ivf_assign/ivf_topk.
     """
     import math
 
@@ -212,7 +241,9 @@ def kmeans_centroids(
 
     seed = {
         int(r["cell_id"]): [float(x) for x in r["centroid"]]
-        for r in kmeans_like_centroids(df, num_cells, id_col, vec_col).collect()
+        for r in kmeans_like_centroids(
+            df, num_cells, id_col, vec_col, init
+        ).collect()
     }
     # dense 0..C-1 index; a hash cell empty at tiny SF borrows a neighbor
     cur = [seed.get(i, seed[min(seed)]) for i in range(num_cells)]
@@ -225,18 +256,8 @@ def kmeans_centroids(
         )
         sims = F.transform(cents, lambda c: dot(v, c))
         cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-        updated = (
+        updated = _component_avg(
             df.select(cell.alias("cell_id"), F.posexplode(v).alias("pos", "v"))
-            .groupBy("cell_id", "pos")
-            .agg(F.avg("v").alias("c"))
-            .groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select(
-                "cell_id",
-                F.transform(F.col("pc"), lambda x: x.getField("c")).alias(
-                    "centroid"
-                ),
-            )
         )
         nxt_map = {
             int(r["cell_id"]): [float(x) for x in r["centroid"]]
