@@ -1019,21 +1019,43 @@ ORACLE_ANN = """
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label."""
+    """Embedding-cosine near-dup pairs, blocked by banded sign-LSH
+    buckets (bucket count grows ~n/100, so block sizes stay bounded at
+    any corpus scale — r2's label-blocking grew quadratically at sf1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_dup_pairs(emb, threshold=0.2)
+    return D.embedding_lsh_dup_pairs(emb, threshold=0.2)
 
 
-ORACLE_EMB_DUPS = """
-    WITH e AS (SELECT vec_id, label,
+_EMB_DOT = (
+    "list_sum(list_transform(range(len({a})), i -> {a}[i + 1] * {b}[i + 1]))"
+)
+
+# replays embedding_lsh_dup_pairs: k = max(4, ceil(log2(n/100))) sign bits
+# per band over planes = the first 2k corpus vectors; candidates are the
+# OR of both bands' intra-bucket pairs.
+ORACLE_EMB_DUPS = f"""
+    WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1])) /
-        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-         sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b, ROUND(sim, 6) AS cos_sim FROM p WHERE sim >= 0.2
+    params AS (SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 100.0)) AS INT))
+                   AS k FROM e),
+    pl AS (SELECT p.vec_id // params.k AS band, p.vec_id % params.k AS j, p.v
+           FROM e p, params WHERE p.vec_id < 2 * params.k),
+    b AS (SELECT e.vec_id, pl.band,
+                 SUM(CASE WHEN {_EMB_DOT.format(a='e.v', b='pl.v')} >= 0
+                     THEN CAST(POWER(2, pl.j) AS BIGINT) ELSE 0 END) AS bucket
+          FROM e CROSS JOIN pl GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+             FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket
+                              AND x.vec_id < y.vec_id),
+    s AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    p AS (SELECT c.id_a, c.id_b,
+                 ROUND({_EMB_DOT.format(a='a.v', b='bb.v')}
+                       / (a.nrm * bb.nrm), 6) AS cos_sim
+          FROM cand c JOIN s a ON c.id_a = a.vec_id
+                      JOIN s bb ON c.id_b = bb.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2
 """
 
 

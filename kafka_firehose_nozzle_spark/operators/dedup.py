@@ -340,6 +340,98 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bands: int = 2,
+    planes_per_band: int | None = None,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding near-dup pairs with a SCALE-BOUNDED blocking key:
+    banded sign-LSH (random-hyperplane) buckets instead of a fixed
+    category column.
+
+    Each vector's bucket in band b is the k sign bits of its dot products
+    against k fixed plane vectors (the first ``num_bands * k`` corpus
+    vectors — deterministic and replayable in plain SQL, unlike RNG
+    planes). k defaults to ``max(4, ceil(log2(n / 100)))`` so the number
+    of buckets GROWS with the corpus and expected bucket size stays ~100:
+    the per-block quadratic is O(n * 100) total, not O((n/labels)^2) —
+    the fix for the one scale-killer the r2 bench audit found. Candidate
+    pairs are the union over bands of intra-bucket pairs (OR-of-bands
+    boosts recall exactly like MinHash banding); a ``distinct`` collapses
+    pairs caught by both bands.
+
+    Plan shape: bucket assignment is a pure map (plane literals ride into
+    the plan; no shuffle, no crossJoin); the only shuffles are the
+    (band, bucket) equi-join and the final distinct.
+    """
+    import math
+
+    from kafka_firehose_nozzle_spark.operators.similarity import (
+        cosine_prenormed,
+        dot,
+        l2_norm,
+    )
+
+    n = df.count()
+    k = planes_per_band or max(4, math.ceil(math.log2(n / 100.0)))
+    num_planes = num_bands * k
+    plane_rows = (
+        df.filter(F.col(id_col) < num_planes)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    planes = {int(r[id_col]): [float(x) for x in r["v"]] for r in plane_rows}
+    if len(planes) < num_planes:
+        raise ValueError(
+            f"need contiguous ids 0..{num_planes - 1} for LSH planes, "
+            f"got {len(planes)}"
+        )
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for b in range(num_bands):
+        bits = F.lit(0).cast("long")
+        for j in range(k):
+            plane = F.array(*[F.lit(x) for x in planes[b * k + j]])
+            bits = bits + F.when(dot(v, plane) >= 0, F.lit(2**j)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        buckets.append(bits)
+    sel = (
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            F.array(*buckets).alias("_bks"),
+        )
+        # per-row norm hoisted out of the O(pairs) join
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .select("id", "v", "nrm", F.posexplode("_bks").alias("band", "bucket"))
+    )
+    a, b2 = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                cosine_prenormed(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def dup_components(
     pairs: DataFrame,
     max_iterations: int = 15,

@@ -341,6 +341,32 @@ def test_decode_seams_raise(spark):
         sample_frames(docs)
 
 
+def test_embedding_lsh_dup_pairs_finds_near_identical(spark):
+    """Near-identical vectors land in the same sign bucket in at least
+    one band (planes can't separate an ~0 angle unless a plane passes
+    between them), so the LSH-blocked pair generator must surface them;
+    far-apart pairs must be filtered by the threshold even when
+    co-bucketed."""
+    rows = []
+    # 8 plane vectors (ids 0..7, num_bands=2 * k=4) spanning directions
+    for i in range(8):
+        rows.append(Row(vec_id=i, embedding=[1.0 + 0.1 * i, 0.1 * i, 1.0]))
+    # planted near-dup pair: 100/101 almost parallel
+    rows.append(Row(vec_id=100, embedding=[0.5, 0.5, 0.001]))
+    rows.append(Row(vec_id=101, embedding=[0.5, 0.5, 0.0]))
+    # far-away vector: negative orthant, shares no bucket bit pattern
+    rows.append(Row(vec_id=200, embedding=[-1.0, -1.0, -1.0]))
+    df = spark.createDataFrame(rows)
+    got = D.embedding_lsh_dup_pairs(
+        df, num_bands=2, planes_per_band=4, threshold=0.99
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100, 101) in pairs
+    assert all(200 not in p for p in pairs)
+    # pair caught by both bands must appear exactly once (distinct)
+    assert len(got) == len(pairs)
+
+
 def test_dup_components_chain_and_islands(spark):
     from kafka_firehose_nozzle_spark.operators.dedup import dup_components
 
