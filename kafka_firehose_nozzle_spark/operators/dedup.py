@@ -408,6 +408,10 @@ def embedding_lsh_dup_pairs(
         # per-row norm hoisted out of the O(pairs) join
         .withColumn("nrm", l2_norm(F.col("v")))
         .select("id", "v", "nrm", F.posexplode("_bks").alias("band", "bucket"))
+        # materialize once: both sides of the self-join read these rows,
+        # and without the lineage cut each side would recompute the
+        # num_planes interpreted-fold dot products per row
+        .localCheckpoint(eager=False)
     )
     a, b2 = sel.alias("a"), sel.alias("b")
     return (
@@ -439,56 +443,83 @@ def dup_components(
     """Connected components over near-duplicate pairs: every document gets
     the minimum doc id of its duplicate cluster as ``component_id``.
 
-    Iterative min-label propagation (the standard shuffle-based CC
-    algorithm): each round joins labels across edges both ways and keeps
-    the per-node minimum; converged when no label changes. Rounds needed =
-    component diameter — tiny for dup clusters — and each round is one
-    shuffle on the node id, so 100 TB corpora cost O(diameter) shuffles of
-    the (node, label) pairs, never a cross product. The driver-side loop
-    only checks a scalar convergence count per round.
+    STAR CONTRACTION (r2 advice: plain min-label propagation joined the
+    full, never-shrinking edge set every round — ~constant cost x
+    O(diameter) rounds). Each round:
+
+    1. hook: every supernode takes min(self, neighbors) as its new label
+       (one aggregation over the current edge list);
+    2. compose: the original-id -> supernode mapping follows the hook;
+    3. contract: edges are relabeled to supernode endpoints, self-loops
+       dropped, duplicates collapsed.
+
+    Near-dup clusters are clique-ish, so round 1 collapses almost
+    everything and the surviving edge list shrinks geometrically —
+    later rounds run on a graph orders of magnitude smaller (min-
+    neighbor hooking can fragment a path, e.g. ids 1-3-5-2-4, which is
+    exactly what the next round's contracted graph repairs). Supernode
+    ids are by construction the min original id of their merged set, so
+    the fixed point labels every node with its component minimum.
+
+    At 100 TB: round 1 is the only full-size pass (one aggregation +
+    two relabel joins over the edges); every later round touches only
+    the un-contracted residue. The driver reads one emptiness scalar
+    per round, never data.
     """
-    # Materialize the (possibly expensive) pair pipeline ONCE before any
-    # reuse: the union of both directions, the node list, and every loop
-    # round all read these edges, and without the lineage cut each reader
-    # would recompute the full upstream plan (LSH signatures etc.).
-    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)  # one shuffle, reused every round
-    )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    # Materialize the (possibly expensive) pair pipeline ONCE: dedup at
+    # the pair level (half the rows of the doubled edge list; inputs
+    # from lsh_candidate_pairs etc. are already distinct, making this a
+    # cheap no-op shuffle) and cut lineage so the loop never re-runs the
+    # upstream LSH/similarity plan.
+    pairs = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    cur = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    mapping = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b")))
         .distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
-        # neighbor labels, then per-node min against the current label.
-        # The node's own (old) label rides through the union under a flag,
-        # so convergence detection needs no join against the previous
-        # round — min-propagation only ever lowers labels, and the single
-        # aggregation yields both the new label and whether it dropped.
-        neighbor = (
-            edges.join(labels, edges.dst == labels.id)
-            .select(F.col("src").alias("id"), "label")
-        )
-        merged = (
-            labels.select("id", "label", F.lit(True).alias("_own"))
-            .union(neighbor.select("id", "label", F.lit(False).alias("_own")))
-            .groupBy("id")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
-            )
-            .localCheckpoint(eager=True)  # keep plans O(1) per round
-        )
-        # scan of the materialized round result — no shuffle, no join
-        changed = merged.filter(F.col("label") < F.col("_old")).limit(1).count()
-        labels = merged.select("id", "label")
-        if changed == 0:
+        if cur.isEmpty():
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+        # hook: per supernode, min over itself and all neighbors
+        l = (
+            cur.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+            .union(cur.select(F.col("dst"), F.col("src")))
+            .groupBy("id")
+            .agg(F.min("nbr").alias("_mn"))
+            .select("id", F.least(F.col("id"), F.col("_mn")).alias("new"))
+            .localCheckpoint(eager=True)  # read 3x below (compose + 2 relabels)
+        )
+        # compose into the original-id mapping (left join: supernodes
+        # whose edges were already contracted away keep their label)
+        mapping = (
+            mapping.alias("m")
+            .join(l.alias("h"), F.col("m.label") == F.col("h.id"), "left")
+            .select(
+                F.col("m.id").alias("id"),
+                F.coalesce(F.col("h.new"), F.col("m.label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # contract: relabel endpoints, drop self-loops, normalize + dedup
+        la = l.select(F.col("id").alias("src"), F.col("new").alias("_ns"))
+        lb = l.select(F.col("id").alias("dst"), F.col("new").alias("_nd"))
+        cur = (
+            cur.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("_ns") != F.col("_nd"))
+            .select(
+                F.least(F.col("_ns"), F.col("_nd")).alias("src"),
+                F.greatest(F.col("_ns"), F.col("_nd")).alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return mapping.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
 
 
 def simhash_near_pairs(
