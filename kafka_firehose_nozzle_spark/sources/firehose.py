@@ -175,12 +175,12 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         )
         return self._conn
 
-    def _fixture_batch(self, start_n: int) -> list[tuple]:
+    def _fixture_batch(self, start_n: int, count: int | None = None) -> list[tuple]:
         from kafka_firehose_nozzle_spark.fixtures import canonical_envelopes
 
         rows = []
         canon = canonical_envelopes()
-        for i in range(self.fixture_rows):
+        for i in range(self.fixture_rows if count is None else count):
             r = dict(canon[(start_n + i) % len(canon)])
             r["timestamp"] = (r["timestamp"] or 0) + start_n + i
             if self.fixture_wire:
@@ -217,6 +217,26 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
             if self._keep(row):  # belt over the server-side filter
                 rows.append(row)
         return iter(rows), {"n": n + n_read}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Crash-recovery replay: after a restart Spark re-reads every
+        batch that was planned but not yet committed (the driver-side
+        prefetch cache died with the process). Fixture mode regenerates
+        the exact offset range deterministically — at-least-once across
+        restarts, asserted by
+        tests/test_firehose_source.py::test_crash_recovery_replays_from_checkpoint.
+
+        A live websocket cannot replay (go-nozzle just reads the socket;
+        the reference DROPS on failure, kafka.go:269-271, and counts it).
+        Returning the empty range reproduces that bounded, documented
+        loss — only rows prefetched-but-uncommitted at crash time —
+        instead of failing the restart."""
+        n, n_end = start["n"], end["n"]
+        if self.fixture_rows:
+            return iter(
+                [r for r in self._fixture_batch(n, n_end - n) if self._keep(r)]
+            )
+        return iter(())
 
     def commit(self, end: dict) -> None:
         pass
