@@ -2203,6 +2203,212 @@ ORACLE_RARE_TERMS = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 3 (round 3): deterministic sketches, TF-IDF, embedding quantization
+# --------------------------------------------------------------------------
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over event user_ids:
+    keep the k=64 smallest 60-bit md5 hashes; estimate D ~ (k-1) * 2^60
+    / h_(k). The hash is the same md5 route the dedup operators use, so
+    the sketch is bit-deterministic and the DuckDB oracle replays it
+    exactly — unlike HLL, whose register layout is engine-private.
+
+    Scale shape: the k-smallest select is a TakeOrdered (per-partition
+    top-k then a k-row driver merge), so the full corpus is never
+    globally sorted; the distinct dedups at hash cardinality with
+    map-side combine. At 100 TB you would fold the k-smallest into an
+    aggregator per partition; the estimate math is identical."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#kmv"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kmin = ev.select(h.alias("h")).distinct().orderBy("h").limit(64)
+    return kmin.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("h").alias("kth_hash"),
+        F.round(
+            F.lit(63.0) * F.lit(float(2**60)) / F.max("h"), 4
+        ).alias("est_distinct"),
+    )
+
+
+ORACLE_KMV = """
+    WITH h AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS
+                   VARCHAR) || '#kmv'), 1, 15)) AS BIGINT) AS h
+               FROM events),
+    k AS (SELECT h FROM h ORDER BY h LIMIT 64)
+    SELECT COUNT(*) AS k, MAX(h) AS kth_hash,
+           ROUND(63.0 * POWER(2, 60) / MAX(h), 4) AS est_distinct
+    FROM k
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (tf * ln(N/df)).
+
+    Plan shape: one explode -> (doc, term) partial-agg for tf, a second
+    partial-agg for df at term cardinality, an equi-join tf x df, and a
+    per-doc top-3 window. Ranking uses the ROUNDED score (6dp) with a
+    term tie-break so a last-ulp ln() difference between engine libms
+    can't reorder near-equal terms."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+ORACLE_TFIDF = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents)
+                                     AS DOUBLE) / df.df), 6) AS score
+           FROM tf JOIN df USING (term)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rk FROM sc)
+    SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
+"""
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-ESTIMATED Jaccard vs exact Jaccard on the planted pairs
+    (doc vs doc-minus-last-word): estimate = fraction of agreeing
+    signature components. Demonstrates the sketch's accuracy contract
+    the way a pipeline would validate it before trusting banded LSH.
+
+    Join-free: both signatures and both shingle sets are computed in ONE
+    projection over documents (the planted pair shares the row), so the
+    whole query is a pure map — no shuffle at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "")
+    sig_a = D.minhash_signature(F.col("text"), num_hashes=8)
+    sig_b = D.minhash_signature(mut, num_hashes=8)
+    sh_a = D.word_shingles(F.col("text"))
+    sh_b = D.word_shingles(mut)
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda z: z)
+    )
+    exact = F.size(F.array_intersect(sh_a, sh_b)) / F.size(
+        F.array_union(sh_a, sh_b)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+    )
+
+
+_ORACLE_SIGB = ", ".join(
+    "list_min(list_transform(shingles_b, s -> ('0x' || substr(md5(s || "
+    f"'#{i}'), 1, 15))::BIGINT)) AS mb{i}"
+    for i in range(8)
+)
+_ORACLE_JACC_AGREE = " + ".join(
+    f"CASE WHEN m{i} = mb{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+_TOKS_MUT = _TOKS.replace("text", "regexp_replace(text, '\\s+\\S+\\s*$', '')")
+ORACLE_MINHASH_EST = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks,
+                   {_TOKS_MUT} AS toks_b
+               FROM documents),
+    sh AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(len(toks) - 2), i ->
+                array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS shingles,
+        list_distinct(CASE WHEN len(toks_b) >= 3 THEN
+            list_transform(range(len(toks_b) - 2), i ->
+                array_to_string(list_slice(toks_b, i + 1, i + 3), ' '))
+        ELSE [array_to_string(toks_b, ' ')] END) AS shingles_b
+    FROM t),
+    sig AS (SELECT doc_id, {_ORACLE_SIG8}, {_ORACLE_SIGB},
+                shingles, shingles_b FROM sh)
+    SELECT doc_id,
+        ROUND(({_ORACLE_JACC_AGREE}) / 8.0, 6) AS est_jaccard,
+        ROUND(CAST(len(list_intersect(shingles, shingles_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(shingles, shingles_b))), 6)
+            AS exact_jaccard
+    FROM sig
+"""
+
+
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (per-vector max-abs scale) reconstruction
+    error, aggregated per label — the compression-accuracy profile a
+    pipeline checks before storing quantized vectors. Pure-map quantize/
+    reconstruct (higher-order functions, zero shuffle), one partial-agg
+    shuffle at label cardinality; the per-label mean goes through an
+    exact decimal sum like every other cross-engine average."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    recon = F.transform(v, lambda x: F.round(x / scale * 127, 0) * scale / 127)
+    err = F.aggregate(
+        F.zip_with(v, recon, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(v)
+    return (
+        emb.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(20,12)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("avg_err"),
+            F.round(F.max("err"), 8).alias("max_err"),
+        )
+    )
+
+
+ORACLE_QUANT = """
+    WITH e AS (SELECT label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT label,
+              list_max(list_transform(v, x -> abs(x))) AS s, v FROM e),
+    r AS (SELECT label,
+              list_sum(list_transform(range(len(v)), i ->
+                  abs(v[i + 1] - ROUND(v[i + 1] / s * 127, 0) * s / 127)))
+                  / len(v) AS err
+          FROM q)
+    SELECT label, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(err AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*), 8)
+            AS avg_err,
+        ROUND(MAX(err), 8) AS max_err
+    FROM r GROUP BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -2248,6 +2454,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
+    "kmv_distinct_users": q_kmv_distinct_users,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+    "embedding_quantization_error": q_embedding_quantization_error,
 }
 
 ORACLES: dict[str, str] = {
@@ -2295,6 +2505,10 @@ ORACLES: dict[str, str] = {
     "ngram_containment": ORACLE_CONTAINMENT,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
+    "kmv_distinct_users": ORACLE_KMV,
+    "tfidf_top_terms": ORACLE_TFIDF,
+    "minhash_jaccard_estimate": ORACLE_MINHASH_EST,
+    "embedding_quantization_error": ORACLE_QUANT,
 }
 
 
