@@ -399,40 +399,54 @@ def embedding_lsh_dup_pairs(
                 F.lit(0)
             ).cast("long")
         buckets.append(bits)
-    sel = (
-        df.select(
-            F.col(id_col).alias("id"),
-            v.alias("v"),
-            F.array(*buckets).alias("_bks"),
-        )
-        # per-row norm hoisted out of the O(pairs) join
-        .withColumn("nrm", l2_norm(F.col("v")))
-        .select("id", "v", "nrm", F.posexplode("_bks").alias("band", "bucket"))
-        # materialize once: both sides of the self-join read these rows,
-        # and without the lineage cut each side would recompute the
-        # num_planes interpreted-fold dot products per row
-        .localCheckpoint(eager=False)
-    )
-    a, b2 = sel.alias("a"), sel.alias("b")
-    return (
+    # bucket table WITHOUT vectors: the self-join shuffles only
+    # (id, band, bucket) triples, never the embedding payload.
+    # Materialized once — both sides reuse it and the num_planes
+    # interpreted-fold dot products per row run a single time.
+    bk = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    ).localCheckpoint(eager=False)
+    a, b2 = bk.alias("a"), bk.alias("b")
+    # dedup candidates BEFORE computing any cosine: a pair caught by
+    # both bands costs one similarity evaluation, not two + a distinct
+    # over full result rows (this is also exactly the oracle's shape)
+    cand = (
         a.join(
             b2,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # fetch vectors once per distinct pair; per-row norm hoisted so each
+    # row's norm is computed once, not once per pair
+    vecs = (
+        df.select(F.col(id_col).alias("id"), v.alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+    va = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("_va"), F.col("nrm").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("_vb"), F.col("nrm").alias("_nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
                 cosine_prenormed(
-                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
                 ),
                 6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
 
 

@@ -272,6 +272,17 @@ def kmeans_centroids(
     )
 
 
+def write_ivf_partitioned(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned corpus PARTITIONED BY cell id — the
+    storage layout that turns ivf_topk's probe semi-join into parquet
+    partition pruning: a query that probes nprobe of C cells reads
+    nprobe/C of the files, decided at planning time from directory
+    names, before any row is touched. This is the 100 TB deployment
+    shape the ivf_assign docstring promises; asserted by
+    tests/test_operators.py::test_ivf_partitioned_storage_prunes_scan."""
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,

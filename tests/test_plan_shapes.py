@@ -89,3 +89,33 @@ def test_simhash_token_hashes_staged_once(spark):
     # re-derive it (one md5 call in the plan, not 16)
     plan = _plan(spark, "simhash_fingerprints")
     assert plan.count("md5(") <= 2, plan.count("md5(")
+
+
+def test_kmv_sketch_is_take_ordered(spark):
+    # the k-smallest select must be a bounded TakeOrdered (per-partition
+    # top-k + k-row driver merge), never a global Sort of all hashes
+    plan = _plan(spark, "kmv_distinct_users")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [h" not in plan
+
+
+def test_tfidf_partial_aggregation_no_python(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "partial_count" in plan  # tf and df both map-side combined
+    for marker in ("ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_minhash_estimate_is_shuffle_free(spark):
+    # both signatures live in one projection over documents: a pure map
+    # (the only exchange allowed is the local input rebalance, which is
+    # round-robin, not a hash shuffle)
+    plan = _plan(spark, "minhash_jaccard_estimate")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_quantization_single_label_shuffle(spark):
+    plan = _plan(spark, "embedding_quantization_error")
+    assert plan.count("Exchange hashpartitioning") == 1  # the label agg
+    assert "Join" not in plan
