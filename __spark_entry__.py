@@ -766,6 +766,17 @@ SHARED_SQL: dict[str, str] = {
         FROM documents
         GROUP BY CAST(FLOOR(n_chars / 100) AS BIGINT)
     """,
+    # correlated LATERAL subquery: per-customer top-2 orders by price.
+    # Spark plans this as a rewritten window/join (DecorrelateInnerQuery);
+    # DuckDB as a lateral dependent join — same rows either way.
+    "lateral_top_orders": """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 500
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -1557,6 +1568,57 @@ ORACLE_ASOF_FWD = """
           FROM p LEFT JOIN orders o
             ON o.o_custkey = p.custkey AND o.o_orderdate >= p.ts)
     SELECT event_id, custkey, o_orderkey AS next_orderkey FROM j WHERE rn = 1
+"""
+
+
+def q_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each purchase event matched to the
+    user's closest order in absolute time, either side. Tie semantics
+    (pinned empirically against pandas and replicated in the oracle):
+    equidistant candidates prefer the backward row; duplicate timestamps
+    resolve to the last row in (ts, value)-sorted order backward, first
+    forward."""
+    from kafka_firehose_nozzle_spark.operators.asof import asof_join
+
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", (F.col("user_id") + 1).alias("custkey"), "ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    joined = asof_join(
+        purchases,
+        orders,
+        on="ts",
+        by="custkey",
+        right_value_cols=["o_orderkey"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "custkey",
+        F.col("o_orderkey").alias("nearest_orderkey"),
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+    WITH p AS (SELECT event_id, user_id + 1 AS custkey, ts FROM events
+               WHERE event_type = 'purchase'),
+    j AS (SELECT p.event_id, p.custkey, o.o_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY p.event_id
+                ORDER BY ABS(epoch_us(o.o_orderdate) - epoch_us(p.ts))
+                             ASC NULLS LAST,
+                         o.o_orderdate ASC NULLS LAST,
+                         CASE WHEN o.o_orderdate <= p.ts
+                              THEN -o.o_orderkey ELSE o.o_orderkey END
+                             ASC NULLS LAST) AS rn
+          FROM p LEFT JOIN orders o ON o.o_custkey = p.custkey)
+    SELECT event_id, custkey, o_orderkey AS nearest_orderkey
+    FROM j WHERE rn = 1
 """
 
 
@@ -2429,6 +2491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": q_pivot_event_counts,
     "asof_purchase_orders": q_asof_purchase_orders,
     "asof_next_order": q_asof_next_order,
+    "asof_nearest_order": q_asof_nearest_order,
     "sliding_window_rates": q_sliding_window_rates,
     "ivf_ann_topk": q_ivf_ann_topk,
     "ivf_trained_topk": q_ivf_trained_topk,
@@ -2480,6 +2543,7 @@ ORACLES: dict[str, str] = {
     "pivot_event_counts": ORACLE_PIVOT,
     "asof_purchase_orders": ORACLE_ASOF,
     "asof_next_order": ORACLE_ASOF_FWD,
+    "asof_nearest_order": ORACLE_ASOF_NEAREST,
     "sliding_window_rates": ORACLE_SLIDING,
     "ivf_ann_topk": ORACLE_IVF,
     "ivf_trained_topk": ORACLE_IVF_TRAINED,
