@@ -1377,6 +1377,46 @@ ORACLE_CONTAINMENT = f"""
 """
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination audit on the same train/test split as
+    ngram_containment: per held-out doc, total 3-grams, Bloom maybe-hits
+    (m=65536, k=4), exact hits, and false positives. The filter is a
+    broadcast-sized position table regardless of train-corpus size —
+    the 100 TB replacement for the full-gram semi-join."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    test = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    return TX.bloom_contamination(train, test)
+
+
+_BLOOM_POS_EXPRS = ", ".join(
+    f"CAST(('0x' || substr(md5(gram || '#{101 + j}'), 1, 15)) AS BIGINT) % 65536"
+    for j in range(4)
+)
+ORACLE_BLOOM = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, list_distinct({_GRAMS3}) AS grams FROM t),
+    tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 5 <> 0),
+    trpos AS (SELECT DISTINCT pos FROM
+        (SELECT unnest([{_BLOOM_POS_EXPRS}]) AS pos FROM tr)),
+    te AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 5 = 0),
+    tepos AS (SELECT doc_id, gram, unnest([{_BLOOM_POS_EXPRS}]) AS pos FROM te),
+    mb AS (SELECT doc_id, COUNT(*) AS n_maybe FROM (
+        SELECT doc_id, gram FROM tepos
+        WHERE pos IN (SELECT pos FROM trpos)
+        GROUP BY doc_id, gram HAVING COUNT(*) = 4) q GROUP BY doc_id),
+    ex AS (SELECT doc_id, COUNT(*) AS n_exact FROM te
+           WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM te GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_grams,
+        COALESCE(mb.n_maybe, 0) AS n_maybe,
+        COALESCE(ex.n_exact, 0) AS n_exact,
+        COALESCE(mb.n_maybe, 0) - COALESCE(ex.n_exact, 0) AS n_false_pos
+    FROM tot LEFT JOIN mb ON tot.doc_id = mb.doc_id
+             LEFT JOIN ex ON tot.doc_id = ex.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: 5 documents per language by md5
     hash rank — reproducible on any engine at any parallelism."""
@@ -2515,6 +2555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrubbed": q_pii_scrubbed,
     "repetition_scores": q_repetition_scores,
     "ngram_containment": q_ngram_containment,
+    "bloom_contamination": q_bloom_contamination,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -2567,6 +2608,7 @@ ORACLES: dict[str, str] = {
     "pii_scrubbed": ORACLE_PII,
     "repetition_scores": ORACLE_REPETITION,
     "ngram_containment": ORACLE_CONTAINMENT,
+    "bloom_contamination": ORACLE_BLOOM,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
     "kmv_distinct_users": ORACLE_KMV,

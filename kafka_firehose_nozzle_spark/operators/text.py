@@ -195,6 +195,80 @@ def ngram_containment(
     )
 
 
+def bloom_contamination(
+    train,
+    test,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = 65536,
+    k: int = 4,
+):
+    """Bloom-filter train/test contamination audit — the 100 TB shape of
+    ``ngram_containment``: instead of semi-joining test grams against the
+    FULL distinct train-gram set (shuffle at gram cardinality), build an
+    m-bit Bloom filter of the train grams once and broadcast it. The
+    filter here is a ≤ m-row distinct-position table (m = 64Ki default,
+    ~512 KB of longs), so the test side joins against a broadcast no
+    matter how large the train corpus grows; per test doc the output
+    reports total grams, Bloom maybe-hits, exact hits, and the false
+    positives the m/k choice cost — the audit a pipeline runs before
+    trusting the filter.
+
+    Hashes are the md5 route (seeds 101..100+k), so the filter content is
+    bit-deterministic and the DuckDB oracle replays it exactly.
+    """
+    from kafka_firehose_nozzle_spark.operators.dedup import _h
+
+    def positions(g: Column) -> Column:
+        return F.array(
+            *[F.pmod(_h(g, 101 + j), F.lit(m)) for j in range(k)]
+        )
+
+    grams = lambda df: df.select(  # noqa: E731 - local shorthand
+        *([F.col(id_col)] if id_col in df.columns else []),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("g"),
+    )
+    filter_pos = (
+        grams(train.select(text_col))
+        .select(F.explode(positions(F.col("g"))).alias("pos"))
+        .distinct()
+    )
+    train_grams = grams(train.select(text_col)).distinct()
+    tg = grams(test.select(id_col, text_col))
+    tg_pos = tg.select(id_col, "g", F.explode(positions(F.col("g"))).alias("pos"))
+    maybe = (
+        tg_pos.join(F.broadcast(filter_pos), "pos", "left_semi")
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k)  # every probe bit set -> maybe
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe"))
+    )
+    exact = (
+        tg.join(train_grams, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    total = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        total.join(maybe, id_col, "left")
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_maybe"), F.lit(0)).alias("n_maybe"),
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+            (
+                F.coalesce(F.col("n_maybe"), F.lit(0))
+                - F.coalesce(F.col("n_exact"), F.lit(0))
+            ).alias("n_false_pos"),
+        )
+    )
+
+
 # PII patterns: RE2-safe subset (works in both Java regex and DuckDB's RE2)
 _PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

@@ -316,6 +316,25 @@ def test_ngram_containment(spark):
     assert got[11] == 0.0
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    """Bloom filters never miss: every exact-contained gram must be a
+    maybe-hit (n_maybe >= n_exact), and fully-contained docs report all
+    their grams exact."""
+    from kafka_firehose_nozzle_spark.operators.text import bloom_contamination
+
+    train = spark.createDataFrame([("a b c d e f",)], "text string")
+    test = spark.createDataFrame(
+        [(1, "a b c d"), (2, "quite unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bloom_contamination(train, test).collect()}
+    # doc 1: grams "a b c" and "b c d" both appear in train
+    assert got[1].n_grams == 2 and got[1].n_exact == 2
+    for r in got.values():
+        assert r.n_maybe >= r.n_exact  # no false negatives, ever
+        assert r.n_false_pos == r.n_maybe - r.n_exact >= 0
+
+
 def test_rolling_hash_fingerprint_robust_to_tail_edit(spark):
     base = "one two three four five six seven eight nine ten eleven twelve"
     df = spark.createDataFrame(
