@@ -777,6 +777,23 @@ SHARED_SQL: dict[str, str] = {
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_custkey <= 500
     """,
+    # ordered funnel: first view -> first later click -> first later
+    # purchase per user; stage counts in one row (scalar subqueries)
+    "funnel_conversion": """
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -1374,6 +1391,46 @@ ORACLE_CONTAINMENT = f"""
     SELECT tot.doc_id,
         ROUND(COALESCE(mt, 0) / CAST(tt AS DOUBLE), 6) AS containment
     FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup: an incoming batch (held-out
+    split) is admitted only if its content fingerprint (a) isn't already
+    in the existing corpus's fingerprint store and (b) is the first
+    occurrence within the batch (min doc_id wins). The store side is
+    fingerprints only — at 100 TB that's the compact state a pipeline
+    keeps between ingestion runs, and the admission check is an anti-join
+    against it, never a scan of stored documents."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    store = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+        .select(TX.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    inc = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first = (
+        inc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return first.join(store, "fp", "left_anti").select("doc_id")
+
+
+_NORM_MD5 = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+ORACLE_INCREMENTAL_DEDUP = f"""
+    WITH store AS (SELECT DISTINCT {_NORM_MD5} AS fp FROM documents
+                   WHERE doc_id % 5 <> 0),
+    inc AS (SELECT doc_id, {_NORM_MD5} AS fp FROM documents
+            WHERE doc_id % 5 = 0),
+    first AS (SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn
+        FROM inc) r WHERE rn = 1)
+    SELECT doc_id FROM first WHERE fp NOT IN (SELECT fp FROM store)
 """
 
 
@@ -2556,6 +2613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_scores": q_repetition_scores,
     "ngram_containment": q_ngram_containment,
     "bloom_contamination": q_bloom_contamination,
+    "incremental_dedup": q_incremental_dedup,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -2609,6 +2667,7 @@ ORACLES: dict[str, str] = {
     "repetition_scores": ORACLE_REPETITION,
     "ngram_containment": ORACLE_CONTAINMENT,
     "bloom_contamination": ORACLE_BLOOM,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
     "kmv_distinct_users": ORACLE_KMV,
