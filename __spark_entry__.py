@@ -1002,14 +1002,21 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_lane_sql(arr: str, j: int) -> str:
+    """32-bit lane j of the grouped-md5 MinHash (4 lanes per digest,
+    hex-min then a single conversion; mirrors
+    operators/dedup.minhash_from_digests)."""
+    c, r = divmod(j, 4)
+    return (
+        f"('0x' || list_min(list_transform({arr}, s -> "
+        f"substr(md5(s || '#{c}'), {1 + 8 * r}, 8))))::BIGINT"
+    )
+
+
 def _oracle_minhash_cols() -> str:
-    cols = []
-    for i in range(4):
-        cols.append(
-            "list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#%d'), 1, 15))::BIGINT)) AS m%d"
-            % (i, i)
-        )
-    return ",\n        ".join(cols)
+    return ",\n        ".join(
+        f"{_minhash_lane_sql('shingles', i)} AS m{i}" for i in range(4)
+    )
 
 
 ORACLE_MINHASH = f"""
@@ -1186,8 +1193,7 @@ _PLANTED_SQL = f"""
 
 # oracle fragments for minhash signature + 4 two-row bands over planted docs
 _ORACLE_SIG8 = ", ".join(
-    f"list_min(list_transform(shingles, s -> ('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT)) AS m{i}"
-    for i in range(8)
+    f"{_minhash_lane_sql('shingles', i)} AS m{i}" for i in range(8)
 )
 _ORACLE_BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_ix, md5(m{2*b}::VARCHAR || ',' || m{2*b+1}::VARCHAR) AS band_hash FROM sig"
@@ -2485,9 +2491,7 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SIGB = ", ".join(
-    "list_min(list_transform(shingles_b, s -> ('0x' || substr(md5(s || "
-    f"'#{i}'), 1, 15))::BIGINT)) AS mb{i}"
-    for i in range(8)
+    f"{_minhash_lane_sql('shingles_b', i)} AS mb{i}" for i in range(8)
 )
 _ORACLE_JACC_AGREE = " + ".join(
     f"CASE WHEN m{i} = mb{i} THEN 1 ELSE 0 END" for i in range(8)

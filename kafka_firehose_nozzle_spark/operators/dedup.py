@@ -45,25 +45,62 @@ def _h(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+def minhash_digests(shingles: Column, num_hashes: int = 8) -> Column:
+    """Per-shingle md5 digests backing a MinHash signature
+    (array<array<string>>, inner length ceil(num_hashes/4)).
+
+    One 32-hex md5 digest yields FOUR 8-hex (32-bit) hash lanes, so H
+    hashes cost ceil(H/4) md5 invocations per shingle instead of H — and
+    md5 is the dominant cost of the entire LSH pipeline (profiled at 11 s
+    of a 12.3 s lsh_dup_components run at sf1 under the one-md5-per-lane
+    scheme). 32-bit lanes are ample for MinHash: the min is taken over at
+    most a few thousand shingles per doc, far below birthday range.
+
+    Stage this column in its own projection (with_minhash) — the lane
+    extractors are interpreted HOFs with no codegen CSE, so an inlined
+    digest expression would re-hash once per lane and forfeit the win.
+    """
+    n_calls = (num_hashes + 3) // 4
+    return F.transform(
+        shingles,
+        lambda s: F.array(
+            *[F.md5(F.concat(s, F.lit(f"#{c}"))) for c in range(n_calls)]
+        ),
+    )
+
+
+def minhash_from_digests(digests: Column, num_hashes: int = 8) -> Column:
+    """array<long> signature from staged digests: lane j is the min over
+    shingles of 32-bit slice r = j%4 of digest c = j//4 (DuckDB replica:
+    ('0x' || substr(md5(s || '#c'), 1 + 8*r, 8))::BIGINT)."""
+
+    def lane(j: int) -> Column:
+        c, r = divmod(j, 4)
+        # fixed-width lowercase hex compares lexicographically in numeric
+        # order, so take the min over the RAW hex slices and convert the
+        # single winner — one conv per document-lane, not per shingle
+        return F.conv(
+            F.array_min(
+                F.transform(
+                    digests,
+                    lambda d: F.substring(F.element_at(d, c + 1), 1 + 8 * r, 8),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return F.array(*[lane(j) for j in range(num_hashes)])
+
+
 def minhash_from_shingles(shingles: Column, num_hashes: int = 8) -> Column:
     """MinHash signature (array<long>) from a shingle-array column.
 
-    Pass a *materialized column* (see with_minhash), not the shingle
-    expression itself: the signature references its input once per hash,
-    and an inlined shingle construction would be re-evaluated num_hashes
-    times per row (measured ~40x slowdown on the LSH pipeline).
+    Convenience composition for single-expression use; pipelines should
+    stage the digests column first (with_minhash) so lanes don't re-hash.
     """
-
-    # NB: a two-parameter lambda passed to F.transform/F.filter is treated
-    # as (element, index) by Spark — bind the seed via a closure factory.
-    def hasher(seed: int):
-        return lambda s: _h(s, seed)
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, hasher(i)))
-            for i in range(num_hashes)
-        ]
+    return minhash_from_digests(
+        minhash_digests(shingles, num_hashes), num_hashes
     )
 
 
@@ -106,9 +143,10 @@ def with_minhash(
     # not once per band).
     return (
         df.withColumn("_shingles", word_shingles(F.col(text_col)))
+        .withColumn("_digs", minhash_digests(F.col("_shingles"), num_hashes))
         .withColumn(
             "minhash_sig",
-            minhash_from_shingles(F.col("_shingles"), num_hashes),
+            minhash_from_digests(F.col("_digs"), num_hashes),
         )
         .withColumn(
             "lsh_bands",
@@ -116,7 +154,7 @@ def with_minhash(
                 F.col("minhash_sig"), num_bands, num_hashes // num_bands
             ),
         )
-        .drop("_shingles")
+        .drop("_shingles", "_digs")
     )
 
 
