@@ -316,6 +316,50 @@ def test_ngram_containment(spark):
     assert got[11] == 0.0
 
 
+def test_kmv_estimate_tracks_exact_distinct(spark):
+    """KMV sanity: on a corpus with far more distinct users than k, the
+    (k-1)*2^60/h_k estimate must land within 2x of the exact distinct
+    count (md5 hashes are uniform enough for that at k=64)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    row = entry.queries()["kmv_distinct_users"](spark, sf).collect()[0]
+    exact = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.k == 64
+    assert exact / 2 <= row.est_distinct <= exact * 2, (row.est_distinct, exact)
+
+
+def test_quantization_error_bounded_by_grid_step(spark):
+    """Int8 max-abs quantization: per-component error is at most half a
+    grid step (scale/254), so the per-vector mean can't exceed it."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    got = entry.queries()["embedding_quantization_error"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    max_scale = emb.select(
+        F.max(
+            F.array_max(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: F.abs(x),
+                )
+            )
+        )
+    ).collect()[0][0]
+    bound = max_scale / 254 * 1.000001
+    for r in got:
+        assert 0 <= r.avg_err <= bound, (r.label, r.avg_err, bound)
+        assert r.max_err <= bound
+
+
 def test_bloom_contamination_no_false_negatives(spark):
     """Bloom filters never miss: every exact-contained gram must be a
     maybe-hit (n_maybe >= n_exact), and fully-contained docs report all
