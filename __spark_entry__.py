@@ -1003,32 +1003,42 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lane_sql(arr: str, j: int) -> str:
-    """32-bit lane j of the grouped-md5 MinHash (4 lanes per digest,
-    hex-min then a single conversion; mirrors
-    operators/dedup.minhash_from_digests)."""
-    c, r = divmod(j, 4)
+    """Affine MinHash lane j over integer shingle hashes
+    ((2j+3)*s + 97j+1 mod 2^31-1; mirrors
+    operators/dedup.minhash_from_hashed — all values positive, so
+    DuckDB % equals Spark pmod)."""
     return (
-        f"('0x' || list_min(list_transform({arr}, s -> "
-        f"substr(md5(s || '#{c}'), {1 + 8 * r}, 8))))::BIGINT"
+        f"list_min(list_transform({arr}, s -> "
+        f"({2 * j + 3} * s + {97 * j + 1}) % 2147483647))"
     )
+
+
+# token-hash shingles (mirrors operators/dedup.token_hash_shingles):
+# one md5 per token -> 32-bit int, k=3 combined as h1*P^2 + h2*P + h3
+_TH = "list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)"
+_HSH = (
+    "list_distinct(CASE WHEN len(th) >= 3 THEN "
+    "list_transform(range(len(th) - 2), i -> "
+    "th[i + 1] * 16752649 + th[i + 2] * 4093 + th[i + 3]) "
+    "WHEN len(th) = 2 THEN [th[1] * 4093 + th[2]] "
+    "WHEN len(th) = 1 THEN [th[1]] "
+    "ELSE [CAST(0 AS BIGINT)] END)"
+)
 
 
 def _oracle_minhash_cols() -> str:
     return ",\n        ".join(
-        f"{_minhash_lane_sql('shingles', i)} AS m{i}" for i in range(4)
+        f"{_minhash_lane_sql('hsh', i)} AS m{i}" for i in range(4)
     )
 
 
 ORACLE_MINHASH = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, list_distinct(
-        CASE WHEN len(toks) >= 3 THEN
-            list_transform(range(len(toks) - 2), i ->
-                array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-        ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t)
+    h AS (SELECT doc_id, {_TH} AS th FROM t),
+    hs AS (SELECT doc_id, {_HSH} AS hsh FROM h)
     SELECT doc_id,
         {_oracle_minhash_cols()}
-    FROM sh
+    FROM hs
 """
 
 
@@ -1193,12 +1203,14 @@ _PLANTED_SQL = f"""
 
 # oracle fragments for minhash signature + 4 two-row bands over planted docs
 _ORACLE_SIG8 = ", ".join(
-    f"{_minhash_lane_sql('shingles', i)} AS m{i}" for i in range(8)
+    f"{_minhash_lane_sql('hsh', i)} AS m{i}" for i in range(8)
 )
 _ORACLE_BANDS_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_ix, md5(m{2*b}::VARCHAR || ',' || m{2*b+1}::VARCHAR) AS band_hash FROM sig"
     for b in range(4)
 )
+# `sh` (string shingles) is only consumed by the exact-jaccard suffix in
+# ORACLE_JACCARD_PLANTED; DuckDB prunes it from the other consumers
 _ORACLE_LSH_CAND = f"""
     WITH docs2 AS ({_PLANTED_SQL}),
     t AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
@@ -1207,7 +1219,9 @@ _ORACLE_LSH_CAND = f"""
             list_transform(range(len(toks) - 2), i ->
                 array_to_string(list_slice(toks, i + 1, i + 3), ' '))
         ELSE [array_to_string(toks, ' ')] END) AS shingles FROM t),
-    sig AS (SELECT doc_id, {_ORACLE_SIG8} FROM sh),
+    h AS (SELECT doc_id, {_TH} AS th FROM t),
+    hs AS (SELECT doc_id, {_HSH} AS hsh FROM h),
+    sig AS (SELECT doc_id, {_ORACLE_SIG8} FROM hs),
     bands AS ({_ORACLE_BANDS_UNION}),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
@@ -2491,12 +2505,16 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SIGB = ", ".join(
-    f"{_minhash_lane_sql('shingles_b', i)} AS mb{i}" for i in range(8)
+    f"{_minhash_lane_sql('hsh_b', i)} AS mb{i}" for i in range(8)
 )
 _ORACLE_JACC_AGREE = " + ".join(
     f"CASE WHEN m{i} = mb{i} THEN 1 ELSE 0 END" for i in range(8)
 )
 _TOKS_MUT = _TOKS.replace("text", "regexp_replace(text, '\\s+\\S+\\s*$', '')")
+_TH_B = _TH.replace("toks", "toks_b")
+_HSH_B = _HSH.replace("th", "th_b")
+# signatures ride the token-hash shingles (hsh/hsh_b); the EXACT jaccard
+# stays on string shingles — that's its definition
 ORACLE_MINHASH_EST = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks,
                    {_TOKS_MUT} AS toks_b
@@ -2511,8 +2529,11 @@ ORACLE_MINHASH_EST = f"""
                 array_to_string(list_slice(toks_b, i + 1, i + 3), ' '))
         ELSE [array_to_string(toks_b, ' ')] END) AS shingles_b
     FROM t),
-    sig AS (SELECT doc_id, {_ORACLE_SIG8}, {_ORACLE_SIGB},
-                shingles, shingles_b FROM sh)
+    h AS (SELECT doc_id, {_TH} AS th, {_TH_B} AS th_b FROM t),
+    hs AS (SELECT doc_id, {_HSH} AS hsh, {_HSH_B} AS hsh_b FROM h),
+    sig AS (SELECT hs.doc_id, {_ORACLE_SIG8}, {_ORACLE_SIGB},
+                sh.shingles, sh.shingles_b
+            FROM hs JOIN sh ON hs.doc_id = sh.doc_id)
     SELECT doc_id,
         ROUND(({_ORACLE_JACC_AGREE}) / 8.0, 6) AS est_jaccard,
         ROUND(CAST(len(list_intersect(shingles, shingles_b)) AS DOUBLE)

@@ -45,71 +45,111 @@ def _h(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
-def minhash_digests(shingles: Column, num_hashes: int = 8) -> Column:
-    """Per-shingle md5 digests backing a MinHash signature
-    (array<array<string>>, inner length ceil(num_hashes/4)).
+# shingle-combine base and affine-lane modulus (both engines: positive
+# BIGINT arithmetic, products < 2^63 — DuckDB errors on overflow where
+# Java would wrap, so the bounds are load-bearing)
+_SHINGLE_P = 4093
+_LANE_MOD = 2147483647  # 2^31 - 1 (prime)
 
-    One 32-hex md5 digest yields FOUR 8-hex (32-bit) hash lanes, so H
-    hashes cost ceil(H/4) md5 invocations per shingle instead of H — and
-    md5 is the dominant cost of the entire LSH pipeline (profiled at 11 s
-    of a 12.3 s lsh_dup_components run at sf1 under the one-md5-per-lane
-    scheme). 32-bit lanes are ample for MinHash: the min is taken over at
-    most a few thousand shingles per doc, far below birthday range.
 
-    Stage this column in its own projection (with_minhash) — the lane
-    extractors are interpreted HOFs with no codegen CSE, so an inlined
-    digest expression would re-hash once per lane and forfeit the win.
+def token_hash_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as 56-bit integers: one md5 per TOKEN
+    (staged via the per-token transform), then each shingle position
+    combines its k token hashes arithmetically —
+    ``h1*P^2 + h2*P + h3`` (P = 4093).
+
+    This replaces string shingles in the MinHash path because profiling
+    at sf1 put shingle STRING construction (per-position concat_ws over
+    interpreted HOFs) at ~85% of signature cost, after md5 itself was
+    already amortized: a token participates in k shingles but is hashed
+    once, and the combine is three integer multiply-adds. Max value
+    2^32 * (P^2 + P + 1) < 2^57, so every product stays far inside
+    BIGINT for both engines. Collisions merge distinct shingles at
+    ~2^-56 per pair — irrelevant to MinHash and replicated exactly by
+    the oracle either way. Documents shorter than k words combine what
+    they have; empty docs yield [0].
+
+    DuckDB replica of the token hash: ('0x' || substr(md5(t), 1, 8))::BIGINT.
     """
-    n_calls = (num_hashes + 3) // 4
-    return F.transform(
-        shingles,
-        lambda s: F.array(
-            *[F.md5(F.concat(s, F.lit(f"#{c}"))) for c in range(n_calls)]
+    toks = tokens(normalize_text(text))
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    n = F.size(toks)
+    p, p2 = F.lit(_SHINGLE_P), F.lit(_SHINGLE_P * _SHINGLE_P)
+
+    # Combine via three shifted slices + zip_with, NOT element_at inside
+    # a positions transform: interpreted HOFs re-evaluate their array
+    # argument per call, so an indexed lambda would rebuild the full
+    # md5 array once per position — O(tokens^2) hashing (measured 4x
+    # end-to-end). zip_with evaluates each slice argument once.
+    m = n - (k - 1)
+    combined = F.zip_with(
+        F.zip_with(
+            F.slice(th, 1, m),
+            F.slice(th, 2, m),
+            lambda x, y: x * p2 + y * p,
         ),
+        F.slice(th, 3, m),
+        lambda xy, z: xy + z,
+    )
+
+    def at(i):
+        return F.element_at(th, i)
+
+    return F.array_distinct(
+        F.when(n >= k, combined)
+        .when(n == 2, F.array(at(1) * p + at(2)))
+        .when(n == 1, F.array(at(1)))
+        .otherwise(F.array(F.lit(0).cast("long")))
     )
 
 
-def minhash_from_digests(digests: Column, num_hashes: int = 8) -> Column:
-    """array<long> signature from staged digests: lane j is the min over
-    shingles of 32-bit slice r = j%4 of digest c = j//4 (DuckDB replica:
-    ('0x' || substr(md5(s || '#c'), 1 + 8*r, 8))::BIGINT)."""
+def minhash_from_hashed(hashed: Column, num_hashes: int = 8) -> Column:
+    """array<long> signature over integer shingle hashes: lane j is the
+    min over shingles of the affine hash ``(a_j * s + b_j) mod (2^31-1)``
+    with a_j = 2j+3, b_j = 97j+1 — pure integer ops, no md5 anywhere in
+    the per-shingle path (a_j * s < 2^5 * 2^57 = 2^62: no overflow).
 
-    def lane(j: int) -> Column:
-        c, r = divmod(j, 4)
-        # fixed-width lowercase hex compares lexicographically in numeric
-        # order, so take the min over the RAW hex slices and convert the
-        # single winner — one conv per document-lane, not per shingle
-        return F.conv(
-            F.array_min(
-                F.transform(
-                    digests,
-                    lambda d: F.substring(F.element_at(d, c + 1), 1 + 8 * r, 8),
-                )
-            ),
-            16,
-            10,
-        ).cast("long")
+    Pass a *staged column* (with_minhash): the lanes are interpreted
+    HOFs without codegen CSE, so an inlined shingle expression would be
+    rebuilt once per lane."""
 
-    return F.array(*[lane(j) for j in range(num_hashes)])
+    # NB: Spark reads the lambda's arity, so constants must bind via a
+    # closure factory, not default args (a 3-arg lambda means
+    # (element, index, ...) to F.transform)
+    def lane_fn(a: int, b: int):
+        return lambda s: F.pmod(F.lit(a) * s + F.lit(b), F.lit(_LANE_MOD))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashed, lane_fn(2 * j + 3, 97 * j + 1)))
+            for j in range(num_hashes)
+        ]
+    )
 
 
 def minhash_from_shingles(shingles: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature (array<long>) from a shingle-array column.
-
-    Convenience composition for single-expression use; pipelines should
-    stage the digests column first (with_minhash) so lanes don't re-hash.
-    """
-    return minhash_from_digests(
-        minhash_digests(shingles, num_hashes), num_hashes
+    """MinHash signature (array<long>) from a STRING shingle-array
+    column (legacy path for callers that already built string shingles);
+    hashes each shingle once and applies the affine lanes."""
+    hashed = F.array_distinct(
+        F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
     )
+    return minhash_from_hashed(hashed, num_hashes)
 
 
 def minhash_signature(text: Column, num_hashes: int = 8) -> Column:
     """MinHash signature (array<long>, length num_hashes) over 3-word
-    shingles. Per-row, no shuffle: min_i over h_i(shingle). Convenience
-    form for single-expression use; pipelines should materialize shingles
-    first (with_minhash)."""
-    return minhash_from_shingles(word_shingles(text), num_hashes)
+    token-hash shingles. Per-row, no shuffle: min_j over affine lane
+    hashes. Convenience form for single-expression use (the shingle
+    array is rebuilt once per lane here — interpreted HOFs get no CSE);
+    pipelines should stage the hashed shingles first (with_minhash)."""
+    return minhash_from_hashed(token_hash_shingles(text), num_hashes)
 
 
 def minhash_bands(sig: Column, num_bands: int = 4, rows_per_band: int = 2) -> Column:
@@ -138,15 +178,14 @@ def with_minhash(
     num_bands: int = 4,
 ) -> DataFrame:
     # Stage each non-cheap array through its own projection: CollapseProject
-    # keeps multiply-referenced non-cheap expressions staged, so shingles
-    # are built once per row, not once per hash (and the signature once,
-    # not once per band).
+    # keeps multiply-referenced non-cheap expressions staged, so the
+    # hashed shingles are built once per row, not once per lane (and the
+    # signature once, not once per band).
     return (
-        df.withColumn("_shingles", word_shingles(F.col(text_col)))
-        .withColumn("_digs", minhash_digests(F.col("_shingles"), num_hashes))
+        df.withColumn("_hsh", token_hash_shingles(F.col(text_col)))
         .withColumn(
             "minhash_sig",
-            minhash_from_digests(F.col("_digs"), num_hashes),
+            minhash_from_hashed(F.col("_hsh"), num_hashes),
         )
         .withColumn(
             "lsh_bands",
@@ -154,7 +193,7 @@ def with_minhash(
                 F.col("minhash_sig"), num_bands, num_hashes // num_bands
             ),
         )
-        .drop("_shingles", "_digs")
+        .drop("_hsh")
     )
 
 
