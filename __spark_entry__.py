@@ -1414,6 +1414,50 @@ ORACLE_CONTAINMENT = f"""
 """
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit distance between each document and its
+    planted mutant (last word removed), on the first 80 normalized
+    chars: levenshtein + a length-normalized similarity. Exercises the
+    string-similarity function family (both engines implement the same
+    Wagner-Fischer levenshtein); the truncation bounds the O(len^2) DP
+    per row, which is the knob that keeps this scan-shaped at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.substring(TX.normalize_text(F.col("text")), 1, 80)
+    mut = F.substring(
+        TX.normalize_text(
+            F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "")
+        ),
+        1,
+        80,
+    )
+    d = F.levenshtein(norm, mut)
+    mx = F.greatest(F.length(norm), F.length(mut))
+    return docs.select(
+        "doc_id",
+        d.alias("edit_dist"),
+        F.round(
+            F.when(mx == 0, F.lit(1.0)).otherwise(1.0 - d / mx), 6
+        ).alias("edit_sim"),
+    )
+
+
+_NORM80 = "substr(lower(trim(regexp_replace({src}, '\\s+', ' ', 'g'))), 1, 80)"
+_NORM80_A = _NORM80.format(src="text")
+_NORM80_B = _NORM80.format(src="regexp_replace(text, '\\s+\\S+\\s*$', '')")
+ORACLE_EDIT_DISTANCE = f"""
+    WITH t AS (SELECT doc_id,
+        {_NORM80_A} AS a,
+        {_NORM80_B} AS b
+    FROM documents)
+    SELECT doc_id, levenshtein(a, b) AS edit_dist,
+        ROUND(CASE WHEN GREATEST(LENGTH(a), LENGTH(b)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(a, b)
+                   / CAST(GREATEST(LENGTH(a), LENGTH(b)) AS DOUBLE) END, 6)
+            AS edit_sim
+    FROM t
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus ingestion dedup: an incoming batch (held-out
     split) is admitted only if its content fingerprint (a) isn't already
@@ -2639,6 +2683,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "bloom_contamination": q_bloom_contamination,
     "incremental_dedup": q_incremental_dedup,
+    "edit_distance_pairs": q_edit_distance_pairs,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -2693,6 +2738,7 @@ ORACLES: dict[str, str] = {
     "ngram_containment": ORACLE_CONTAINMENT,
     "bloom_contamination": ORACLE_BLOOM,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
     "kmv_distinct_users": ORACLE_KMV,

@@ -452,6 +452,22 @@ def test_embedding_lsh_dup_pairs_finds_near_identical(spark):
     assert len(got) == len(pairs)
 
 
+def test_dup_components_empty_pairs(spark):
+    # no edges -> no components, and the loop must not iterate
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.dup_components(empty).count() == 0
+
+
+def test_embedding_lsh_requires_contiguous_plane_ids(spark):
+    # ids 0..num_planes-1 seed the hyperplanes; a gap must fail loudly,
+    # not silently bucket against missing planes
+    df = spark.createDataFrame(
+        [Row(vec_id=50, embedding=[1.0, 0.0]), Row(vec_id=51, embedding=[0.0, 1.0])]
+    )
+    with pytest.raises(ValueError, match="contiguous ids"):
+        D.embedding_lsh_dup_pairs(df, num_bands=2, planes_per_band=4)
+
+
 def test_dup_components_chain_and_islands(spark):
     from kafka_firehose_nozzle_spark.operators.dedup import dup_components
 
