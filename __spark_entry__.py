@@ -993,10 +993,17 @@ ORACLE_DOC_FINGERPRINTS = f"""
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 hashes) over 3-word shingles, per document."""
+    """MinHash signatures (4 hashes) over 3-word token-hash shingles,
+    per document. The hashed-shingle array is staged in its own
+    projection so the 4 lanes share one construction (interpreted HOFs
+    get no CSE — the single-expression convenience form would rebuild
+    it per lane)."""
     docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(F.col("text"), num_hashes=4)
-    return docs.select(
+    staged = docs.withColumn(
+        "_hsh", D.token_hash_shingles(F.col("text"))
+    )
+    sig = D.minhash_from_hashed(F.col("_hsh"), 4)
+    return staged.select(
         "doc_id",
         *[F.element_at(sig, i + 1).alias(f"m{i}") for i in range(4)],
     )
@@ -2531,17 +2538,24 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole query is a pure map — no shuffle at any corpus size."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mut = F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "")
-    sig_a = D.minhash_signature(F.col("text"), num_hashes=8)
-    sig_b = D.minhash_signature(mut, num_hashes=8)
+    staged = (
+        docs.withColumn("_ha", D.token_hash_shingles(F.col("text")))
+        .withColumn("_hb", D.token_hash_shingles(mut))
+        .withColumn("_sa", D.minhash_from_hashed(F.col("_ha"), 8))
+        .withColumn("_sb", D.minhash_from_hashed(F.col("_hb"), 8))
+    )
     sh_a = D.word_shingles(F.col("text"))
     sh_b = D.word_shingles(mut)
     agree = F.size(
-        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda z: z)
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda z: z,
+        )
     )
     exact = F.size(F.array_intersect(sh_a, sh_b)) / F.size(
         F.array_union(sh_a, sh_b)
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
         F.round(exact, 6).alias("exact_jaccard"),
