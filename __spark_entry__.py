@@ -1421,6 +1421,85 @@ ORACLE_CONTAINMENT = f"""
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training: split each doc into 64-token
+    chunks with 8-token overlap (stride 56); per chunk emit its index
+    and token count. Pure map + explode — the chunk boundaries are
+    arithmetic over the token array, so the whole op fuses into the
+    scan and shards perfectly at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    n = F.size(toks)
+    size, stride = 64, 56
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(size)) / F.lit(stride)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.least(n - i * stride, F.lit(size)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_ix", "chunk_tokens")
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    c AS (SELECT doc_id,
+              CAST(GREATEST(1, CEIL((n - 64) / 56.0) + 1) AS INT) AS nc, n
+          FROM t)
+    SELECT doc_id, CAST(i AS INT) AS chunk_ix,
+           CAST(LEAST(n - i * 56, 64) AS INT) AS chunk_tokens
+    FROM c, UNNEST(range(nc)) AS u(i)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context-window packing: documents are concatenated in
+    doc_id order and cut every 2048 tokens (the way LLM training packs
+    samples); each doc is assigned the pack its FIRST token lands in.
+    One running-sum window over the corpus order, then a pack-level
+    aggregation — at 100 TB the window is the only total-order step and
+    runs per-partition after a range partition on the sort key."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.token_count(F.col("text"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = docs.select(
+        "doc_id",
+        toks.alias("n_toks"),
+        ((F.sum(toks).over(w) - toks) / F.lit(2048))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return assigned.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = """
+    WITH t AS (SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+            AS n_toks
+    FROM documents),
+    a AS (SELECT doc_id, n_toks,
+              CAST(FLOOR((SUM(n_toks) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_toks) / 2048) AS BIGINT) AS pack_id
+          FROM t)
+    SELECT pack_id, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY pack_id
+"""
+
+
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level edit distance between each document and its
     planted mutant (last word removed), on the first 80 normalized
@@ -2698,6 +2777,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_contamination": q_bloom_contamination,
     "incremental_dedup": q_incremental_dedup,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
     "kmv_distinct_users": q_kmv_distinct_users,
@@ -2753,6 +2834,8 @@ ORACLES: dict[str, str] = {
     "bloom_contamination": ORACLE_BLOOM,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
     "kmv_distinct_users": ORACLE_KMV,
