@@ -1458,23 +1458,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential context-window packing: documents are concatenated in
     doc_id order and cut every 2048 tokens (the way LLM training packs
     samples); each doc is assigned the pack its FIRST token lands in.
-    One running-sum window over the corpus order, then a pack-level
-    aggregation — at 100 TB the window is the only total-order step and
-    runs per-partition after a range partition on the sort key."""
-    from pyspark.sql import Window
+    The global running sum uses the two-pass prefix-sum operator
+    (operators/packing.py) — range partition, per-partition subtotals,
+    broadcast offsets, PARTITIONED cumulative window — never the
+    single-task unpartitioned window Spark would otherwise plan."""
+    from kafka_firehose_nozzle_spark.operators.packing import pack_assignments
 
     docs = _t(spark, sf_dir, "documents")
-    toks = TX.token_count(F.col("text"))
-    w = (
-        Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_toks")
     )
-    assigned = docs.select(
-        "doc_id",
-        toks.alias("n_toks"),
-        ((F.sum(toks).over(w) - toks) / F.lit(2048))
-        .cast("bigint")
-        .alias("pack_id"),
+    assigned = pack_assignments(
+        base, order_col="doc_id", weight_col="n_toks", pack_size=2048
     )
     return assigned.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

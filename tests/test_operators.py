@@ -360,6 +360,30 @@ def test_quantization_error_bounded_by_grid_step(spark):
         assert r.max_err <= bound
 
 
+def test_global_running_sum_matches_serial(spark):
+    """Two-pass prefix sum == serial cumulative sum, regardless of how
+    rows were partitioned on input."""
+    import random
+
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 50)) for i in range(500)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(shuffled, "k long, w long").repartition(13)
+    got = {
+        r.k: r.running_sum
+        for r in with_global_running_sum(df, "k", "w").collect()
+    }
+    acc = 0
+    for k, w in rows:
+        acc += w
+        assert got[k] == acc, (k, got[k], acc)
+
+
 def test_bloom_contamination_no_false_negatives(spark):
     """Bloom filters never miss: every exact-contained gram must be a
     maybe-hit (n_maybe >= n_exact), and fully-contained docs report all

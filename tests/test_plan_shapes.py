@@ -119,3 +119,31 @@ def test_quantization_single_label_shuffle(spark):
     plan = _plan(spark, "embedding_quantization_error")
     assert plan.count("Exchange hashpartitioning") == 1  # the label agg
     assert "Join" not in plan
+
+
+def test_running_sum_window_is_partitioned(spark):
+    # the corpus-wide cumulative sum must run as a PARTITIONED window
+    # over a range partitioning — an unpartitioned window would be a
+    # single task holding the whole corpus. The only unpartitioned
+    # window allowed is the one over the per-partition subtotals
+    # (one row per partition, driver-scale by construction).
+    # checkpoint=False exposes the full lineage (the production path
+    # pins the same layout behind a localCheckpoint).
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "n_chars AS w"
+    )
+    out = with_global_running_sum(df, "doc_id", "w", checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    corpus_windows = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+        if "doc_id" in seg.split(")")[0]
+    ]
+    assert corpus_windows and all("_pid" in w for w in corpus_windows), (
+        plan[:1200]
+    )
