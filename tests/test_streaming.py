@@ -79,6 +79,58 @@ def test_stream_routing_end_to_end(spark, tmp_path):
     ) == n
 
 
+def test_firehose_source_through_full_pipeline(spark, tmp_path):
+    """SRC1 -> P1-P4/S2 -> A1 -> sink in one flow: the firehose fixture
+    source (wire-decode path enabled) feeds the real routing pipeline
+    into a memory sink. The canonical fixture set contains an
+    unknown-type envelope and the doppler TruncatingBuffer counter, so
+    this also pins ConsumeUnknown and SlowConsumerAlert end-to-end
+    through the actual source — not a synthetic DataFrame."""
+    from kafka_firehose_nozzle_spark.sources.firehose import FirehoseDataSource
+
+    spark.dataSource.register(FirehoseDataSource)
+    envelopes = (
+        spark.readStream.format("firehose")
+        .option("fixtureRows", "16")
+        .option("fixtureWire", "true")
+        .load()
+    )
+    handle = start_pipeline(
+        spark,
+        envelopes,
+        _config(),
+        checkpoint=str(tmp_path / "ckpt"),
+        sink="memory",
+        memory_sink_name="fh_pipe_out",
+    )
+    try:
+        # the fixture source is unbounded — wait for a couple of batches
+        # of consume counts instead of processAllAvailable()
+        handle.wait_for_stats(32, timeout=120)
+    finally:
+        handle.stop()
+    stats = handle.stats
+    assert stats.get("consume") >= 32
+    # 16 envelopes/batch cycle through the 8 canonicals: 2x unknown-type
+    # and 2x doppler TruncatingBuffer per batch
+    assert stats.get("consume_unknown") >= 2
+    assert stats.get("slow_consumer_alert") >= 2
+    assert stats.get("forwarded") > 0
+    # unknown-type envelopes are unroutable -> dropped and counted
+    assert stats.get("ignored") >= stats.get("consume_unknown")
+
+    out = spark.sql("SELECT topic, value FROM fh_pipe_out")
+    assert out.count() > 0
+    # wire-decoded LogMessages route through the %s template with the
+    # canonical app id
+    assert (
+        out.filter(
+            F.col("topic") == "log-3356a5c7-e86c-442a-b14f-ce5cc4f80ed1"
+        ).count()
+        > 0
+    )
+
+
 def test_stream_drops_counted(spark, tmp_path):
     """Only value_metric enabled -> everything else ignored (P2 + A1)."""
     src = str(tmp_path / "envelopes2")
