@@ -2538,8 +2538,14 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmin.agg(
         F.count(F.lit(1)).alias("k"),
         F.max("h").alias("kth_hash"),
+        # (k-1) from the actual row count, not a hardcoded 63 — at a
+        # corpus with fewer than k distinct users the estimate degrades
+        # gracefully toward the exact count
         F.round(
-            F.lit(63.0) * F.lit(float(2**60)) / F.max("h"), 4
+            (F.count(F.lit(1)) - 1).cast("double")
+            * F.lit(float(2**60))
+            / F.max("h"),
+            4,
         ).alias("est_distinct"),
     )
 
@@ -2550,7 +2556,8 @@ ORACLE_KMV = """
                FROM events),
     k AS (SELECT h FROM h ORDER BY h LIMIT 64)
     SELECT COUNT(*) AS k, MAX(h) AS kth_hash,
-           ROUND(63.0 * POWER(2, 60) / MAX(h), 4) AS est_distinct
+           ROUND(CAST(COUNT(*) - 1 AS DOUBLE) * POWER(2, 60) / MAX(h), 4)
+               AS est_distinct
     FROM k
 """
 
