@@ -2071,6 +2071,31 @@ ORACLE_CENTROID_NORMS = """
 """
 
 
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only frame-sampling plan (every 500 duration units):
+    planning reads typed metadata only — the payload binary never
+    enters the scan (ReadSchema plan-guarded)."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample_plan,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return frame_sample_plan(media, every_ms=500)
+
+
+ORACLE_FRAME_PLAN = """
+    WITH m AS (SELECT doc_id AS media_id, n_chars AS duration_ms
+               FROM documents WHERE n_chars IS NOT NULL),
+    c AS (SELECT media_id,
+              CAST(GREATEST(1, CEIL(duration_ms / 500.0)) AS INT) AS n
+          FROM m)
+    SELECT media_id, CAST(i AS INT) AS frame_ix,
+           CAST(i * 500 AS INT) AS ts_ms
+    FROM c, UNNEST(range(n)) AS u(i)
+"""
+
+
 def q_media_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents as opaque binary media. Features
     that built-ins can express (length, md5) stay JVM-side — no Python
@@ -2758,6 +2783,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_trained_topk": q_ivf_trained_topk,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
+    "frame_sample_plan": q_frame_sample_plan,
     "session_window_agg": q_session_window_agg,
     "roundtrip_route_topics": q_roundtrip_route_topics,
     "props_json_stats": q_props_json_stats,
@@ -2815,6 +2841,7 @@ ORACLES: dict[str, str] = {
     "ivf_trained_topk": ORACLE_IVF_TRAINED,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
+    "frame_sample_plan": ORACLE_FRAME_PLAN,
     "session_window_agg": ORACLE_SESSION_WINDOW,
     "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,
     "props_json_stats": ORACLE_PROPS_JSON,

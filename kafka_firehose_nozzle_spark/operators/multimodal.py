@@ -59,6 +59,14 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: the documents table as a media table (text bytes as the
     opaque payload) — lets the multimodal plumbing run on driver
     testdata."""
+    # deterministic stand-in duration (from the n_chars column, NOT the
+    # text) so metadata-only ops have data to plan over without forcing
+    # the payload into their scan; docs without n_chars get NULL
+    dur = (
+        F.col("n_chars").cast("int")
+        if "n_chars" in docs.columns
+        else F.lit(None).cast("int")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("media_type"),
@@ -66,7 +74,7 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            dur.alias("duration_ms"),
             F.lit("utf-8").alias("codec"),
         ).alias("meta"),
     )
@@ -112,6 +120,25 @@ def media_features_builtin(media: DataFrame) -> DataFrame:
         "media_id",
         F.coalesce(F.length("payload"), F.lit(0)).cast("int").alias("n_bytes"),
         F.md5("payload").alias("content_hash"),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Metadata-only frame-sampling PLAN: for each video/media row, the
+    (frame_ix, ts_ms) grid a decoder should extract — one frame per
+    ``every_ms``, always including t=0. Pure arithmetic over
+    ``meta.duration_ms`` + explode: planning NEVER touches the payload
+    bytes, so with columnar storage the binary column stays out of the
+    scan entirely (plan-guarded) and the expensive ffmpeg seam
+    (sample_frames) receives an exact work list instead of probing
+    containers."""
+    dur = F.col("meta").getField("duration_ms")
+    n = F.greatest(F.lit(1), F.ceil(dur / F.lit(every_ms))).cast("int")
+    grid = F.transform(
+        F.sequence(F.lit(0), n - 1), lambda i: i * every_ms
+    )
+    return media.filter(dur.isNotNull()).select(
+        "media_id", F.posexplode(grid).alias("frame_ix", "ts_ms")
     )
 
 

@@ -121,6 +121,15 @@ def test_quantization_single_label_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_frame_plan_prunes_payload_from_scan(spark):
+    # metadata-only planning must not read the payload source column:
+    # the parquet ReadSchema carries doc_id + n_chars, never text
+    plan = _plan(spark, "frame_sample_plan")
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "n_chars" in read_schema
+    assert "text" not in read_schema, read_schema
+
+
 def test_aqe_splits_skewed_join(spark):
     """The skew story is live, not configuration theater: with a 90%-hot
     key, AQE's skew-join rule must split the oversized partition
