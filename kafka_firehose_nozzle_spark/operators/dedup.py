@@ -130,19 +130,6 @@ def minhash_from_hashed(hashed: Column, num_hashes: int = 8) -> Column:
     )
 
 
-def minhash_from_shingles(shingles: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature (array<long>) from a STRING shingle-array
-    column (legacy path for callers that already built string shingles);
-    hashes each shingle once and applies the affine lanes."""
-    hashed = F.array_distinct(
-        F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        )
-    )
-    return minhash_from_hashed(hashed, num_hashes)
-
-
 def minhash_signature(text: Column, num_hashes: int = 8) -> Column:
     """MinHash signature (array<long>, length num_hashes) over 3-word
     token-hash shingles. Per-row, no shuffle: min_j over affine lane
