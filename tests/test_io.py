@@ -44,6 +44,35 @@ def test_partitioned_parquet_sink_roundtrip_and_pruning(spark, tmp_path):
     assert one.count() == dict(expected)["topic-metrics"]
 
 
+def test_json_lines_source_routes_identically_to_parquet(spark, tmp_path):
+    """Format-agnostic ingestion: the real events table round-tripped
+    through JSON lines must produce the exact per-topic routing counts
+    the parquet original does (schema applied explicitly — JSON carries
+    no types)."""
+    from kafka_firehose_nozzle_spark.sources.events_adapter import (
+        events_to_envelopes,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pq = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "events_json")
+    pq.write.json(out)
+    back = spark.read.schema(pq.schema).json(out)
+
+    def counts(events):
+        routed = route_envelopes(events_to_envelopes(events), CFG)
+        return {
+            (r["topic"], r["n"])
+            for r in routed.groupBy("topic")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    want = counts(pq)
+    assert want  # non-degenerate
+    assert counts(back) == want
+
+
 def test_csv_source_feeds_envelope_adapter(spark, tmp_path):
     from kafka_firehose_nozzle_spark.sources.events_adapter import (
         events_to_envelopes,
