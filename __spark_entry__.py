@@ -1421,6 +1421,62 @@ ORACLE_CONTAINMENT = f"""
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: per user (id < 10),
+    'view' values resampled onto an hourly grid between the user's first
+    and last observation, gaps carrying the last observed value. Grid
+    generation is sequence+explode, the fill is last(ignorenulls) over a
+    per-user window — partitioned, so the fill never needs a global
+    sort and shards by user at any scale."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 10) & (F.col("event_type") == "view")
+    )
+    obs = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+        .groupBy("user_id", "h")
+        .agg(F.max("value").alias("v"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(obs, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+ORACLE_RESAMPLE = """
+    WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                FROM events WHERE user_id < 10 AND event_type = 'view'),
+    obs AS (SELECT user_id, h, MAX(value) AS v FROM ev GROUP BY 1, 2),
+    bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+               FROM obs GROUP BY 1),
+    grid AS (SELECT user_id,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM bounds)
+    SELECT g.user_id, g.h,
+        last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+            ORDER BY g.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for training: split each doc into 64-token
     chunks with 8-token overlap (stride 56); per chunk emit its index
@@ -2806,6 +2862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "edit_distance_pairs": q_edit_distance_pairs,
     "doc_chunks": q_doc_chunks,
+    "resample_ffill": q_resample_ffill,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
@@ -2864,6 +2921,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "resample_ffill": ORACLE_RESAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
