@@ -1421,6 +1421,44 @@ ORACLE_CONTAINMENT = f"""
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): take
+    the 25 documents with the largest ln(u)/w priority, u from the md5
+    hash of the doc id (so the 'random' draw is reproducible on any
+    engine), w = n_chars — longer documents proportionally likelier.
+    Priorities are ROUNDED to 12dp with a doc_id tie-break so libm ln()
+    ulp differences cannot reorder the sample; the top-k is a
+    TakeOrdered, not a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(float(2**60))
+    pri = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select("doc_id", pri.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(25)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+    WITH t AS (SELECT doc_id,
+        ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'),
+                       1, 15)) AS BIGINT) + 1) / POWER(2, 60))
+              / n_chars, 12) AS priority
+    FROM documents)
+    SELECT doc_id, priority FROM t
+    ORDER BY priority DESC, doc_id LIMIT 25
+"""
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with forward fill: per user (id < 10),
     'view' values resampled onto an hourly grid between the user's first
@@ -2863,6 +2901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "doc_chunks": q_doc_chunks,
     "resample_ffill": q_resample_ffill,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
@@ -2922,6 +2961,7 @@ ORACLES: dict[str, str] = {
     "edit_distance_pairs": ORACLE_EDIT_DISTANCE,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "resample_ffill": ORACLE_RESAMPLE,
+    "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,
