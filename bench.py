@@ -83,6 +83,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "routing_events_per_sec": _routing_throughput(spark),
+                "encode_events_per_sec": _encode_throughput(spark),
             }
         )
     )
@@ -116,6 +117,25 @@ def _routing_throughput(spark, n: int = 2_000_000) -> int:
     for _ in range(2):
         t0 = time.perf_counter()
         routed.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return int(n / best)
+
+
+def _encode_throughput(spark, n: int = 2_000_000) -> int:
+    """Sonde-JSON ENCODE-ONLY throughput — the one benchmark the
+    reference itself ships (encoder_test.go:41-67 races stdlib vs
+    easyjson on canonical envelopes; run via `make bench`). Same
+    canonical 6-type mix here, byte-exact encoder expression, noop sink
+    so the JSON strings are fully materialized. min-of-2."""
+    from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
+    from kafka_firehose_nozzle_spark.functions.sonde_json import sonde_json
+
+    env = synthetic_envelope_df(spark, n)
+    encoded = env.select(sonde_json(env).alias("value"))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        encoded.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return int(n / best)
 
