@@ -1421,6 +1421,50 @@ ORACLE_CONTAINMENT = f"""
 """
 
 
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score: per document, the mean ln
+    probability of its tokens under the corpus unigram model (the
+    KenLM-style filter's simplest form — rare-token-heavy docs score
+    low). Each ln(c/T) term routes through DECIMAL(20,6) before the
+    per-doc sum, so the aggregation is order-independent AND a last-ulp
+    libm ln() difference cannot survive (1e-6 granularity vs ~1e-15
+    ulps). Scale shape: one token-cardinality aggregation for the
+    vocabulary, a frequency join (broadcastable vocab is the knob at
+    100 TB), one per-doc partial agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()
+    term = F.log(F.col("cnt").cast("double") / F.lit(float(total))).cast(
+        "decimal(20,6)"
+    )
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.sum(term).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_UNIGRAM = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t)
+    SELECT t.doc_id, COUNT(*) AS n_toks,
+        ROUND(CAST(SUM(CAST(ln(freq.cnt / tot.total) AS DECIMAL(20,6)))
+                   AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+    FROM t JOIN freq ON t.tok = freq.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+"""
+
+
 def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): take
     the 25 documents with the largest ln(u)/w priority, u from the md5
@@ -2902,6 +2946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "resample_ffill": q_resample_ffill,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "unigram_logprob_scores": q_unigram_logprob_scores,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "hash_fraction_docs": q_hash_fraction_docs,
@@ -2962,6 +3007,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "resample_ffill": ORACLE_RESAMPLE,
     "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
+    "unigram_logprob_scores": ORACLE_UNIGRAM,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED,
     "hash_fraction_docs": ORACLE_HASH_FRACTION,

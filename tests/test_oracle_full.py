@@ -17,7 +17,7 @@ def test_full_registry_matches_oracle(spark):
     import __spark_entry__ as entry
 
     registry = entry.queries()
-    assert len(registry) >= 112  # r3 shipped 112; never shrink
+    assert len(registry) >= 113  # r3 shipped 113; never shrink
     assert set(entry.oracle_sql()) <= set(registry)
 
     failures = compare_all(spark, SF)
