@@ -45,6 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats-interval", type=int, default=DEFAULT_STATS_INTERVAL)
     p.add_argument("--server", action="store_true")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--version", action="store_true")
     p.add_argument("--checkpoint", default="")
     return p
 
@@ -77,6 +78,18 @@ def resolve_config(args: argparse.Namespace) -> Config:
 
 def run(argv: list[str]) -> int:
     args = build_parser().parse_args(argv)
+
+    # version short-circuits before config loading, to stderr, exit 0 —
+    # the reference's exact behavior (cli.go:130-133, version.go)
+    if args.version:
+        from kafka_firehose_nozzle_spark import __version__
+
+        print(
+            f"kafka-firehose-nozzle-spark version {__version__}",
+            file=sys.stderr,
+        )
+        return EXIT_OK
+
     try:
         config = resolve_config(args)
     except FileNotFoundError as e:

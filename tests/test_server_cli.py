@@ -81,6 +81,16 @@ def _resolve(tmp_path, argv):
     return resolve_config(args)
 
 
+def test_version_flag_short_circuits(capsys):
+    # cli.go:130-133: -version prints to stderr and exits 0 BEFORE any
+    # config loading (no config file needed)
+    from kafka_firehose_nozzle_spark.cli import run
+
+    assert run(["--version", "--config", "/nonexistent.toml"]) == 0
+    err = capsys.readouterr().err
+    assert "kafka-firehose-nozzle-spark version" in err
+
+
 def test_flag_overrides_config(tmp_path):
     c = _resolve(tmp_path, ["--subscription", "from-flag", "--username", "flag-user"])
     assert c.subscription_id == "from-flag"
