@@ -50,6 +50,26 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def setup_logging(level_str: str) -> int:
+    """Apply the -log-level filter to the nozzle's own logger (the
+    reference wraps its log output in a logutils LevelFilter,
+    cli.go:181-189; Spark's JVM logging stays at the session default).
+    Unknown levels fall back to INFO, matching logutils' permissive
+    behavior. Returns the applied numeric level."""
+    import logging
+
+    level = getattr(logging, level_str.upper(), None)
+    if not isinstance(level, int):
+        level = logging.INFO
+    logging.basicConfig(
+        level=level,
+        stream=sys.stderr,
+        format="%(asctime)s [%(levelname)s] %(message)s",
+    )
+    logging.getLogger("kafka_firehose_nozzle_spark").setLevel(level)
+    return level
+
+
 def resolve_config(args: argparse.Namespace) -> Config:
     """Apply flag > config > default precedence (cli.go:157-179)."""
     config = load_config(args.config)
@@ -89,6 +109,8 @@ def run(argv: list[str]) -> int:
             file=sys.stderr,
         )
         return EXIT_OK
+
+    setup_logging(args.log_level)
 
     try:
         config = resolve_config(args)

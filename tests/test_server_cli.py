@@ -81,6 +81,19 @@ def _resolve(tmp_path, argv):
     return resolve_config(args)
 
 
+def test_log_level_mapping():
+    import logging
+
+    from kafka_firehose_nozzle_spark.cli import setup_logging
+
+    assert setup_logging("DEBUG") == logging.DEBUG
+    assert setup_logging("warn") == logging.WARN
+    assert setup_logging("bogus") == logging.INFO  # logutils-permissive
+    assert (
+        logging.getLogger("kafka_firehose_nozzle_spark").level == logging.INFO
+    )
+
+
 def test_version_flag_short_circuits(capsys):
     # cli.go:130-133: -version prints to stderr and exits 0 BEFORE any
     # config loading (no config file needed)
