@@ -87,6 +87,26 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _avg_micro_expr(sum_col: str, n_col: str):
+    """Half-up average of ``sum_col / n_col`` in integer micro-units
+    (6 decimal places), computed entirely in BIGINT arithmetic.
+
+    ``(s div n)*1e6 + ((s % n)*2e6 + n) div (2n)`` is exact half-up
+    rounding for non-negative s, n > 0 (Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, which equals floor on non-negative
+    operands).  The remainder form bounds every intermediate by
+    ``n * 2e6`` so nothing overflows int64 below ~4.6e12 rows per group.
+    Cross-engine determinism: no DOUBLE is produced, so no
+    engine-build-dependent double rounding can occur; callers convert
+    with one exact int64->double cast and one IEEE division by 1e6.
+    """
+    return F.expr(
+        f"(`{sum_col}` div `{n_col}`) * 1000000"
+        f" + ((`{sum_col}` % `{n_col}`) * 2000000 + `{n_col}`)"
+        f" div (2 * `{n_col}`)"
+    )
+
+
 # --------------------------------------------------------------------------
 # Shared-SQL queries: one string, both engines. Sums go through
 # DECIMAL(12,4)/DECIMAL(18,4) so the result is order-independent and casts
@@ -2335,42 +2355,48 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event-type stats of the embedded ``k`` value."""
     events = _t(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k BIGINT").getField("k")
-    return (
+    g = (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
-            # decimal sum -> VARCHAR -> DOUBLE: DuckDB's int128->double
-            # cast double-rounds above 2^53; string parsing is correctly
-            # rounded in both engines (same route as dispersion_stats).
-            # The final division is rounded to 6dp so the emitted value is
-            # representation-stable across engine builds (last-ulp division
-            # differences can't survive the hasher).
-            F.round(
-                F.sum(F.col("k").cast("decimal(18,4)"))
-                .cast("decimal(30,6)")
-                .cast("string")
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
+    )
+    # The 6dp average is produced entirely in BIGINT half-up arithmetic —
+    # no ROUND on DOUBLE anywhere (ROUND(double, 6) differs across DuckDB
+    # builds and kept this query driver-red for three rounds).  With
+    # s, n >= 0:  avg_micro = (s div n)*1e6 + ((s%n)*2e6 + n) div (2n)
+    # is exact half-up rounding of s/n to 6dp; the remainder form keeps
+    # every intermediate < 2^54 even at 1e10+ rows (r < n, r*2e6 bounded).
+    # int64 -> double is exact below 2^53 and one IEEE division by 1e6 is
+    # bit-deterministic on every engine.
+    avg_micro = _avg_micro_expr("sum_k", "n")
+    return g.select(
+        "event_type",
+        "n",
+        "sum_k",
+        (avg_micro.cast("double") / F.lit(1000000.0)).alias("avg_k"),
+        "min_k",
+        "max_k",
     )
 
 
 ORACLE_PROPS_JSON = """
     WITH t AS (SELECT event_type,
                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-               FROM events)
-    SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
-        ROUND(CAST(CAST(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DECIMAL(30,6))
-             AS VARCHAR(64)) AS DOUBLE)
-            / COUNT(*), 6) AS avg_k,
-        MIN(k) AS min_k, MAX(k) AS max_k
-    FROM t GROUP BY event_type
+               FROM events),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+                 MIN(k) AS min_k, MAX(k) AS max_k
+          FROM t GROUP BY event_type)
+    SELECT event_type, n, sum_k,
+        CAST((sum_k // n) * 1000000
+             + ((sum_k % n) * 2000000 + n) // (2 * n) AS DOUBLE)
+            / 1000000.0 AS avg_k,
+        min_k, max_k
+    FROM g
 """
 
 
@@ -2439,7 +2465,7 @@ def q_source_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile: doc count, distinct languages, exact
     decimal-summed avg length, total whitespace tokens."""
     docs = _t(spark, sf_dir, "documents")
-    return (
+    g = (
         docs.select(
             "source",
             "lang",
@@ -2450,18 +2476,19 @@ def q_source_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct(F.col("lang")).alias("n_langs"),
-            # VARCHAR-routed decimal->double (see q_props_json_stats);
-            # round(6) makes the emitted average representation-stable.
-            F.round(
-                F.sum(F.col("n_chars").cast("decimal(18,4)"))
-                .cast("decimal(30,6)")
-                .cast("string")
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_chars"),
+            F.sum("n_chars").alias("sum_chars"),
             F.sum("n_toks").alias("total_tokens"),
         )
+    )
+    # BIGINT half-up micro-units average — see q_props_json_stats for the
+    # determinism argument (no ROUND on DOUBLE anywhere in the pipeline).
+    avg_micro = _avg_micro_expr("sum_chars", "n_docs")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (avg_micro.cast("double") / F.lit(1000000.0)).alias("avg_chars"),
+        "total_tokens",
     )
 
 
@@ -2469,13 +2496,17 @@ ORACLE_SOURCE_PROFILE = """
     WITH t AS (SELECT source, lang, n_chars,
         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
             AS n_toks
-    FROM documents)
-    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
-        ROUND(CAST(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,4)))
-             AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
-            / COUNT(*), 6) AS avg_chars,
-        SUM(n_toks) AS total_tokens
-    FROM t GROUP BY source
+    FROM documents),
+    g AS (SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+                 SUM(n_chars) AS sum_chars, SUM(n_toks) AS total_tokens
+          FROM t GROUP BY source)
+    SELECT source, n_docs, n_langs,
+        CAST((sum_chars // n_docs) * 1000000
+             + ((sum_chars % n_docs) * 2000000 + n_docs) // (2 * n_docs)
+             AS DOUBLE)
+            / 1000000.0 AS avg_chars,
+        total_tokens
+    FROM g
 """
 
 
