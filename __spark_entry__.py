@@ -2118,7 +2118,13 @@ def _ivf_trained_oracle(num_cells: int = 10, max_iter: int = 4) -> str:
             f"i -> {a}[i + 1] * {b}[i + 1]))"
         )
 
-    davg = "CAST(SUM(CAST(val AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)"
+    # decimal sum -> VARCHAR -> DOUBLE: mirrors _component_avg — DuckDB's
+    # int128->double cast double-rounds above 2^53, string parsing is
+    # correctly rounded in both engines.
+    davg = (
+        "CAST(CAST(SUM(CAST(val AS DECIMAL(20,12))) AS VARCHAR(64))"
+        " AS DOUBLE) / COUNT(*)"
+    )
     ctes = [
         "e AS (SELECT vec_id, list_transform(embedding, y -> CAST(y AS "
         "DOUBLE)) AS v FROM embeddings)",

@@ -70,7 +70,18 @@ def token_hash_shingles(text: Column, k: int = 3) -> Column:
     they have; empty docs yield [0].
 
     DuckDB replica of the token hash: ('0x' || substr(md5(t), 1, 8))::BIGINT.
+
+    Only ``k == 3`` is supported: the combine is the unrolled 3-slice
+    zip_with above and the short-doc branches special-case n == 2 / n == 1,
+    so other k would silently produce 3-token shingles with a wrong window
+    count.  Raises rather than guessing.
     """
+    if k != 3:
+        raise ValueError(
+            f"token_hash_shingles supports only k=3 (got k={k}): the "
+            "shifted-slice combine and short-document branches are "
+            "specialized to 3-token windows"
+        )
     toks = tokens(normalize_text(text))
     th = F.transform(
         toks,

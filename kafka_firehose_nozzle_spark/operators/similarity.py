@@ -156,12 +156,20 @@ def _component_avg(d: DataFrame) -> DataFrame:
     average routed through an exact decimal sum: decimal addition is
     order-independent, so the resulting centroids are bit-identical across
     partitionings AND across engines (a double SUM/AVG is fold-order
-    dependent; DuckDB and Spark would disagree in the last ulp)."""
+    dependent; DuckDB and Spark would disagree in the last ulp).
+
+    The decimal sum goes through STRING before the double cast: DuckDB's
+    int128->double cast double-rounds once the scaled integer exceeds
+    2^53 (component sums above ~9007 at scale 12), while string parsing
+    is correctly rounded in both engines — the exact decimal digits parse
+    to the identical double regardless of engine or formatting."""
     return (
         d.groupBy("cell_id", "pos")
         .agg(
             (
-                F.sum(F.col("v").cast("decimal(20,12)")).cast("double")
+                F.sum(F.col("v").cast("decimal(20,12)"))
+                .cast("string")
+                .cast("double")
                 / F.count(F.lit(1))
             ).alias("c")
         )

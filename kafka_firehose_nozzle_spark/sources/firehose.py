@@ -38,6 +38,7 @@ Rows conform to schemas.ENVELOPE_SCHEMA.
 from __future__ import annotations
 
 import json
+import logging
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
@@ -140,6 +141,9 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         # server via the filter-type query param (noaa filter.go:11-19)
         self._allowed = FILTER_EVENT_TYPES.get(self.filter_type)
         self._conn = None
+        # live-restart replay loss tally (ADVICE: the reference counts
+        # its drops, kafka.go:272; unobservable loss is not parity)
+        self.dropped_replay_rows = 0
 
     def initialOffset(self) -> dict:
         return {"n": 0}
@@ -230,12 +234,26 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         the reference DROPS on failure, kafka.go:269-271, and counts it).
         Returning the empty range reproduces that bounded, documented
         loss — only rows prefetched-but-uncommitted at crash time —
-        instead of failing the restart."""
+        instead of failing the restart.  The reference COUNTS those drops
+        (delay counter, kafka.go:272), so the live path logs the lost
+        offset range and tallies it in ``dropped_replay_rows`` rather
+        than losing it unobservably."""
         n, n_end = start["n"], end["n"]
         if self.fixture_rows:
             return iter(
                 [r for r in self._fixture_batch(n, n_end - n) if self._keep(r)]
             )
+        lost = max(0, n_end - n)
+        self.dropped_replay_rows += lost
+        logging.getLogger("kafka_firehose_nozzle_spark").warning(
+            "firehose restart: live socket cannot replay offsets [%d, %d); "
+            "dropping %d prefetched-but-uncommitted row(s) "
+            "(at-least-once bound; total dropped this reader: %d)",
+            n,
+            n_end,
+            lost,
+            self.dropped_replay_rows,
+        )
         return iter(())
 
     def commit(self, end: dict) -> None:

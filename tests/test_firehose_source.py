@@ -67,6 +67,22 @@ def test_filter_type_validation():
         FirehoseStreamReader({"fixtureRows": "8", "filterType": "bogus"})
 
 
+def test_live_replay_drop_is_counted_and_logged(caplog):
+    """The live (non-fixture) path cannot replay a crashed range; the
+    loss must be observable — counted and logged — matching the
+    reference's counted-drop semantics (kafka.go:269-272)."""
+    reader = FirehoseStreamReader({})
+    assert reader.dropped_replay_rows == 0
+    with caplog.at_level("WARNING", logger="kafka_firehose_nozzle_spark"):
+        out = list(reader.readBetweenOffsets({"n": 10}, {"n": 25}))
+    assert out == []
+    assert reader.dropped_replay_rows == 15
+    assert any("dropping 15" in r.message for r in caplog.records)
+    # tallies accumulate across restarts of the same reader
+    list(reader.readBetweenOffsets({"n": 25}, {"n": 30}))
+    assert reader.dropped_replay_rows == 20
+
+
 def test_reader_offsets_fixture_mode():
     reader = FirehoseStreamReader({"fixtureRows": "16"})
     assert reader.initialOffset() == {"n": 0}

@@ -85,6 +85,16 @@ def test_token_hash_shingles_match_python_reference(spark, docs):
         assert got[i] == _ref_shingles(t), (i, t)
 
 
+def test_token_hash_shingles_rejects_unsupported_k(spark):
+    """The combine is specialized to 3-token windows; other k must raise
+    rather than silently emit 3-shingles with a wrong window count."""
+    import pytest
+
+    for k in (1, 2, 4):
+        with pytest.raises(ValueError, match="k=3"):
+            D.token_hash_shingles(F.col("text"), k=k)
+
+
 @settings(max_examples=10, deadline=None)
 @given(texts)
 def test_minhash_signature_matches_python_reference(spark, docs):
