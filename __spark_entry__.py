@@ -87,6 +87,18 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def _parquet_nrows(path: str) -> int | None:
+    """Row count from the parquet footer — a driver-side metadata read
+    (no Spark job, no data scan).  None if the footer can't be read, in
+    which case callers fall back to counting."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _avg_micro_expr(sum_col: str, n_col: str):
     """Half-up average of ``sum_col / n_col`` in integer micro-units
     (6 decimal places), computed entirely in BIGINT arithmetic.
@@ -1093,9 +1105,15 @@ ORACLE_ANN = """
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by banded sign-LSH
     buckets (bucket count grows ~n/100, so block sizes stay bounded at
-    any corpus scale — r2's label-blocking grew quadratically at sf1)."""
+    any corpus scale — r2's label-blocking grew quadratically at sf1).
+
+    k is sized from the parquet footer row count (a driver-side metadata
+    read), so the operator no longer spends a full Spark job on
+    ``df.count()`` before doing any work."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_lsh_dup_pairs(emb, threshold=0.2)
+    return D.embedding_lsh_dup_pairs(
+        emb, threshold=0.2, n=_parquet_nrows(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 _EMB_DOT = (

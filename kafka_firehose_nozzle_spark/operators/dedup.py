@@ -422,6 +422,7 @@ def embedding_lsh_dup_pairs(
     num_bands: int = 2,
     planes_per_band: int | None = None,
     threshold: float = 0.99,
+    n: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs with a SCALE-BOUNDED blocking key:
     banded sign-LSH (random-hyperplane) buckets instead of a fixed
@@ -441,6 +442,13 @@ def embedding_lsh_dup_pairs(
     Plan shape: bucket assignment is a pure map (plane literals ride into
     the plan; no shuffle, no crossJoin); the only shuffles are the
     (band, bucket) equi-join and the final distinct.
+
+    ``n`` (approximate corpus size, used only to size k) should be passed
+    by callers that know it — e.g. from parquet footer metadata, a
+    catalog, or the ingest manifest; sizing is log-scale so even a 2x
+    stale estimate lands on the same k or one off.  Only when both
+    ``planes_per_band`` and ``n`` are absent does the operator fall back
+    to a ``df.count()``, which costs one extra full pass over the corpus.
     """
     import math
 
@@ -450,7 +458,8 @@ def embedding_lsh_dup_pairs(
         l2_norm,
     )
 
-    n = df.count()
+    if planes_per_band is None and n is None:
+        n = df.count()
     k = planes_per_band or max(4, math.ceil(math.log2(n / 100.0)))
     num_planes = num_bands * k
     plane_rows = (
