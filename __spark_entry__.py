@@ -3087,6 +3087,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_route_topics(spark, "/root/testdata/sf0.001")
 
 
+# Queries allowed to ship WITHOUT a DuckDB oracle (driver then applies
+# only the weak rows-only check). Every name here needs a comment saying
+# why ANSI SQL can't replay it; tests/test_registry_guard.py rejects any
+# rows-only query not listed, and any listed name that has an oracle.
+ROWS_ONLY_ALLOWED: frozenset[str] = frozenset()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
     for name, sql in SHARED_SQL.items():

@@ -55,6 +55,30 @@ def test_no_duplicate_literal_keys():
         assert not dupes, f"duplicate keys in {name}: {dupes}"
 
 
+def test_every_query_has_oracle_or_explicit_allowlisting():
+    """VERDICT r3 item 8: rows-only queries (a ``queries()`` entry with
+    no ``oracle_sql()`` entry) get only the driver's weak row-count
+    check, so they must not accumulate silently.  Any genuinely
+    non-SQL-expressible query must be listed in ``ROWS_ONLY_ALLOWED`` in
+    ``__spark_entry__.py`` next to a comment saying why DuckDB can't
+    replay it."""
+    import __spark_entry__ as e
+
+    allowed = set(getattr(e, "ROWS_ONLY_ALLOWED", ()))
+    rows_only = set(e.queries()) - set(e.oracle_sql())
+    unexplained = rows_only - allowed
+    assert not unexplained, (
+        f"queries without an oracle and not allowlisted: "
+        f"{sorted(unexplained)} — add a DuckDB oracle or add the name to "
+        f"ROWS_ONLY_ALLOWED with a why-comment"
+    )
+    stale = allowed - rows_only
+    assert not stale, (
+        f"ROWS_ONLY_ALLOWED entries that DO have oracles (or were "
+        f"removed): {sorted(stale)} — drop them from the allowlist"
+    )
+
+
 def test_registry_names_unique_across_sources():
     """A SHARED_SQL name must not also appear as a QUERIES literal key —
     queries() would silently prefer the SHARED_SQL version."""
