@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entrymod
 from kafka_firehose_nozzle_spark.session import get_spark
 
@@ -84,9 +86,43 @@ def main() -> None:
                 "sf": sf,
                 "routing_events_per_sec": _routing_throughput(spark),
                 "encode_events_per_sec": _encode_throughput(spark),
+                **_wide_ann_bench(spark),
             }
         )
     )
+
+
+def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
+    """expr-vs-BLAS cosine top-k at dim 256 (VERDICT r3 item 6): the
+    interpreted JVM fold is O(dim) interpreter dispatches per row, the
+    pandas-UDF path is one BLAS matrix-vector product per Arrow batch.
+    Corpus is generated JVM-side (sin(id*dim+pos) components — cheap,
+    deterministic, norm ~ sqrt(dim/2)); min-of-2 each."""
+    from kafka_firehose_nozzle_spark.operators import similarity as S
+
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda p: F.sin(F.col("id") * dim + p),
+            ).alias("embedding"),
+        )
+        # materialize once so the timings compare SCORING paths, not the
+        # shared synthetic-corpus generation
+        .localCheckpoint(eager=True)
+    )
+    q = S.query_vector(emb, 0)
+    out = {}
+    for impl in ("expr", "blas"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            S.cosine_topk(emb, q, k=10, impl=impl).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"ann_dim{dim}_{impl}_sec"] = round(best, 3)
+    return out
 
 
 def _routing_throughput(spark, n: int = 2_000_000) -> int:

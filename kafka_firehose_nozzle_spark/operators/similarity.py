@@ -12,12 +12,24 @@ Two tiers, mirroring how ANN is deployed on large corpora:
   prunes ~C/nprobe of the data at the parquet-scan level.
 
 Dot products use F.zip_with + F.aggregate on array<double> — JVM-side,
-no Python. (A pandas-UDF BLAS path is a later optimization for wide
-batches; the built-in expression keeps the whole plan codegen'd.)
+no Python — by default.  For WIDE embeddings (dim ≳ 128) the
+interpreted higher-order fold dominates, so ``cosine_topk``/``ivf_topk``
+take ``impl="blas"``: an Arrow-batched pandas UDF that runs the whole
+corpus × query cosine as one ``M @ q`` matrix-vector product per batch
+(NumPy dispatches to the platform BLAS).  Never a row-at-a-time UDF —
+tests/test_plan_shapes.py pins the plan to ArrowEvalPython.
+
+The two impls agree to the emitted 4-decimal rounding but are NOT
+bit-equal internally (a left fold vs BLAS pairwise summation differ in
+the last ulp), which is why the oracle-checked registry queries stay on
+``impl="expr"`` and the BLAS path is guarded by an equivalence test
+instead (tests/test_operators.py::test_cosine_topk_blas_matches_expr).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +58,35 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     return dot(a, b) / (norm_a * norm_b)
 
 
+def blas_cosine_udf(query_vec: list[float]):
+    """Arrow-batched cosine-vs-fixed-query as one BLAS matrix-vector
+    product per batch.  The query vector rides in the UDF closure (it is
+    scalar-scale: dim doubles), so the plan stays a pure map — no join,
+    no shuffle; executors receive Arrow record batches and NumPy runs
+    ``M @ q`` over the whole batch at once (~dim× fewer interpreter
+    dispatches than the per-element fold).  Zero-norm rows yield 0.0
+    rather than NaN, matching the expression path's guarded callers."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+
+    @pandas_udf("double")
+    def _sim(v: pd.Series) -> pd.Series:
+        vals = v.to_numpy()
+        if len(vals) == 0:
+            return pd.Series(np.zeros(0))
+        # vstack over the per-row ndarrays Arrow hands us — never
+        # .tolist(), which would box every component into a Python float
+        # and cost more than the BLAS call saves
+        m = np.vstack(vals).astype(np.float64, copy=False)
+        n = np.sqrt((m * m).sum(axis=1))
+        n[n == 0.0] = 1.0
+        return pd.Series((m @ q) / (n * qn))
+
+    return _sim
+
+
 def cosine_topk(
     df: DataFrame,
     query: DataFrame,
@@ -53,11 +94,37 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact top-k by cosine against a 1-row query DataFrame
     [query_id, query_vec]. The query side is broadcast — the corpus is
     scanned once, never shuffled; LIMIT k is a TakeOrdered (per-partition
-    top-k + driver merge), not a global sort."""
+    top-k + driver merge), not a global sort.
+
+    ``impl="expr"`` (default) keeps the dot product as a JVM fold —
+    bit-reproducible by the SQL oracle.  ``impl="blas"`` runs it as an
+    Arrow-batched NumPy matrix-vector product (see blas_cosine_udf) —
+    the wide-embedding fast path; same top-k at 4-decimal rounding."""
+    if impl == "blas":
+        qrow = query.select("query_id", "query_vec").head()
+        if qrow is None:
+            raise ValueError("query DataFrame is empty")
+        sim_udf = blas_cosine_udf([float(x) for x in qrow["query_vec"]])
+        # NO JVM-side cast to array<double>: a float32 corpus crosses the
+        # Arrow boundary at half the bytes and NumPy's float32->float64
+        # upcast is exact, so the scores are bit-identical either way
+        scored = df.select(
+            F.col(id_col), sim_udf(F.col(vec_col)).alias("_sim")
+        )
+        if exclude_self:
+            scored = scored.filter(F.col(id_col) != F.lit(qrow["query_id"]))
+        return (
+            scored.orderBy(F.desc("_sim"), F.col(id_col))
+            .limit(k)
+            .select(id_col, F.round("_sim", 4).alias("cos_sim"))
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (want 'expr' or 'blas')")
     # hoist the query-vector norm: computed once on the 1-row broadcast
     # side instead of once per corpus row
     q = F.broadcast(
@@ -299,12 +366,15 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """ANN top-k: probe the nprobe nearest cells only.
 
     ``assigned`` must carry cell_id (from ivf_assign). The cell filter is
     a semi-join against an nprobe-row broadcast — with cell-partitioned
-    storage it becomes partition pruning at the scan.
+    storage it becomes partition pruning at the scan.  ``impl`` selects
+    the in-cell scoring path (see cosine_topk); probe selection stays on
+    the expression path either way (C rows — never the bottleneck).
     """
     q = F.broadcast(query)
     probe_cells = (
@@ -320,4 +390,4 @@ def ivf_topk(
         .select("cell_id")
     )
     pruned = assigned.join(F.broadcast(probe_cells), "cell_id", "left_semi")
-    return cosine_topk(pruned, query, k, id_col, vec_col)
+    return cosine_topk(pruned, query, k, id_col, vec_col, impl=impl)
