@@ -19,21 +19,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_firehose_nozzle_spark.operators.text import normalize_text, tokens
+from kafka_firehose_nozzle_spark.operators.text import (
+    ngram_strings,
+    normalize_text,
+    tokens,
+)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (array<string>)."""
+    """Distinct k-word shingles of the normalized text (array<string>).
+    Built with the shifted-slice zip_with combine (text.ngram_strings) —
+    never a slice inside a positions lambda, which re-tokenizes per
+    position (O(tokens^2); see the round-4 bigram fix)."""
     toks = tokens(normalize_text(text))
     n = F.size(toks)
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(n >= k, ngram_strings(toks, k)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
 
 

@@ -29,6 +29,29 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def ngram_strings(toks: Column, k: int) -> Column:
+    """Space-joined word k-grams via k shifted slices combined with
+    k-1 zip_withs.  The array expression is evaluated k+1 times per ROW
+    (a constant), never once per position: interpreted HOFs re-evaluate
+    their array argument on every call, so the obvious
+    ``transform(sequence(...), i -> slice(toks, i+1, k))`` re-tokenizes
+    the document once per position — O(tokens²) work that measured 3x
+    end-to-end on the sf1 bigram query (round 4).  Callers guard
+    ``size(toks) >= k``; shorter inputs yield an empty array here.
+
+    Equivalent to ``concat_ws(' ', slice(toks, i+1, k))`` for non-null
+    tokens (the tokenizers here never produce null elements)."""
+    m = F.size(toks) - (k - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
+
+
 def bpe_ish_token_count(text: Column) -> Column:
     """A BPE-ish proxy: word-pieces split on non-alphanumerics plus a
     4-chars-per-piece length charge for long words (rough subword count)."""
@@ -114,13 +137,9 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     survives unless the minimal window changes)."""
     toks = tokens(normalize_text(text))
     n = F.size(toks)
-    grams = F.when(
-        n >= window,
-        F.transform(
-            F.sequence(F.lit(0), n - window),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    grams = F.when(n >= window, ngram_strings(toks, window)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )
@@ -132,13 +151,9 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     shorter than n words yield their single joined form."""
     toks = tokens(normalize_text(text))
     cnt = F.size(toks)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.when(cnt >= n, ngram_strings(toks, n)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
 
 
 def repetition_score(text: Column, n: int = 3) -> Column:
