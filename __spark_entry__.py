@@ -670,15 +670,11 @@ SHARED_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
-    # value-range window frame (RANGE BETWEEN n PRECEDING)
-    "range_frame_peers": """
-        SELECT o_orderkey, o_totalprice,
-            COUNT(*) OVER (ORDER BY o_totalprice
-                           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
-                AS n_similar_cheaper
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
-    """,
+    # range_frame_peers moved out of SHARED_SQL in round 4: the Spark side
+    # is now a bucketed equi-join (q_range_frame_peers) because an
+    # unpartitioned RANGE window moves the whole table to ONE task; the
+    # original window SQL survives as its DuckDB oracle, so the hash
+    # compare proves the join rewrite equivalent.
     # string-function coverage round 2: split_part/position/left/right/
     # translate/repeat/ascii/chr — exact string semantics in both engines
     "scalar_string_extra": """
@@ -2424,6 +2420,52 @@ ORACLE_PROPS_JSON = """
 """
 
 
+def q_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-value-range window count, expressed scale-first.
+
+    Semantics: for each order, how many orders have o_totalprice within
+    [p - 100, p] — i.e. ``COUNT(*) OVER (ORDER BY o_totalprice RANGE
+    BETWEEN 100 PRECEDING AND CURRENT ROW)``.  An unpartitioned RANGE
+    window moves every row to ONE task (Spark warns exactly that), so
+    here the frame is a **bucketed equi-join**: bucket width = the range
+    width (100), the probe side joins its own bucket only, and the build
+    side emits each row into its bucket and the one above — every
+    qualifying pair lands in exactly one (probe-bucket, build-emission)
+    slot, then an exact range filter trims the corners.  Shuffles by
+    bucket (uniformly distributed), never a global sort; the oracle runs
+    the textbook window SQL and the hash compare proves equivalence."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01 00:00:00").cast("timestamp")
+    )
+    bucket = F.floor(F.col("o_totalprice") / 100).cast("long")
+    probe = orders.select(
+        "o_orderkey", "o_totalprice", bucket.alias("_b")
+    )
+    build = orders.select(
+        F.col("o_totalprice").alias("_bp"),
+        F.explode(F.array(bucket, bucket + 1)).alias("_b"),
+    )
+    return (
+        probe.join(build, "_b")
+        .filter(
+            (F.col("_bp") >= F.col("o_totalprice") - 100)
+            & (F.col("_bp") <= F.col("o_totalprice"))
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_similar_cheaper"))
+    )
+
+
+ORACLE_RANGE_FRAME = """
+    SELECT o_orderkey, o_totalprice,
+        COUNT(*) OVER (ORDER BY o_totalprice
+                       RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+            AS n_similar_cheaper
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+"""
+
+
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams. explode -> partial-aggregated
     count -> TakeOrdered 20 (no global sort); at 100 TB the map-side
@@ -2996,6 +3038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_agg": q_session_window_agg,
     "roundtrip_route_topics": q_roundtrip_route_topics,
     "props_json_stats": q_props_json_stats,
+    "range_frame_peers": q_range_frame_peers,
     "bigram_topk": q_bigram_topk,
     "lang_confusion": q_lang_confusion,
     "source_doc_profile": q_source_doc_profile,
@@ -3057,6 +3100,7 @@ ORACLES: dict[str, str] = {
     "session_window_agg": ORACLE_SESSION_WINDOW,
     "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,
     "props_json_stats": ORACLE_PROPS_JSON,
+    "range_frame_peers": ORACLE_RANGE_FRAME,
     "bigram_topk": ORACLE_BIGRAM_TOPK,
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "source_doc_profile": ORACLE_SOURCE_PROFILE,
