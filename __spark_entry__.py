@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_firehose_nozzle_spark.config import TopicConfig
+from kafka_firehose_nozzle_spark.functions import detmath as DET
 from kafka_firehose_nozzle_spark.functions.routing import route_topic_expr
 from kafka_firehose_nozzle_spark.operators import dedup as D
 from kafka_firehose_nozzle_spark.operators import similarity as S
@@ -1093,7 +1094,7 @@ ORACLE_ANN = """
         (sqrt(list_sum(list_transform(v, x -> x * x))) *
          sqrt(list_sum(list_transform(qv, x -> x * x)))) AS sim
         FROM e CROSS JOIN q)
-    SELECT vec_id, ROUND(sim, 4) AS cos_sim
+    SELECT vec_id, (FLOOR((sim) * 10000.0 + 0.5) / 10000.0) AS cos_sim
     FROM s ORDER BY sim DESC, vec_id LIMIT 10
 """
 
@@ -1137,8 +1138,9 @@ ORACLE_EMB_DUPS = f"""
     s AS (SELECT vec_id, v,
                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
     p AS (SELECT c.id_a, c.id_b,
-                 ROUND({_EMB_DOT.format(a='a.v', b='bb.v')}
-                       / (a.nrm * bb.nrm), 6) AS cos_sim
+                 (FLOOR(({_EMB_DOT.format(a='a.v', b='bb.v')}
+                       / (a.nrm * bb.nrm)) * 1000000.0 + 0.5)
+                  / 1000000.0) AS cos_sim
           FROM cand c JOIN s a ON c.id_a = a.vec_id
                       JOIN s bb ON c.id_b = bb.vec_id)
     SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2
@@ -1293,7 +1295,7 @@ ORACLE_JACCARD_PLANTED = _ORACLE_LSH_CAND + """,
         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
         len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j
         FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-    SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+    SELECT id_a, id_b, (FLOOR((j) * 1000000.0 + 0.5) / 1000000.0) AS jaccard FROM jac WHERE j >= 0.5
 """
 
 
@@ -1422,7 +1424,7 @@ ORACLE_REPETITION = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     g AS (SELECT doc_id, {_GRAMS3} AS grams FROM t)
     SELECT doc_id,
-        ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+        (FLOOR((1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
             AS rep_3gram
     FROM g
 """
@@ -1450,7 +1452,7 @@ ORACLE_CONTAINMENT = f"""
           WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id),
     tot AS (SELECT doc_id, COUNT(*) AS tt FROM te GROUP BY doc_id)
     SELECT tot.doc_id,
-        ROUND(COALESCE(mt, 0) / CAST(tt AS DOUBLE), 6) AS containment
+        (FLOOR((COALESCE(mt, 0) / CAST(tt AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS containment
     FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
 """
 
@@ -1480,7 +1482,7 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
-            F.round(
+            DET.det_round(
                 F.sum(term).cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_logprob"),
         )
@@ -1492,8 +1494,9 @@ ORACLE_UNIGRAM = f"""
     freq AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
     tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t)
     SELECT t.doc_id, COUNT(*) AS n_toks,
-        ROUND(CAST(SUM(CAST(ln(freq.cnt / tot.total) AS DECIMAL(20,6)))
-                   AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        (FLOOR((CAST(SUM(CAST(ln(freq.cnt / tot.total) AS DECIMAL(20,6)))
+                   AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0)
+            AS avg_logprob
     FROM t JOIN freq ON t.tok = freq.tok CROSS JOIN tot
     GROUP BY t.doc_id
 """
@@ -1518,7 +1521,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     u = (h + 1).cast("double") / F.lit(float(2**60))
-    pri = F.round(F.log(u) / F.col("n_chars"), 12)
+    pri = DET.det_round(F.log(u) / F.col("n_chars"), 12)
     return (
         docs.select("doc_id", pri.alias("priority"))
         .orderBy(F.desc("priority"), "doc_id")
@@ -1528,9 +1531,10 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WEIGHTED_SAMPLE = """
     WITH t AS (SELECT doc_id,
-        ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'),
+        (FLOOR((ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'),
                        1, 15)) AS BIGINT) + 1) / POWER(2, 60))
-              / n_chars, 12) AS priority
+              / n_chars) * 1000000000000.0 + 0.5) / 1000000000000.0)
+            AS priority
     FROM documents)
     SELECT doc_id, priority FROM t
     ORDER BY priority DESC, doc_id LIMIT 25
@@ -1688,7 +1692,7 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         d.alias("edit_dist"),
-        F.round(
+        DET.det_round(
             F.when(mx == 0, F.lit(1.0)).otherwise(1.0 - d / mx), 6
         ).alias("edit_sim"),
     )
@@ -1703,9 +1707,10 @@ ORACLE_EDIT_DISTANCE = f"""
         {_NORM80_B} AS b
     FROM documents)
     SELECT doc_id, levenshtein(a, b) AS edit_dist,
-        ROUND(CASE WHEN GREATEST(LENGTH(a), LENGTH(b)) = 0 THEN 1.0
+        (FLOOR((CASE WHEN GREATEST(LENGTH(a), LENGTH(b)) = 0 THEN 1.0
               ELSE 1.0 - levenshtein(a, b)
-                   / CAST(GREATEST(LENGTH(a), LENGTH(b)) AS DOUBLE) END, 6)
+                   / CAST(GREATEST(LENGTH(a), LENGTH(b)) AS DOUBLE) END)
+            * 1000000.0 + 0.5) / 1000000.0)
             AS edit_sim
     FROM t
 """
@@ -2109,7 +2114,8 @@ ORACLE_IVF = f"""
              JOIN assign ON e.vec_id = assign.vec_id
              WHERE assign.cell_id IN (SELECT cell_id FROM probes)
                AND e.vec_id <> 0)
-    SELECT vec_id, ROUND({_sim_sql('v', 'qv')}, 4) AS cos_sim
+    SELECT vec_id, (FLOOR(({_sim_sql('v', 'qv')}) * 10000.0 + 0.5)
+                    / 10000.0) AS cos_sim
     FROM cand CROSS JOIN q
     ORDER BY {_sim_sql('v', 'qv')} DESC, vec_id LIMIT 10
 """
@@ -2189,7 +2195,8 @@ def _ivf_trained_oracle(num_cells: int = 10, max_iter: int = 4) -> str:
     ]
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
-    SELECT vec_id, ROUND({_sim_sql('v', 'qv')}, 4) AS cos_sim
+    SELECT vec_id, (FLOOR(({_sim_sql('v', 'qv')}) * 10000.0 + 0.5)
+                    / 10000.0) AS cos_sim
     FROM cand CROSS JOIN q
     ORDER BY {_sim_sql('v', 'qv')} DESC, vec_id LIMIT 10
 """
@@ -2222,7 +2229,7 @@ def q_embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
             "label",
-            F.round(
+            DET.det_round(
                 F.sqrt(
                     F.aggregate(
                         F.transform(
@@ -2245,7 +2252,8 @@ ORACLE_CENTROID_NORMS = """
         CAST(SUM(CAST(v[i + 1] AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS c
         FROM e CROSS JOIN range(64) t(i) GROUP BY label, i),
     agg AS (SELECT label, list(c * c ORDER BY pos) AS cs FROM comp GROUP BY label)
-    SELECT label, ROUND(sqrt(list_sum(cs)), 4) AS centroid_norm FROM agg
+    SELECT label, (FLOOR(sqrt(list_sum(cs)) * 10000.0 + 0.5) / 10000.0)
+        AS centroid_norm FROM agg
 """
 
 
@@ -2817,7 +2825,7 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (k-1) from the actual row count, not a hardcoded 63 — at a
         # corpus with fewer than k distinct users the estimate degrades
         # gracefully toward the exact count
-        F.round(
+        DET.det_round(
             (F.count(F.lit(1)) - 1).cast("double")
             * F.lit(float(2**60))
             / F.max("h"),
@@ -2832,7 +2840,8 @@ ORACLE_KMV = """
                FROM events),
     k AS (SELECT h FROM h ORDER BY h LIMIT 64)
     SELECT COUNT(*) AS k, MAX(h) AS kth_hash,
-           ROUND(CAST(COUNT(*) - 1 AS DOUBLE) * POWER(2, 60) / MAX(h), 4)
+           (FLOOR((CAST(COUNT(*) - 1 AS DOUBLE) * POWER(2, 60) / MAX(h))
+                  * 10000.0 + 0.5) / 10000.0)
                AS est_distinct
     FROM k
 """
@@ -2858,7 +2867,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "score",
-        F.round(
+        DET.det_round(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
         ),
     )
@@ -2875,8 +2884,9 @@ ORACLE_TFIDF = f"""
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
     sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-               ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents)
-                                     AS DOUBLE) / df.df), 6) AS score
+               (FLOOR((tf.tf * ln(CAST((SELECT COUNT(*) FROM documents)
+                                     AS DOUBLE) / df.df))
+                      * 1000000.0 + 0.5) / 1000000.0) AS score
            FROM tf JOIN df USING (term)),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                         ORDER BY score DESC, term) AS rk FROM sc)
@@ -2914,8 +2924,8 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "doc_id",
-        F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
-        F.round(exact, 6).alias("exact_jaccard"),
+        DET.det_round(agree / F.lit(8.0), 6).alias("est_jaccard"),
+        DET.det_round(exact, 6).alias("exact_jaccard"),
     )
 
 
@@ -2950,9 +2960,11 @@ ORACLE_MINHASH_EST = f"""
                 sh.shingles, sh.shingles_b
             FROM hs JOIN sh ON hs.doc_id = sh.doc_id)
     SELECT doc_id,
-        ROUND(({_ORACLE_JACC_AGREE}) / 8.0, 6) AS est_jaccard,
-        ROUND(CAST(len(list_intersect(shingles, shingles_b)) AS DOUBLE)
-              / len(list_distinct(list_concat(shingles, shingles_b))), 6)
+        (FLOOR((({_ORACLE_JACC_AGREE}) / 8.0) * 1000000.0 + 0.5)
+            / 1000000.0) AS est_jaccard,
+        (FLOOR((CAST(len(list_intersect(shingles, shingles_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(shingles, shingles_b))))
+            * 1000000.0 + 0.5) / 1000000.0)
             AS exact_jaccard
     FROM sig
 """
@@ -2968,7 +2980,9 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    recon = F.transform(v, lambda x: F.round(x / scale * 127, 0) * scale / 127)
+    recon = F.transform(
+        v, lambda x: F.floor(x / scale * 127 + F.lit(0.5)) * scale / 127
+    )
     err = F.aggregate(
         F.zip_with(v, recon, lambda a, b: F.abs(a - b)),
         F.lit(0.0),
@@ -2979,12 +2993,12 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
+            DET.det_round(
                 F.sum(F.col("err").cast("decimal(20,12)")).cast("double")
                 / F.count(F.lit(1)),
                 8,
             ).alias("avg_err"),
-            F.round(F.max("err"), 8).alias("max_err"),
+            DET.det_round(F.max("err"), 8).alias("max_err"),
         )
     )
 
@@ -2997,13 +3011,13 @@ ORACLE_QUANT = """
               list_max(list_transform(v, x -> abs(x))) AS s, v FROM e),
     r AS (SELECT label,
               list_sum(list_transform(range(len(v)), i ->
-                  abs(v[i + 1] - ROUND(v[i + 1] / s * 127, 0) * s / 127)))
+                  abs(v[i + 1] - (FLOOR(v[i + 1] / s * 127 + 0.5)) * s / 127)))
                   / len(v) AS err
           FROM q)
     SELECT label, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(err AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*), 8)
-            AS avg_err,
-        ROUND(MAX(err), 8) AS max_err
+        (FLOOR((CAST(SUM(CAST(err AS DECIMAL(20,12))) AS DOUBLE)
+                / COUNT(*)) * 100000000.0 + 0.5) / 100000000.0) AS avg_err,
+        (FLOOR(MAX(err) * 100000000.0 + 0.5) / 100000000.0) AS max_err
     FROM r GROUP BY label
 """
 

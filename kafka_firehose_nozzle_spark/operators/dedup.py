@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_firehose_nozzle_spark.functions.detmath import det_round
 from kafka_firehose_nozzle_spark.operators.text import (
     ngram_strings,
     normalize_text,
@@ -269,7 +270,7 @@ def jaccard_verify_pairs(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", det_round(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -407,7 +408,7 @@ def embedding_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(
+            det_round(
                 cosine_prenormed(
                     F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
                 ),
@@ -526,7 +527,7 @@ def embedding_lsh_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            det_round(
                 cosine_prenormed(
                     F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
                 ),

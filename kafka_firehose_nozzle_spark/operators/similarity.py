@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_firehose_nozzle_spark.functions.detmath import det_round
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -121,7 +123,7 @@ def cosine_topk(
         return (
             scored.orderBy(F.desc("_sim"), F.col(id_col))
             .limit(k)
-            .select(id_col, F.round("_sim", 4).alias("cos_sim"))
+            .select(id_col, det_round(F.col("_sim"), 4).alias("cos_sim"))
         )
     if impl != "expr":
         raise ValueError(f"unknown impl {impl!r} (want 'expr' or 'blas')")
@@ -148,7 +150,7 @@ def cosine_topk(
         joined.select(F.col(id_col), sim.alias("_sim"))
         .orderBy(F.desc("_sim"), F.col(id_col))
         .limit(k)
-        .select(id_col, F.round("_sim", 4).alias("cos_sim"))
+        .select(id_col, det_round(F.col("_sim"), 4).alias("cos_sim"))
     )
 
 

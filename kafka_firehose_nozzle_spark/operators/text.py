@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from kafka_firehose_nozzle_spark.functions.detmath import det_round
+
 # Small function-word list used by the quality/lang heuristics. Chosen from
 # common English function words; the heuristic is deterministic, which is
 # what matters for oracle checking.
@@ -164,7 +166,7 @@ def repetition_score(text: Column, n: int = 3) -> Column:
     so both engines produce the identical double.
     """
     grams = word_ngrams(text, n)
-    return F.round(
+    return det_round(
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
     )
 
@@ -204,7 +206,7 @@ def ngram_containment(
     total = tg.groupBy(id_col).agg(F.count(F.lit(1)).alias("_t"))
     return total.join(matched, id_col, "left").select(
         id_col,
-        F.round(F.coalesce(F.col("_m"), F.lit(0)) / F.col("_t"), 6).alias(
+        det_round(F.coalesce(F.col("_m"), F.lit(0)) / F.col("_t"), 6).alias(
             "containment"
         ),
     )
