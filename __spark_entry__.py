@@ -1884,6 +1884,271 @@ ORACLE_QUALITY = """
     FROM m
 """
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split report (80/10/10)
+    per language: the assignment every training pipeline needs to be
+    reproducible across runs, engines, and re-partitioning.  The split
+    key is an md5-derived 60-bit hash of doc_id mod 100 — a pure map, so
+    the split adds zero shuffles on top of the report's one partial
+    aggregation; at 100 TB the same expression is the partition filter
+    that materializes each split."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("#split"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_SPLIT = """
+    WITH t AS (SELECT lang, n_chars,
+        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+               1, 15)) AS BIGINT) % 100) AS h
+    FROM documents)
+    SELECT lang,
+        CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM t GROUP BY 1, 2
+"""
+
+
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-gate funnel: how many documents survive each
+    successive Gopher-style filter (length -> stopwords -> punctuation ->
+    word length).  The per-gate attrition report a corpus curation run
+    publishes before committing a filter config.  Pure map indicators +
+    one single-row aggregation — fuses into the scan at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = TX.token_count(text)
+    g1 = (n_tok >= 10) & (n_tok <= 100000)
+    g2 = g1 & (TX.stopword_ratio(text) >= 0.01)
+    g3 = g2 & (TX.punct_ratio(text) <= 0.2)
+    wl = TX.avg_word_len(text)
+    g4 = g3 & (wl >= 2) & (wl <= 12)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(g1.cast("long")).alias("pass_length"),
+        F.sum(g2.cast("long")).alias("pass_stopword"),
+        F.sum(g3.cast("long")).alias("pass_punct"),
+        F.sum(g4.cast("long")).alias("pass_wordlen"),
+    )
+
+
+ORACLE_FUNNEL = """
+    WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT doc_id,
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains(
+            ['the','a','of','to','and','in','is','it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    g AS (SELECT
+        (n_tok >= 10 AND n_tok <= 100000) AS g1,
+        (n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01) AS s2,
+        (n_chars = 0 OR CAST(n_chars - n_nopunct AS DOUBLE) / n_chars <= 0.2) AS s3,
+        (n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+             AND CAST(tok_chars AS DOUBLE) / n_tok <= 12) AS s4
+    FROM m)
+    SELECT COUNT(*) AS n_total,
+        SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS pass_length,
+        SUM(CASE WHEN g1 AND s2 THEN 1 ELSE 0 END) AS pass_stopword,
+        SUM(CASE WHEN g1 AND s2 AND s3 THEN 1 ELSE 0 END) AS pass_punct,
+        SUM(CASE WHEN g1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS pass_wordlen
+    FROM g
+"""
+
+
+_BM25_TERMS = ["table", "spark", "query"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed 3-term query —
+    the inverted-index scoring shape: explode to (doc, term) postings,
+    partial-agg tf at posting cardinality, df at term cardinality
+    (3 rows -> broadcast), corpus length stats via a broadcast single-row
+    crossJoin (never a driver-side collect on the data path).  Scores
+    use ln() so the emitted value is det-rounded; ranking is by the
+    rounded score with a doc_id tie-break (libm-safe)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_nrows(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("term"),
+    )
+    # doc lengths + corpus mean length (exact integer sum / exact count)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(DET.det_round(contrib, 8).cast("decimal(20,8)")).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            DET.det_round(F.col("_s").cast("double"), 6).alias("bm25"),
+        )
+    )
+
+
+ORACLE_BM25 = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+           WHERE term IN ('table', 'spark', 'query') GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    c AS (SELECT tf.doc_id,
+              (FLOOR((ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * (tf.tf * ({_BM25_K1} + 1)
+                     / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                        * dl.dl / stats.avgdl))))
+                  * 100000000.0 + 0.5) / 100000000.0) AS contrib
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats CROSS JOIN n)
+    SELECT doc_id, COUNT(*) AS n_terms_hit,
+        (FLOOR(CAST(SUM(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0) AS bm25
+    FROM c GROUP BY doc_id
+"""
+
+
+def q_char_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 character trigrams of the normalized corpus — the input
+    statistic for byte/char-level tokenizer training.  Same staged
+    shifted-slice zip_with shape as the word-bigram query (the
+    per-position substring alternative rescans the string per call);
+    explode -> partial-agg -> TakeOrdered 30."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.split(TX.normalize_text(F.col("text")), "")
+    m = F.size(F.col("_c")) - 2
+    tri = F.when(
+        m >= 1,
+        F.zip_with(
+            F.zip_with(
+                F.slice(F.col("_c"), 1, m),
+                F.slice(F.col("_c"), 2, m),
+                lambda a, b: F.concat(a, b),
+            ),
+            F.slice(F.col("_c"), 3, m),
+            lambda ab, c: F.concat(ab, c),
+        ),
+    ).otherwise(F.lit(None).cast("array<string>"))
+    return (
+        docs.select(chars.alias("_c"))
+        .select(F.explode_outer(tri).alias("trigram"))
+        .filter(F.col("trigram").isNotNull())
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(30)
+    )
+
+
+ORACLE_CHAR_TRIGRAMS = """
+    WITH t AS (SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                   AS s FROM documents),
+    g AS (SELECT unnest(list_transform(range(length(s) - 2),
+                     i -> substr(s, i + 1, 3))) AS trigram
+          FROM t WHERE length(s) >= 3)
+    SELECT trigram, COUNT(*) AS n FROM g
+    GROUP BY trigram ORDER BY n DESC, trigram LIMIT 30
+"""
+
+
+def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 0.25) of purchase values in event-time
+    order — the sequential-state statistic that CANNOT be a window
+    cumulative sum without changing float semantics.  Expressed as a
+    deterministic LEFT FOLD over the per-user time-sorted value array:
+    collect_list + array_sort (one shuffle at user cardinality; group
+    arrays are session-scale) then F.aggregate, which both engines
+    replay with the identical operation order (DuckDB list_reduce).
+    Per-user event counts are bounded (sessions), so the collected
+    arrays stay small at any corpus scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda x: x.getField("value"))
+    a = 0.25
+    ewma = F.aggregate(
+        F.expr("slice(_vals, 2, size(_vals) - 1)"),
+        F.element_at(F.col("_vals"), 1),
+        lambda acc, v: F.lit(a) * v + F.lit(1 - a) * acc,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("_vals"))
+        .select(
+            "user_id",
+            F.size(F.col("_vals")).alias("n_purchases"),
+            DET.det_round(ewma, 6).alias("ewma_value"),
+        )
+    )
+
+
+ORACLE_EWMA = """
+    WITH a AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id, len(vs) AS n_purchases,
+        (FLOOR(list_reduce(vs, (acc, v) -> 0.25 * v + 0.75 * acc)
+            * 1000000.0 + 0.5) / 1000000.0) AS ewma_value
+    FROM a
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3053,6 +3318,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "roundtrip_route_topics": q_roundtrip_route_topics,
     "props_json_stats": q_props_json_stats,
     "range_frame_peers": q_range_frame_peers,
+    "train_val_test_split": q_train_val_test_split,
+    "quality_filter_funnel": q_quality_filter_funnel,
+    "bm25_scores": q_bm25_scores,
+    "char_trigram_topk": q_char_trigram_topk,
+    "ewma_user_values": q_ewma_user_values,
     "bigram_topk": q_bigram_topk,
     "lang_confusion": q_lang_confusion,
     "source_doc_profile": q_source_doc_profile,
@@ -3115,6 +3385,11 @@ ORACLES: dict[str, str] = {
     "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,
     "props_json_stats": ORACLE_PROPS_JSON,
     "range_frame_peers": ORACLE_RANGE_FRAME,
+    "train_val_test_split": ORACLE_SPLIT,
+    "quality_filter_funnel": ORACLE_FUNNEL,
+    "bm25_scores": ORACLE_BM25,
+    "char_trigram_topk": ORACLE_CHAR_TRIGRAMS,
+    "ewma_user_values": ORACLE_EWMA,
     "bigram_topk": ORACLE_BIGRAM_TOPK,
     "lang_confusion": ORACLE_LANG_CONFUSION,
     "source_doc_profile": ORACLE_SOURCE_PROFILE,
