@@ -2471,6 +2471,86 @@ def _ivf_trained_oracle(num_cells: int = 10, max_iter: int = 4) -> str:
 ORACLE_IVF_TRAINED = _ivf_trained_oracle(10, 4)
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim float vectors compressed to 4
+    one-byte codes (4 subspaces x 16 centroids), searched by asymmetric
+    distance — the query's LUT rides into the plan as literals, scoring
+    is 4 lookups + 4 adds per row with NO join and NO shuffle, and at
+    100 TB the scan reads the codes column only (16x less IO than raw
+    embeddings).  Codebook training is the deterministic mod-group
+    decimal average (S.pq_codebook), so the DuckDB oracle replays the
+    entire train -> encode -> ADC pipeline (ORACLE_PQ_ANN)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = S.pq_codebook(emb, num_sub=4, num_codes=16, dim=64)
+    codes = S.pq_encode(emb, cb, num_sub=4, num_codes=16, dim=64)
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    return S.pq_topk(
+        codes,
+        cb,
+        [float(x) for x in qrow["embedding"]],
+        k=10,
+        num_sub=4,
+        num_codes=16,
+        exclude_id=0,
+    )
+
+
+def _pq_oracle(num_sub: int = 4, num_codes: int = 16, dim: int = 64) -> str:
+    """DuckDB replay of pq_codebook + pq_encode + pq_topk.  Same
+    determinism ledger as the IVF-trained oracle: component averages are
+    decimal sums through VARCHAR, every distance is the identical
+    (x-y)*(x-y) left fold, argmin ties break to the lowest code, and the
+    final 4-term ADC sum is an ordered list_sum."""
+    subdim = dim // num_sub
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(len({a})), i -> "
+            f"({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])))"
+        )
+
+    davg = (
+        "CAST(CAST(SUM(CAST(val AS DECIMAL(20,12))) AS VARCHAR(64))"
+        " AS DOUBLE) / COUNT(*)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+               FROM embeddings),
+    comp AS (SELECT vec_id % {num_codes} AS code,
+                    CAST(p // {subdim} AS INT) AS sub, p % {subdim} AS pos, val
+             FROM (SELECT vec_id, unnest(range(len(v))) AS p,
+                          unnest(v) AS val FROM e)),
+    cb AS (SELECT sub, code, list(c ORDER BY pos) AS centroid FROM (
+               SELECT sub, code, pos, {davg} AS c
+               FROM comp GROUP BY sub, code, pos) g
+           GROUP BY sub, code),
+    sub AS (SELECT e.vec_id, ms.s,
+                   list_slice(e.v, ms.s * {subdim} + 1,
+                              ms.s * {subdim} + {subdim}) AS sv
+            FROM e CROSS JOIN (SELECT unnest(range({num_sub})) AS s) ms),
+    codes AS (SELECT vec_id, s, code FROM (
+                  SELECT sub.vec_id, sub.s, cb.code,
+                         ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                             ORDER BY {sqd('sub.sv', 'cb.centroid')} ASC,
+                                      cb.code) AS rn
+                  FROM sub JOIN cb ON sub.s = cb.sub) r WHERE rn = 1),
+    lut AS (SELECT cb.sub AS s, cb.code,
+                   {sqd('q.sv', 'cb.centroid')} AS d
+            FROM cb JOIN (SELECT * FROM sub WHERE vec_id = 0) q
+              ON cb.sub = q.s),
+    score AS (SELECT c.vec_id, list_sum(list(lut.d ORDER BY c.s)) AS dist
+              FROM codes c JOIN lut ON c.s = lut.s AND c.code = lut.code
+              GROUP BY c.vec_id)
+    SELECT vec_id, {DET.det_round_sql('dist', 6)} AS pq_dist
+    FROM score WHERE vec_id <> 0
+    ORDER BY dist ASC, vec_id LIMIT 10
+"""
+
+
+ORACLE_PQ_ANN = _pq_oracle(4, 16, 64)
+
+
 def q_embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm of the per-label mean embedding (array aggregation)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3311,6 +3391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_rates": q_sliding_window_rates,
     "ivf_ann_topk": q_ivf_ann_topk,
     "ivf_trained_topk": q_ivf_trained_topk,
+    "pq_ann_topk": q_pq_ann_topk,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -3378,6 +3459,7 @@ ORACLES: dict[str, str] = {
     "sliding_window_rates": ORACLE_SLIDING,
     "ivf_ann_topk": ORACLE_IVF,
     "ivf_trained_topk": ORACLE_IVF_TRAINED,
+    "pq_ann_topk": ORACLE_PQ_ANN,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

@@ -349,6 +349,173 @@ def kmeans_centroids(
     )
 
 
+# --- Product quantization (compressed ANN) ----------------------------------
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same left fold both engines use:
+    zip -> (x-y)*(x-y) -> left-fold add.  Bit-identical to DuckDB's
+    list_sum(list_transform(...)) on the same inputs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    num_sub: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: split each vector into ``num_sub``
+    contiguous subvectors and average them within ``id % num_codes``
+    groups — one partial-aggregated shuffle whose key space is
+    num_sub × num_codes × subdim groups regardless of corpus size.
+    Component averages are exact decimal sums routed through VARCHAR
+    (same contract as _component_avg), so the codebook is
+    bit-reproducible across partitionings AND engines — a plain-SQL
+    oracle replays it.  Production swaps in per-subspace Lloyd's
+    (kmeans_centroids over the sliced column) without changing the
+    downstream plan shape.
+
+    Returns [sub, code, centroid(array<double>)] —
+    num_sub × num_codes rows (scalar-scale, like the IVF centroid table).
+    """
+    subdim = dim // num_sub
+    v = F.col(vec_col).cast("array<double>")
+    comp = df.select(
+        F.pmod(F.col(id_col), F.lit(num_codes)).alias("code"),
+        F.posexplode(v).alias("p", "v"),
+    ).select(
+        (F.col("p") / F.lit(subdim)).cast("int").alias("sub"),
+        "code",
+        F.pmod(F.col("p"), F.lit(subdim)).alias("pos"),
+        "v",
+    )
+    return (
+        comp.groupBy("sub", "code", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,12)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "sub",
+            "code",
+            F.transform(F.col("pc"), lambda x: x.getField("c")).alias("centroid"),
+        )
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    num_sub: int = 4,
+    num_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``num_sub`` nearest-centroid codes — the
+    64-byte float32 subvector becomes ONE byte (num_codes ≤ 256), a
+    16–64× compression that is the point of PQ at 100 TB: the search
+    scan reads only the codes column (column pruning drops the raw
+    embeddings entirely) and memory-resident indexes fit corpus-scale.
+
+    The codebook is collected driver-side (num_sub × num_codes rows —
+    scalar-scale, the kmeans_centroids precedent) and rides into the
+    plan as literal arrays, so encoding is a ZERO-SHUFFLE map: per row,
+    num_sub slices × num_codes left-fold distances, argmin by
+    array_position (first occurrence == lowest code, matching the
+    oracle's tie break).  Output: [id, codes(array<int>)].
+    """
+    subdim = dim // num_sub
+    rows = {(int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
+            for r in codebook.collect()}
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s in range(num_sub):
+        cents = F.array(
+            *[
+                F.array(*[F.lit(x) for x in rows[(s, j)]])
+                for j in range(num_codes)
+            ]
+        )
+        sv = F.slice(v, s * subdim + 1, subdim)
+        dists = F.transform(cents, lambda c: sq_dist(sv, c))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_sub: int = 4,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The query's distance to every codebook centroid is a num_sub ×
+    num_codes lookup table computed driver-side in pure IEEE doubles
+    (same (x-y)*(x-y) left fold as sq_dist, so the table is
+    bit-identical to what either engine would compute).  Scoring is
+    then a pure map over the codes column: zip the row's codes with
+    the literal LUT, pick one double per subspace, left-fold add —
+    4 array lookups + 4 adds per row, no join, no shuffle; top-k is a
+    TakeOrdered.  At 100 TB this scan touches ~num_sub bytes per
+    vector instead of dim × 4."""
+    dim = len(query_vec)
+    subdim = dim // num_sub
+    rows = {(int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
+            for r in codebook.collect()}
+    lut = []
+    for s in range(num_sub):
+        qs = [float(x) for x in query_vec[s * subdim : (s + 1) * subdim]]
+        per_code = []
+        for j in range(num_codes):
+            c = rows[(s, j)]
+            acc = 0.0
+            for x, y in zip(qs, c):
+                acc = acc + (x - y) * (x - y)
+            per_code.append(acc)
+        lut.append(per_code)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(d) for d in per_code]) for per_code in lut]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_lit,
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = codes_df.select(F.col(id_col), dist.alias("_dist"))
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != F.lit(exclude_id))
+    return (
+        scored.orderBy(F.asc("_dist"), F.col(id_col))
+        .limit(k)
+        .select(id_col, det_round(F.col("_dist"), 6).alias("pq_dist"))
+    )
+
+
 def write_ivf_partitioned(assigned: DataFrame, path: str) -> None:
     """Persist an IVF-assigned corpus PARTITIONED BY cell id — the
     storage layout that turns ivf_topk's probe semi-join into parquet

@@ -270,6 +270,50 @@ def test_ivf_nprobe_prunes_to_probed_cells(spark):
     assert probed < brute
 
 
+def test_pq_encode_and_topk(spark):
+    """PQ pipeline contract: codes are num_sub ints in [0, num_codes);
+    ADC top-k beats random ranking on recall vs brute force; encoding is
+    deterministic; and the ADC scan plan has no join/exchange (the LUT
+    rides as literals — the 100 TB codes-column-only scan shape)."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cb = S.pq_codebook(emb, num_sub=4, num_codes=16, dim=64)
+    assert cb.count() == 64
+    codes = S.pq_encode(emb, cb, num_sub=4, num_codes=16, dim=64)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # deterministic: re-encoding yields identical codes
+    again = {r["vec_id"]: r["codes"] for r in
+             S.pq_encode(emb, cb, num_sub=4, num_codes=16, dim=64).collect()}
+    assert again == {r["vec_id"]: r["codes"] for r in rows}
+
+    codes_ckpt = codes.localCheckpoint()
+    recalls = []
+    for qid in (0, 7, 123, 250, 499):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        # ADC ranks by distance over mod-seeded codebooks; on this
+        # near-structureless corpus the meaningful bound is beating
+        # random top-10 (~10/500 = 0.02 expected overlap) by a margin
+        pq = {r["vec_id"] for r in
+              S.pq_topk(codes_ckpt, cb, qv, k=50, exclude_id=qid).collect()}
+        brute = {r["vec_id"] for r in
+                 S.cosine_topk(emb, S.query_vector(emb, qid), k=50).collect()}
+        recalls.append(len(pq & brute) / 50)
+    assert sum(recalls) / len(recalls) > 0.1, recalls
+
+    plan = (
+        S.pq_topk(codes_ckpt, cb, qv, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan, plan[:1200]
+
+
 # --- text ----------------------------------------------------------------------
 
 
