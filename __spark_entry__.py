@@ -27,6 +27,7 @@ from kafka_firehose_nozzle_spark.config import TopicConfig
 from kafka_firehose_nozzle_spark.functions import detmath as DET
 from kafka_firehose_nozzle_spark.functions.routing import route_topic_expr
 from kafka_firehose_nozzle_spark.operators import dedup as D
+from kafka_firehose_nozzle_spark.operators import layout as LAY
 from kafka_firehose_nozzle_spark.operators import similarity as S
 from kafka_firehose_nozzle_spark.operators import text as TX
 from kafka_firehose_nozzle_spark.pipeline import route_envelopes
@@ -3367,6 +3368,75 @@ ORACLE_QUANT = """
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 4 (round 4): PQ-ANN, data layout (Z-order), SCD2 history, corpus
+# curation (domain caps), integer PageRank
+# --------------------------------------------------------------------------
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report over orders: minmax-scale
+    (o_custkey, o_orderdate-as-days) to 10 bits each, interleave to a
+    20-bit curve key, bucket by the top 6 bits, and emit each z-bucket's
+    row count and per-dimension min/max spans.  Narrow spans in BOTH
+    columns are the point: sorted by this key, parquet row-group stats
+    prune scans for filters on EITHER dimension (single-column sort only
+    prunes one).  The key is a flat BIGINT shift/mask OR-chain — pure
+    codegen projection, bounds from one broadcast 1-row aggregate; the
+    layout write itself is exercised in
+    tests/test_operators.py::test_zorder_write_narrows_file_stats."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+    )
+    bounds = o.agg(
+        F.min("c").alias("c_lo"),
+        F.max("c").alias("c_hi"),
+        F.min("d").alias("d_lo"),
+        F.max("d").alias("d_hi"),
+    )
+    zkey = LAY.scaled_zorder2(
+        F.col("c"), F.col("c_lo"), F.col("c_hi"),
+        F.col("d"), F.col("d_lo"), F.col("d_hi"),
+        bits=10,
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select("c", "d", F.shiftright(zkey, 14).alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").alias("c_min"),
+            F.max("c").alias("c_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    scale_c = ("((c - c_lo) * 1023) // (CASE WHEN c_hi - c_lo > 1 "
+               "THEN c_hi - c_lo ELSE 1 END)")
+    scale_d = ("((d - d_lo) * 1023) // (CASE WHEN d_hi - d_lo > 1 "
+               "THEN d_hi - d_lo ELSE 1 END)")
+    zk = LAY.zorder_key2_sql(f"({scale_c})", f"({scale_d})", bits=10)
+    return f"""
+    WITH o AS (SELECT o_custkey AS c,
+                      datediff('day', DATE '1992-01-01', o_orderdate) AS d
+               FROM orders),
+    b AS (SELECT MIN(c) AS c_lo, MAX(c) AS c_hi,
+                 MIN(d) AS d_lo, MAX(d) AS d_hi FROM o),
+    z AS (SELECT c, d, {zk} >> 14 AS zbucket FROM o CROSS JOIN b)
+    SELECT zbucket, COUNT(*) AS n_orders,
+           MIN(c) AS c_min, MAX(c) AS c_max,
+           MIN(d) AS d_min, MAX(d) AS d_max
+    FROM z GROUP BY zbucket
+"""
+
+
+ORACLE_ZORDER = _zorder_oracle()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -3392,6 +3462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "ivf_trained_topk": q_ivf_trained_topk,
     "pq_ann_topk": q_pq_ann_topk,
+    "zorder_layout": q_zorder_layout,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -3460,6 +3531,7 @@ ORACLES: dict[str, str] = {
     "ivf_ann_topk": ORACLE_IVF,
     "ivf_trained_topk": ORACLE_IVF_TRAINED,
     "pq_ann_topk": ORACLE_PQ_ANN,
+    "zorder_layout": ORACLE_ZORDER,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

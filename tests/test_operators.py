@@ -314,6 +314,73 @@ def test_pq_encode_and_topk(spark):
     assert "Join" not in plan and "Exchange" not in plan, plan[:1200]
 
 
+def test_zorder_write_narrows_file_stats(spark, tmp_path):
+    """The deployment claim in operators/layout.py, measured: writing
+    orders range-partitioned + sorted by the z-key leaves every file's
+    (custkey, orderdate) min/max footprint narrow in BOTH dimensions,
+    while a custkey-only sort leaves the date dimension at full span per
+    file (no skipping possible for date filters).  Asserted on the real
+    parquet footers pyarrow reads — the same stats a scan planner prunes
+    with."""
+    import pyarrow.parquet as pq
+    from kafka_firehose_nozzle_spark.operators import layout as LAY
+
+    o = (
+        spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d"),
+        )
+    )
+    b = o.agg(
+        F.min("c").alias("c_lo"), F.max("c").alias("c_hi"),
+        F.min("d").alias("d_lo"), F.max("d").alias("d_hi"),
+    )
+    row = b.head()
+    c_span = row["c_hi"] - row["c_lo"]
+    d_span = row["d_hi"] - row["d_lo"]
+    zkey = LAY.scaled_zorder2(
+        F.col("c"), F.col("c_lo"), F.col("c_hi"),
+        F.col("d"), F.col("d_lo"), F.col("d_hi"), bits=10,
+    )
+    staged = o.crossJoin(F.broadcast(b)).withColumn("zkey", zkey)
+
+    def file_spans(path):
+        spans = []
+        for f in (p for p in __import__("os").listdir(path) if p.endswith(".parquet")):
+            md = pq.ParquetFile(f"{path}/{f}").metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            cmins, cmaxs, dmins, dmaxs = [], [], [], []
+            for rg in range(md.num_row_groups):
+                cs = md.row_group(rg).column(idx["c"]).statistics
+                ds = md.row_group(rg).column(idx["d"]).statistics
+                cmins.append(cs.min); cmaxs.append(cs.max)
+                dmins.append(ds.min); dmaxs.append(ds.max)
+            spans.append((max(cmaxs) - min(cmins), max(dmaxs) - min(dmins)))
+        return spans
+
+    zpath = str(tmp_path / "zorder")
+    (staged.repartitionByRange(8, "zkey").sortWithinPartitions("zkey")
+     .select("c", "d").write.mode("overwrite").parquet(zpath))
+    onedim = str(tmp_path / "bycust")
+    (staged.repartitionByRange(8, "c").sortWithinPartitions("c")
+     .select("c", "d").write.mode("overwrite").parquet(onedim))
+
+    z_spans = file_spans(zpath)
+    one_spans = file_spans(onedim)
+    assert len(z_spans) >= 4
+    avg = lambda xs: (lambda l: sum(l) / len(l))(list(xs))
+    # z-order: BOTH dims narrow per file.  8 files ~ the top 3 key bits,
+    # which split d into 4 and c into 2 (plus row-count-boundary
+    # straddlers), so the geometric expectation is ~c_span/2 and
+    # ~d_span/4 per file
+    assert avg(s[0] for s in z_spans) < 0.7 * c_span, z_spans
+    assert avg(s[1] for s in z_spans) < 0.55 * d_span, z_spans
+    # custkey sort: custkey very narrow but date spans ~everything —
+    # the single-dimension layout z-order strictly improves on
+    assert avg(s[1] for s in one_spans) > 0.9 * d_span, one_spans
+
+
 # --- text ----------------------------------------------------------------------
 
 
