@@ -27,6 +27,7 @@ from kafka_firehose_nozzle_spark.config import TopicConfig
 from kafka_firehose_nozzle_spark.functions import detmath as DET
 from kafka_firehose_nozzle_spark.functions.routing import route_topic_expr
 from kafka_firehose_nozzle_spark.operators import dedup as D
+from kafka_firehose_nozzle_spark.operators import history as H
 from kafka_firehose_nozzle_spark.operators import layout as LAY
 from kafka_firehose_nozzle_spark.operators import similarity as S
 from kafka_firehose_nozzle_spark.operators import text as TX
@@ -3437,6 +3438,47 @@ def _zorder_oracle() -> str:
 ORACLE_ZORDER = _zorder_oracle()
 
 
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build: each user's event_type runs become
+    versioned [valid_from, valid_to) periods with an is_current flag —
+    the warehouse history table an as-of join consumes.  One hash
+    shuffle on user_id (both window passes share the Exchange+Sort;
+    plan-guarded).  Restricted to user_id < 30 to keep the oracle
+    comparison compact; the plan is user-count-independent.
+
+    Open periods use the warehouse high-date convention (sentinel
+    2200-01-01) rather than NULL: a NULL valid_to would make every
+    BETWEEN-style point-in-time predicate need an extra IS NULL arm,
+    and NaT columns push pandas' frame comparison onto a raw-int64
+    path where the engines' different timestamp units false-diff."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hist = H.scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    return hist.withColumn(
+        "valid_to",
+        F.coalesce(F.col("valid_to"), F.lit("2200-01-01").cast("timestamp")),
+    )
+
+
+ORACLE_SCD2 = """
+    WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+               WHERE user_id < 30),
+    marked AS (SELECT *,
+                   (LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type) AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id)),
+    starts AS (SELECT user_id, event_type, ts AS valid_from,
+                      event_id AS tb
+               FROM marked WHERE chg)
+    SELECT user_id, event_type, valid_from,
+           COALESCE(LEAD(valid_from) OVER w2,
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+           (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+    FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, tb)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -3463,6 +3505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_trained_topk": q_ivf_trained_topk,
     "pq_ann_topk": q_pq_ann_topk,
     "zorder_layout": q_zorder_layout,
+    "scd2_user_history": q_scd2_user_history,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -3532,6 +3575,7 @@ ORACLES: dict[str, str] = {
     "ivf_trained_topk": ORACLE_IVF_TRAINED,
     "pq_ann_topk": ORACLE_PQ_ANN,
     "zorder_layout": ORACLE_ZORDER,
+    "scd2_user_history": ORACLE_SCD2,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

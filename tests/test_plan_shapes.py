@@ -192,3 +192,22 @@ def test_running_sum_window_is_partitioned(spark):
     assert corpus_windows and all("_pid" in w for w in corpus_windows), (
         plan[:1200]
     )
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """scd2_history's two window passes partition by the same key, so
+    the physical plan must contain exactly ONE hash Exchange — a second
+    one would mean the history build shuffles the event log twice."""
+    plan = _plan(spark, "scd2_user_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The z-key + bucketing must stay a codegen projection over the
+    scan: the only exchanges allowed are the 1-row bounds aggregate's
+    and the final groupBy's — never a sort or join on the corpus."""
+    plan = _plan(spark, "zorder_layout")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
