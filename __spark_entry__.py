@@ -27,6 +27,7 @@ from kafka_firehose_nozzle_spark.config import TopicConfig
 from kafka_firehose_nozzle_spark.functions import detmath as DET
 from kafka_firehose_nozzle_spark.functions.routing import route_topic_expr
 from kafka_firehose_nozzle_spark.operators import dedup as D
+from kafka_firehose_nozzle_spark.operators import graph as G
 from kafka_firehose_nozzle_spark.operators import history as H
 from kafka_firehose_nozzle_spark.operators import layout as LAY
 from kafka_firehose_nozzle_spark.operators import similarity as S
@@ -3479,6 +3480,109 @@ ORACLE_SCD2 = """
 """
 
 
+def q_domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation frequency cap: at most 20 documents per source,
+    best-first by length (n_chars DESC, doc_id tiebreak) — the guard
+    that stops a handful of giant domains from dominating a training
+    mix.  One shuffle on source; skewed sources emit at most cap rows
+    each (operators/sampling.py::cap_per_group)."""
+    from kafka_firehose_nozzle_spark.operators import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.cap_per_group(
+        docs, "source", [F.desc("n_chars"), F.col("doc_id")], 20
+    ).select("doc_id", "source", "n_chars")
+
+
+ORACLE_DOMAIN_CAP = """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents) r
+    WHERE rk <= 20
+"""
+
+
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the customer<->supplier trade graph
+    (operators/graph.py::pagerank_int, 3 iterations, damping 85%).
+    Vertices are custkey*2 / suppkey*2+1; edges are the distinct
+    trading pairs from orders |x| lineitem, both directions so the
+    bipartite graph has no sinks.  Exact BIGINT arithmetic end-to-end
+    makes the ranks a pure function of the graph — the DuckDB oracle
+    replays all 3 iterations as unrolled CTEs (ORACLE_PAGERANK)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cv"),
+            (F.col("l_suppkey") * 2 + 1).alias("sv"),
+        )
+        .distinct()
+    )
+    e = pairs.select(F.col("cv").alias("src"), F.col("sv").alias("dst")).union(
+        pairs.select(F.col("sv").alias("src"), F.col("cv").alias("dst"))
+    )
+    ranks = G.pagerank_int(e, iterations=3, damping_pct=85)
+    return (
+        ranks.orderBy(F.desc("rank"), F.col("vertex"))
+        .limit(20)
+        .select(
+            F.when(F.col("vertex") % 2 == 0, F.lit("cust"))
+            .otherwise(F.lit("supp"))
+            .alias("node_type"),
+            F.expr("vertex div 2").alias("key"),
+            F.col("rank"),
+        )
+    )
+
+
+def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
+    mass = "CAST(1000000000000000 AS BIGINT)"
+    ctes = [
+        "pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cv, "
+        "l.l_suppkey * 2 + 1 AS sv "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)",
+        "e AS (SELECT cv AS src, sv AS dst FROM pairs "
+        "UNION ALL SELECT sv, cv FROM pairs)",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"params AS (SELECT COUNT(*) AS n, {mass} // COUNT(*) AS base, "
+        f"({100 - damping_pct} * ({mass} // COUNT(*))) // 100 AS tele "
+        f"FROM v)",
+        "r0 AS (SELECT vertex, base AS rank FROM v CROSS JOIN params)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT d.src AS cv, p.rank // d.outdeg AS contrib "
+            f"FROM {prev} p JOIN deg d ON p.vertex = d.src)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.dst, SUM(contrib) AS inflow "
+            f"FROM e JOIN c{i} ON e.src = c{i}.cv GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.vertex, tele + "
+            f"(({damping_pct} * COALESCE(s{i}.inflow, 0)) // 100) AS rank "
+            f"FROM v LEFT JOIN s{i} ON v.vertex = s{i}.dst "
+            f"CROSS JOIN params)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CASE WHEN vertex % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+           vertex // 2 AS key, CAST(rank AS BIGINT) AS rank
+    FROM {prev} ORDER BY rank DESC, vertex LIMIT 20
+"""
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle(3, 85)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -3506,6 +3610,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_topk": q_pq_ann_topk,
     "zorder_layout": q_zorder_layout,
     "scd2_user_history": q_scd2_user_history,
+    "domain_cap_docs": q_domain_cap_docs,
+    "supplier_pagerank": q_supplier_pagerank,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -3576,6 +3682,8 @@ ORACLES: dict[str, str] = {
     "pq_ann_topk": ORACLE_PQ_ANN,
     "zorder_layout": ORACLE_ZORDER,
     "scd2_user_history": ORACLE_SCD2,
+    "domain_cap_docs": ORACLE_DOMAIN_CAP,
+    "supplier_pagerank": ORACLE_PAGERANK,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

@@ -1,0 +1,103 @@
+"""Iterative graph algorithms beyond connected components (which lives
+with the dedup pipeline in operators/dedup.py): PageRank in exact
+integer arithmetic.
+
+Floating-point PageRank is NOT reproducible across engines or even
+partitionings — the per-vertex sum of neighbor contributions is a
+fold whose order the shuffle decides.  Here every quantity is BIGINT
+"rank micro-units" (total mass 10^15) and every division is a floor
+division, so the result is a pure function of the graph: bit-identical
+run-to-run, across engines, and replayable by an unrolled-CTE SQL
+oracle — the same exactness contract the trained-IVF and PQ operators
+follow.
+
+Scale shape per iteration (the standard Pregel decomposition):
+  1. contrib = ranks JOIN degrees (vertex-count rows, co-keyed — one
+     hash join on vertex id),
+  2. flow = edges JOIN contrib ON src (the only edge-scale operation;
+     shuffle partitions by src, reusable across iterations since the
+     edge side's partitioning is loop-invariant),
+  3. new rank = groupBy dst SUM — partial-aggregated, ≤ vertex-count
+     groups.
+The driver never materializes vertex or edge rows; iteration count is
+fixed (a hyperparameter, like the k-means loop), so the lineage stays
+bounded and there is nothing to checkpoint at small iteration counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOTAL_MASS = 1_000_000_000_000_000  # 10^15 rank micro-units
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer PageRank over a directed edge list (every vertex must
+    have out-degree >= 1 — union reversed edges first if the graph has
+    sinks; callers with true dangling nodes add self-loops).
+
+    r0(v) = TOTAL_MASS div N for all v;
+    r_{t+1}(v) = (15 * (TOTAL_MASS div N)) div 100
+               + (85 * sum_{u->v} (r_t(u) div outdeg(u))) div 100.
+
+    Floor divisions leak a few units of mass per iteration — that is
+    the price of exactness, is identical everywhere, and is irrelevant
+    to ranking.  Returns [vertex, rank] with rank BIGINT."""
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("src"),
+        F.col(dst_col).cast("bigint").alias("dst"),
+    )
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = verts.count()  # one scalar to the driver — sizes the base term
+    base = TOTAL_MASS // n
+    teleport = (100 - damping_pct) * base // 100
+
+    ranks = verts.select("vertex", F.lit(base).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        # ranks/deg/verts all trace their lineage back to the same edge
+        # scan, so every join below is a self-join to Spark — qualified
+        # DataFrame aliases keep the attribute references unambiguous.
+        # `div` (not `/` + cast): double division is only floor-exact
+        # below 2^53 and these operands reach 10^15 * damping — the SQL
+        # integer division both engines define identically is mandatory
+        contrib = (
+            ranks.alias("R")
+            .join(deg.alias("D"), F.col("R.vertex") == F.col("D.src"), "inner")
+            .select(
+                F.col("D.src").alias("cv"),
+                F.expr("R.rank div D.outdeg").alias("contrib"),
+            )
+        )
+        incoming = (
+            e.alias("E")
+            .join(contrib.alias("C"), F.col("E.src") == F.col("C.cv"), "inner")
+            .groupBy(F.col("E.dst").alias("dst"))
+            .agg(F.sum(F.col("C.contrib")).alias("inflow"))
+        )
+        ranks = (
+            verts.alias("V")
+            .join(
+                incoming.alias("I"),
+                F.col("V.vertex") == F.col("I.dst"),
+                "left",
+            )
+            .select(
+                F.col("V.vertex").alias("vertex"),
+                F.expr(
+                    f"{teleport}L + (({damping_pct}L * coalesce(I.inflow, 0L)) div 100)"
+                ).alias("rank"),
+            )
+        )
+    return ranks

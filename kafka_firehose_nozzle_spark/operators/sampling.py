@@ -38,6 +38,28 @@ def stratified_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    cap: int,
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per group, best
+    first by ``order_cols`` — the corpus-curation guard against a few
+    giant domains dominating a training mix.  One shuffle on the group
+    key; because the filter is rank <= cap, a skewed group contributes
+    at most cap output rows no matter how hot the key is (the window
+    itself streams per key — sort cost, not memory, scales with the
+    hot key).  Deterministic whenever order_cols end in a unique
+    tiebreak."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 def hash_fraction_sample(df: DataFrame, id_col: str, percent: int) -> DataFrame:
     """Deterministic ~percent% sample: keep rows whose md5(id) falls below
     the percent threshold in hex order. No shuffle at all — a pure filter

@@ -381,6 +381,72 @@ def test_zorder_write_narrows_file_stats(spark, tmp_path):
     assert avg(s[1] for s in one_spans) > 0.9 * d_span, one_spans
 
 
+def test_pagerank_int_properties(spark):
+    """Integer PageRank on a 3-vertex graph with a known hub: vertex 1
+    receives two in-edges, vertex 2 one, vertex 3 none — ranks must
+    order 1 > 2 > 3, the sink-free invariant holds (every vertex keeps
+    at least the teleport mass), total mass is conserved up to floor-
+    division leakage, and reruns are bit-identical."""
+    from kafka_firehose_nozzle_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src bigint, dst bigint"
+    )
+    got = {r["vertex"]: r["rank"] for r in G.pagerank_int(e, iterations=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] > got[2] > got[3]
+    base = G.TOTAL_MASS // 3
+    tele = 15 * base // 100
+    assert got[3] == tele  # no in-edges: teleport mass only
+    total = sum(got.values())
+    assert G.TOTAL_MASS * 0.99 < total <= G.TOTAL_MASS
+    again = {r["vertex"]: r["rank"] for r in G.pagerank_int(e, iterations=3).collect()}
+    assert again == got
+
+
+def test_cap_per_group_keeps_best(spark):
+    from kafka_firehose_nozzle_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 4, 5)],
+        "g string, id bigint, score bigint",
+    )
+    got = SA.cap_per_group(df, "g", [F.desc("score"), F.col("id")], 2)
+    rows = {(r["g"], r["id"]) for r in got.collect()}
+    assert rows == {("a", 2), ("a", 3), ("b", 4)}
+
+
+def test_scd2_history_periods(spark):
+    """Runs collapse, intervals chain, versions are per-key sequential,
+    exactly one current row per key."""
+    from kafka_firehose_nozzle_spark.operators import history as Hx
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10, 100),
+            (1, "A", 20, 101),
+            (1, "B", 30, 102),
+            (1, "A", 40, 103),
+            (2, "X", 10, 104),
+        ],
+        "k bigint, attr string, t bigint, seq bigint",
+    )
+    rows = sorted(
+        Hx.scd2_history(df, "k", "attr", "t", "seq").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    got = [
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["version"], r["is_current"])
+        for r in rows
+    ]
+    assert got == [
+        (1, "A", 10, 30, 1, False),
+        (1, "B", 30, 40, 2, False),
+        (1, "A", 40, None, 3, True),
+        (2, "X", 10, None, 1, True),
+    ]
+
+
 # --- text ----------------------------------------------------------------------
 
 
