@@ -3583,6 +3583,161 @@ def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
 ORACLE_PAGERANK = _pagerank_oracle(3, 85)
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: a 256-bucket fixed-grid histogram of
+    l_extendedprice, then p50/p90/p99 read off the cumulative counts
+    (upper bucket edge of the first bucket reaching the rank).  Unlike
+    percentile_quantities' exact per-group sort, this is the SHAPE that
+    survives 100 TB: one partial-aggregated shuffle of <= 256 groups
+    regardless of row count, merges associatively across partitions
+    (the property t-digest/KLL trade exactness for — here with
+    deterministic integer bucket math a SQL oracle replays), and error
+    bounded by the bucket width.  Bounds ride in from a 1-row broadcast
+    aggregate like zorder's."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    b = li.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # integer bucket index: 0..255; hi maps to 255 via the LEAST guard
+    bucket = F.least(
+        F.lit(255),
+        F.floor(
+            (F.col("x") - F.col("lo"))
+            * F.lit(256.0)
+            / (F.col("hi") - F.col("lo"))
+        ).cast("int"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.first("n").alias("n"),
+        )
+    )
+    # the running sum runs over the <=256-row histogram, not the corpus
+    # — the unpartitioned window is bounded by the bucket count
+    wsum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wsum))
+    # 256-row frame: the quantile picks are driver-scale work expressed
+    # relationally (one row per quantile via a VALUES-style dim)
+    qs = cum.sparkSession.createDataFrame(
+        [(50,), (90,), (99,)], "pct int"
+    )
+    picked = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    edge = F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / F.lit(256.0)
+    return picked.select(
+        "pct",
+        F.col("bucket").cast("int").alias("bucket"),
+        DET.det_round(edge, 6).alias("upper_edge"),
+    )
+
+
+ORACLE_HISTOGRAM_Q = f"""
+    WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+    b AS (SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n FROM x),
+    h AS (SELECT LEAST(255, CAST(FLOOR((x - lo) * 256.0 / (hi - lo))
+                                 AS INT)) AS bucket,
+                 COUNT(*) AS cnt
+          FROM x CROSS JOIN b GROUP BY 1),
+    c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h),
+    q AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT pct, CAST(MIN(bucket) AS INT) AS bucket,
+           {DET.det_round_sql(
+               'MIN(lo) + (MIN(bucket) + 1) * (MIN(hi) - MIN(lo)) / 256.0', 6
+           )} AS upper_edge
+    FROM c CROSS JOIN q CROSS JOIN b
+    WHERE cum * 100 >= pct * n
+    GROUP BY pct
+"""
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler — the data-quality summary every
+    ingestion pipeline runs before training: per column null count,
+    distinct count, min/max rendered as strings.  All aggregates fuse
+    into a single scan + one partial-agg shuffle (count_distinct is
+    exact here; at 100 TB swap in the KMV sketch the engine also
+    provides).  Unpivoted to (column, metric rows) so adding columns
+    never changes the schema."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    pieces = [
+        one.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE_PROFILE = """
+    WITH a AS (SELECT
+        SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        COUNT(DISTINCT l_quantity) AS q_dist,
+        CAST(MIN(l_quantity) AS VARCHAR) AS q_min,
+        CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
+        SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        COUNT(DISTINCT l_extendedprice) AS p_dist,
+        CAST(MIN(l_extendedprice) AS VARCHAR) AS p_min,
+        CAST(MAX(l_extendedprice) AS VARCHAR) AS p_max,
+        SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+        COUNT(DISTINCT l_discount) AS d_dist,
+        CAST(MIN(l_discount) AS VARCHAR) AS d_min,
+        CAST(MAX(l_discount) AS VARCHAR) AS d_max,
+        SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+        COUNT(DISTINCT l_returnflag) AS s_dist,
+        CAST(MIN(l_returnflag) AS VARCHAR) AS s_min,
+        CAST(MAX(l_returnflag) AS VARCHAR) AS s_max
+        FROM lineitem)
+    SELECT 'l_quantity' AS "column", q_nulls AS n_nulls, q_dist AS n_distinct,
+           q_min AS min_str, q_max AS max_str FROM a
+    UNION ALL
+    SELECT 'l_extendedprice', p_nulls, p_dist, p_min, p_max FROM a
+    UNION ALL
+    SELECT 'l_discount', d_nulls, d_dist, d_min, d_max FROM a
+    UNION ALL
+    SELECT 'l_returnflag', s_nulls, s_dist, s_min, s_max FROM a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -3612,6 +3767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_history": q_scd2_user_history,
     "domain_cap_docs": q_domain_cap_docs,
     "supplier_pagerank": q_supplier_pagerank,
+    "histogram_quantiles": q_histogram_quantiles,
+    "profile_lineitem": q_profile_lineitem,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -3684,6 +3841,8 @@ ORACLES: dict[str, str] = {
     "scd2_user_history": ORACLE_SCD2,
     "domain_cap_docs": ORACLE_DOMAIN_CAP,
     "supplier_pagerank": ORACLE_PAGERANK,
+    "histogram_quantiles": ORACLE_HISTOGRAM_Q,
+    "profile_lineitem": ORACLE_PROFILE,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,
