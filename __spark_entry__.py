@@ -3738,6 +3738,200 @@ ORACLE_PROFILE = """
 """
 
 
+def q_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: 4 hash rows x 256 buckets
+    (md5-derived, engine-replayable), estimate = min over rows — checked
+    against the exact counts of the 10 heaviest users.  The sketch is
+    the heavy-hitter shape that survives 100 TB: the shuffle carries at
+    most 1024 cells regardless of corpus size (partial-aggregated
+    map-side), point estimates never rescan the corpus, and sketches
+    merge by cell-wise addition across days/streams.  CM guarantees
+    est >= exact; the test asserts the bound and the oracle replays the
+    exact cell values."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    rows = spark.createDataFrame([(0,), (1,), (2,), (3,)], "r int")
+    sketch = (
+        ev.crossJoin(F.broadcast(rows))
+        .groupBy(
+            F.col("r"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit("#cm"),
+                                F.col("r").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(256),
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("user_id"))
+        .limit(10)
+    )
+    probes = top.crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "exact_cnt",
+        "r",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit("#cm"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(256),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell").alias("cm_est"))
+    )
+
+
+ORACLE_COUNT_MIN = """
+    WITH ev AS (SELECT user_id FROM events),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (SELECT r,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cm'
+                      || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                      AS bucket,
+                  COUNT(*) AS cell
+              FROM ev CROSS JOIN rows_ GROUP BY 1, 2),
+    top AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1
+            ORDER BY exact_cnt DESC, user_id LIMIT 10),
+    probes AS (SELECT user_id, exact_cnt, r,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#cm'
+                       || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                       AS bucket
+               FROM top CROSS JOIN rows_)
+    SELECT p.user_id, p.exact_cnt, MIN(c.cell) AS cm_est
+    FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY 1, 2
+"""
+
+
+def q_kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV sketch: distinct users per event_type estimated
+    from each group's 32 smallest 60-bit hashes — the grouped version of
+    kmv_distinct_users.  The per-group k-smallest is a rank <= k window
+    (one shuffle on event_type, skew-bounded: each group keeps 32 rows);
+    merging sketches = union + re-rank, never a re-scan."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#kmv"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        ev.select("event_type", h.alias("h"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 32)
+    )
+    return kmin.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        DET.det_round(
+            (F.count(F.lit(1)) - 1).cast("double")
+            * F.lit(float(2**60))
+            / F.max("h"),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+ORACLE_KMV_PER_TYPE = """
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (SELECT event_type,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#kmv'),
+                  1, 15)) AS BIGINT) AS h
+          FROM u),
+    r AS (SELECT event_type, h,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM h)
+    SELECT event_type, COUNT(*) AS k,
+           (FLOOR((CAST(COUNT(*) - 1 AS DOUBLE) * POWER(2, 60) / MAX(h))
+                  * 10000.0 + 0.5) / 10000.0) AS est_distinct
+    FROM r WHERE rk <= 32 GROUP BY event_type
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary report: build the top-500 token vocab
+    by corpus frequency (TakeOrdered, count-desc/token tiebreak) and
+    report what fraction of all token occurrences it covers — the
+    decision metric for vocab-size tradeoffs.  Two partial-aggregated
+    passes over the exploded token stream (distinct-token cardinality
+    shuffles, never corpus rows); the ratio is emitted in exact integer
+    micro-units (no double until the final IEEE division)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = counts.orderBy(F.desc("cnt"), F.col("tok")).limit(500)
+    totals = counts.agg(
+        F.sum("cnt").alias("total_occ"), F.count(F.lit(1)).alias("n_types")
+    )
+    cov = vocab.agg(F.sum("cnt").alias("covered_occ"))
+    return (
+        cov.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(500).alias("vocab_size"),
+            "covered_occ",
+            "total_occ",
+            "n_types",
+            (
+                F.expr("(covered_occ * 1000000) div total_occ").cast("bigint")
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+ORACLE_VOCAB = f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    vocab AS (SELECT cnt FROM counts ORDER BY cnt DESC, tok LIMIT 500),
+    tot AS (SELECT SUM(cnt) AS total_occ, COUNT(*) AS n_types FROM counts),
+    cov AS (SELECT SUM(cnt) AS covered_occ FROM vocab)
+    SELECT 500 AS vocab_size,
+           CAST(covered_occ AS BIGINT) AS covered_occ,
+           CAST(total_occ AS BIGINT) AS total_occ,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((covered_occ * 1000000) // total_occ AS BIGINT)
+               AS coverage_ppm
+    FROM cov CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -3769,6 +3963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_pagerank": q_supplier_pagerank,
     "histogram_quantiles": q_histogram_quantiles,
     "profile_lineitem": q_profile_lineitem,
+    "count_min_freq": q_count_min_freq,
+    "kmv_distinct_per_type": q_kmv_distinct_per_type,
+    "vocab_coverage": q_vocab_coverage,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -3843,6 +4040,9 @@ ORACLES: dict[str, str] = {
     "supplier_pagerank": ORACLE_PAGERANK,
     "histogram_quantiles": ORACLE_HISTOGRAM_Q,
     "profile_lineitem": ORACLE_PROFILE,
+    "count_min_freq": ORACLE_COUNT_MIN,
+    "kmv_distinct_per_type": ORACLE_KMV_PER_TYPE,
+    "vocab_coverage": ORACLE_VOCAB,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

@@ -447,6 +447,21 @@ def test_scd2_history_periods(spark):
     ]
 
 
+def test_count_min_estimate_upper_bounds_exact(spark):
+    """CM sketch guarantee: est >= exact for every probed key, and on
+    this corpus (150 users << 1024 cells) collisions are rare enough
+    that the heaviest keys' estimates stay within 2x."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["count_min_freq"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"], r
+        assert r["cm_est"] <= 2 * r["exact_cnt"], r
+
+
 # --- text ----------------------------------------------------------------------
 
 
