@@ -3932,6 +3932,53 @@ ORACLE_VOCAB = f"""
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, in-engine: 8 merge-learning rounds over
+    the documents corpus (operators/text.py::bpe_learn_merges — pair
+    counting is a partial-aggregated explode, the winner is one driver
+    scalar per round, the merge is a literal-replace map).  Emits the
+    learned merge table in rank order; the DuckDB oracle replays the
+    ENTIRE training run as 8 unrolled CTE rounds (ORACLE_BPE_MERGES)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = TX.bpe_learn_merges(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, p, c) for i, (p, c) in enumerate(merges)],
+        "rank int, pair string, cnt bigint",
+    )
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    spaced = (
+        "trim(regexp_replace(replace(lower(trim(regexp_replace(text, "
+        "'\\s+', ' ', 'g'))), ' ', '_'), '(.)', '\\1 ', 'g'))"
+    )
+    ctes = [f"d0 AS (SELECT {spaced} AS s FROM documents)"]
+    sel = []
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"p{i} AS (SELECT unnest(list_transform(range(len(sy) - 1), "
+            f"j -> sy[j + 1] || ' ' || sy[j + 2])) AS p "
+            f"FROM (SELECT string_split(s, ' ') AS sy FROM d{i - 1}) t "
+            f"WHERE len(sy) >= 2)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT p, COUNT(*) AS cnt FROM p{i} "
+            f"GROUP BY p ORDER BY cnt DESC, p LIMIT 1)"
+        )
+        rep = "' ' || replace(m.p, ' ', '') || ' '"
+        pat = "' ' || m.p || ' '"
+        ctes.append(
+            f"d{i} AS (SELECT trim(replace(replace(' ' || d.s || ' ', "
+            f"{pat}, {rep}), {pat}, {rep})) AS s "
+            f"FROM d{i - 1} d CROSS JOIN m{i} m)"
+        )
+        sel.append(f"SELECT {i} AS rank, p AS pair, cnt FROM m{i}")
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+ORACLE_BPE_MERGES = _bpe_oracle(8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -3966,6 +4013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_min_freq": q_count_min_freq,
     "kmv_distinct_per_type": q_kmv_distinct_per_type,
     "vocab_coverage": q_vocab_coverage,
+    "bpe_merges": q_bpe_merges,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -4043,6 +4091,7 @@ ORACLES: dict[str, str] = {
     "count_min_freq": ORACLE_COUNT_MIN,
     "kmv_distinct_per_type": ORACLE_KMV_PER_TYPE,
     "vocab_coverage": ORACLE_VOCAB,
+    "bpe_merges": ORACLE_BPE_MERGES,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

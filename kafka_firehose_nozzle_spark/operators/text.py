@@ -302,3 +302,95 @@ def scrub_pii(text: Column) -> Column:
     out = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, _PII_IPV4, "<IP>")
     return F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+
+
+# --- BPE tokenizer training (merge learning) --------------------------------
+
+
+def bpe_base_symbols(text: Column) -> Column:
+    """Space-joined character symbols of the normalized text, spaces
+    rendered as '_' (the visible word-boundary marker byte-level BPE
+    vocabularies use).  'ab c' -> 'a b _ c'."""
+    s = F.regexp_replace(normalize_text(text), " ", "_")
+    return F.array_join(F.filter(F.split(s, ""), lambda c: c != ""), " ")
+
+
+def _adjacent_pairs(spaced: Column) -> Column:
+    """Adjacent symbol pairs ('a b') of a space-joined symbol string —
+    the staged shifted-slice zip_with shape (never element_at inside a
+    positions transform; interpreted HOFs re-evaluate their array
+    argument per call)."""
+    syms = F.split(spaced, " ")
+    m = F.size(syms) - 1
+    return F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(syms, 1, m),
+            F.slice(syms, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.lit(None).cast("array<string>"))
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> list[tuple[str, int]]:
+    """Learn a BPE merge table in-engine: ``n_merges`` rounds of
+    (count adjacent symbol pairs -> take the most frequent -> merge it
+    corpus-wide).  Returns [(pair, count)] in rank order.
+
+    Spark-first decomposition per round:
+    - pair counting is explode -> partial-aggregated groupBy (shuffle
+      carries distinct-pair cardinality, not corpus positions);
+    - the winning pair is ONE row collected to the driver (the same
+      scalar-per-round contract as the k-means and connected-components
+      loops);
+    - the merge applies as a literal string replace on the space-joined
+      symbol form — '(space)a b(space)' -> '(space)ab(space)' on a
+      padded string — a pure map fused into the next round's scan.
+      Replace-all consumes the boundary space between back-to-back
+      occurrences, so the replace runs TWICE per round (catches the
+      alternating case); self-adjacent runs ('a a a a') can still pick
+      a different (equally frequent) pairing than strict left-to-right
+      BPE — the deviation is deterministic and IDENTICAL in both
+      engines, which is the contract that matters here.
+
+    The corpus column is localCheckpointed every round to keep the
+    replace-chain lineage flat; at production scale each round would
+    persist to the lake instead.  Fully deterministic (count-desc,
+    pair-asc tie break): a plain-SQL oracle replays the whole training
+    run (__spark_entry__.ORACLE_BPE_MERGES)."""
+    spark = df.sparkSession
+    cur = df.select(bpe_base_symbols(F.col(text_col)).alias("s"))
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            cur.select(F.explode_outer(_adjacent_pairs(F.col("s"))).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["p"], int(top[0]["cnt"])
+        merges.append((pair, cnt))
+        merged = pair.replace(" ", "")
+        s = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for _pass in range(2):
+            s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        cur = cur.select(F.trim(s).alias("s")).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_apply(text: Column, merges: list[str]) -> Column:
+    """Tokenize with a learned merge table: chain one literal replace
+    per merge (rank order) over the space-joined symbol string, then
+    split.  Pure JVM expression — no UDF, fuses into the scan."""
+    s = F.concat(F.lit(" "), bpe_base_symbols(text), F.lit(" "))
+    for pair in merges:
+        for _pass in range(2):
+            s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} "))
+    return F.filter(F.split(F.trim(s), " "), lambda t: t != "")

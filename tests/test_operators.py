@@ -462,6 +462,31 @@ def test_count_min_estimate_upper_bounds_exact(spark):
         assert r["cm_est"] <= 2 * r["exact_cnt"], r
 
 
+def test_bpe_learn_and_apply(spark):
+    """On a corpus where 'th' is the clear winner, round 1 must learn
+    ('t h'); applying the learned table re-tokenizes consistently with
+    the merge order, and token counts drop monotonically with more
+    merges."""
+    df = spark.createDataFrame(
+        [(1, "the thin thing"), (2, "this that the")], "i bigint, t string"
+    )
+    merges = TX.bpe_learn_merges(df, "t", n_merges=3)
+    assert merges[0][0] == "t h" and merges[0][1] == 6
+    pairs = [m[0] for m in merges]
+    applied = df.select(
+        TX.bpe_apply(F.col("t"), pairs).alias("toks"),
+        TX.bpe_apply(F.col("t"), pairs[:1]).alias("toks1"),
+    ).collect()
+    for r in applied:
+        assert all(" " not in t for t in r["toks"])
+        assert len(r["toks"]) <= len(r["toks1"])
+    # doc 1 after merge 1 only: 'th' fused, everything else single chars
+    one = df.filter(F.col("i") == 1).select(
+        TX.bpe_apply(F.col("t"), pairs[:1]).alias("x")
+    ).head()["x"]
+    assert one[:3] == ["th", "e", "_"] and "th" in one[3:]
+
+
 # --- text ----------------------------------------------------------------------
 
 
