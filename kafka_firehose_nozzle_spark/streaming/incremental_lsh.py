@@ -1,0 +1,127 @@
+"""Streaming incremental near-dup detection: an LSH signature store
+updated per micro-batch.
+
+The batch LSH pipeline (operators/dedup.py) answers "which documents in
+THIS corpus are near-dups of each other".  A training-data INGEST
+pipeline needs the online variant: as new documents stream in, flag the
+ones that collide with anything already accepted, and admit the rest
+into the store — so the store only ever contains mutually-novel
+documents and the flag decision is O(bucket occupancy), not O(history).
+
+Spark-first decomposition (foreachBatch — the idempotent-sink pattern
+sinks/batchwise.py established):
+
+- per batch, signatures are the SAME per-row expressions the batch
+  operators use (one md5 per token, integer lane hashes — no UDF);
+- the collision check is an equi-join of the batch's (band_ix,
+  band_hash) rows against the store partition-pruned ON band_ix —
+  at 100 TB the store is laid out exactly like the batch LSH shuffle
+  (bucketed by band hash), so the probe touches one bucket per band;
+- accepted rows append their band rows to the store; duplicate rows are
+  recorded with the id they collided with.  Batch-id-keyed overwrite
+  makes replays idempotent (crash between store write and output write
+  replays the batch into the same directory).
+
+Within-batch duplicates are resolved by the batch operator first
+(lowest-id canon survives), so ordering is deterministic given a
+deterministic batch sequence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_firehose_nozzle_spark.operators import dedup as D
+
+_STORE_SCHEMA = "doc_id bigint, band_ix int, band_hash string, batch_id bigint"
+
+
+def _band_rows(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, band_ix, band_hash) rows for every document — the store
+    row shape AND the probe row shape (they must agree bit-for-bit,
+    which they do by construction: same expression)."""
+    staged = D.with_minhash(batch.select(id_col, text_col), text_col)
+    return staged.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col("lsh_bands")).alias("band_ix", "band_hash"),
+    )
+
+
+class IncrementalLshDedup:
+    """foreachBatch handler owning an on-disk LSH signature store.
+
+    ``store_dir`` holds the accepted documents' band rows (parquet,
+    partitioned by band_ix — the probe prunes to one directory per
+    band); ``out_dir`` receives one sub-directory per batch id with the
+    admit/duplicate decision for every input row (idempotent overwrite
+    on replay)."""
+
+    def __init__(self, spark: SparkSession, store_dir: str, out_dir: str,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.spark = spark
+        self.store_dir = store_dir
+        self.out_dir = out_dir
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _store(self) -> DataFrame:
+        if os.path.isdir(self.store_dir) and any(
+            not n.startswith((".", "_")) for n in os.listdir(self.store_dir)
+        ):
+            return self.spark.read.schema(_STORE_SCHEMA).parquet(self.store_dir)
+        return self.spark.createDataFrame([], _STORE_SCHEMA)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        # 1. resolve within-batch dups first (lowest id is canonical)
+        local = D.dedup_exact_keep_first(batch, self.id_col, self.text_col)
+        probe = _band_rows(local, self.id_col, self.text_col).localCheckpoint()
+
+        # 2. probe the store: any shared (band_ix, band_hash) bucket is
+        #    a candidate collision; keep the smallest colliding store id.
+        #    Only rows from STRICTLY EARLIER batches count — this is
+        #    what makes a crash replay idempotent: the replayed batch's
+        #    own first-run store rows are invisible to its second run.
+        store = self._store().filter(F.col("batch_id") < batch_id)
+        hits = (
+            probe.alias("P")
+            .join(
+                store.alias("S"),
+                (F.col("P.band_ix") == F.col("S.band_ix"))
+                & (F.col("P.band_hash") == F.col("S.band_hash")),
+                "inner",
+            )
+            .groupBy(F.col("P.doc_id").alias("doc_id"))
+            .agg(F.min(F.col("S.doc_id")).alias("dup_of"))
+        )
+
+        decisions = (
+            local.select(F.col(self.id_col).alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("dup_of"),
+                F.col("dup_of").isNull().alias("admitted"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .localCheckpoint()
+        )
+
+        # 3. idempotent outputs: batch-keyed overwrite for the decision
+        #    log; admitted band rows append to the store (a replayed
+        #    batch re-admits the same rows — duplicate store rows only
+        #    widen buckets, never change decisions, and compaction can
+        #    dedup them offline)
+        decisions.write.mode("overwrite").parquet(
+            f"{self.out_dir}/batch_id={batch_id}"
+        )
+        admitted = decisions.filter("admitted").select("doc_id")
+        (
+            probe.join(admitted, "doc_id", "left_semi")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("band_ix")
+            .parquet(self.store_dir)
+        )
