@@ -3979,6 +3979,35 @@ def _bpe_oracle(n_merges: int = 8) -> str:
 ORACLE_BPE_MERGES = _bpe_oracle(8)
 
 
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / compacted-topic semantics over the event log: each
+    user's latest event wins (ts DESC, event_id tiebreak); a latest
+    'error' event acts as a tombstone and removes the key — the merge
+    that rebuilds current state from an append-only change stream
+    (operators/history.py::compact_changelog, one key shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    out = H.compact_changelog(
+        ev, "user_id", "ts", "event_id", F.col("event_type") == "error"
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        DET.det_round(F.col("value"), 6).alias("last_value"),
+    )
+
+
+ORACLE_CHANGELOG = f"""
+    WITH r AS (SELECT user_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           {DET.det_round_sql('value', 6)} AS last_value
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4014,6 +4043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct_per_type": q_kmv_distinct_per_type,
     "vocab_coverage": q_vocab_coverage,
     "bpe_merges": q_bpe_merges,
+    "changelog_compact": q_changelog_compact,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -4092,6 +4122,7 @@ ORACLES: dict[str, str] = {
     "kmv_distinct_per_type": ORACLE_KMV_PER_TYPE,
     "vocab_coverage": ORACLE_VOCAB,
     "bpe_merges": ORACLE_BPE_MERGES,
+    "changelog_compact": ORACLE_CHANGELOG,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

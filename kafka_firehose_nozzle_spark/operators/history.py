@@ -20,6 +20,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def compact_changelog(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    tombstone,
+) -> DataFrame:
+    """Changelog compaction (CDC apply / compacted-topic semantics):
+    keep each key's LATEST row by (ts, tiebreak), and drop the key
+    entirely when that latest row is a tombstone — the merge that turns
+    an append-only change stream back into current state.
+
+    One hash shuffle on the key; per-key state is a single row_number
+    register, so a hot key costs sort time, never memory.  ``tombstone``
+    is a Column predicate evaluated on the surviving row only."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~tombstone)
+        .drop("_rn")
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,
