@@ -50,16 +50,23 @@ def pagerank_int(
     Floor divisions leak a few units of mass per iteration — that is
     the price of exactness, is identical everywhere, and is irrelevant
     to ranking.  Returns [vertex, rank] with rank BIGINT."""
+    # materialize the edge list ONCE: it appears in every iteration's
+    # flow join, and without truncating lineage the (possibly expensive)
+    # edge-derivation subtree would re-execute per iteration.  At
+    # cluster scale this is a persist-to-lake of the edge table,
+    # pre-partitioned by src so the per-iteration join reuses the
+    # layout; localCheckpoint is the local-mode equivalent.
     e = edges.select(
         F.col(src_col).cast("bigint").alias("src"),
         F.col(dst_col).cast("bigint").alias("dst"),
-    )
+    ).localCheckpoint()
     verts = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .localCheckpoint()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     n = verts.count()  # one scalar to the driver — sizes the base term
     base = TOTAL_MASS // n
     teleport = (100 - damping_pct) * base // 100
