@@ -4008,6 +4008,46 @@ ORACLE_CHANGELOG = f"""
 """
 
 
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over the media adapter
+    (operators/multimodal.py::resize_dims): fit-into-224 output dims as
+    pure integer arithmetic fused into the scan — the work order the
+    decode seam executes.  Dims are deterministic synthetics (no codecs
+    in this environment); the arithmetic is the production path."""
+    from kafka_firehose_nozzle_spark.operators import multimodal as MM
+
+    media = MM.with_fake_dims(
+        MM.documents_as_media(_t(spark, sf_dir, "documents"))
+    )
+    w = F.col("meta").getField("width")
+    h = F.col("meta").getField("height")
+    rd = MM.resize_dims(w, h, box=224)
+    return media.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        rd.getField("out_w").alias("out_w"),
+        rd.getField("out_h").alias("out_h"),
+    )
+
+
+ORACLE_RESIZE_PLAN = """
+    WITH m AS (SELECT doc_id AS media_id,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    d AS (SELECT media_id,
+                 CAST(64 + n % 1857 AS INT) AS width,
+                 CAST(64 + (n * 7) % 1017 AS INT) AS height
+          FROM m)
+    SELECT media_id, width, height,
+           CAST(GREATEST(1, (width * 224) // GREATEST(width, height))
+                AS INT) AS out_w,
+           CAST(GREATEST(1, (height * 224) // GREATEST(width, height))
+                AS INT) AS out_h
+    FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4044,6 +4084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "bpe_merges": q_bpe_merges,
     "changelog_compact": q_changelog_compact,
+    "media_resize_plan": q_media_resize_plan,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -4123,6 +4164,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": ORACLE_VOCAB,
     "bpe_merges": ORACLE_BPE_MERGES,
     "changelog_compact": ORACLE_CHANGELOG,
+    "media_resize_plan": ORACLE_RESIZE_PLAN,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

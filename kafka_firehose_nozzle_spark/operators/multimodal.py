@@ -160,3 +160,37 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     raise NotImplementedError(
         "frame sampling requires ffmpeg, not present in this environment"
     )
+
+
+def with_fake_dims(media: DataFrame) -> DataFrame:
+    """Deterministic stand-in pixel dimensions derived from payload
+    length (the text-as-media adapter has no real images to measure) —
+    lets the resize planner run and be oracle-checked on driver
+    testdata without a codec; a real pipeline reads meta.width/height
+    written at ingest."""
+    n = F.coalesce(F.length("payload"), F.lit(0)).cast("bigint")
+    return media.withColumn(
+        "meta",
+        F.struct(
+            (F.lit(64) + F.pmod(n, F.lit(1857))).cast("int").alias("width"),
+            (F.lit(64) + F.pmod(n * 7, F.lit(1017))).cast("int").alias("height"),
+            F.col("meta").getField("duration_ms").alias("duration_ms"),
+            F.col("meta").getField("codec").alias("codec"),
+        ),
+    )
+
+
+def resize_dims(width, height, box: int = 224):
+    """Aspect-preserving fit-into-box output dimensions as pure integer
+    arithmetic (floor(d * box / long_side), floored at 1) — the planning
+    half of image resize, fused into the scan; the pixel work itself
+    happens at the decode seam (decode_image) with these dims as its
+    work order.  Returns a struct column (out_w, out_h)."""
+    long_side = F.greatest(width, height)
+    out_w = F.greatest(
+        F.lit(1), ((width.cast("bigint") * box) / long_side).cast("bigint")
+    ).cast("int")
+    out_h = F.greatest(
+        F.lit(1), ((height.cast("bigint") * box) / long_side).cast("bigint")
+    ).cast("int")
+    return F.struct(out_w.alias("out_w"), out_h.alias("out_h"))

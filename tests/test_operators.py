@@ -836,3 +836,41 @@ def test_salted_counts_equal_direct_groupby(spark):
     direct = {(r["k"], r["count"]) for r in df.groupBy("k").count().collect()}
     salted = {(r["k"], r["n"]) for r in salted_counts(df, "k", ["v"]).collect()}
     assert salted == direct
+
+
+def test_zorder_interleave_properties(spark):
+    """Pure-Python model check of the z-key expression: evaluate the
+    Spark OR-chain on a batch of pairs and verify bit-exact agreement
+    with the reference interleave, including de-interleaving back to
+    the inputs (the key loses nothing below `bits`)."""
+    import random
+
+    from kafka_firehose_nozzle_spark.operators import layout as LAY
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", LAY.zorder_key2(F.col("a"), F.col("b"), bits=16).alias("z")
+        ).collect()
+    }
+
+    def model(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def deinterleave(z):
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for (a, b), z in got.items():
+        assert z == model(a, b)
+        assert deinterleave(z) == (a, b)
