@@ -4048,6 +4048,109 @@ ORACLE_RESIZE_PLAN = """
 """
 
 
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum split: quartile the corpus by quality score WITHOUT a
+    global NTILE (whose single-partition sort dies at 100 TB).  The
+    quality score is low-cardinality, so the quartile boundaries come
+    from a tiny value histogram (distinct-value shuffle + a <=5-row
+    window) and each doc's stage is a broadcast join on its value —
+    same-value docs land in the same stage (value-banded quartiles:
+    deterministic, unlike NTILE's arbitrary tie splitting).  Emits per
+    stage: doc count and the quality band."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(TX.quality_score(F.col("text")).alias("q"))
+    hist = q.groupBy("q").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the window runs over the value histogram (bounded rows), best first
+    staged = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+        .select(
+            "q",
+            "cnt",
+            F.least(
+                F.lit(4),
+                F.expr("(4 * (cum - cnt)) div n").cast("int") + 1,
+            ).alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.min("q").alias("q_lo"),
+        F.max("q").alias("q_hi"),
+    )
+
+
+def _curriculum_oracle() -> str:
+    q_expr = ORACLE_QUALITY.strip()
+    return f"""
+    WITH scores AS ({q_expr}),
+    hist AS (SELECT quality AS q, COUNT(*) AS cnt FROM scores GROUP BY 1),
+    c AS (SELECT q, cnt, SUM(cnt) OVER (ORDER BY q DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              (SELECT SUM(cnt) FROM hist) AS n
+          FROM hist),
+    s AS (SELECT q, cnt,
+              LEAST(4, CAST((4 * (cum - cnt)) // n AS INT) + 1) AS stage
+          FROM c)
+    SELECT stage, SUM(cnt) AS n_docs, MIN(q) AS q_lo, MAX(q) AS q_hi
+    FROM s GROUP BY stage
+"""
+
+
+ORACLE_CURRICULUM = _curriculum_oracle()
+
+
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: downsample every language to ~the
+    smallest language's share with a deterministic hash filter (keep
+    doc iff bucket16(md5(id)) * lang_count < 65536 * min_count) — the
+    same rows survive on any engine at any parallelism.  Per-lang
+    counts ride in via one broadcast aggregate; the filter itself is a
+    pure scan predicate.  Emits lang, n_total, n_kept."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    m = counts.agg(F.min("n_total").alias("m"))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(bucket * F.col("n_total") < F.lit(65536) * F.col("m"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return counts.join(kept, "lang", "left").select(
+        "lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+ORACLE_REBALANCE = """
+    WITH d AS (SELECT doc_id, lang FROM documents),
+    counts AS (SELECT lang, COUNT(*) AS n_total FROM d GROUP BY lang),
+    m AS (SELECT MIN(n_total) AS m FROM counts),
+    kept AS (SELECT d.lang, COUNT(*) AS n_kept
+             FROM d JOIN counts USING (lang) CROSS JOIN m
+             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || '#mix'), 1, 4)) AS BIGINT) * n_total
+                   < 65536 * m
+             GROUP BY d.lang)
+    SELECT lang, n_total, COALESCE(n_kept, 0) AS n_kept
+    FROM counts LEFT JOIN kept USING (lang)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4085,6 +4188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "changelog_compact": q_changelog_compact,
     "media_resize_plan": q_media_resize_plan,
+    "curriculum_stages": q_curriculum_stages,
+    "lang_rebalance": q_lang_rebalance,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -4165,6 +4270,8 @@ ORACLES: dict[str, str] = {
     "bpe_merges": ORACLE_BPE_MERGES,
     "changelog_compact": ORACLE_CHANGELOG,
     "media_resize_plan": ORACLE_RESIZE_PLAN,
+    "curriculum_stages": ORACLE_CURRICULUM,
+    "lang_rebalance": ORACLE_REBALANCE,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,
