@@ -284,3 +284,91 @@ def counter_running_totals_tws(envelopes: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("ewma_before", T.DoubleType(), True),
+        T.StructField("zscore", T.DoubleType(), True),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType(), True),
+        T.StructField("ewmvar", T.DoubleType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _ewma_detect(alpha: float, threshold: float, warmup: int):
+    def step(
+        key: tuple,
+        pdfs: "Iterator[pd.DataFrame]",
+        state: GroupState,
+    ) -> "Iterator[pd.DataFrame]":
+        import math
+
+        import pandas as pd
+
+        ewma, ewmvar, n = state.get if state.exists else (0.0, 0.0, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples(index=False):
+                x = float(row.value)
+                if n >= warmup:
+                    sd = math.sqrt(ewmvar) if ewmvar > 0 else 0.0
+                    z = (x - ewma) / sd if sd > 0 else 0.0
+                    if abs(z) > threshold:
+                        out.append(
+                            (int(row.user_id), int(row.event_id), x, ewma, z)
+                        )
+                if n == 0:
+                    ewma, ewmvar = x, 0.0
+                else:
+                    d = x - ewma
+                    ewma = ewma + alpha * d
+                    # West's EW variance update
+                    ewmvar = (1 - alpha) * (ewmvar + alpha * d * d)
+                n += 1
+        state.update((ewma, ewmvar, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "value", "ewma_before", "zscore"],
+            )
+
+    return step
+
+
+def ewma_anomalies(
+    events: DataFrame,
+    alpha: float = 0.25,
+    threshold: float = 3.0,
+    warmup: int = 10,
+) -> DataFrame:
+    """Streaming per-user anomaly detection: an exponentially-weighted
+    mean/variance per key (applyInPandasWithState) flags values more
+    than ``threshold`` EW standard deviations from the running mean.
+
+    The sequential recurrence is exactly why this is a STATEFUL op and
+    not a window: each value's z-score depends on every prior value's
+    update, which no bounded window frame expresses.  State per key is
+    three scalars — O(users), not O(events); rows inside a batch are
+    processed in (ts, event_id) order so replaying the same batch
+    sequence reproduces identical flags (tested batch-vs-stream in
+    tests/test_stateful.py).  Works on the events table shape
+    (event_id, ts, user_id, value)."""
+    cols = events.select("user_id", "event_id", "ts", "value")
+    return cols.groupBy("user_id").applyInPandasWithState(
+        _ewma_detect(alpha, threshold, warmup),
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

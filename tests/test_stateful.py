@@ -342,3 +342,76 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
     e = expected.sort_values(key).reset_index(drop=True)
     assert (f["running_total"].values == e["running_total"].values).all()
     assert (f["n_deltas"].values == e["n_deltas"].values).all()
+
+
+def test_ewma_anomalies_stream_matches_sequential_model(spark, tmp_path):
+    """The streaming EWMA detector, fed the event log in two
+    ts-ordered micro-batches, must flag exactly the rows a sequential
+    per-user reference implementation flags over the full log — state
+    carries the recurrence across the batch boundary."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.streaming.stateful import ewma_anomalies
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .filter(F.col("user_id") < 10)
+    )
+    cutoff = ev.agg(
+        F.expr("percentile(unix_micros(to_timestamp(ts)), 0.5)")
+    ).head()[0]
+    micros = F.unix_micros(F.to_timestamp(F.col("ts")))
+    src = str(tmp_path / "src")
+    ev.filter(micros <= cutoff).coalesce(1).write.parquet(src)
+    ev.filter(micros > cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "flags")
+    q = (
+        ewma_anomalies(stream, alpha=0.25, threshold=2.0, warmup=5)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # sequential reference over the full, globally ordered log
+    expected = set()
+    rows = sorted(
+        ev.collect(), key=lambda r: (r["user_id"], r["ts"], r["event_id"])
+    )
+    state = {}
+    for r in rows:
+        ewma, ewmvar, n = state.get(r["user_id"], (0.0, 0.0, 0))
+        x = float(r["value"])
+        if n >= 5:
+            sd = math.sqrt(ewmvar) if ewmvar > 0 else 0.0
+            z = (x - ewma) / sd if sd > 0 else 0.0
+            if abs(z) > 2.0:
+                expected.add((r["user_id"], r["event_id"]))
+        if n == 0:
+            ewma, ewmvar = x, 0.0
+        else:
+            d = x - ewma
+            ewma = ewma + 0.25 * d
+            ewmvar = 0.75 * (ewmvar + 0.25 * d * d)
+        state[r["user_id"]] = (ewma, ewmvar, n + 1)
+
+    assert len(expected) > 0
+    assert got == expected
