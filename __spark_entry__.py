@@ -4151,6 +4151,50 @@ ORACLE_REBALANCE = """
 """
 
 
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-purchase graph (suppliers
+    linked when >= 3 customers buy from both): co-occurrence edge build
+    sharded by customer, then degree-ordered wedge counting
+    (operators/graph.py::triangle_count — out-degree bounded by
+    O(sqrt(E)) so hub suppliers can't explode the wedge join).  Emits
+    [n_edges, n_triangles]."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = G.undirected_edges_min_support(
+        pairs, "cust", "supp", min_support=3
+    ).localCheckpoint()
+    tri = G.triangle_count(edges)
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return ne.crossJoin(tri)
+
+
+ORACLE_TRIANGLES = """
+    WITH pairs AS (SELECT DISTINCT o.o_custkey AS g, l.l_suppkey AS s
+                   FROM orders o JOIN lineitem l
+                     ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT a.s AS a, b.s AS b
+              FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    deg AS (SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) t
+            GROUP BY v),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS w
+          FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM o e1 JOIN o e2 ON e1.w = e2.u
+                 JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w)
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles FROM tri
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4190,6 +4234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize_plan": q_media_resize_plan,
     "curriculum_stages": q_curriculum_stages,
     "lang_rebalance": q_lang_rebalance,
+    "supplier_triangles": q_supplier_triangles,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -4272,6 +4317,7 @@ ORACLES: dict[str, str] = {
     "media_resize_plan": ORACLE_RESIZE_PLAN,
     "curriculum_stages": ORACLE_CURRICULUM,
     "lang_rebalance": ORACLE_REBALANCE,
+    "supplier_triangles": ORACLE_TRIANGLES,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

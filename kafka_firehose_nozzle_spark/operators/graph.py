@@ -108,3 +108,88 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def undirected_edges_min_support(
+    pairs: DataFrame,
+    group_col: str,
+    node_col: str,
+    min_support: int = 3,
+) -> DataFrame:
+    """Co-occurrence edges: nodes sharing >= min_support groups.
+
+    The self-join explodes per-group (C(k,2) pairs for a group with k
+    nodes) — the classic quadratic corner.  The guards that keep it
+    scale-safe: the join key is the group (so pair work shards by
+    group, never a global product), the a < b orientation halves the
+    output, and min_support prunes the long tail in the partial-agg
+    combine.  Groups with pathological k (a customer buying from every
+    supplier) are the skew case — cap or salt upstream; here k is
+    bounded by the schema (suppliers per customer)."""
+    a = pairs.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("a")
+    )
+    b = pairs.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("b")
+    )
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("a", "b")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected edge list (a < b rows).
+
+    Degree-ordered orientation — each edge directed from its lower-
+    (degree, id) endpoint — bounds every vertex's out-degree by
+    O(sqrt(edges)), which is what keeps the wedge join (the only
+    edge x edge operation) from exploding on high-degree hubs; the
+    orientation-by-id shortcut would put a hub's full neighborhood on
+    one side.  Plan: degrees (one agg), orient (broadcast-join degrees
+    twice), wedges = oriented |x| oriented on the middle vertex, close
+    = wedges semi-joined against oriented edges.  Returns one row
+    [n_triangles]."""
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.alias("E")
+        .join(deg.alias("DA"), F.col("E.a") == F.col("DA.v"))
+        .join(deg.alias("DB"), F.col("E.b") == F.col("DB.v"))
+        .select(
+            F.when(
+                (F.col("DA.d") < F.col("DB.d"))
+                | ((F.col("DA.d") == F.col("DB.d")) & (F.col("E.a") < F.col("E.b"))),
+                F.struct(F.col("E.a").alias("u"), F.col("E.b").alias("w")),
+            )
+            .otherwise(
+                F.struct(F.col("E.b").alias("u"), F.col("E.a").alias("w"))
+            )
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.w").alias("w"))
+        .localCheckpoint()
+    )
+    wedges = (
+        e.alias("E1")
+        .join(e.alias("E2"), F.col("E1.w") == F.col("E2.u"))
+        .select(
+            F.col("E1.u").alias("x"),
+            F.col("E1.w").alias("y"),
+            F.col("E2.w").alias("z"),
+        )
+    )
+    closed = wedges.join(
+        e.alias("E3"),
+        (F.col("x") == F.col("E3.u")) & (F.col("z") == F.col("E3.w")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

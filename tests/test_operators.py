@@ -874,3 +874,26 @@ def test_zorder_interleave_properties(spark):
     for (a, b), z in got.items():
         assert z == model(a, b)
         assert deinterleave(z) == (a, b)
+
+
+def test_triangle_count_known_graphs(spark):
+    from kafka_firehose_nozzle_spark.operators import graph as G
+
+    # K4: 4 triangles; plus a disjoint path 10-11-12: 0 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(10, 11), (11, 12)], "a bigint, b bigint"
+    )
+    assert G.triangle_count(edges).head()["n_triangles"] == 4
+
+    # co-occurrence support threshold: groups {g1,g2,g3} all contain
+    # (1,2); only 2 contain (1,3)
+    pairs = spark.createDataFrame(
+        [(g, n) for g in (1, 2, 3) for n in (1, 2)] + [(1, 3), (2, 3)],
+        "g bigint, s bigint",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in G.undirected_edges_min_support(pairs, "g", "s", 3).collect()
+    }
+    assert got == {(1, 2)}
