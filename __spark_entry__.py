@@ -4195,6 +4195,40 @@ ORACLE_TRIANGLES = """
 """
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.6 via prefix filtering (PPJoin
+    family; operators/dedup.py::prefix_jaccard_pairs) — no false
+    negatives, unlike the probabilistic MinHash-LSH path the corpus
+    dedup uses; candidates come only from rarest-token prefixes so the
+    equi-join buckets stay small at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(docs, "text", "doc_id", threshold_pct=60)
+
+
+ORACLE_PREFIX_JACCARD = f"""
+    WITH toks AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+                  FROM documents),
+    dfc AS (SELECT tok, COUNT(*) AS df_ FROM toks GROUP BY tok),
+    o2 AS (SELECT doc_id, ts, len(ts) AS n FROM (
+               SELECT doc_id, list(tok ORDER BY df_, tok) AS ts
+               FROM toks JOIN dfc USING (tok) GROUP BY doc_id) t),
+    pre AS (SELECT doc_id,
+                unnest(list_slice(ts, 1, n - ((60 * n + 99) // 100) + 1))
+                    AS tok
+            FROM o2),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pre a JOIN pre b
+               ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    v AS (SELECT id_a, id_b,
+              len(list_intersect(x.ts, y.ts)) AS i,
+              x.n + y.n - len(list_intersect(x.ts, y.ts)) AS u
+          FROM cand JOIN o2 x ON cand.id_a = x.doc_id
+               JOIN o2 y ON cand.id_b = y.doc_id)
+    SELECT id_a, id_b, CAST((i * 1000000) // u AS BIGINT) AS jac_ppm
+    FROM v WHERE i * 100 >= u * 60
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4235,6 +4269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_stages": q_curriculum_stages,
     "lang_rebalance": q_lang_rebalance,
     "supplier_triangles": q_supplier_triangles,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "frame_sample_plan": q_frame_sample_plan,
@@ -4318,6 +4353,7 @@ ORACLES: dict[str, str] = {
     "curriculum_stages": ORACLE_CURRICULUM,
     "lang_rebalance": ORACLE_REBALANCE,
     "supplier_triangles": ORACLE_TRIANGLES,
+    "prefix_jaccard_pairs": ORACLE_PREFIX_JACCARD,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "frame_sample_plan": ORACLE_FRAME_PLAN,

@@ -681,3 +681,88 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 60,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (the PPJoin
+    family) — the deterministic counterpart to MinHash-LSH: no false
+    negatives, every emitted pair verified.
+
+    Prefix filter: order each doc's distinct tokens rarest-first
+    (document frequency, token tiebreak).  Two docs with Jaccard >= t
+    MUST share a token inside each one's first n - ceil(t*n) + 1
+    tokens, so candidates come from an equi-join on prefix tokens only
+    — and because prefixes hold the RAREST tokens, join buckets stay
+    small (a stopword never lands in a prefix).  All threshold math is
+    integer (ceil(3n/5) = (3n+4) div 5 for t=0.6; the final test is
+    inter*100 >= union*threshold_pct), so the oracle replays exactly.
+
+    Scale shape: one df-count agg (token-cardinality shuffle), one
+    sort-per-doc, candidate equi-join on (rare) prefix tokens, exact
+    verification only on candidates.  Returns
+    [id_a, id_b, jac_ppm] with jac_ppm = (inter * 10^6) div union.
+    """
+    from kafka_firehose_nozzle_spark.operators.text import normalize_text, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(normalize_text(F.col(text_col))))
+        ).alias("tok"),
+    )
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    ordered = (
+        toks.join(dfc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_", "tok"))).alias("st")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("st"), lambda x: x.getField("tok")).alias("ts"),
+        )
+        .withColumn("n", F.size("ts"))
+        .localCheckpoint()
+    )
+    t = threshold_pct
+    # prefix_len = n - ceil(t*n/100) + 1, all integer
+    plen = F.col("n") - F.expr(f"({t} * n + 99) div 100") + F.lit(1)
+    prefixes = ordered.select(
+        "doc_id", F.explode(F.slice(F.col("ts"), 1, plen)).alias("tok")
+    )
+    cand = (
+        prefixes.alias("A")
+        .join(prefixes.alias("B"), "tok")
+        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .select(
+            F.col("A.doc_id").alias("id_a"), F.col("B.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = (
+        F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_u", union)
+        .filter(F.col("_i") * 100 >= F.col("_u") * F.lit(t))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(_i * 1000000L) div _u").alias("jac_ppm"),
+        )
+    )

@@ -897,3 +897,41 @@ def test_triangle_count_known_graphs(spark):
         for r in G.undirected_edges_min_support(pairs, "g", "s", 3).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    """The prefix filter's no-false-negative guarantee, verified: on
+    the sf0.001 corpus the PPJoin-style operator must return EXACTLY
+    the pairs a brute-force all-pairs exact-Jaccard join returns."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["jac_ppm"])
+        for r in D.prefix_jaccard_pairs(docs, "text", "doc_id", 60).collect()
+    }
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("ts"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    brute = {
+        (r["id_a"], r["id_b"], r["jac_ppm"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_i", inter)
+            .withColumn("_u", union)
+            .filter(F.col("_i") * 100 >= F.col("_u") * 60)
+            .select(
+                "id_a", "id_b", F.expr("(_i * 1000000L) div _u").alias("jac_ppm")
+            )
+            .collect()
+        )
+    }
+    assert got == brute
+    assert len(got) > 0  # planted near-dups exist at >= 0.6
