@@ -4206,19 +4206,35 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PREFIX_JACCARD = f"""
-    WITH toks AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+    WITH norm AS (SELECT doc_id,
+                      lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                          AS s
                   FROM documents),
+    toks AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(tok0), 1, 15)) AS BIGINT) AS tok
+             FROM (SELECT doc_id, unnest(
+                 CASE WHEN length(s) >= 5
+                      THEN list_distinct(list_transform(
+                               range(length(s) - 4),
+                               i -> substr(s, i + 1, 5)))
+                      ELSE [''] END) AS tok0
+             FROM norm) t0),
     dfc AS (SELECT tok, COUNT(*) AS df_ FROM toks GROUP BY tok),
     o2 AS (SELECT doc_id, ts, len(ts) AS n FROM (
                SELECT doc_id, list(tok ORDER BY df_, tok) AS ts
                FROM toks JOIN dfc USING (tok) GROUP BY doc_id) t),
-    pre AS (SELECT doc_id,
-                unnest(list_slice(ts, 1, n - ((60 * n + 99) // 100) + 1))
-                    AS tok
-            FROM o2),
+    pre0 AS (SELECT doc_id, n,
+                 unnest(list_transform(
+                     range(n - ((60 * n + 99) // 100) + 1),
+                     i -> {{'pos': i + 1, 'tok': ts[i + 1]}})) AS s
+             FROM o2),
+    pre AS (SELECT doc_id, n, s.pos AS pos, s.tok AS tok FROM pre0),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM pre a JOIN pre b
-               ON a.tok = b.tok AND a.doc_id < b.doc_id),
+               ON a.tok = b.tok AND a.doc_id < b.doc_id
+              AND LEAST(a.n, b.n) * 100 >= GREATEST(a.n, b.n) * 60
+              AND LEAST(a.n - a.pos, b.n - b.pos) + 1
+                  >= (60 * (a.n + b.n) + 159) // 160),
     v AS (SELECT id_a, id_b,
               len(list_intersect(x.ts, y.ts)) AS i,
               x.n + y.n - len(list_intersect(x.ts, y.ts)) AS u

@@ -683,11 +683,42 @@ def simhash_near_pairs(
     )
 
 
+def char_ngram_set(text: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text — the set
+    representation for exact similarity joins.  The element universe
+    must be SELECTIVE for prefix filtering to work: word tokens on the
+    low-entropy synthetic corpus made ~75% of ALL doc pairs candidates
+    (9.5M of 12.5M at sf0.1), and even trigrams left ~1000-doc buckets
+    (every one of the ~27^3 trigrams is common).  k=5 pushes the
+    universe to 27^5 so only genuinely shared text co-buckets — the
+    same reasoning that makes production near-dup pipelines shingle at
+    5 chars / 3+ words.  Shifted-slice zip_with build, never
+    per-position substring re-evaluation."""
+    from kafka_firehose_nozzle_spark.operators.text import normalize_text
+
+    chars = F.split(normalize_text(text), "")
+    m = F.size(chars) - (k - 1)
+    grams = F.slice(chars, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(chars, j + 1, m), lambda a, b: F.concat(a, b)
+        )
+    return F.when(m >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.lit(""))
+    )
+
+
+def char_trigram_set(text: Column) -> Column:
+    """Back-compat alias: distinct character trigrams."""
+    return char_ngram_set(text, 3)
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_pct: int = 60,
+    unit: str = "char5",
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering (the PPJoin
     family) — the deterministic counterpart to MinHash-LSH: no false
@@ -702,18 +733,49 @@ def prefix_jaccard_pairs(
     integer (ceil(3n/5) = (3n+4) div 5 for t=0.6; the final test is
     inter*100 >= union*threshold_pct), so the oracle replays exactly.
 
+    Two further PPJoin filters keep the candidate join from exploding
+    (without them, sf1 measured minutes: a 0.6 threshold puts ~40% of
+    every doc in its prefix, and moderately-rare tokens build big
+    buckets):
+    - length filter: 100 * min(n_a, n_b) >= t * max(n_a, n_b) in the
+      join condition (a Jaccard >= t pair can't differ much in size);
+    - positional filter: a shared prefix token at (1-based) positions
+      p_a/p_b can only witness a qualifying pair if the remaining
+      suffixes could still reach the required overlap
+      alpha = ceil(t * (n_a + n_b) / (100 + t)):
+      min(n_a - p_a, n_b - p_b) + 1 >= alpha.  Applied per matching
+      occurrence BEFORE the pair-distinct, so the earliest (most
+      permissive) occurrence decides — a superset of PPJoin's
+      candidate set, hence still zero false negatives (and the exact
+      verification removes false positives).
+
     Scale shape: one df-count agg (token-cardinality shuffle), one
-    sort-per-doc, candidate equi-join on (rare) prefix tokens, exact
-    verification only on candidates.  Returns
+    sort-per-doc, candidate equi-join on (rare) prefix tokens with the
+    filters above, exact verification only on candidates.  Returns
     [id_a, id_b, jac_ppm] with jac_ppm = (inter * 10^6) div union.
     """
     from kafka_firehose_nozzle_spark.operators.text import normalize_text, tokens
 
+    if unit.startswith("char"):
+        elems = char_ngram_set(F.col(text_col), int(unit[4:]))
+    elif unit == "token":
+        elems = F.array_distinct(tokens(normalize_text(F.col(text_col))))
+    else:
+        raise ValueError(f"unknown unit {unit!r} (want 'charK' or 'token')")
+    # set elements become 60-bit md5 hashes immediately: the exact
+    # verification intersects ~|set|-element arrays once per candidate
+    # pair, and long-array intersects are several times cheaper than
+    # string intersects (measured 31 s -> single digits on 1.5M
+    # candidates).  Collisions merge elements at ~2^-60 per pair —
+    # identical in both engines, so exactness-of-replay is unaffected.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(tokens(normalize_text(F.col(text_col))))
-        ).alias("tok"),
+        F.explode(elems).alias("tok0"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok0")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("tok"),
     )
     dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
     ordered = (
@@ -733,12 +795,23 @@ def prefix_jaccard_pairs(
     # prefix_len = n - ceil(t*n/100) + 1, all integer
     plen = F.col("n") - F.expr(f"({t} * n + 99) div 100") + F.lit(1)
     prefixes = ordered.select(
-        "doc_id", F.explode(F.slice(F.col("ts"), 1, plen)).alias("tok")
-    )
+        "doc_id",
+        "n",
+        F.posexplode(F.slice(F.col("ts"), 1, plen)).alias("p0", "tok"),
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "tok")
+    na, nb = F.col("A.n"), F.col("B.n")
+    alpha = F.expr(f"({t} * (A.n + B.n) + {100 + t} - 1) div {100 + t}")
     cand = (
         prefixes.alias("A")
-        .join(prefixes.alias("B"), "tok")
-        .filter(F.col("A.doc_id") < F.col("B.doc_id"))
+        .join(
+            prefixes.alias("B"),
+            (F.col("A.tok") == F.col("B.tok"))
+            & (F.col("A.doc_id") < F.col("B.doc_id"))
+            & (F.least(na, nb) * 100 >= F.greatest(na, nb) * F.lit(t)),
+        )
+        .filter(
+            F.least(na - F.col("A.pos"), nb - F.col("B.pos")) + 1 >= alpha
+        )
         .select(
             F.col("A.doc_id").alias("id_a"), F.col("B.doc_id").alias("id_b")
         )

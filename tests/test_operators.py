@@ -911,9 +911,7 @@ def test_prefix_jaccard_matches_brute_force(spark):
 
     toks = docs.select(
         F.col("doc_id"),
-        F.array_distinct(
-            TX.tokens(TX.normalize_text(F.col("text")))
-        ).alias("ts"),
+        D.char_ngram_set(F.col("text"), 5).alias("ts"),
     )
     a = toks.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
     b = toks.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
