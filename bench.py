@@ -122,6 +122,20 @@ def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
             S.cosine_topk(emb, q, k=10, impl=impl).count()
             best = min(best, time.perf_counter() - t0)
         out[f"ann_dim{dim}_{impl}_sec"] = round(best, 3)
+    # PQ ADC query path: training+encode are offline/ingest-time costs,
+    # so the benched number is the SCAN — 16 one-byte codes + 16 lookups
+    # per row instead of dim multiplies; at 100 TB this is also a 64x
+    # smaller column read. Same corpus, same query vector.
+    cb = S.pq_codebook(emb, num_sub=16, num_codes=16, dim=dim)
+    codes = S.pq_encode(emb, cb, num_sub=16, num_codes=16, dim=dim)
+    codes = codes.localCheckpoint(eager=True)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        S.pq_topk(codes, cb, qvec, k=10, num_sub=16, num_codes=16).count()
+        best = min(best, time.perf_counter() - t0)
+    out[f"ann_dim{dim}_pq_scan_sec"] = round(best, 3)
     return out
 
 

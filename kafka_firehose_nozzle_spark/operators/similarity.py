@@ -12,12 +12,17 @@ Two tiers, mirroring how ANN is deployed on large corpora:
   prunes ~C/nprobe of the data at the parquet-scan level.
 
 Dot products use F.zip_with + F.aggregate on array<double> — JVM-side,
-no Python — by default.  For WIDE embeddings (dim ≳ 128) the
-interpreted higher-order fold dominates, so ``cosine_topk``/``ivf_topk``
-take ``impl="blas"``: an Arrow-batched pandas UDF that runs the whole
+no Python — by default.  ``cosine_topk``/``ivf_topk`` also take
+``impl="blas"``: an Arrow-batched pandas UDF that runs the whole
 corpus × query cosine as one ``M @ q`` matrix-vector product per batch
 (NumPy dispatches to the platform BLAS).  Never a row-at-a-time UDF —
 tests/test_plan_shapes.py pins the plan to ArrowEvalPython.
+Measured honestly (bench ann_dim256_*): at dim 256 / 100k rows on
+local[32] the Arrow transfer outweighs the fold savings (~1.3 s vs
+~0.8 s), so "wide" means wider still — the seam earns its keep when
+scoring runs on a real BLAS thread pool/GPU or dims reach 10^3+; for
+plain CPU scans the PQ ADC path (below) is the measured winner
+(~0.6x the fold, reading 1/64th of the bytes).
 
 The two impls agree to the emitted 4-decimal rounding but are NOT
 bit-equal internally (a left fold vs BLAS pairwise summation differ in
