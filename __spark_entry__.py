@@ -758,6 +758,38 @@ SHARED_SQL: dict[str, str] = {
                 AS corr_qty_price
         FROM m
     """,
+    # REGR_* family (slope / intercept / R^2) from the same decimal-
+    # exact moments as dispersion_stats — the built-in regr_slope/corr
+    # fold doubles in shuffle order and differs across engines in the
+    # last ULPs; here every moment is an exact decimal sum and the
+    # closed-form arithmetic is the identical IEEE expression on both.
+    "regression_price_qty": """
+        WITH m AS (
+            SELECT l_returnflag,
+                COUNT(*) AS n,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS DOUBLE) AS sx,
+                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2)))
+                     AS DECIMAL(30,6)) AS DOUBLE) AS sxx,
+                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS DOUBLE) AS sy,
+                CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DECIMAL(38,6)) AS VARCHAR(64)) AS DOUBLE) AS syy,
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                            * CAST(l_extendedprice AS DECIMAL(12,2)))
+                     AS DECIMAL(38,6)) AS VARCHAR(64)) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+            (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                AS intercept,
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        FROM m
+    """,
     # interval self-join (batch analog of the streaming error<-http
     # correlation, streaming/stateful.correlate_errors_with_http): for
     # each error event, how many views the same user made in the prior
