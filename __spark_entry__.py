@@ -1154,8 +1154,9 @@ _EMB_DOT = (
 
 # replays embedding_lsh_dup_pairs: k = max(4, ceil(log2(n/100))) sign bits
 # per band over planes = the first 2k corpus vectors; candidates are the
-# OR of both bands' intra-bucket pairs.
-ORACLE_EMB_DUPS = f"""
+# OR of both bands' intra-bucket pairs. The CTE block (through `p`, all
+# scored candidate pairs) is shared with the kNN-graph oracle.
+_EMB_LSH_PAIRS_CTE = f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -1178,8 +1179,12 @@ ORACLE_EMB_DUPS = f"""
                   / 1000000.0) AS cos_sim
           FROM cand c JOIN s a ON c.id_a = a.vec_id
                       JOIN s bb ON c.id_b = bb.vec_id)
-    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2
 """
+
+ORACLE_EMB_DUPS = (
+    _EMB_LSH_PAIRS_CTE
+    + "SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.2"
+)
 
 
 # --------------------------------------------------------------------------
@@ -4277,6 +4282,156 @@ ORACLE_PREFIX_JACCARD = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 4c: kNN graph, SemDeDup, constraint audit
+# --------------------------------------------------------------------------
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-NN graph over the embedding corpus via the banded
+    sign-LSH blocking (operators/similarity.py::knn_graph_lsh) — the
+    scale-bounded alternative to the O(n^2) exact graph; feeds
+    graph-based clustering / diversity pipelines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_graph_lsh(
+        emb, k=3, n=_parquet_nrows(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+ORACLE_KNN_GRAPH = _EMB_LSH_PAIRS_CTE + """,
+    sym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM p
+            UNION ALL
+            SELECT id_b AS vec_id, id_a AS neighbor_id, cos_sim FROM p),
+    r AS (SELECT vec_id, neighbor_id, cos_sim,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS nn_rank
+          FROM sym)
+    SELECT vec_id, neighbor_id, nn_rank, cos_sim FROM r WHERE nn_rank <= 3
+"""
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: 8 medoid
+    cells, drop every vector with a lower-id in-cell neighbor at cosine
+    >= 0.35, keep the rest (operators/similarity.py::semantic_dedup_keep).
+    The pairwise comparison never leaves a cluster — O(n^2/C) total work,
+    equi-join on cell_id, no cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.medoid_centroids(emb, 8)
+    return S.semantic_dedup_keep(emb, cents, threshold=0.35)
+
+
+ORACLE_SEMDEDUP = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < 8),
+    assign AS (SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_sim_sql('e.v', 'c.centroid')} DESC, c.cell_id)
+                   AS rn
+        FROM e CROSS JOIN c) ranked WHERE rn = 1),
+    m AS (SELECT a.vec_id, a.cell_id, e.v,
+                 sqrt(list_sum(list_transform(e.v, y -> y * y))) AS nrm
+          FROM assign a JOIN e ON e.vec_id = a.vec_id),
+    drops AS (SELECT DISTINCT y.vec_id
+              FROM m x JOIN m y ON x.cell_id = y.cell_id
+                               AND x.vec_id < y.vec_id
+              WHERE {_EMB_DOT.format(a='x.v', b='y.v')} / (x.nrm * y.nrm)
+                    >= 0.35)
+    SELECT vec_id, cell_id FROM m
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality invariant report over the TPC-H-ish lake
+    (operators/audit.py): FK orphans, key uniqueness, value ranges,
+    temporal ordering — each check one scan + tiny aggregate, glued into
+    a [check_name, violations, checked] report. The synthetic lake is
+    clean on the FK/dup checks and dirty on none of them by
+    construction, so the report doubles as a fixture regression guard."""
+    from kafka_firehose_nozzle_spark.operators import audit as AU
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    checks = [
+        (
+            "orders_fk_customer",
+            AU.fk_orphans(orders, cust, "o_custkey", "c_custkey"),
+            orders,
+        ),
+        (
+            "lineitem_fk_orders",
+            AU.fk_orphans(li, orders, "l_orderkey", "o_orderkey"),
+            li,
+        ),
+        ("customer_pk_unique", AU.duplicate_keys(cust, "c_custkey"), cust),
+        (
+            "lineitem_price_positive",
+            AU.check(li, F.col("l_extendedprice") > 0),
+            li,
+        ),
+        (
+            "lineitem_discount_range",
+            AU.check(
+                li,
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            ),
+            li,
+        ),
+        (
+            "orders_totalprice_positive",
+            AU.check(orders, F.col("o_totalprice") > 0),
+            orders,
+        ),
+    ]
+    return AU.audit_report(checks)
+
+
+ORACLE_AUDIT = """
+    SELECT * FROM (
+    SELECT 'orders_fk_customer' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS violations,
+           (SELECT COUNT(*) FROM orders) AS checked
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           (SELECT COALESCE(SUM(extra), 0) FROM (
+                SELECT COUNT(*) - 1 AS extra FROM customer
+                GROUP BY c_custkey HAVING COUNT(*) > 1) t),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'lineitem_price_positive',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT (l_extendedprice > 0)
+               OR (l_extendedprice > 0) IS NULL),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT (l_discount >= 0 AND l_discount <= 1)
+               OR (l_discount >= 0 AND l_discount <= 1) IS NULL),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT (o_totalprice > 0) OR (o_totalprice > 0) IS NULL),
+           (SELECT COUNT(*) FROM orders)
+    ) ORDER BY check_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4359,6 +4514,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
     "embedding_quantization_error": q_embedding_quantization_error,
+    "knn_graph": q_knn_graph,
+    "semdedup_keep": q_semdedup_keep,
+    "constraint_audit": q_constraint_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -4443,6 +4601,9 @@ ORACLES: dict[str, str] = {
     "tfidf_top_terms": ORACLE_TFIDF,
     "minhash_jaccard_estimate": ORACLE_MINHASH_EST,
     "embedding_quantization_error": ORACLE_QUANT,
+    "knn_graph": ORACLE_KNN_GRAPH,
+    "semdedup_keep": ORACLE_SEMDEDUP,
+    "constraint_audit": ORACLE_AUDIT,
 }
 
 

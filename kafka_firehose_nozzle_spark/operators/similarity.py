@@ -565,3 +565,126 @@ def ivf_topk(
     )
     pruned = assigned.join(F.broadcast(probe_cells), "cell_id", "left_semi")
     return cosine_topk(pruned, query, k, id_col, vec_col, impl=impl)
+
+
+# --- kNN graph + semantic dedup (SemDeDup-style) -----------------------------
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bands: int = 2,
+    n: int | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over an embedding corpus,
+    blocked by the same banded sign-LSH buckets as
+    ``dedup.embedding_lsh_dup_pairs`` (bucket count grows ~n/100, so the
+    per-bucket quadratic stays bounded at any corpus size; an exact kNN
+    graph is the O(n^2) cross join this exists to avoid).
+
+    Every intra-bucket candidate pair is scored once (threshold -1 keeps
+    them all), symmetrized, and each vertex keeps its ``k`` best
+    neighbors by (cos_sim desc, neighbor id) — ranking on the SAME
+    6-decimal-rounded similarity the rows emit, so the rank is a pure
+    function of the output and a SQL oracle replays it exactly.
+
+    Output: [vec_id, neighbor_id, nn_rank, cos_sim]. Vertices whose
+    buckets contain no other member are absent (no candidates — the
+    LSH recall trade, same as the dup-pairs operator).
+
+    Plan shape: one (band,bucket) equi-join + one distinct for the
+    candidate set, one shuffle for the per-vertex top-k window; vectors
+    are fetched per distinct pair, never shuffled through the join.
+    """
+    from pyspark.sql import Window
+
+    from kafka_firehose_nozzle_spark.operators.dedup import (
+        embedding_lsh_dup_pairs,
+    )
+
+    pairs = embedding_lsh_dup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_bands=num_bands,
+        threshold=-1.0,
+        n=n,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
+        "cos_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(id_col, "neighbor_id", "nn_rank", "cos_sim")
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest centroid, compare pairs ONLY within a
+    cluster, and drop any vector that has a lower-id in-cluster neighbor
+    with cosine >= ``threshold`` (each near-dup group keeps its earliest
+    member). Returns the keepers as [vec_id, cell_id].
+
+    This is the published recipe for trillion-token corpora precisely
+    because of its scale shape: the O(n^2) semantic comparison is fenced
+    into clusters of ~n/C vectors, so total pair work is O(n^2/C) and
+    each cluster's pairwise join is an equi-join on cell_id — never a
+    cross join. Choose C ~ n/1000 in production to bound cluster sizes;
+    the centroid table stays broadcastable (C x dim doubles).
+
+    Per-row norms are hoisted and computed once; the drop set (only the
+    duplicate fringe, orders of magnitude smaller than the corpus at
+    realistic thresholds) comes back via a left-anti join, mirroring
+    ``dedup_corpus``.
+    """
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    sides = assigned.select(
+        "cell_id", F.col(id_col).alias("id"), v.alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = sides.select(
+        "cell_id",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    b = sides.select(
+        "cell_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    drops = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_prenormed(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti").select(id_col, "cell_id")

@@ -933,3 +933,86 @@ def test_prefix_jaccard_matches_brute_force(spark):
     }
     assert got == brute
     assert len(got) > 0  # planted near-dups exist at >= 0.6
+
+
+# --- constraint audit -------------------------------------------------------
+
+
+def test_audit_detects_injected_violations(spark):
+    from kafka_firehose_nozzle_spark.operators import audit as AU
+
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=2), Row(fk=99), Row(fk=None)]
+    )
+    # FK: 99 is orphaned; NULL is exempt (SQL FK semantics)
+    assert AU.fk_orphans(child, parent, "fk", "pk").count() == 1
+
+    dup = spark.createDataFrame([Row(k=1), Row(k=1), Row(k=1), Row(k=2)])
+    extras = AU.duplicate_keys(dup, "k").collect()
+    assert {(r["k"], r["_extra"]) for r in extras} == {(1, 2)}
+
+    vals = spark.createDataFrame([Row(x=5), Row(x=-1), Row(x=None)])
+    # violations: -1 fails the predicate, NULL is counted as violating
+    assert AU.check(vals, F.col("x") > 0).count() == 2
+
+    rep = AU.audit_report(
+        [
+            ("fk", AU.fk_orphans(child, parent, "fk", "pk"), child),
+            ("dup", AU.duplicate_keys(dup, "k"), dup),
+            ("rng", AU.check(vals, F.col("x") > 0), vals),
+        ]
+    ).collect()
+    got = {r["check_name"]: (r["violations"], r["checked"]) for r in rep}
+    assert got == {"fk": (1, 4), "dup": (2, 4), "rng": (2, 3)}
+
+
+# --- semantic dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    # 8 well-separated basis-ish vectors + an exact copy of id 3 at id 100
+    # and a near-copy of id 5 at id 101; both copies must be dropped and
+    # every original kept.
+    import math
+
+    base = []
+    for i in range(8):
+        v = [0.0] * 8
+        v[i] = 1.0
+        base.append(Row(vec_id=i, embedding=v))
+    base.append(Row(vec_id=100, embedding=[0.0] * 3 + [5.0] + [0.0] * 4))
+    near5 = [0.0] * 8
+    near5[5] = 1.0
+    near5[6] = 0.1
+    base.append(Row(vec_id=101, embedding=near5))
+    df = spark.createDataFrame(base)
+    cents = S.medoid_centroids(df, 8)
+    kept = S.semantic_dedup_keep(df, cents, threshold=0.9)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == set(range(8))
+    # a sterner threshold keeps the near-copy but not the exact copy
+    kept2 = S.semantic_dedup_keep(df, cents, threshold=0.999)
+    ids2 = {r["vec_id"] for r in kept2.collect()}
+    assert ids2 == set(range(8)) | {101}
+
+
+def test_knn_graph_ranks_by_similarity(spark):
+    # 6 vectors in 2 tight groups; with every id < num_planes*2 doubling
+    # as a plane, use planes from ids 0..7 (need 8 ids) -> pad corpus.
+    import random
+
+    rows = []
+    for i in range(12):
+        g = i % 2
+        v = [1.0 + 0.01 * i if g == 0 else 0.05, 0.05 if g == 0 else 1.0 + 0.01 * i]
+        rows.append(Row(vec_id=i, embedding=v))
+    df = spark.createDataFrame(rows)
+    out = S.knn_graph_lsh(df, k=2, n=12).collect()
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["vec_id"], []).append(r)
+    for v, nbrs in by_v.items():
+        assert len(nbrs) <= 2
+        sims = [r["cos_sim"] for r in sorted(nbrs, key=lambda r: r["nn_rank"])]
+        assert sims == sorted(sims, reverse=True)
