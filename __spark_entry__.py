@@ -4432,6 +4432,162 @@ ORACLE_AUDIT = """
 """
 
 
+def q_dup_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-sharing profile over the planted corpus: per doc,
+    how many of its word 8-gram windows appear verbatim in another
+    document (operators/text.py::duplicated_window_stats — the
+    distributed stand-in for suffix-array substring dedup). Run over
+    ``_planted_docs`` so every original/copy pair shares nearly all
+    windows and the signal is non-trivial."""
+    return TX.duplicated_window_stats(_planted_docs(spark, sf_dir), n=8)
+
+
+_GRAMS8 = (
+    "CASE WHEN len(toks) >= 8 THEN list_transform(range(len(toks) - 7), "
+    "i -> array_to_string(toks[i + 1:i + 8], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+ORACLE_DUP_WINDOWS = f"""
+    WITH docs2 AS ({_PLANTED_SQL}),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    g AS (SELECT doc_id, {_GRAMS8} AS grams FROM t),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+                FROM g) u),
+    dfc AS (SELECT gh, COUNT(*) AS df_ FROM h GROUP BY gh),
+    per AS (SELECT doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_windows
+            FROM h JOIN dfc USING (gh) GROUP BY doc_id)
+    SELECT doc_id, n_windows, dup_windows,
+           (dup_windows * 1000000) // n_windows AS dup_ppm
+    FROM per
+"""
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per term, document frequency and the
+    first 10 postings (sorted doc ids, comma-joined for hash-stable
+    comparison); top 30 terms by df. One explode + one hash aggregation
+    — the canonical search-index build, partial-agg safe at any corpus
+    size (collect_list is bounded per term by the slice)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.tokens(TX.normalize_text(F.col("text"))))
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+            ).alias("postings10"),
+        )
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(30)
+    )
+
+
+ORACLE_POSTINGS = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+    SELECT term, COUNT(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings10
+    FROM e GROUP BY term
+    ORDER BY doc_freq DESC, term LIMIT 30
+"""
+
+
+def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search through the inverted-index shape: documents
+    containing ALL three query terms, resolved as a term-filtered
+    explode + per-doc distinct-term count (the posting-intersection
+    plan: the scan prunes to rows matching any term — at scale, the
+    posting table is term-bucketed so this reads 3 buckets, not the
+    corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    qterms = ["data", "model", "the"]
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.tokens(TX.normalize_text(F.col("text"))))
+        ).alias("term"),
+    ).filter(F.col("term").isin(qterms))
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") == len(qterms))
+        .select("doc_id")
+    )
+
+
+ORACLE_CONJUNCTIVE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    e AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
+    SELECT doc_id FROM e WHERE term IN ('data', 'model', 'the')
+    GROUP BY doc_id HAVING COUNT(*) = 3
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: LSH near-dup clusters, but the
+    survivor is the LONGEST member (ties: lowest id), not the lowest id
+    — real curation keeps the best copy, not the first-seen. One window
+    over the small component table picks the canonical; cluster sizes
+    and canonical ids are reported per component."""
+    from pyspark.sql import Window
+
+    docs2 = _planted_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    comp = D.dup_components(pairs)
+    sized = comp.join(
+        docs2.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+                "canonical_id"
+            ),
+        )
+    )
+
+
+ORACLE_KEEP_BEST = (
+    _ORACLE_LSH_CAND.replace("WITH docs2", "WITH RECURSIVE docs2", 1)
+    + """,
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach AS (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id
+             FROM reach GROUP BY id),
+    sized AS (SELECT c.component_id, c.doc_id, length(d.text) AS n_chars
+              FROM comp c JOIN docs2 d ON d.doc_id = c.doc_id),
+    ranked AS (SELECT component_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component_id
+                       ORDER BY n_chars DESC, doc_id) AS rn
+               FROM sized)
+    SELECT component_id, COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id
+    FROM ranked GROUP BY component_id
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4517,6 +4673,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "semdedup_keep": q_semdedup_keep,
     "constraint_audit": q_constraint_audit,
+    "dup_window_stats": q_dup_window_stats,
+    "posting_lists": q_posting_lists,
+    "conjunctive_search": q_conjunctive_search,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES: dict[str, str] = {
@@ -4604,6 +4764,10 @@ ORACLES: dict[str, str] = {
     "knn_graph": ORACLE_KNN_GRAPH,
     "semdedup_keep": ORACLE_SEMDEDUP,
     "constraint_audit": ORACLE_AUDIT,
+    "dup_window_stats": ORACLE_DUP_WINDOWS,
+    "posting_lists": ORACLE_POSTINGS,
+    "conjunctive_search": ORACLE_CONJUNCTIVE,
+    "dedup_keep_best": ORACLE_KEEP_BEST,
 }
 
 

@@ -394,3 +394,51 @@ def bpe_apply(text: Column, merges: list[str]) -> Column:
         for _pass in range(2):
             s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {pair.replace(' ', '')} "))
     return F.filter(F.split(F.trim(s), " "), lambda t: t != "")
+
+
+def duplicated_window_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus-level duplicated-window detection — the distributed
+    window-hash approximation of suffix-array exact-substring dedup
+    (Lee et al. 2022 deduplicate ~50-token exact substrings with a
+    single-machine suffix array; at 100 TB the equivalent signal is
+    "how much of this document's n-gram windows appear verbatim in
+    OTHER documents").
+
+    Per document: distinct word ``n``-gram windows, each hashed to a
+    60-bit md5-derived key BEFORE the shuffle (fixed-width ints, not
+    window strings, cross the wire). One hash aggregation computes each
+    window's document frequency; a join + per-doc partial agg yields
+    [doc_id, n_windows, dup_windows, dup_ppm] where dup_ppm is the
+    exact-integer fraction (x1e6, floor-div) of windows shared with at
+    least one other document.
+
+    Scale shape: explode -> two hash aggregations + one shuffled
+    equi-join on the window hash. O(total windows), never O(docs^2);
+    the window-frequency table is the corpus's duplicated fringe and is
+    the side to bloom-filter at extreme scale."""
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    hashed = df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
+    )
+    dfreq = hashed.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        hashed.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("dup_windows * 1000000 div n_windows")
+        )
+    )
