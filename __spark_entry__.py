@@ -2083,8 +2083,9 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BM25 = f"""
-    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+# CTE chain shared with the RRF-fusion oracle (which ranks bm25_out)
+_BM25_CTES = f"""
+    t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
     stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
@@ -2098,12 +2099,16 @@ ORACLE_BM25 = f"""
                         * dl.dl / stats.avgdl))))
                   * 100000000.0 + 0.5) / 100000000.0) AS contrib
           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
-          CROSS JOIN stats CROSS JOIN n)
-    SELECT doc_id, COUNT(*) AS n_terms_hit,
+          CROSS JOIN stats CROSS JOIN n),
+    bm25_out AS (SELECT doc_id, COUNT(*) AS n_terms_hit,
         (FLOOR(CAST(SUM(CAST(contrib AS DECIMAL(20,8))) AS DOUBLE)
             * 1000000.0 + 0.5) / 1000000.0) AS bm25
-    FROM c GROUP BY doc_id
+    FROM c GROUP BY doc_id)
 """
+
+ORACLE_BM25 = (
+    "WITH " + _BM25_CTES + " SELECT doc_id, n_terms_hit, bm25 FROM bm25_out"
+)
 
 
 def q_char_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4588,6 +4593,119 @@ ORACLE_KEEP_BEST = (
 )
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion: the dense ranking (cosine vs query vector 0
+    over embeddings, exact-ppm relevance) and the sparse ranking (the
+    BM25 query) fused with reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse) on the shared id space. Scores
+    are exact integers (1e9 div (60 + rank)), so the fused order is a
+    pure function of the two input rankings."""
+    from kafka_firehose_nozzle_spark.operators import retrieval as R
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(S.query_vector(emb, 0))
+    v = F.col("embedding").cast("array<double>")
+    sim = S.cosine(v, F.col("query_vec").cast("array<double>"))
+    dense = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.floor(sim * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("rel_ppm"),
+        )
+    )
+    sparse = q_bm25_scores(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "bm25"
+    )
+    ra = R.ranked(dense, "rel_ppm", "id", 50)
+    rb = R.ranked(sparse, "bm25", "id", 50)
+    return R.rrf_fuse([ra, rb], id_col="id", k=60)
+
+
+ORACLE_RRF = f"""
+    WITH {_BM25_CTES.strip()},
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    dense AS (SELECT vec_id AS id,
+                  CAST(FLOOR({_sim_sql('e.v', 'qv.v')} * 1000000.0 + 0.5)
+                      AS BIGINT) AS rel_ppm
+              FROM e CROSS JOIN qv WHERE vec_id <> 0),
+    ra AS (SELECT id, rank FROM (
+               SELECT id, ROW_NUMBER() OVER (
+                   ORDER BY rel_ppm DESC, id) AS rank FROM dense) t
+           WHERE rank <= 50),
+    rb AS (SELECT id, rank FROM (
+               SELECT doc_id AS id, ROW_NUMBER() OVER (
+                   ORDER BY bm25 DESC, doc_id) AS rank FROM bm25_out) t
+           WHERE rank <= 50),
+    u AS (SELECT id, 1000000000 // (60 + rank) AS pts FROM ra
+          UNION ALL SELECT id, 1000000000 // (60 + rank) FROM rb)
+    SELECT id, CAST(SUM(pts) AS BIGINT) AS rrf_score,
+           COUNT(*) AS n_lists
+    FROM u GROUP BY id
+"""
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 from the 20 most
+    relevant candidates (lambda = 0.7) —
+    operators/retrieval.py::mmr_rerank. All picks happen in exact ppm
+    integer space, so the DuckDB oracle replays the greedy selection as
+    5 unrolled CTE steps."""
+    from kafka_firehose_nozzle_spark.operators import retrieval as R
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return R.mmr_rerank(
+        emb, S.query_vector(emb, 0), k=5, pool=20, lam_pct=70
+    )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: int = 70) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "qv AS (SELECT v FROM e WHERE vec_id = 0)",
+        f"cand AS (SELECT vec_id, CAST(FLOOR({_sim_sql('e.v', 'qv.v')}"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS rel_ppm, e.v"
+        f" FROM e CROSS JOIN qv WHERE vec_id <> 0"
+        f" ORDER BY rel_ppm DESC, vec_id LIMIT {pool})",
+        f"ps AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        f" CAST(FLOOR({_sim_sql('a.v', 'b.v')} * 1000000.0 + 0.5)"
+        f" AS BIGINT) AS sim_ppm"
+        f" FROM cand a JOIN cand b ON a.vec_id <> b.vec_id)",
+        "sel1 AS (SELECT 1 AS mmr_rank, vec_id, rel_ppm FROM cand "
+        "ORDER BY rel_ppm DESC, vec_id LIMIT 1)",
+        "picked1 AS (SELECT vec_id FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"step{i} AS (SELECT c.vec_id, c.rel_ppm, "
+            f"{lam} * c.rel_ppm - {100 - lam} * MAX(ps.sim_ppm) AS score "
+            f"FROM cand c JOIN ps ON ps.id_a = c.vec_id "
+            f"JOIN picked{p} s ON ps.id_b = s.vec_id "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{p}) "
+            f"GROUP BY c.vec_id, c.rel_ppm)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT {i} AS mmr_rank, vec_id, rel_ppm "
+            f"FROM step{i} ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"picked{i} AS (SELECT vec_id FROM picked{p} "
+            f"UNION ALL SELECT vec_id FROM sel{i})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    return "WITH " + ",\n    ".join(ctes) + f" {union}"
+
+
+ORACLE_MMR = _mmr_oracle(5, 20, 70)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4677,6 +4795,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "posting_lists": q_posting_lists,
     "conjunctive_search": q_conjunctive_search,
     "dedup_keep_best": q_dedup_keep_best,
+    "rrf_hybrid": q_rrf_hybrid,
+    "mmr_diverse_topk": q_mmr_diverse_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -4768,6 +4888,8 @@ ORACLES: dict[str, str] = {
     "posting_lists": ORACLE_POSTINGS,
     "conjunctive_search": ORACLE_CONJUNCTIVE,
     "dedup_keep_best": ORACLE_KEEP_BEST,
+    "rrf_hybrid": ORACLE_RRF,
+    "mmr_diverse_topk": ORACLE_MMR,
 }
 
 
