@@ -4706,6 +4706,81 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: int = 70) -> str:
 ORACLE_MMR = _mmr_oracle(5, 20, 70)
 
 
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (3 power
+    iterations, exact-decimal matrix-vector products, centering via the
+    decimal-mean route) — operators/similarity.py::pca_top_component.
+    The DuckDB oracle replays mean, centering, and all 3 iterations as
+    unrolled CTEs."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.pca_top_component(emb, iterations=3)
+
+
+def _pca_oracle(iterations: int = 3, dim: int = 64) -> str:
+    davg20 = (
+        "CAST(CAST(SUM(CAST(val AS DECIMAL(20,12))) AS VARCHAR(64)) "
+        "AS DOUBLE) / COUNT(*)"
+    )
+    dsum30 = (
+        "CAST(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS VARCHAR(64)) "
+        "AS DOUBLE)"
+    )
+
+    def dotl(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(len({a})), "
+            f"j -> {a}[j + 1] * {b}[j + 1]))"
+        )
+
+    nrm = "sqrt(list_sum(list_transform(yv, x2 -> x2 * x2)))"
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "ex AS (SELECT vec_id, unnest(range(len(v))) AS pos, "
+        "unnest(v) AS val FROM e)",
+        f"mean AS (SELECT pos, {davg20} AS m FROM ex GROUP BY pos)",
+        "ml AS (SELECT list(m ORDER BY pos) AS mv FROM mean)",
+        "c AS (SELECT vec_id, list_transform(range(len(v)), "
+        "i -> v[i + 1] - mv[i + 1]) AS cv FROM e CROSS JOIN ml)",
+        f"v0 AS (SELECT list_transform(range({dim}), i -> 0.125) AS vv)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"p{i} AS (SELECT vec_id, {dotl('cv', 'vv')} AS proj "
+            f"FROM c CROSS JOIN v{p})"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT u.j AS pos, p.proj * c.cv[u.j + 1] AS term "
+            f"FROM p{i} p JOIN c USING (vec_id), "
+            f"unnest(range({dim})) AS u(j))"
+        )
+        ctes.append(
+            f"y{i} AS (SELECT pos, {dsum30} AS y FROM t{i} GROUP BY pos)"
+        )
+        ctes.append(
+            f"yl{i} AS (SELECT list(y ORDER BY pos) AS yv FROM y{i})"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT list_transform(yv, x -> x / "
+            f"(CASE WHEN {nrm} = 0 THEN 1.0 ELSE {nrm} END)) AS vv "
+            f"FROM yl{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT u.j AS pos,
+           CAST(FLOOR(vv[u.j + 1] * 1000000.0 + 0.5) AS BIGINT)
+               AS loading_ppm
+    FROM v{iterations}, unnest(range({dim})) AS u(j)
+"""
+    )
+
+
+ORACLE_PCA = _pca_oracle(3, 64)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4797,6 +4872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "rrf_hybrid": q_rrf_hybrid,
     "mmr_diverse_topk": q_mmr_diverse_topk,
+    "pca_top_component": q_pca_top_component,
 }
 
 ORACLES: dict[str, str] = {
@@ -4890,6 +4966,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_best": ORACLE_KEEP_BEST,
     "rrf_hybrid": ORACLE_RRF,
     "mmr_diverse_topk": ORACLE_MMR,
+    "pca_top_component": ORACLE_PCA,
 }
 
 

@@ -688,3 +688,89 @@ def semantic_dedup_keep(
         .distinct()
     )
     return assigned.join(drops, id_col, "left_anti").select(id_col, "cell_id")
+
+
+def pca_top_component(
+    df: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration, with every cross-engine-hazardous reduction routed
+    through exact arithmetic — the embedding-analytics primitive behind
+    whitening / anisotropy checks on LLM corpora.
+
+    Spark-first scale shape (per iteration):
+    - the current direction v is a scalar-scale object (dim doubles) and
+      rides into the plan as a LITERAL array, so each row's projection
+      ``c . v`` is a zero-shuffle map with a fixed left-fold order;
+    - the matrix-vector product ``y = sum_rows (c . v) * c`` is ONE
+      partial-aggregated shuffle of <= dim groups: per row explode
+      (pos, proj * c_pos), each term cast to DECIMAL(30,12) (a
+      correctly-rounded, engine-identical cast) so the per-component
+      sum is order-independent, then VARCHAR -> DOUBLE (the repo's
+      exact-decimal emission route);
+    - the driver only materializes dim-length vectors (the kmeans
+      centroid pattern), normalizing in plain Python IEEE doubles
+      (left-fold sum over pos order — the same fold the SQL oracle
+      uses).
+
+    The component mean (centering) uses the same exact-decimal route.
+    v0 = 1/8 per component (exactly representable for dim 64), so the
+    whole run is a pure function of the data and a DuckDB oracle
+    replays all iterations as unrolled CTEs. Output:
+    [pos, loading_ppm] — the unit direction in exact integer ppm.
+    """
+    import math
+
+    spark = df.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    exploded = df.select(F.posexplode(v).alias("pos", "val"))
+    mean_rows = (
+        exploded.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(20,12)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    mean = [0.0] * len(mean_rows)
+    for r in mean_rows:
+        mean[int(r["pos"])] = float(r["m"])
+    dim = len(mean)
+    mean_lit = F.array(*[F.lit(x) for x in mean])
+    centered = F.zip_with(v, mean_lit, lambda x, m: x - m)
+    cur = [1.0 / 8.0] * dim if dim == 64 else [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iterations):
+        v_lit = F.array(*[F.lit(x) for x in cur])
+        proj = dot(centered, v_lit)
+        terms = df.select(
+            proj.alias("_p"), F.posexplode(centered).alias("pos", "c")
+        ).select("pos", (F.col("_p") * F.col("c")).alias("term"))
+        y_rows = (
+            terms.groupBy("pos")
+            .agg(
+                F.sum(F.col("term").cast("decimal(30,12)"))
+                .cast("string")
+                .cast("double")
+                .alias("y")
+            )
+            .collect()
+        )
+        y = [0.0] * dim
+        for r in y_rows:
+            y[int(r["pos"])] = float(r["y"])
+        acc = 0.0
+        for x in y:
+            acc = acc + x * x
+        nrm = math.sqrt(acc) or 1.0
+        cur = [x / nrm for x in y]
+    out = [
+        (j, int(math.floor(cur[j] * 1000000.0 + 0.5))) for j in range(dim)
+    ]
+    return spark.createDataFrame(out, "pos int, loading_ppm bigint")

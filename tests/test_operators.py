@@ -1016,3 +1016,27 @@ def test_knn_graph_ranks_by_similarity(spark):
         assert len(nbrs) <= 2
         sims = [r["cos_sim"] for r in sorted(nbrs, key=lambda r: r["nn_rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_pca_top_component_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    basis = rng.normal(size=8)
+    basis /= np.linalg.norm(basis)
+    # strong rank-1 signal + small noise: power iteration must align
+    rows = []
+    for i in range(200):
+        x = rng.normal() * 3.0 * basis + rng.normal(size=8) * 0.1
+        rows.append(Row(vec_id=i, embedding=[float(v) for v in x]))
+    df = spark.createDataFrame(rows)
+    out = S.pca_top_component(df, iterations=3).collect()
+    v = np.zeros(8)
+    for r in out:
+        v[r["pos"]] = r["loading_ppm"] / 1e6
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    m = np.array([r["embedding"] for r in rows])
+    c = m - m.mean(axis=0)
+    w, vecs = np.linalg.eigh(c.T @ c)
+    top = vecs[:, -1]
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-2
