@@ -4316,13 +4316,18 @@ ORACLE_KNN_GRAPH = _EMB_LSH_PAIRS_CTE + """,
 
 
 def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) over the embedding corpus: 8 medoid
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: medoid
     cells, drop every vector with a lower-id in-cell neighbor at cosine
     >= 0.35, keep the rest (operators/similarity.py::semantic_dedup_keep).
-    The pairwise comparison never leaves a cluster — O(n^2/C) total work,
-    equi-join on cell_id, no cross join."""
+    The pairwise comparison never leaves a cluster — O(n^2/C) total
+    work, equi-join on cell_id, no cross join. The cell count GROWS
+    with the corpus (max(8, n // 600), n from the parquet footer), so
+    expected cluster size — and with it the per-cluster quadratic —
+    stays ~600 at any scale; the centroid table remains broadcastable
+    (C x dim doubles)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = S.medoid_centroids(emb, 8)
+    n = _parquet_nrows(f"{sf_dir}/embeddings.parquet")
+    cents = S.medoid_centroids(emb, max(8, n // 600))
     return S.semantic_dedup_keep(emb, cents, threshold=0.35)
 
 
@@ -4330,7 +4335,9 @@ ORACLE_SEMDEDUP = f"""
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
                FROM embeddings),
-    c AS (SELECT vec_id AS cell_id, v AS centroid FROM e WHERE vec_id < 8),
+    params AS (SELECT GREATEST(8, COUNT(*) // 600) AS nc FROM e),
+    c AS (SELECT vec_id AS cell_id, v AS centroid
+          FROM e CROSS JOIN params WHERE vec_id < params.nc),
     assign AS (SELECT vec_id, cell_id FROM (
         SELECT e.vec_id, c.cell_id,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -4516,7 +4523,7 @@ def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting table is term-bucketed so this reads 3 buckets, not the
     corpus)."""
     docs = _t(spark, sf_dir, "documents")
-    qterms = ["data", "model", "the"]
+    qterms = ["data", "join", "hash"]
     terms = docs.select(
         "doc_id",
         F.explode(
@@ -4534,7 +4541,7 @@ def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONJUNCTIVE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     e AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t)
-    SELECT doc_id FROM e WHERE term IN ('data', 'model', 'the')
+    SELECT doc_id FROM e WHERE term IN ('data', 'join', 'hash')
     GROUP BY doc_id HAVING COUNT(*) = 3
 """
 

@@ -103,12 +103,16 @@ def mmr_rerank(
         v, F.col("query_vec").cast("array<double>"), l2_norm(v), F.col("_qnorm")
     )
     ppm = F.floor(sim * 1000000.0 + F.lit(0.5)).cast("long")
+    # localCheckpoint: the pool feeds three consumers (pair sims twice,
+    # the rel collect once) — without it the corpus relevance scan
+    # re-executes per consumer.
     cand = (
         df.crossJoin(q)
         .filter(F.col(id_col) != F.col("query_id"))
         .select(F.col(id_col), ppm.alias("rel_ppm"), v.alias("_v"))
         .orderBy(F.desc("rel_ppm"), F.col(id_col))
         .limit(pool)
+        .localCheckpoint(eager=False)
     )
     cv = cand.select(
         F.col(id_col).alias("id"), F.col("_v").alias("v")

@@ -612,17 +612,26 @@ def knn_graph_lsh(
         threshold=-1.0,
         n=n,
     )
+    # symmetrize by EXPLODING each scored pair into both directions —
+    # a unionAll of two selects over `pairs` would execute the whole
+    # candidate-scoring lineage twice (measured 2x at sf0.1); the
+    # explode emits both rows from one evaluation.
     sym = pairs.select(
-        F.col("id_a").alias(id_col),
-        F.col("id_b").alias("neighbor_id"),
-        "cos_sim",
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias(id_col),
-            F.col("id_a").alias("neighbor_id"),
-            "cos_sim",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("neighbor_id"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("id_b").alias(id_col),
+                    F.col("id_a").alias("neighbor_id"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
