@@ -87,6 +87,7 @@ def main() -> None:
                 "routing_events_per_sec": _routing_throughput(spark),
                 "encode_events_per_sec": _encode_throughput(spark),
                 **_wide_ann_bench(spark),
+                **_lsh_pair_scoring_bench(spark, sf_dir),
             }
         )
     )
@@ -136,6 +137,29 @@ def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
         S.pq_topk(codes, cb, qvec, k=10, num_sub=16, num_codes=16).count()
         best = min(best, time.perf_counter() - t0)
     out[f"ann_dim{dim}_pq_scan_sec"] = round(best, 3)
+    return out
+
+
+def _lsh_pair_scoring_bench(spark, sf_dir: str) -> dict:
+    """ALL-pairs scoring inside sign-LSH buckets, expr fold vs
+    bucket-batched GEMM (applyInPandas): the gemm path ships vectors
+    through Arrow once per band instead of evaluating an interpreted
+    64-element fold per pair. min-of-2 each; equivalence is pinned by
+    tests/test_operators.py::test_lsh_pairs_gemm_matches_expr."""
+    from kafka_firehose_nozzle_spark.operators import dedup as D
+
+    emb = entrymod._t(spark, sf_dir, "embeddings")
+    n = entrymod._parquet_nrows(f"{sf_dir}/embeddings.parquet")
+    out = {}
+    for impl in ("expr", "gemm"):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            D.embedding_lsh_dup_pairs(
+                emb, threshold=-1.0, n=n, impl=impl
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"lsh_pairs_{impl}_sec"] = round(best, 3)
     return out
 
 

@@ -427,10 +427,24 @@ def embedding_lsh_dup_pairs(
     planes_per_band: int | None = None,
     threshold: float = 0.99,
     n: int | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs with a SCALE-BOUNDED blocking key:
     banded sign-LSH (random-hyperplane) buckets instead of a fixed
     category column.
+
+    ``impl="expr"`` (default) scores each candidate pair with the
+    JVM-side fold cosine — bit-replayable by the SQL oracle; the
+    registry queries stay here. ``impl="gemm"`` is the measured scale
+    path for bulk all-pairs scoring: vectors are grouped by
+    (band, bucket) and each bucket's pairwise similarities come from
+    ONE NumPy gram-matrix product inside applyInPandas — embeddings
+    cross the Arrow boundary once per band (O(n * dim)), not once per
+    pair (O(pairs * dim)), and the per-pair interpreted fold (the
+    dominant cost at sf1) disappears. GEMM pairwise summation differs
+    from the left fold in the last ulp, so the gemm path is equivalence-
+    tested against expr (same pair set, sims equal at the emitted
+    rounding) rather than oracle-replayed.
 
     Each vector's bucket in band b is the k sign bits of its dot products
     against k fixed plane vectors (the first ``num_bands * k`` corpus
@@ -494,6 +508,10 @@ def embedding_lsh_dup_pairs(
     bk = df.select(
         F.col(id_col).alias("id"), F.posexplode(F.array(*buckets)).alias("band", "bucket")
     ).localCheckpoint(eager=False)
+    if impl == "gemm":
+        return _lsh_pairs_gemm(df, bk, id_col, vec_col, threshold)
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (want 'expr' or 'gemm')")
     a, b2 = bk.alias("a"), bk.alias("b")
     # dedup candidates BEFORE computing any cosine: a pair caught by
     # both bands costs one similarity evaluation, not two + a distinct
@@ -536,6 +554,59 @@ def embedding_lsh_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _lsh_pairs_gemm(
+    df: DataFrame,
+    bk: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Bucket-batched GEMM scoring for embedding_lsh_dup_pairs
+    (impl="gemm"): one shuffle co-locates each (band, bucket) group's
+    vectors, then a single M @ M.T per group yields every intra-bucket
+    pairwise cosine. Cross-band duplicate pairs collapse via a max-agg
+    (their sims can differ only in the emitted rounding's last ulp).
+    Bucket sizes are bounded ~100 by the plane sizing, so per-group
+    matrices stay tiny; skewed buckets are split by AQE upstream of the
+    group shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cos_sim": "float64"})
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        g = (m @ m.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sims = np.floor(g[iu, ju] * 1e6 + 0.5) / 1e6
+        ia, ib = ids[iu], ids[ju]
+        swap = ia > ib
+        ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+        keep = sims >= thr
+        return pd.DataFrame(
+            {"id_a": ia[keep], "id_b": ib[keep], "cos_sim": sims[keep]}
+        )
+
+    withv = bk.join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        "id",
+    )
+    out = withv.groupBy("band", "bucket").applyInPandas(
+        score, "id_a long, id_b long, cos_sim double"
+    )
+    return out.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def dup_components(

@@ -577,6 +577,7 @@ def knn_graph_lsh(
     vec_col: str = "embedding",
     num_bands: int = 2,
     n: int | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph over an embedding corpus,
     blocked by the same banded sign-LSH buckets as
@@ -611,6 +612,7 @@ def knn_graph_lsh(
         num_bands=num_bands,
         threshold=-1.0,
         n=n,
+        impl=impl,
     )
     # symmetrize by EXPLODING each scored pair into both directions —
     # a unionAll of two selects over `pairs` would execute the whole

@@ -1040,3 +1040,24 @@ def test_pca_top_component_matches_numpy(spark):
     w, vecs = np.linalg.eigh(c.T @ c)
     top = vecs[:, -1]
     assert abs(abs(float(v @ top)) - 1.0) < 1e-2
+
+
+def test_lsh_pairs_gemm_matches_expr(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    emb = e._t(spark, sf, "embeddings")
+    n = e._parquet_nrows(f"{sf}/embeddings.parquet")
+    a = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in D.embedding_lsh_dup_pairs(emb, threshold=0.2, n=n).collect()
+    }
+    gemm = D.embedding_lsh_dup_pairs(emb, threshold=0.2, n=n, impl="gemm")
+    # plan must batch whole buckets through Arrow (FlatMapGroupsInPandas),
+    # never a row-at-a-time Python eval and never a cartesian product
+    plan = gemm._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    b = {(r.id_a, r.id_b): r.cos_sim for r in gemm.collect()}
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) <= 1e-6
