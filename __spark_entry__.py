@@ -3989,13 +3989,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
-    spaced = (
-        "trim(regexp_replace(replace(lower(trim(regexp_replace(text, "
-        "'\\s+', ' ', 'g'))), ' ', '_'), '(.)', '\\1 ', 'g'))"
-    )
-    ctes = [f"d0 AS (SELECT {spaced} AS s FROM documents)"]
-    sel = []
+_BPE_SPACED = (
+    "trim(regexp_replace(replace(lower(trim(regexp_replace(text, "
+    "'\\s+', ' ', 'g'))), ' ', '_'), '(.)', '\\1 ', 'g'))"
+)
+
+
+def _bpe_train_ctes(n_merges: int = 8) -> list[str]:
+    """Unrolled merge-learning rounds (d0..dN corpora, m1..mN winners) —
+    shared by the training oracle and the encode oracle."""
+    ctes = [f"d0 AS (SELECT {_BPE_SPACED} AS s FROM documents)"]
     for i in range(1, n_merges + 1):
         ctes.append(
             f"p{i} AS (SELECT unnest(list_transform(range(len(sy) - 1), "
@@ -4014,11 +4017,84 @@ def _bpe_oracle(n_merges: int = 8) -> str:
             f"{pat}, {rep}), {pat}, {rep})) AS s "
             f"FROM d{i - 1} d CROSS JOIN m{i} m)"
         )
-        sel.append(f"SELECT {i} AS rank, p AS pair, cnt FROM m{i}")
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(sel)
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    sel = [
+        f"SELECT {i} AS rank, p AS pair, cnt FROM m{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_train_ctes(n_merges))
+        + "\n    "
+        + "\n    UNION ALL ".join(sel)
+    )
 
 
 ORACLE_BPE_MERGES = _bpe_oracle(8)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: learn the 8-merge BPE
+    table (same training loop as bpe_merges), then encode every
+    document with it (text.py::bpe_apply — a chain of literal replaces,
+    pure JVM map fused into the scan; the learned merges ride into the
+    plan as literals exactly like k-means centroids). Emits per-doc
+    base-symbol and BPE-token counts plus the exact-ppm compression
+    ratio. The oracle replays training AND encoding: the merge values
+    flow from the training CTEs into per-doc replace() calls as column
+    arguments."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = TX.bpe_learn_merges(docs, "text", n_merges=8)
+    base = TX.bpe_base_symbols(F.col("text"))
+    n_base = F.size(F.filter(F.split(base, " "), lambda t: t != ""))
+    toks = TX.bpe_apply(F.col("text"), [p for p, _ in merges])
+    return docs.select(
+        "doc_id",
+        n_base.alias("n_base_symbols"),
+        F.size(toks).alias("n_bpe_tokens"),
+    ).withColumn(
+        "compression_ppm",
+        F.expr("n_bpe_tokens * 1000000 div n_base_symbols"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    ctes_part = ",\n    ".join(_bpe_train_ctes(n_merges))
+    enc = [
+        f"enc0 AS (SELECT doc_id, {_BPE_SPACED} AS s FROM documents)",
+    ]
+    for i in range(1, n_merges + 1):
+        rep = "' ' || replace(m.p, ' ', '') || ' '"
+        pat = "' ' || m.p || ' '"
+        enc.append(
+            f"enc{i} AS (SELECT doc_id, trim(replace(replace("
+            f"' ' || e.s || ' ', {pat}, {rep}), {pat}, {rep})) AS s "
+            f"FROM enc{i - 1} e CROSS JOIN m{i} m)"
+        )
+    return (
+        "WITH "
+        + ctes_part
+        + ",\n    "
+        + ",\n    ".join(enc)
+        + f"""
+    SELECT e0.doc_id,
+           len(list_filter(string_split(e0.s, ' '), x -> x <> ''))
+               AS n_base_symbols,
+           len(list_filter(string_split(e{n_merges}.s, ' '), x -> x <> ''))
+               AS n_bpe_tokens,
+           (len(list_filter(string_split(e{n_merges}.s, ' '), x -> x <> ''))
+                * 1000000)
+               // len(list_filter(string_split(e0.s, ' '), x -> x <> ''))
+               AS compression_ppm
+    FROM enc0 e0 JOIN enc{n_merges} e{n_merges} USING (doc_id)
+"""
+    )
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle(8)
 
 
 def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4880,6 +4956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_hybrid": q_rrf_hybrid,
     "mmr_diverse_topk": q_mmr_diverse_topk,
     "pca_top_component": q_pca_top_component,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -4974,6 +5051,7 @@ ORACLES: dict[str, str] = {
     "rrf_hybrid": ORACLE_RRF,
     "mmr_diverse_topk": ORACLE_MMR,
     "pca_top_component": ORACLE_PCA,
+    "bpe_encode": ORACLE_BPE_ENCODE,
 }
 
 
