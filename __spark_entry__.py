@@ -4864,6 +4864,75 @@ def _pca_oracle(iterations: int = 3, dim: int = 64) -> str:
 ORACLE_PCA = _pca_oracle(3, 64)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier filter — the curation step that drops
+    noise/garbled vectors before training: assign to medoid cells, then
+    flag vectors whose cosine-to-own-centroid sits more than 1.5
+    population std-devs BELOW the cell mean (the synthetic corpus's
+    z-scores top out ~1.8, so 1.5 keeps the check non-trivial).
+
+    Everything after the assignment is EXACT INTEGER arithmetic on ppm
+    similarities (dev = sum - n*sim; flag iff dev > 0 and
+    4*dev^2 > 9*(n*sumsq - sum^2)) — no float moment ever forms, so both
+    engines agree bit-for-bit with no rounding-route machinery. Scale
+    shape: zero-shuffle assignment (broadcast centroids), one
+    partial-agg shuffle for C x 3 BIGINT moments, broadcast join back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _parquet_nrows(f"{sf_dir}/embeddings.parquet")
+    cents = S.medoid_centroids(emb, max(8, n // 600))
+    assigned = S.ivf_assign(emb, cents)
+    v = F.col("embedding").cast("array<double>")
+    sim = S.cosine(v, F.col("centroid"))
+    scored = assigned.join(F.broadcast(cents), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.floor(sim * 1000000.0 + F.lit(0.5)).cast("long").alias("sim_ppm"),
+    )
+    stats = scored.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sim_ppm").alias("s1"),
+        F.sum(F.col("sim_ppm") * F.col("sim_ppm")).alias("s2"),
+    )
+    j = scored.join(F.broadcast(stats), "cell_id")
+    dev = F.col("s1") - F.col("n") * F.col("sim_ppm")
+    var9 = F.lit(9) * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return j.filter((dev > 0) & (F.lit(4) * dev * dev > var9)).select(
+        "vec_id", "cell_id", "sim_ppm"
+    )
+
+
+ORACLE_EMB_OUTLIERS = f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+               FROM embeddings),
+    params AS (SELECT GREATEST(8, COUNT(*) // 600) AS nc FROM e),
+    c AS (SELECT vec_id AS cell_id, v AS centroid
+          FROM e CROSS JOIN params WHERE vec_id < params.nc),
+    assign AS (SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_sim_sql('e.v', 'c.centroid')} DESC, c.cell_id)
+                   AS rn
+        FROM e CROSS JOIN c) ranked WHERE rn = 1),
+    scored AS (SELECT a.vec_id, a.cell_id,
+                   CAST(FLOOR({_sim_sql('e.v', 'c.centroid')} * 1000000.0
+                        + 0.5) AS BIGINT) AS sim_ppm
+               FROM assign a JOIN e ON e.vec_id = a.vec_id
+                             JOIN c ON c.cell_id = a.cell_id),
+    st AS (SELECT cell_id, COUNT(*) AS n,
+                  CAST(SUM(sim_ppm) AS BIGINT) AS s1,
+                  CAST(SUM(sim_ppm * sim_ppm) AS BIGINT) AS s2
+           FROM scored GROUP BY cell_id)
+    SELECT s.vec_id, s.cell_id, s.sim_ppm
+    FROM scored s JOIN st USING (cell_id)
+    WHERE st.s1 - st.n * s.sim_ppm > 0
+      AND 4 * (st.s1 - st.n * s.sim_ppm) * (st.s1 - st.n * s.sim_ppm)
+          > 9 * (st.n * st.s2 - st.s1 * st.s1)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -4957,6 +5026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_diverse_topk": q_mmr_diverse_topk,
     "pca_top_component": q_pca_top_component,
     "bpe_encode": q_bpe_encode,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5052,6 +5122,7 @@ ORACLES: dict[str, str] = {
     "mmr_diverse_topk": ORACLE_MMR,
     "pca_top_component": ORACLE_PCA,
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "embedding_outliers": ORACLE_EMB_OUTLIERS,
 }
 
 

@@ -82,3 +82,50 @@ def scaled_zorder2(
         F.greatest(b_hi - b_lo, F.lit(1)).cast("bigint"),
     )
     return zorder_key2(sa, sb, bits)
+
+
+def compact_small_files(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction — the housekeeping pass every long-lived
+    lake table needs (streaming ingest and per-partition writers leave
+    thousands of KB-scale files; at 100 TB the scan's task-scheduling
+    and footer-read overhead comes to dominate actual IO).
+
+    Sizing reads ONLY filesystem metadata (total on-disk bytes), never
+    data: target file count = ceil(total / target_bytes). The rewrite
+    is one job — ``repartition(n)`` (round-robin, even output sizes)
+    or, with ``sort_col``, ``repartitionByRange + sortWithinPartitions``
+    so compaction simultaneously restores clustering (and with it
+    min/max data skipping) instead of destroying it.
+
+    Returns the output file count. Correctness (row preservation) and
+    the file-count/size invariants are pinned by
+    tests/test_operators.py::test_compact_small_files."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_out, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -1061,3 +1061,53 @@ def test_lsh_pairs_gemm_matches_expr(spark):
     b = {(r.id_a, r.id_b): r.cos_sim for r in gemm.collect()}
     assert set(a) == set(b)
     assert max(abs(a[k] - b[k]) for k in a) <= 1e-6
+
+
+def test_compact_small_files(spark, tmp_path):
+    from kafka_firehose_nozzle_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # fragment: 64 tiny files, the streaming-ingest pathology
+    docs.repartition(64).write.parquet(src)
+    import os
+
+    n_src = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_src == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    # target sized so compaction lands on ~4 files
+    n_out = compact_small_files(
+        spark, src, dst, target_bytes=total // 4 + 1, sort_col="doc_id"
+    )
+    assert n_out <= 5
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == a.count() == 500
+    # range-partitioned + sorted: per-file doc_id spans must not overlap
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(os.listdir(dst)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dst, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = min(
+            md.row_group(g).column(idx["doc_id"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx["doc_id"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
