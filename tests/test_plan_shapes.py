@@ -211,3 +211,68 @@ def test_zorder_key_is_pure_projection(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+def test_semdedup_broadcasts_centroids_no_cartesian(spark):
+    # the within-cell pairwise join must be a hash equi-join on cell_id;
+    # the centroid side of the assignment rides in broadcast
+    plan = _plan(spark, "semdedup_keep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the id_a < id_b pairwise join is an equi-join on cell_id
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_posting_lists_partial_agg_take_ordered(spark):
+    plan = _plan(spark, "posting_lists")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_window_stats_hashes_before_shuffle(spark):
+    # the shuffled join key must be the 60-bit gh hash, not the window
+    # string: no raw gram column may appear in an Exchange's output
+    plan = _plan(spark, "dup_window_stats")
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",")[0]
+        assert key.startswith("gh") or key.startswith("doc_id"), key
+
+
+def test_knn_graph_window_is_partitioned(spark):
+    # the per-vertex top-k window must be partitioned by vec_id — a
+    # global (unpartitioned) window would serialize the whole pair set
+    plan = _plan(spark, "knn_graph")
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Window \[row_number", plan):
+        seg = plan[m.start() : m.start() + 300]
+        assert "windowspecdefinition(vec_id" in seg or "vec_id" in seg
+
+
+def test_constraint_audit_no_wide_shuffle(spark):
+    # FK checks must resolve as broadcast anti-joins at this dim scale,
+    # and nothing in the audit may cartesian
+    plan = _plan(spark, "constraint_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftAnti") >= 2
+
+
+def test_embedding_outliers_integer_moments(spark):
+    # moment aggregation and re-join stay on integral sim_ppm
+    plan = _plan(spark, "embedding_outliers")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_encode_is_pure_map_after_training(spark):
+    # encoding itself must be a scan + projection chain: no join, no
+    # aggregate between the parquet scan and the output projection
+    # (training runs eagerly before the returned plan is built)
+    plan = _plan(spark, "bpe_encode")
+    assert "Join" not in plan
+    assert "Exchange" not in plan
