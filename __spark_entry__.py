@@ -136,6 +136,49 @@ def _avg_micro_expr(sum_col: str, n_col: str):
 _REV = "CAST(l_extendedprice AS DECIMAL(10,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))"
 
 SHARED_SQL: dict[str, str] = {
+    # Ordered conversion funnel (view -> click -> purchase, strict
+    # event-time ordering): each stage is a conditional MIN over the
+    # previous stage's anchor — three partial-aggregated passes, never a
+    # per-user sort. The product-analytics staple.
+    "event_funnel": """
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id)
+        SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click_after_view', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase_after_click', COUNT(*) FROM s3
+    """,
+    # (weekly_retention_cohorts lives OUTSIDE SHARED_SQL: DATE - DATE is
+    # an INTERVAL in Spark but an INTEGER day count in DuckDB, so the
+    # offset arithmetic cannot be one shared string — see
+    # q_weekly_retention_cohorts + ORACLE_RETENTION.)
+    # Temperature-weighted multilingual mix (alpha = 0.5, the
+    # rebalancing exponent multilingual-corpus recipes apply so
+    # low-resource languages are not drowned): weight = sqrt(count) —
+    # sqrt is IEEE-correctly-rounded in both engines, the weight total
+    # is an order-independent decimal sum, and the share emits through
+    # one IEEE division + floor quantization.
+    "temperature_lang_mix": """
+        WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n,
+                  CAST(SQRT(CAST(n AS DOUBLE)) AS DECIMAL(20,10)) AS wt
+              FROM c),
+        t AS (SELECT CAST(CAST(SUM(wt) AS VARCHAR(64)) AS DOUBLE)
+                  AS total FROM w)
+        SELECT lang, n,
+            CAST(FLOOR(CAST(CAST(wt AS VARCHAR(64)) AS DOUBLE) / total
+                 * 1000000.0 + 0.5) AS BIGINT) AS share_ppm
+        FROM w CROSS JOIN t
+    """,
     # TPC-H Q1 style pricing summary: groupBy + 8 aggregates
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -4933,6 +4976,51 @@ ORACLE_EMB_OUTLIERS = f"""
 """
 
 
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: cohort = each user's first active
+    week, cell = distinct users active k weeks later. Two hash
+    aggregations (first-week, then cohort x offset distinct) — the
+    growth-dashboard staple. DataFrame-native because Spark and DuckDB
+    type DATE subtraction differently (interval vs day count); the
+    cohort key emits as a string so both engines hash identically."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    fw = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = (
+        ev.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "datediff(cast(date_trunc('week', ts) as date), cohort_week)"
+                " div 7"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+    )
+
+
+ORACLE_RETENTION = """
+    WITH fw AS (SELECT user_id,
+                    MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+                FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, fw.cohort_week,
+                (CAST(date_trunc('week', e.ts) AS DATE) - fw.cohort_week)
+                    // 7 AS week_offset
+            FROM events e JOIN fw ON e.user_id = fw.user_id)
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset,
+           COUNT(*) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5027,6 +5115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_top_component": q_pca_top_component,
     "bpe_encode": q_bpe_encode,
     "embedding_outliers": q_embedding_outliers,
+    "weekly_retention_cohorts": q_weekly_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -5123,6 +5212,7 @@ ORACLES: dict[str, str] = {
     "pca_top_component": ORACLE_PCA,
     "bpe_encode": ORACLE_BPE_ENCODE,
     "embedding_outliers": ORACLE_EMB_OUTLIERS,
+    "weekly_retention_cohorts": ORACLE_RETENTION,
 }
 
 
