@@ -5021,6 +5021,52 @@ ORACLE_RETENTION = """
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the customer table (operators/history.py::
+    merge_upsert): a deterministic update batch rewrites every 10th
+    customer's segment and inserts 50 new keys; the merged result is
+    probed at the affected keys (updated rows show the new segment, the
+    inserts appear, untouched keys keep their column). One unionByName +
+    one per-key window shuffle."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+    )
+    inserts = spark.range(50).select(
+        (F.col("id") + 9_000_000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merged = H.merge_upsert(cust, updates.unionByName(inserts), "c_custkey")
+    return merged.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") >= 9_000_000)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+ORACLE_MERGE = """
+    WITH upd AS (
+        SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+               c_acctbal + 1000 AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT 9000000 + i, 'NEWSEG', 0.0 FROM range(50) t(i)
+    ),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+    )
+    SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM merged
+    WHERE c_custkey % 10 = 0 OR c_custkey >= 9000000
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5116,6 +5162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode": q_bpe_encode,
     "embedding_outliers": q_embedding_outliers,
     "weekly_retention_cohorts": q_weekly_retention_cohorts,
+    "merge_upsert": q_merge_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -5213,6 +5260,7 @@ ORACLES: dict[str, str] = {
     "bpe_encode": ORACLE_BPE_ENCODE,
     "embedding_outliers": ORACLE_EMB_OUTLIERS,
     "weekly_retention_cohorts": ORACLE_RETENTION,
+    "merge_upsert": ORACLE_MERGE,
 }
 
 

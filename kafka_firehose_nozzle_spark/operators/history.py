@@ -86,3 +86,29 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """MERGE INTO semantics without a table format: rows from
+    ``updates`` replace same-key rows in ``target`` (matched -> update),
+    new keys insert, unmatched target rows carry over. Column sets must
+    match.
+
+    One unionByName + one per-key window shuffle — the update side wins
+    via a priority column, so the merge costs a single Exchange however
+    large the target is (the two-pass anti-join formulation reads the
+    target twice). At 100 TB: bucket both sides by the key so the
+    window runs shuffle-free, or push this into the lake's MERGE when a
+    table format is present — this operator is the engine-level
+    equivalent for raw parquet tables."""
+    t = target.withColumn("_prio", F.lit(1))
+    u = updates.withColumn("_prio", F.lit(0))
+    w = Window.partitionBy(key).orderBy("_prio")
+    return (
+        t.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )

@@ -276,3 +276,23 @@ def test_bpe_encode_is_pure_map_after_training(spark):
     plan = _plan(spark, "bpe_encode")
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """MIN/MAX/COUNT over a raw parquet table can be answered from
+    row-group statistics alone — at 100 TB that is the difference
+    between touching metadata and scanning the table. Requires the v2
+    parquet source; both confs are runtime-dynamic, restored after."""
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = (
+            spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+            .agg({"l_orderkey": "min"})
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [MIN(l_orderkey)]" in plan
+        assert df.collect()[0][0] == 0
+    finally:
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
