@@ -149,6 +149,7 @@ def correlate_errors_with_http(
     envelopes: DataFrame,
     lookback: str = "10 minutes",
     watermark: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (ST7 north-star): for every Error
     envelope, the HttpStartStop requests from the same origin in the
@@ -163,6 +164,13 @@ def correlate_errors_with_http(
 
     At scale this shuffles both sides on ``origin`` once; state per key is
     bounded by the lookback horizon, and AQE handles origin skew.
+
+    ``how="left_outer"``: errors with NO http activity in the lookback
+    window still emit (null http columns) — but only once the watermark
+    passes the end of their match interval, i.e. the engine has PROVEN
+    no match can still arrive. That delayed-null semantics is the part
+    streaming outer joins get wrong when hand-rolled; here it falls out
+    of the watermark + interval bound.
     """
     ts = F.timestamp_micros(F.expr("timestamp div 1000"))
     errors = (
@@ -195,7 +203,7 @@ def correlate_errors_with_http(
                 >= F.col("err_time") - F.expr(f"INTERVAL {lookback}")
             )
         ),
-        how="inner",
+        how=how,
     ).select(
         "err_origin", "err_time", "err_code",
         "http_time", "status_code", "uri",

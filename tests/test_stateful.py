@@ -415,3 +415,62 @@ def test_ewma_anomalies_stream_matches_sequential_model(spark, tmp_path):
 
     assert len(expected) > 0
     assert got == expected
+
+
+def test_correlate_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """left_outer interval join: an error origin with NO http activity
+    must still emit — with null http columns — but only after the
+    watermark proves no match can arrive. Three micro-batches: t0 data
+    (with a planted http-less error origin), +2h and +4h data to push
+    the watermark past the match interval (outer rows for batch N's
+    state emit while batch N+2 processes: the watermark from N+1's data
+    takes effect at the next trigger)."""
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        correlate_errors_with_http,
+    )
+
+    src = str(tmp_path / "env_outer")
+    base = synthetic_envelope_df(spark, 600, seed=0)
+    lonely = (
+        base.filter(F.col("eventType") == schemas.ERROR)
+        .limit(1)
+        .withColumn("origin", F.lit("lonely-origin"))
+    )
+    base.unionByName(lonely).coalesce(1).write.mode("append").parquet(src)
+    for shift_h in (2, 4):
+        (
+            synthetic_envelope_df(spark, 50, seed=shift_h)
+            .withColumn(
+                "timestamp",
+                F.col("timestamp") + F.lit(shift_h * 3600 * 10**9),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = (
+        correlate_errors_with_http(_stream(spark, src), how="left_outer")
+        .writeStream.format("memory")
+        .queryName("outer_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql("SELECT * FROM outer_out").toPandas()
+    lonely_rows = out[out["err_origin"] == "lonely-origin"]
+    assert len(lonely_rows) == 1
+    assert lonely_rows["http_time"].isna().all()
+    assert lonely_rows["uri"].isna().all()
+    # matched pairs still appear exactly as the inner join would produce
+    batch_env = spark.read.schema(schemas.ENVELOPE_SCHEMA).parquet(src)
+    inner = correlate_errors_with_http(batch_env).toPandas()
+    matched = out[out["http_time"].notna()]
+    assert len(matched) == len(inner)
