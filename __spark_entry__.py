@@ -5067,6 +5067,47 @@ ORACLE_MERGE = """
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis for the events table — the report that decides
+    whether a join/agg needs salting BEFORE the 100 TB run discovers it:
+    per event_type, row count, distinct users, the heaviest user's exact
+    share in ppm, and the mean rows-per-user in ppm. Two partial-agg
+    passes (per-(type,user) counts, then per-type max/sum) — integer
+    arithmetic end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_type = per_user.groupBy("event_type").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("n").alias("max_user_rows"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_rows",
+        "n_users",
+        "max_user_rows",
+        F.expr("max_user_rows * 1000000 div n_rows").alias(
+            "top_user_share_ppm"
+        ),
+        F.expr("n_rows * 1000000 div n_users").alias("rows_per_user_ppm"),
+    )
+
+
+ORACLE_SKEW = """
+    WITH pu AS (SELECT event_type, user_id, COUNT(*) AS n
+                FROM events GROUP BY event_type, user_id),
+    pt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_users, MAX(n) AS max_user_rows
+           FROM pu GROUP BY event_type)
+    SELECT event_type, n_rows, n_users, max_user_rows,
+        (max_user_rows * 1000000) // n_rows AS top_user_share_ppm,
+        (n_rows * 1000000) // n_users AS rows_per_user_ppm
+    FROM pt
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5163,6 +5204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "weekly_retention_cohorts": q_weekly_retention_cohorts,
     "merge_upsert": q_merge_upsert,
+    "skew_report": q_skew_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -5261,6 +5303,7 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": ORACLE_EMB_OUTLIERS,
     "weekly_retention_cohorts": ORACLE_RETENTION,
     "merge_upsert": ORACLE_MERGE,
+    "skew_report": ORACLE_SKEW,
 }
 
 
