@@ -96,6 +96,11 @@ def merge_upsert(
     new keys insert, unmatched target rows carry over. Column sets must
     match.
 
+    ``updates`` must be key-unique — the same precondition ANSI MERGE
+    enforces (it errors when multiple source rows match one target row);
+    with duplicate update keys the survivor among them is
+    tie-broken arbitrarily.
+
     One unionByName + one per-key window shuffle — the update side wins
     via a priority column, so the merge costs a single Exchange however
     large the target is (the two-pass anti-join formulation reads the

