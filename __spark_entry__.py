@@ -5108,6 +5108,149 @@ ORACLE_SKEW = """
 """
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining for embedding-model data prep:
+    for every document long enough to yield two chunks, the (anchor,
+    positive) pair is its first two 64-token chunks and the negative is
+    the first chunk of a deterministically hashed OTHER document
+    (in-batch-negative style, but reproducible). Chunks travel as md5
+    digests — fixed-width keys, never chunk text, cross the one
+    neg-doc join shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_nrows(f"{sf_dir}/documents.parquet")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    base = docs.select("doc_id", toks.alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+    neg = F.pmod(F.col("doc_id") * 31 + 7, F.lit(n_docs))
+    anchors = (
+        base.filter(F.col("n") > 64)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("tk", 1, 64))).alias(
+                "anchor_md5"
+            ),
+            F.md5(F.concat_ws(" ", F.slice("tk", 57, 64))).alias(
+                "positive_md5"
+            ),
+            neg.alias("neg_doc_id"),
+        )
+        .withColumn(
+            "neg_doc_id",
+            F.when(
+                F.col("neg_doc_id") == F.col("doc_id"),
+                F.pmod(F.col("neg_doc_id") + 1, F.lit(n_docs)),
+            ).otherwise(F.col("neg_doc_id")),
+        )
+    )
+    negs = base.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.md5(F.concat_ws(" ", F.slice("tk", 1, 64))).alias("negative_md5"),
+    )
+    return anchors.join(negs, "neg_doc_id").select(
+        "doc_id", "anchor_md5", "positive_md5", "neg_doc_id", "negative_md5"
+    )
+
+
+ORACLE_CONTRASTIVE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    b AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    a0 AS (SELECT doc_id,
+               md5(array_to_string(tk[1:64], ' ')) AS anchor_md5,
+               md5(array_to_string(tk[57:120], ' ')) AS positive_md5,
+               (doc_id * 31 + 7) % n_docs AS neg0, n_docs
+           FROM b CROSS JOIN nd WHERE n > 64),
+    a AS (SELECT doc_id, anchor_md5, positive_md5,
+              CASE WHEN neg0 = doc_id THEN (neg0 + 1) % n_docs
+                   ELSE neg0 END AS neg_doc_id
+          FROM a0),
+    negs AS (SELECT doc_id AS neg_doc_id,
+                 md5(array_to_string(tk[1:64], ' ')) AS negative_md5
+             FROM b)
+    SELECT a.doc_id, anchor_md5, positive_md5, a.neg_doc_id, negative_md5
+    FROM a JOIN negs ON a.neg_doc_id = negs.neg_doc_id
+"""
+
+
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE in-engine (the fasttext-style
+    filter LLM pipelines run over every document): hashing-trick
+    bag-of-words (64 buckets), per-bucket integer milli-weights derived
+    from md5 (a stand-in for trained weights — the plan shape is what
+    matters: swap in real weights as a literal map), logit and
+    per-token logit emitted as EXACT integers. explode -> bucket tf
+    partial agg -> 64-row broadcast weight join -> per-doc sum; no
+    float forms anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("tok"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(64),
+    )
+    tf = toks.select("doc_id", bucket.alias("b")).groupBy(
+        "doc_id", "b"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = spark.range(64).select(
+        F.col("id").alias("b"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w#"), F.col("id"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("w_milli"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w_milli") * F.col("tf")).alias("z_milli"),
+            F.sum("tf").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "z_milli",
+        F.expr("z_milli * 1000 div n_tokens").alias("per_token_z_ppm"),
+        (F.col("z_milli") > 0).alias("keep"),
+    )
+
+
+ORACLE_QUALITY_CLF = f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+               COUNT(*) AS tf
+           FROM t GROUP BY 1, 2),
+    w AS (SELECT i AS b,
+              ('0x' || substr(md5('w#' || i), 1, 15))::BIGINT % 2001 - 1000
+                  AS w_milli
+          FROM range(64) r(i)),
+    per_doc AS (SELECT doc_id,
+                    CAST(SUM(w_milli * tf) AS BIGINT) AS z_milli,
+                    CAST(SUM(tf) AS BIGINT) AS n_tokens
+                FROM tf JOIN w USING (b) GROUP BY doc_id)
+    SELECT doc_id, z_milli,
+        -- Spark's div truncates toward zero; DuckDB's // floors.
+        -- Emulate truncation so both engines agree on negative logits.
+        CASE WHEN z_milli >= 0 THEN (z_milli * 1000) // n_tokens
+             ELSE -((-z_milli * 1000) // n_tokens)
+        END AS per_token_z_ppm,
+        z_milli > 0 AS keep
+    FROM per_doc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5205,6 +5348,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_retention_cohorts": q_weekly_retention_cohorts,
     "merge_upsert": q_merge_upsert,
     "skew_report": q_skew_report,
+    "contrastive_pairs": q_contrastive_pairs,
+    "quality_classifier_scores": q_quality_classifier_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -5304,6 +5449,8 @@ ORACLES: dict[str, str] = {
     "weekly_retention_cohorts": ORACLE_RETENTION,
     "merge_upsert": ORACLE_MERGE,
     "skew_report": ORACLE_SKEW,
+    "contrastive_pairs": ORACLE_CONTRASTIVE,
+    "quality_classifier_scores": ORACLE_QUALITY_CLF,
 }
 
 
