@@ -1182,3 +1182,63 @@ def test_semantic_dedup_empty_and_all_dup(spark):
         r["vec_id"] for r in S.semantic_dedup_keep(df, cents, 0.9).collect()
     )
     assert kept == [0]
+
+
+# --- property-based invariants for the merge/fusion operators ---------------
+
+
+def test_merge_upsert_properties(spark):
+    """Property sweep (driver-side reference model vs the operator):
+    result keys = target ∪ updates; every update key carries the update
+    value; every untouched key carries the target value. Hypothesis's
+    function-scoped fixture rule precludes @given with the shared spark
+    session, so this drives a seeded sweep of generated cases."""
+    import random
+
+    from kafka_firehose_nozzle_spark.operators.history import merge_upsert
+
+    rng = random.Random(42)
+    for _case in range(8):
+        t_keys = rng.sample(range(30), rng.randint(0, 12))
+        u_keys = rng.sample(range(30), rng.randint(0, 12))
+        target = spark.createDataFrame(
+            [(k, f"t{k}") for k in t_keys], "k bigint, v string"
+        )
+        updates = spark.createDataFrame(
+            [(k, f"u{k}") for k in u_keys], "k bigint, v string"
+        )
+        got = {
+            r["k"]: r["v"] for r in merge_upsert(target, updates, "k").collect()
+        }
+        want = {k: f"t{k}" for k in t_keys}
+        want.update({k: f"u{k}" for k in u_keys})
+        assert got == want, (t_keys, u_keys)
+
+
+def test_rrf_fuse_reference_model(spark):
+    """rrf_fuse must equal the arithmetic reference model for arbitrary
+    overlapping rankings, and be insensitive to input list order."""
+    from kafka_firehose_nozzle_spark.operators.retrieval import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id bigint, rank int"
+    )
+    rb = spark.createDataFrame(
+        [(12, 1), (10, 2), (13, 3)], "id bigint, rank int"
+    )
+    def model(rankings):
+        out = {}
+        for r in rankings:
+            for i, rk in r:
+                pts = 10**9 // (60 + rk)
+                s, n = out.get(i, (0, 0))
+                out[i] = (s + pts, n + 1)
+        return out
+
+    want = model([[(10, 1), (11, 2), (12, 3)], [(12, 1), (10, 2), (13, 3)]])
+    for order in ([ra, rb], [rb, ra]):
+        got = {
+            r["id"]: (r["rrf_score"], r["n_lists"])
+            for r in rrf_fuse(order, id_col="id").collect()
+        }
+        assert got == want
