@@ -650,6 +650,7 @@ def semantic_dedup_keep(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every vector to its nearest centroid, compare pairs ONLY within a
@@ -668,9 +669,52 @@ def semantic_dedup_keep(
     duplicate fringe, orders of magnitude smaller than the corpus at
     realistic thresholds) comes back via a left-anti join, mirroring
     ``dedup_corpus``.
+
+    ``impl="gemm"`` scores each cluster's pairwise cosines as one NumPy
+    gram-matrix product inside applyInPandas (vectors cross Arrow once
+    per cluster, not once per pair) — the measured scale path, same
+    trade as ``dedup.embedding_lsh_dup_pairs(impl="gemm")``; the
+    oracle-checked registry query stays on the bit-replayable expr
+    fold. Equivalence pinned by
+    tests/test_operators.py::test_semdedup_gemm_matches_expr.
     """
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     v = F.col(vec_col).cast("array<double>")
+    if impl == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"id": []}).astype({"id": "int64"})
+            m = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            g = (m @ m.T) / np.outer(nrm, nrm)
+            order = np.argsort(ids, kind="stable")
+            ids_s = ids[order]
+            g = g[np.ix_(order, order)]
+            iu, ju = np.triu_indices(len(ids_s), k=1)
+            hit = g[iu, ju] >= thr
+            return pd.DataFrame({"id": np.unique(ids_s[ju[hit]])})
+
+        cells = assigned.select(
+            "cell_id", F.col(id_col).alias("id"), v.alias("v")
+        )
+        drops = (
+            cells.groupBy("cell_id")
+            .applyInPandas(drop_ids, "id long")
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        return assigned.join(drops, id_col, "left_anti").select(
+            id_col, "cell_id"
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl {impl!r} (want 'expr' or 'gemm')")
     sides = assigned.select(
         "cell_id", F.col(id_col).alias("id"), v.alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))

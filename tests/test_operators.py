@@ -1242,3 +1242,18 @@ def test_rrf_fuse_reference_model(spark):
             for r in rrf_fuse(order, id_col="id").collect()
         }
         assert got == want
+
+
+def test_semdedup_gemm_matches_expr(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    emb = e._t(spark, sf, "embeddings")
+    cents = S.medoid_centroids(emb, 8)
+    a = {r["vec_id"] for r in S.semantic_dedup_keep(emb, cents, 0.35).collect()}
+    gemm = S.semantic_dedup_keep(emb, cents, 0.35, impl="gemm")
+    plan = gemm._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    b = {r["vec_id"] for r in gemm.collect()}
+    assert a == b
