@@ -5251,6 +5251,79 @@ ORACLE_QUALITY_CLF = f"""
 """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop dataset datasheet (the 'datasheets for datasets' summary
+    a corpus release ships with): doc/vocab/language/source
+    cardinalities, total token count, exact-duplicate count, and the
+    mean length in exact ppm — every value a BIGINT, produced from two
+    scans (one raw aggregate + one tokenized aggregate) glued by a
+    metric/value union."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("t")
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.md5(TX.normalize_text(F.col("text"))))
+        ).alias("exact_dup_docs"),
+    )
+    tok = toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct("t").alias("vocab_size"),
+    )
+    j = base.crossJoin(tok)
+    metrics = [
+        ("n_docs", F.col("n_docs")),
+        ("n_langs", F.col("n_langs")),
+        ("n_sources", F.col("n_sources")),
+        ("exact_dup_docs", F.col("exact_dup_docs")),
+        ("mean_chars_ppm", F.expr("sum_chars * 1000000 div n_docs")),
+        ("total_tokens", F.col("total_tokens")),
+        ("vocab_size", F.col("vocab_size")),
+        ("mean_tokens_ppm", F.expr("total_tokens * 1000000 div n_docs")),
+    ]
+    out = None
+    for name, col in metrics:
+        row = j.select(
+            F.lit(name).alias("metric"), col.cast("long").alias("value")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("metric")
+
+
+ORACLE_DATASHEET = f"""
+    WITH base AS (SELECT COUNT(*) AS n_docs,
+                      COUNT(DISTINCT lang) AS n_langs,
+                      COUNT(DISTINCT source) AS n_sources,
+                      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                      COUNT(*) - COUNT(DISTINCT md5(lower(trim(
+                          regexp_replace(text, '\\s+', ' ', 'g')))))
+                          AS exact_dup_docs
+                  FROM documents),
+    tok AS (SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT t) AS vocab_size
+            FROM (SELECT unnest({_TOKS}) AS t FROM documents) u)
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value
+        FROM base
+        UNION ALL SELECT 'n_langs', n_langs FROM base
+        UNION ALL SELECT 'n_sources', n_sources FROM base
+        UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM base
+        UNION ALL SELECT 'mean_chars_ppm',
+            (sum_chars * 1000000) // n_docs FROM base
+        UNION ALL SELECT 'total_tokens', total_tokens FROM tok
+        UNION ALL SELECT 'vocab_size', vocab_size FROM tok
+        UNION ALL SELECT 'mean_tokens_ppm',
+            (tok.total_tokens * 1000000) // base.n_docs
+        FROM tok CROSS JOIN base
+    ) ORDER BY metric
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5350,6 +5423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "contrastive_pairs": q_contrastive_pairs,
     "quality_classifier_scores": q_quality_classifier_scores,
+    "corpus_datasheet": q_corpus_datasheet,
 }
 
 ORACLES: dict[str, str] = {
@@ -5451,6 +5525,7 @@ ORACLES: dict[str, str] = {
     "skew_report": ORACLE_SKEW,
     "contrastive_pairs": ORACLE_CONTRASTIVE,
     "quality_classifier_scores": ORACLE_QUALITY_CLF,
+    "corpus_datasheet": ORACLE_DATASHEET,
 }
 
 
