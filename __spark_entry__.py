@@ -5324,6 +5324,98 @@ ORACLE_DATASHEET = f"""
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the full pre-training prep chain in
+    one plan: Gopher-style quality gates (the funnel's g1..g4) ->
+    exact dedup (keep min id per content fingerprint) -> per-source
+    frequency cap (30 best by md5 rank) -> chunk arithmetic; reported
+    per source as (docs kept, chunks produced). Every stage is an
+    operator the registry checks in isolation; this query proves they
+    COMPOSE — one plan, three shuffles (dedup agg, source-cap window,
+    final rollup), no driver loop."""
+    from kafka_firehose_nozzle_spark.operators.sampling import (
+        cap_per_group,
+        hash_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = TX.token_count(text)
+    g1 = (n_tok >= 10) & (n_tok <= 100000)
+    g2 = g1 & (TX.stopword_ratio(text) >= 0.01)
+    g3 = g2 & (TX.punct_ratio(text) <= 0.2)
+    wl = TX.avg_word_len(text)
+    g4 = g3 & (wl >= 2) & (wl <= 12)
+    passed = docs.filter(g4)
+    from pyspark.sql import Window
+
+    fp = F.md5(TX.normalize_text(text))
+    wded = Window.partitionBy("_fp").orderBy("doc_id")
+    deduped = (
+        passed.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(wded))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    capped = cap_per_group(
+        deduped, "source", [hash_rank(F.col("doc_id")), F.col("doc_id")], 30
+    )
+    toks = TX.tokens(TX.normalize_text(text))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(64)) / F.lit(56)) + 1
+    ).cast("long")
+    return (
+        capped.withColumn("n_chunks", n_chunks)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_chunks").alias("total_chunks"),
+        )
+    )
+
+
+ORACLE_CURATION = f"""
+    WITH t AS (SELECT doc_id, source, text,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
+            AS rtoks
+    FROM documents),
+    m AS (SELECT doc_id, source, text,
+        len(rtoks) AS n_tok,
+        len(list_filter(list_transform(rtoks, x -> lower(x)),
+            x -> list_contains(
+                ['the','a','of','to','and','in','is','it','for','on'], x)))
+            AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(rtoks, x -> length(x))) AS tok_chars
+    FROM t),
+    passed AS (SELECT doc_id, source, text FROM m
+        WHERE (n_tok >= 10 AND n_tok <= 100000)
+          AND (n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01)
+          AND (n_chars = 0
+               OR CAST(n_chars - n_nopunct AS DOUBLE) / n_chars <= 0.2)
+          AND (n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+               AND CAST(tok_chars AS DOUBLE) / n_tok <= 12)),
+    deduped AS (SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ',
+            'g')))) ORDER BY doc_id) AS rn FROM passed) d WHERE rn = 1),
+    capped AS (SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM deduped) c WHERE rk <= 30),
+    chunked AS (SELECT source,
+        CAST(GREATEST(1, CEIL((len({_TOKS}) - 64) / 56.0) + 1) AS BIGINT)
+            AS n_chunks
+    FROM capped)
+    SELECT source, COUNT(*) AS docs_kept,
+        CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
+    FROM chunked GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5424,6 +5516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_pairs": q_contrastive_pairs,
     "quality_classifier_scores": q_quality_classifier_scores,
     "corpus_datasheet": q_corpus_datasheet,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -5526,6 +5619,7 @@ ORACLES: dict[str, str] = {
     "contrastive_pairs": ORACLE_CONTRASTIVE,
     "quality_classifier_scores": ORACLE_QUALITY_CLF,
     "corpus_datasheet": ORACLE_DATASHEET,
+    "curation_pipeline": ORACLE_CURATION,
 }
 
 
