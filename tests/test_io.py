@@ -127,3 +127,28 @@ def test_csv_source_feeds_envelope_adapter(spark, tmp_path):
 
     routed = route_envelopes(env, CFG)
     assert routed.count() == 3  # unknown type dropped
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Schema evolution on a growing lake table: files written before a
+    column existed must read back as NULL for that column under
+    mergeSchema, and the unified schema is the union in a single read
+    (no manual per-file casting). This is how a 100 TB table adds a
+    column without rewriting history."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, payload string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)],
+        "id bigint, payload string, quality double",
+    ).write.mode("append").parquet(path)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "payload", "quality"}
+    rows = {r["id"]: r["quality"] for r in df.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 0.5 and rows[4] == 0.9
+    # and predicate pushdown on the NEW column still prunes old files
+    # (null stats) without error
+    assert df.filter("quality > 0.6").count() == 1
