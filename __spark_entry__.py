@@ -5416,6 +5416,200 @@ ORACLE_CURATION = f"""
 """
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (Lee et al. 2022): per document, the
+    fraction of its sampled 8-token windows (stride 4) whose hash occurs
+    in more than one distinct document. Whole-document fingerprints miss
+    boilerplate shared across otherwise-different pages; this catches it
+    with explode + two-phase agg + equi-join — never pairwise in docs.
+    The fraction is produced in exact BIGINT micro-units (no double is
+    ever rounded)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = D.duplicated_span_counts(docs, k=8, stride=4)
+    frac_micro = _avg_micro_expr("dup_windows", "n_windows")
+    return per.select(
+        "doc_id",
+        "n_windows",
+        "dup_windows",
+        (frac_micro.cast("double") / F.lit(1000000.0)).alias("dup_frac"),
+    )
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+            list_transform(
+                list_filter(generate_series(1, len(toks) - 7),
+                            i -> (i - 1) % 4 = 0),
+                i -> md5(array_to_string(toks[i:i+7], ' ')))
+          ELSE [md5(array_to_string(toks, ' '))] END AS ws FROM t),
+    e AS (SELECT doc_id, unnest(ws) AS wh FROM w),
+    c AS (SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY wh),
+    p AS (SELECT e.doc_id, COUNT(*) AS n_windows,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_windows
+          FROM e JOIN c USING (wh) GROUP BY e.doc_id)
+    SELECT doc_id, n_windows, dup_windows,
+        CAST((dup_windows // n_windows) * 1000000
+             + ((dup_windows % n_windows) * 2000000 + n_windows)
+               // (2 * n_windows) AS DOUBLE) / 1000000.0 AS dup_frac
+    FROM p
+"""
+
+
+def q_loglog_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durand–Flajolet LogLog distinct-user estimate per event type,
+    bit-reproducible across engines (md5 registers, string-op rank,
+    exact int64 register combine, one IEEE division). The scale story
+    vs count_distinct: the shuffle carries <= 64 rows per group instead
+    of every raw key. Exact count alongside for the error budget."""
+    ev = _t(spark, sf_dir, "events")
+    est = D.loglog_distinct(ev, "user_id", ["event_type"], m=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est_distinct", "n_regs", "exact_distinct"
+    )
+
+
+ORACLE_LOGLOG = """
+    WITH h AS (SELECT event_type,
+            md5(CAST(user_id AS VARCHAR) || '#hll') AS hx
+        FROM events),
+    r AS (SELECT event_type,
+            CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS reg,
+            length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+            substr(substr(hx, 3, 12),
+                   length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1,
+                   1) AS d
+        FROM h),
+    rk AS (SELECT event_type, reg,
+            CASE WHEN z >= 12 THEN 49
+                 ELSE 4 * z + (4 - CASE WHEN d >= '8' THEN 4
+                                        WHEN d >= '4' THEN 3
+                                        WHEN d >= '2' THEN 2
+                                        ELSE 1 END) + 1 END AS rank
+        FROM r),
+    regs AS (SELECT event_type, reg, MAX(rank) AS mx
+             FROM rk GROUP BY event_type, reg),
+    per AS (SELECT event_type,
+            SUM(CAST(1 AS BIGINT) << CAST(50 - mx AS INT)) AS s_present,
+            COUNT(*) AS n_regs
+        FROM regs GROUP BY event_type),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT per.event_type,
+        FLOOR(3271368652461744128.0
+              / CAST(s_present + (64 - n_regs)
+                     * CAST(1125899906842624 AS BIGINT) AS DOUBLE)
+              * 1000000.0 + 0.5) / 1000000.0 AS est_distinct,
+        CAST(n_regs AS BIGINT) AS n_regs,
+        exact_distinct
+    FROM per JOIN ex ON per.event_type = ex.event_type
+"""
+
+
+def q_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog: near-duplicate canonical
+    names via rarest-token blocking + Levenshtein verify. Candidate
+    pairs form over DISTINCT names (vocabulary-bound at 100 TB), never
+    raw rows; per-row facts come along as aggregated counts."""
+    from kafka_firehose_nozzle_spark.operators.linkage import (
+        blocked_name_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_name_pairs(
+        part.select(F.col("p_name")), "p_name", max_distance=4
+    )
+
+
+ORACLE_PART_MATCHES = """
+    WITH names AS (SELECT p_name AS name, COUNT(*) AS n_rows
+                   FROM part GROUP BY p_name),
+    toks AS (SELECT name, unnest(list_distinct(string_split(name, ' ')))
+                 AS tok FROM names),
+    freq AS (SELECT tok, COUNT(*) AS df_tok FROM toks GROUP BY tok),
+    keyed AS (SELECT name, block_key, n_rows FROM (
+        SELECT t.name, t.tok AS block_key, n.n_rows,
+            ROW_NUMBER() OVER (PARTITION BY t.name
+                               ORDER BY f.df_tok, t.tok) AS rn
+        FROM toks t JOIN freq f ON t.tok = f.tok
+        JOIN names n ON t.name = n.name) k WHERE rn <= 2),
+    cand AS (SELECT DISTINCT a.name AS name_1, b.name AS name_2,
+            a.n_rows AS n_rows_1, b.n_rows AS n_rows_2
+        FROM keyed a JOIN keyed b ON a.block_key = b.block_key
+        WHERE a.name < b.name)
+    SELECT name_1, name_2, levenshtein(name_1, name_2) AS lev,
+        n_rows_1, n_rows_2
+    FROM cand
+    WHERE levenshtein(name_1, name_2) BETWEEN 1 AND 4
+"""
+
+
+def q_trimmed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics: the 5%-trimmed mean of event value
+    (drop floor(n/20) rows from each tail, deterministic (value,
+    event_id) tie-break). Each kept value converts to exact integer
+    micro-units BEFORE summation, so the aggregate is order-independent
+    and no double is ever rounded. Scale shape: one shuffle to rank
+    within event_type; at 100 TB the per-type sort is the cost — for
+    heavy keys you'd swap in an approx-quantile cut, traded here for
+    exact-oracle checkability."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n div 20"))
+        & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    vmicro = F.floor(
+        F.col("value") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    agg = kept.groupBy("event_type").agg(
+        F.sum(vmicro).alias("s"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # s is micro-units already: round-half-up s/k stays in BIGINT.
+    mean_micro = F.expr("(s div k) + ((s % k) * 2 + k) div (2 * k)")
+    return agg.select(
+        "event_type",
+        F.col("k").alias("n_kept"),
+        (mean_micro.cast("double") / F.lit(1000000.0)).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+ORACLE_TRIMMED = """
+    WITH ranked AS (SELECT event_type, value, event_id,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+    kept AS (SELECT event_type,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        FROM ranked WHERE rn > n // 20 AND rn <= n - n // 20),
+    agg AS (SELECT event_type, SUM(vm) AS s, COUNT(*) AS k
+            FROM kept GROUP BY event_type)
+    SELECT event_type, k AS n_kept,
+        CAST((s // k) + ((s % k) * 2 + k) // (2 * k) AS DOUBLE)
+            / 1000000.0 AS trimmed_mean
+    FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5517,6 +5711,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_scores": q_quality_classifier_scores,
     "corpus_datasheet": q_corpus_datasheet,
     "curation_pipeline": q_curation_pipeline,
+    "substring_dup_spans": q_substring_dup_spans,
+    "loglog_distinct_users": q_loglog_distinct_users,
+    "part_name_matches": q_part_name_matches,
+    "trimmed_event_stats": q_trimmed_event_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -5620,6 +5818,10 @@ ORACLES: dict[str, str] = {
     "quality_classifier_scores": ORACLE_QUALITY_CLF,
     "corpus_datasheet": ORACLE_DATASHEET,
     "curation_pipeline": ORACLE_CURATION,
+    "substring_dup_spans": ORACLE_SUBSTRING_SPANS,
+    "loglog_distinct_users": ORACLE_LOGLOG,
+    "part_name_matches": ORACLE_PART_MATCHES,
+    "trimmed_event_stats": ORACLE_TRIMMED,
 }
 
 

@@ -910,3 +910,128 @@ def prefix_jaccard_pairs(
             F.expr("(_i * 1000000L) div _u").alias("jac_ppm"),
         )
     )
+
+
+def windowed_span_hashes(
+    text: Column, k: int = 8, stride: int = 4
+) -> Column:
+    """md5 hashes of the document's k-token windows sampled every
+    ``stride`` positions (array<string>).
+
+    This is the unit of substring-level dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a window that recurs
+    across documents marks boilerplate even when whole-document
+    fingerprints differ.  Built on ngram_strings (shifted-slice zip_with,
+    O(k) passes) + an index-lambda filter for the stride — one pass, no
+    per-position re-evaluation.  Documents shorter than k tokens
+    contribute their whole text as a single window."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    grams = F.when(n >= k, ngram_strings(toks, k)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    strided = F.filter(grams, lambda x, i: i % F.lit(stride) == F.lit(0))
+    return F.transform(strided, lambda w: F.md5(w))
+
+
+def duplicated_span_counts(
+    docs: DataFrame, k: int = 8, stride: int = 4
+) -> DataFrame:
+    """Per-document duplicated-span tallies: (doc_id, n_windows,
+    dup_windows) where dup_windows counts this document's sampled
+    windows whose hash occurs in MORE THAN ONE distinct document.
+
+    Scale shape: explode to (doc_id, window_hash) — O(tokens/stride)
+    rows per doc — then one two-phase aggregation for cross-document
+    window frequency and one hash join back.  Both aggregations
+    partial-aggregate map-side; nothing is pairwise in documents.  At
+    100 TB the window-frequency table is the big intermediate; it is
+    keyed by a 128-bit hash, so the join is an equi-join AQE can run
+    as a shuffled hash join with skew splitting."""
+    w = docs.select(
+        "doc_id",
+        F.explode(windowed_span_hashes(F.col("text"), k, stride)).alias(
+            "wh"
+        ),
+    )
+    nd = w.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        w.join(nd, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dup_windows"),
+        )
+    )
+
+
+def loglog_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    m: int = 64,
+    salt: str = "#hll",
+) -> DataFrame:
+    """Deterministic LogLog distinct-count sketch per group:
+    (group_cols..., est_distinct, n_regs).
+
+    Classic Durand–Flajolet LogLog with m registers, made cross-engine
+    bit-reproducible: the register index is the first md5 byte mod m,
+    the rank is the leading-zero count of the next 48 hash bits + 1
+    (computed with string ops on the hex — no float log2), and the
+    register combine sums 2^(50 - max_rank) in EXACT int64 space.  The
+    only floating-point steps are one int64->double cast and one IEEE
+    division by a precomputed double constant — bit-deterministic on
+    every engine, so the DuckDB oracle matches exactly.
+
+    Scale shape: one two-phase aggregation to (group, register) — at
+    most m rows per group survive the map-side combine — then one tiny
+    per-group rollup.  This is how you count distinct users per key on
+    100 TB without a count_distinct shuffle of raw keys: the shuffle
+    carries <= m * n_groups rows total."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % F.lit(m)
+    tail = F.substring(h, 3, 12)
+    z = F.length(F.regexp_extract(tail, "^0*", 0))
+    d = F.substr(tail, z + F.lit(1), F.lit(1))
+    bits = (
+        F.when(d >= F.lit("8"), F.lit(4))
+        .when(d >= F.lit("4"), F.lit(3))
+        .when(d >= F.lit("2"), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    rank = F.when(z >= F.lit(12), F.lit(49)).otherwise(
+        F.lit(4) * z + (F.lit(4) - bits) + F.lit(1)
+    )
+    regs = (
+        df.select(
+            *group_cols, reg.alias("reg"), rank.cast("int").alias("rank")
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - mx AS INT))")
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    # alpha_m * m^2 * 2^50 as ONE precomputed double literal so both
+    # engines perform exactly one division.
+    numerator = 0.709365 * float(m) * float(m) * float(1 << 50)
+    s_total = F.col("s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(
+        1 << 50
+    )
+    est = F.lit(numerator) / s_total.cast("double")
+    est_rounded = (
+        F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0)
+    )
+    return per.select(
+        *group_cols,
+        est_rounded.alias("est_distinct"),
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+    )

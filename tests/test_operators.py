@@ -1257,3 +1257,137 @@ def test_semdedup_gemm_matches_expr(spark):
     assert "CartesianProduct" not in plan
     b = {r["vec_id"] for r in gemm.collect()}
     assert a == b
+
+
+def test_duplicated_span_counts_planted_boilerplate(spark):
+    """Two docs sharing an 8-token boilerplate run are flagged on those
+    windows; a unique doc reports zero duplicated windows."""
+    from kafka_firehose_nozzle_spark.operators.dedup import (
+        duplicated_span_counts,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " one two three four five six seven eight nine"),
+            (3, "completely different words nowhere else repeated at all "
+                "in this corpus of three documents honestly unique"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in duplicated_span_counts(docs, k=8, stride=4).collect()
+    }
+    assert out[3][1] == 0
+    # the shared 12-token prefix yields windows at positions 1 and 5
+    # (stride 4) fully inside the boilerplate for both docs
+    assert out[1][1] >= 2 and out[2][1] >= 2
+    assert out[1][0] > out[1][1]  # unique tail windows are not flagged
+
+
+def test_duplicated_span_counts_short_doc_whole_text(spark):
+    """Docs under k tokens fall back to one whole-text window; exact
+    short-text twins count each other."""
+    from kafka_firehose_nozzle_spark.operators.dedup import (
+        duplicated_span_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other text")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in duplicated_span_counts(docs).collect()
+    }
+    assert out[1] == (1, 1) and out[2] == (1, 1) and out[3] == (1, 0)
+
+
+def test_loglog_distinct_accuracy(spark):
+    """LogLog m=64 (std error ~1.3/sqrt(64) = 16%) must land within
+    ~3 sigma of the true distinct count, and be exactly reproducible
+    across runs (deterministic md5 registers)."""
+    from kafka_firehose_nozzle_spark.operators.dedup import loglog_distinct
+
+    rows = [(i % 2000, "a") for i in range(6000)]
+    df = spark.createDataFrame(rows, "user_id bigint, g string")
+    est1 = loglog_distinct(df, "user_id", ["g"]).collect()[0]
+    est2 = loglog_distinct(df, "user_id", ["g"]).collect()[0]
+    assert est1["est_distinct"] == est2["est_distinct"]
+    assert abs(est1["est_distinct"] - 2000) / 2000 < 0.5
+    assert est1["n_regs"] == 64  # 2000 keys saturate all 64 registers
+
+
+def test_blocked_name_pairs_rarest_token_blocking(spark):
+    """ER finds near-duplicate names inside rarest-token blocks only,
+    never across blocks, and excludes exact duplicates (lev 0 collapses
+    at the distinct-names stage)."""
+    from kafka_firehose_nozzle_spark.operators.linkage import (
+        blocked_name_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("acme widget",),   # x2 — dup rows collapse to one entity
+            ("acme widget",),
+            ("acme widgets",),  # lev 1 from above, same rare token? no:
+            ("zeta gadget",),   # widget/widgets differ -> block on them
+            ("zeta gidget",),   # gadget vs gidget lev 1, block "zeta"?
+        ],
+        "name string",
+    )
+    out = blocked_name_pairs(df, "name", max_distance=4)
+    pairs = {(r["name_1"], r["name_2"]): r for r in out.collect()}
+    # zeta gadget / zeta gidget: the variant tokens gadget/gidget are
+    # hapax, so ONE-key blocking would split them — the two-rarest-token
+    # keys {gadget, zeta} and {gidget, zeta} share zeta and must pair.
+    assert ("zeta gadget", "zeta gidget") in pairs
+    assert pairs[("zeta gadget", "zeta gidget")]["lev"] == 1
+    # acme widget / acme widgets: share the key acme, lev 1; the
+    # duplicated "acme widget" rows collapse to one entity with
+    # n_rows 2 (no lev-0 self pair).
+    r = pairs[("acme widget", "acme widgets")]
+    assert r["lev"] == 1 and r["n_rows_1"] == 2 and r["n_rows_2"] == 1
+    # cross-block far pair must be absent
+    assert ("acme widget", "zeta gadget") not in pairs
+    # dedup of candidates found under BOTH shared keys: exactly one row
+    df3 = spark.createDataFrame(
+        [("shiny gold ring one",), ("shiny gold ring two",),
+         ("dull tin cup extra",)],
+        "name string",
+    )
+    out3 = [(r["name_1"], r["name_2"]) for r in
+            blocked_name_pairs(df3, "name").collect()]
+    assert out3.count(("shiny gold ring one", "shiny gold ring two")) == 1
+
+
+def test_trimmed_mean_robust_to_outliers(spark):
+    """The 5% trim must remove planted extreme outliers: 100 values of
+    10.0 plus 5 values of 1e6 -> trimmed mean stays 10.0."""
+    import __spark_entry__ as mod
+
+    rows = [(i, "2024-01-01 00:00:00", i, "buy", 10.0, "{}")
+            for i in range(100)]
+    rows += [(100 + i, "2024-01-01 00:00:00", 100 + i, "buy", 1e6, "{}")
+             for i in range(5)]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F_ts()).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = mod.q_trimmed_event_stats(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["trimmed_mean"] == 10.0
+    assert out[0]["n_kept"] == 105 - 2 * (105 // 20)
+
+
+def F_ts():
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp("ts")
