@@ -296,3 +296,41 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
     finally:
         spark.conf.unset("spark.sql.sources.useV1SourceList")
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+
+
+def test_part_name_matches_broadcasts_freq_no_cartesian(spark):
+    """ER blocking must stay an equi-join on block_key with the token
+    frequency table broadcast — no cartesian fallback ever."""
+    plan = _plan(spark, "part_name_matches")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_partial_agg_no_python(spark):
+    """Window-frequency counting must partial-aggregate map-side and
+    keep the whole pipeline JVM-side (HOFs, not Python UDFs)."""
+    plan = _plan(spark, "substring_dup_spans")
+    assert "partial_count" in plan or "partial_finalmerge" in plan, plan[:800]
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_loglog_shuffle_carries_registers_not_keys(spark):
+    """The LogLog rollup's second aggregation keys on (event_type, reg):
+    both aggs partial-aggregate, and no distinct over raw user keys
+    appears in the sketch branch (the exact count lives in a separate
+    join branch by design)."""
+    plan = _plan(spark, "loglog_distinct_users")
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "BatchEvalPython" not in plan
+
+
+def test_trimmed_mean_single_sort_per_type(spark):
+    """Ranking within event_type must reuse ONE exchange: row_number
+    and the count window share the partitioning, and the final agg is
+    partial before its shuffle."""
+    plan = _plan(spark, "trimmed_event_stats")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:900]
+    assert "CartesianProduct" not in plan
