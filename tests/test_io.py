@@ -152,3 +152,55 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     # and predicate pushdown on the NEW column still prunes old files
     # (null stats) without error
     assert df.filter("quality > 0.6").count() == 1
+
+
+def test_jsonl_split_quarantines_bad_lines(spark, tmp_path):
+    """JSONL ingestion: parseable rows flow typed, unparseable and
+    foreign-schema lines land in quarantine with the raw line and a
+    reason — counted-drop semantics, never silent."""
+    from kafka_firehose_nozzle_spark.sources.jsonl import read_jsonl_split
+
+    p = tmp_path / "events.jsonl"
+    lines = [
+        '{"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7,'
+        ' "event_type": "view", "value": 1.5, "props": "{}"}',
+        '{"event_id": 2, "ts": "2024-01-01 00:00:01", "user_id": 8,'
+        ' "event_type": "click", "value": 2.0, "props": "{}"}',
+        '{"event_id": 3, "ts": "2024-01-01 00:00:02", "user',  # truncated
+        '{"totally": "different", "payload": 42}',  # foreign schema
+        "not json at all %%%",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    good, quarantine = read_jsonl_split(spark, str(p))
+    assert sorted(r["event_id"] for r in good.collect()) == [1, 2]
+    assert quarantine.count() == 3
+    bad = [r for r in quarantine.collect()]
+    reasons = sorted(r["reason"] for r in bad)
+    assert reasons == ["foreign_schema", "unparseable", "unparseable"]
+    # raw lines are byte-preserved for unparseable input
+    raws = {r["raw"] for r in bad}
+    assert "not json at all %%%" in raws
+
+
+def test_jsonl_good_rows_feed_routing_pipeline(spark, tmp_path):
+    """The typed half of the split plugs straight into the envelope
+    adapter + router — JSONL is a first-class ingestion edge."""
+    from kafka_firehose_nozzle_spark.sources.events_adapter import (
+        events_to_envelopes,
+    )
+    from kafka_firehose_nozzle_spark.sources.jsonl import read_jsonl_split
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "ev.jsonl"
+    p.write_text(
+        '{"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7,'
+        ' "event_type": "view", "value": 1.0, "props": "{}"}\n'
+        '{"event_id": 2, "ts": "2024-01-01 00:00:01", "user_id": 8,'
+        ' "event_type": "error", "value": 0.0, "props": "{}"}\n'
+    )
+    good, _ = read_jsonl_split(spark, str(p))
+    good = good.withColumn("ts", F.to_timestamp("ts"))
+    env = events_to_envelopes(good)
+    types = sorted(r["eventType"] for r in env.collect())
+    assert types == [4, 8]  # HttpStartStop, Error
