@@ -5498,15 +5498,21 @@ ORACLE_LOGLOG = """
             COUNT(*) AS n_regs
         FROM regs GROUP BY event_type),
     ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
-           FROM events GROUP BY event_type)
-    SELECT per.event_type,
-        FLOOR(3271368652461744128.0
-              / CAST(s_present + (64 - n_regs)
-                     * CAST(1125899906842624 AS BIGINT) AS DOUBLE)
-              * 1000000.0 + 0.5) / 1000000.0 AS est_distinct,
+           FROM events GROUP BY event_type),
+    est AS (SELECT event_type, n_regs,
+            3271368652461744128.0
+                / CAST(s_present + (64 - n_regs)
+                       * CAST(1125899906842624 AS BIGINT) AS DOUBLE)
+                AS raw
+        FROM per)
+    SELECT est.event_type,
+        FLOOR(CASE WHEN raw < 160.0 AND n_regs < 64
+                   THEN 64.0 * ln(64.0 / CAST(64 - n_regs AS DOUBLE))
+                   ELSE raw END * 1000000.0 + 0.5) / 1000000.0
+            AS est_distinct,
         CAST(n_regs AS BIGINT) AS n_regs,
         exact_distinct
-    FROM per JOIN ex ON per.event_type = ex.event_type
+    FROM est JOIN ex ON est.event_type = ex.event_type
 """
 
 

@@ -993,6 +993,21 @@ def loglog_distinct(
     per-group rollup.  This is how you count distinct users per key on
     100 TB without a count_distinct shuffle of raw keys: the shuffle
     carries <= m * n_groups rows total."""
+    regs = (
+        df.select(*group_cols, *loglog_reg_rank(key_col, m, salt))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    return loglog_finalize(regs, group_cols, m)
+
+
+def loglog_reg_rank(
+    key_col: str, m: int = 64, salt: str = "#hll"
+) -> tuple[Column, Column]:
+    """The per-row LogLog observation: (register index, rank) columns.
+    Pure projection — usable in batch AND as a streaming groupBy key,
+    where max(rank) per (window, group, reg) is a valid single
+    streaming aggregation whose state is bounded by m per group."""
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % F.lit(m)
     tail = F.substring(h, 3, 12)
@@ -1007,13 +1022,16 @@ def loglog_distinct(
     rank = F.when(z >= F.lit(12), F.lit(49)).otherwise(
         F.lit(4) * z + (F.lit(4) - bits) + F.lit(1)
     )
-    regs = (
-        df.select(
-            *group_cols, reg.alias("reg"), rank.cast("int").alias("rank")
-        )
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("rank").alias("mx"))
-    )
+    return reg.alias("reg"), rank.cast("int").alias("rank")
+
+
+def loglog_finalize(
+    regs: DataFrame, group_cols: list[str], m: int = 64
+) -> DataFrame:
+    """Roll a (group_cols..., reg, mx) register table up to per-group
+    estimates.  Mergeable: register tables from different shards or
+    micro-batches combine with max(mx) before this rollup — the sketch
+    property that makes it distributable."""
     term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - mx AS INT))")
     per = regs.groupBy(*group_cols).agg(
         F.sum(term).alias("s_present"),
@@ -1025,7 +1043,18 @@ def loglog_distinct(
     s_total = F.col("s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(
         1 << 50
     )
-    est = F.lit(numerator) / s_total.cast("double")
+    raw = F.lit(numerator) / s_total.cast("double")
+    # HyperLogLog-style small-range correction: plain LogLog biases high
+    # when registers are sparse (measured 56 vs true 18 at m=64); below
+    # 2.5m with empty registers, linear counting m*ln(m/V) is the
+    # estimator. ln() is libm — both engines run the same libm in one
+    # container, and the 1e-6 floor-round absorbs last-ulp differences
+    # (the same argument the bm25/unigram ln scores rely on).
+    empties = (F.lit(m) - F.col("n_regs")).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / empties)
+    est = F.when(
+        (raw < F.lit(2.5 * m)) & (F.col("n_regs") < F.lit(m)), lc
+    ).otherwise(raw)
     est_rounded = (
         F.floor(est * F.lit(1000000.0) + F.lit(0.5)).cast("double")
         / F.lit(1000000.0)

@@ -380,3 +380,55 @@ def ewma_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_distinct_registers(
+    envelopes: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    m: int = 64,
+) -> DataFrame:
+    """Streaming LogLog register table: distinct-origin estimates per
+    event-time window WITHOUT keeping raw keys in state.
+
+    The naive streaming count_distinct holds every key seen in the
+    window in state — unbounded on a 100 TB/day firehose. This instead
+    aggregates max(rank) per (window, eventType, register): a single
+    valid streaming aggregation whose state is bounded by
+    m * n_windows * n_types rows, each a few bytes. Downstream (a
+    foreachBatch or the batch reader of the sink) finishes with
+    ``operators.dedup.loglog_finalize`` — the register table is
+    mergeable across micro-batches and shards by construction
+    (max is idempotent/commutative), which is exactly the sketch
+    property that makes the two-stage split safe.
+
+    Emits (window_start, window_end, eventType, reg, mx). Late rows
+    beyond the watermark are dropped, same policy as
+    windowed_event_rates.
+    """
+    from kafka_firehose_nozzle_spark.operators.dedup import loglog_reg_rank
+
+    with_ts = envelopes.withColumn(
+        "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark)
+    reg, rank = loglog_reg_rank("origin", m)
+    return (
+        with_ts.select(
+            "event_time", "eventType", reg, rank
+        )
+        .groupBy(
+            F.window("event_time", window).alias("w"),
+            F.col("eventType"),
+            F.col("reg"),
+        )
+        .agg(F.max("rank").alias("mx"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "eventType",
+            "reg",
+            "mx",
+        )
+    )

@@ -318,3 +318,90 @@ def test_stream_dead_letter_quarantine(spark, tmp_path):
     assert types == {schemas.COUNTER_EVENT}
     # quarantined rows keep their encoded payload for later replay
     assert dead.filter(F.col("value").startswith('{"origin":')).count() == n_dead
+
+
+def test_streaming_loglog_registers_merge_and_match_batch(spark, tmp_path):
+    """Streaming distinct-count without raw keys in state: envelopes
+    arrive in two micro-batches; the update-mode register stream is
+    merged by max(mx) — the sketch's mergeability — and finalized. The
+    result must equal the batch LogLog over the same data EXACTLY
+    (same registers in, same arithmetic out), and land within the
+    sketch's error of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
+    from kafka_firehose_nozzle_spark.operators.dedup import loglog_finalize
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        windowed_distinct_registers,
+    )
+
+    env = synthetic_envelope_df(spark, 2000).withColumn(
+        "origin",
+        F.format_string(
+            "user-%d", F.pmod(F.xxhash64("timestamp"), F.lit(500))
+        ),
+    )
+    src = str(tmp_path / "src")
+    env.filter(F.col("timestamp") % 2 == 0).coalesce(1).write.parquet(src)
+    env.filter(F.col("timestamp") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(env.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        windowed_distinct_registers(stream, window="1 hour")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("llregs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = ["window_start", "window_end", "eventType"]
+    merged = (
+        spark.table("llregs")
+        .groupBy(*keys, "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    got = {
+        tuple(r[k] for k in keys): (r["est_distinct"], r["n_regs"])
+        for r in loglog_finalize(merged, keys).collect()
+    }
+
+    batch_regs = (
+        windowed_distinct_registers(env, window="1 hour")
+        .groupBy(*keys, "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    want = {
+        tuple(r[k] for k in keys): (r["est_distinct"], r["n_regs"])
+        for r in loglog_finalize(batch_regs, keys).collect()
+    }
+    assert got == want and len(got) > 0
+
+    exact = {
+        tuple(r[k] for k in keys): r["nd"]
+        for r in env.withColumn(
+            "event_time",
+            F.timestamp_micros(F.expr("timestamp div 1000")),
+        )
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "eventType")
+        .agg(F.count_distinct("origin").alias("nd"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "eventType",
+            "nd",
+        )
+        .collect()
+    }
+    for k, (est, _) in got.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.6, (k, est, exact[k])
