@@ -921,15 +921,13 @@ def windowed_span_hashes(
     This is the unit of substring-level dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): a window that recurs
     across documents marks boilerplate even when whole-document
-    fingerprints differ.  Built on ngram_strings (shifted-slice zip_with,
-    O(k) passes) + an index-lambda filter for the stride — one pass, no
-    per-position re-evaluation.  Documents shorter than k tokens
-    contribute their whole text as a single window."""
-    toks = tokens(normalize_text(text))
-    n = F.size(toks)
-    grams = F.when(n >= k, ngram_strings(toks, k)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    fingerprints differ.  Built on text.word_ngrams (shifted-slice
+    zip_with, O(k) passes) + an index-lambda filter for the stride —
+    one pass, no per-position re-evaluation.  Documents shorter than k
+    tokens contribute their whole text as a single window."""
+    from kafka_firehose_nozzle_spark.operators.text import word_ngrams
+
+    grams = word_ngrams(text, k)
     strided = F.filter(grams, lambda x, i: i % F.lit(stride) == F.lit(0))
     return F.transform(strided, lambda w: F.md5(w))
 
@@ -1007,7 +1005,14 @@ def loglog_reg_rank(
     """The per-row LogLog observation: (register index, rank) columns.
     Pure projection — usable in batch AND as a streaming groupBy key,
     where max(rank) per (window, group, reg) is a valid single
-    streaming aggregation whose state is bounded by m per group."""
+    streaming aggregation whose state is bounded by m per group.
+
+    m must divide 256: the register index comes from the first md5
+    byte, so any other m makes low registers systematically more
+    likely (m=100 would give registers 0-55 double mass) and m > 256
+    could never populate registers past 255."""
+    if m < 1 or 256 % m != 0:
+        raise ValueError(f"m must divide 256, got {m}")
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % F.lit(m)
     tail = F.substring(h, 3, 12)

@@ -137,11 +137,7 @@ def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: the minimum md5-derived 60-bit
     value over the document's word 8-grams. Robust to local edits (the min
     survives unless the minimal window changes)."""
-    toks = tokens(normalize_text(text))
-    n = F.size(toks)
-    grams = F.when(n >= window, ngram_strings(toks, window)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    grams = word_ngrams(text, window)
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
     )

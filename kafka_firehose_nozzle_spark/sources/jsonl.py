@@ -10,15 +10,19 @@ counters, kafka.go:269-271): every line lands either in the typed
 stream or in a quarantine with the raw line preserved.
 
 Scale design:
-- `PERMISSIVE` mode + `columnNameOfCorruptRecord` is the built-in JSON
-  scanner path — JVM-side Jackson, whole-stage codegen downstream,
-  no Python in the loop.
+- The file is scanned as TEXT once and parsed with ``from_json``
+  (JVM-side Jackson, whole-stage codegen downstream, no Python in the
+  loop). Reading text-then-parse rather than ``spark.read.json`` keeps
+  the byte-exact raw line available for EVERY quarantined row —
+  including structurally-valid-but-foreign JSON, which the json reader
+  nulls out irrecoverably.
+- The parsed frame is persisted before the good/quarantine split, so
+  consuming both halves costs one scan + one Jackson pass, not two
+  (caller unpersists via the returned handle when done).
 - The schema is supplied explicitly: schema inference is a full extra
   pass over 100 TB and non-deterministic under sampling. Don't.
-- The split into (good, quarantine) is two filters over ONE cached
-  scan; Spark pushes the IsNull/IsNotNull filters down.
-- Quarantined rows keep the byte-exact raw line so a later repair job
-  can re-parse; the quarantine write is append-only.
+- Quarantined rows keep the raw line so a later repair job can
+  re-parse; the quarantine write is append-only.
 """
 
 from __future__ import annotations
@@ -37,7 +41,6 @@ EVENTS_JSONL_SCHEMA = T.StructType(
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
-        T.StructField(CORRUPT_COL, T.StringType()),
     ]
 )
 
@@ -50,35 +53,44 @@ def read_jsonl_split(
     """Read newline-delimited JSON at ``path``; return
     ``(good, quarantine)``.
 
-    ``good`` has the typed columns (corrupt column dropped);
-    ``quarantine`` is ``(raw, reason)`` where raw is the original line.
+    ``good`` has the typed columns; ``quarantine`` is ``(raw, reason)``
+    where raw is the byte-exact original line in BOTH failure modes.
 
-    A line is quarantined when Jackson could not parse it at all OR it
-    parsed but every schema field was null (a JSON object from a
-    different stream: structurally valid, semantically foreign).
+    A line is quarantined when Jackson could not parse it at all
+    (``unparseable``) OR it parsed but every schema field was null — a
+    JSON object from a different stream: structurally valid,
+    semantically foreign (``foreign_schema``).
     """
-    if CORRUPT_COL not in schema.fieldNames():
-        schema = T.StructType(
-            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
-        )
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    data_fields = [f.name for f in schema.fields if f.name != CORRUPT_COL]
+    parse_schema = T.StructType(
+        [f for f in schema.fields if f.name != CORRUPT_COL]
+        + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    data_cols = [c for c in df.columns if c != CORRUPT_COL]
+    parsed = (
+        spark.read.text(path)
+        .select(
+            F.col("value").alias("raw"),
+            F.from_json(
+                "value",
+                parse_schema,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("p"),
+        )
+        .persist()
+    )
     all_null = None
-    for c in data_cols:
-        e = F.col(c).isNull()
+    for c in data_fields:
+        e = F.col(f"p.{c}").isNull()
         all_null = e if all_null is None else (all_null & e)
-    bad = F.col(CORRUPT_COL).isNotNull() | all_null
-    good = df.filter(~bad).select(*data_cols)
-    quarantine = df.filter(bad).select(
-        F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct(*data_cols))).alias(
-            "raw"
-        ),
-        F.when(F.col(CORRUPT_COL).isNotNull(), F.lit("unparseable"))
+    bad = F.col(f"p.{CORRUPT_COL}").isNotNull() | all_null
+    good = parsed.filter(~bad).select(
+        *[F.col(f"p.{c}").alias(c) for c in data_fields]
+    )
+    quarantine = parsed.filter(bad).select(
+        "raw",
+        F.when(
+            F.col(f"p.{CORRUPT_COL}").isNotNull(), F.lit("unparseable")
+        )
         .otherwise(F.lit("foreign_schema"))
         .alias("reason"),
     )

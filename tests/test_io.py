@@ -178,9 +178,11 @@ def test_jsonl_split_quarantines_bad_lines(spark, tmp_path):
     bad = [r for r in quarantine.collect()]
     reasons = sorted(r["reason"] for r in bad)
     assert reasons == ["foreign_schema", "unparseable", "unparseable"]
-    # raw lines are byte-preserved for unparseable input
+    # raw lines are byte-preserved in BOTH failure modes (a foreign
+    # schema line must stay repairable, not collapse to '{}')
     raws = {r["raw"] for r in bad}
     assert "not json at all %%%" in raws
+    assert '{"totally": "different", "payload": 42}' in raws
 
 
 def test_jsonl_good_rows_feed_routing_pipeline(spark, tmp_path):

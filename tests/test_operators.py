@@ -1363,7 +1363,7 @@ def test_blocked_name_pairs_rarest_token_blocking(spark):
     assert out3.count(("shiny gold ring one", "shiny gold ring two")) == 1
 
 
-def test_trimmed_mean_robust_to_outliers(spark):
+def test_trimmed_mean_robust_to_outliers(spark, tmp_path):
     """The 5% trim must remove planted extreme outliers: 100 values of
     10.0 plus 5 values of 1e6 -> trimmed mean stays 10.0."""
     import __spark_entry__ as mod
@@ -1372,8 +1372,8 @@ def test_trimmed_mean_robust_to_outliers(spark):
             for i in range(100)]
     rows += [(100 + i, "2024-01-01 00:00:00", 100 + i, "buy", 1e6, "{}")
              for i in range(5)]
-    import tempfile, os
-    d = tempfile.mkdtemp()
+    import os
+    d = str(tmp_path)
     spark.createDataFrame(
         rows,
         "event_id bigint, ts string, user_id bigint, event_type string,"

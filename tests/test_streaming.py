@@ -341,11 +341,15 @@ def test_streaming_loglog_registers_merge_and_match_batch(spark, tmp_path):
             "user-%d", F.pmod(F.xxhash64("timestamp"), F.lit(500))
         ),
     )
+    # split on an alternating quantity — timestamp itself steps by 1000
+    # so a raw parity split would put ALL rows in one file and make the
+    # cross-batch merge vacuous
+    half = F.pmod(F.expr("timestamp div 1000"), F.lit(2))
     src = str(tmp_path / "src")
-    env.filter(F.col("timestamp") % 2 == 0).coalesce(1).write.parquet(src)
-    env.filter(F.col("timestamp") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    env.filter(half == 0).coalesce(1).write.parquet(src)
+    env.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+    n0 = env.filter(half == 0).count()
+    assert 0 < n0 < 2000  # both micro-batches are non-empty
 
     stream = (
         spark.readStream.schema(env.schema)
