@@ -5616,6 +5616,52 @@ ORACLE_TRIMMED = """
 """
 
 
+def q_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse time-series similarity: the 5 users whose hourly activity
+    vector (sum of event value per hour, milli-unit exact) is most
+    cosine-similar to the lowest-id anchor user. Vectors never
+    materialize — the dot product is a broadcast equi-join on the hour
+    bucket against the single anchor vector; norms and dots accumulate
+    in exact DECIMAL and convert via VARCHAR (the repo's cross-engine
+    exactness idiom), so ties and last-ulp ranks are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.min("user_id").alias("user_id"))
+    return S.sparse_cosine_topk(
+        ev,
+        "user_id",
+        F.date_trunc("hour", F.col("ts")),
+        F.col("value"),
+        anchor,
+        k=5,
+    )
+
+
+ORACLE_USER_SIM = """
+    WITH comps AS (SELECT user_id AS k_, date_trunc('hour', ts) AS b_,
+            CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS DECIMAL(18,0)))
+                 AS DECIMAL(18,0)) AS sv
+        FROM events GROUP BY 1, 2),
+    a AS (SELECT b_, sv AS sa FROM comps
+          WHERE k_ = (SELECT MIN(user_id) FROM events)),
+    na AS (SELECT CAST(SUM(CAST(sa * sa AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS na2 FROM a),
+    norms AS (SELECT k_, CAST(SUM(CAST(sv * sv AS DECIMAL(38,0)))
+                              AS DECIMAL(38,0)) AS n2
+              FROM comps GROUP BY 1),
+    dots AS (SELECT c.k_, CAST(SUM(CAST(c.sv * a.sa AS DECIMAL(38,0)))
+                               AS DECIMAL(38,0)) AS dot
+             FROM comps c JOIN a USING (b_) GROUP BY 1)
+    SELECT k_ AS user_id,
+        FLOOR(CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+              / (sqrt(CAST(CAST(n2 AS VARCHAR) AS DOUBLE))
+                 * sqrt(CAST(CAST(na2 AS VARCHAR) AS DOUBLE)))
+              * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM dots JOIN norms USING (k_) CROSS JOIN na
+    WHERE k_ <> (SELECT MIN(user_id) FROM events)
+    ORDER BY cos_sim DESC, user_id LIMIT 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5721,6 +5767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "loglog_distinct_users": q_loglog_distinct_users,
     "part_name_matches": q_part_name_matches,
     "trimmed_event_stats": q_trimmed_event_stats,
+    "user_activity_similarity": q_user_activity_similarity,
 }
 
 ORACLES: dict[str, str] = {
@@ -5828,6 +5875,7 @@ ORACLES: dict[str, str] = {
     "loglog_distinct_users": ORACLE_LOGLOG,
     "part_name_matches": ORACLE_PART_MATCHES,
     "trimmed_event_stats": ORACLE_TRIMMED,
+    "user_activity_similarity": ORACLE_USER_SIM,
 }
 
 

@@ -829,3 +829,93 @@ def pca_top_component(
         (j, int(math.floor(cur[j] * 1000000.0 + 0.5))) for j in range(dim)
     ]
     return spark.createDataFrame(out, "pos int, loading_ppm bigint")
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    key_col: str,
+    bucket_col,
+    value_col,
+    anchor_key: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k keys most similar to an anchor key by cosine over SPARSE
+    vectors — one component per (key, bucket), e.g. a user's activity
+    time series bucketed by hour (the distributed shape of streaming
+    time-series similarity search, cf. EDBT 2019's streaming TS-sim
+    line of work; the dense-embedding ``cosine_topk`` above can't
+    express this because the vectors never materialize).
+
+    Scale design:
+    - Vectors NEVER materialize as arrays. Components stay as rows; the
+      dot product is an equi-join on ``bucket`` against the anchor's
+      components — and the anchor side is one vector, so the join is a
+      broadcast: zero shuffle beyond the two aggregations.
+    - Component sums and squared norms accumulate in exact DECIMAL
+      (milli-unit inputs): order-independent, bit-identical across
+      partitionings and engines; the decimal->double conversion routes
+      through VARCHAR (the repo's standard exactness idiom — see
+      ``_component_avg``).
+    - Result is TakeOrdered (cos desc, key asc): no global sort.
+
+    ``anchor_key`` is a 1-row DataFrame with column ``key_col`` (derive
+    it with an aggregation, never a driver-side collect).  The anchor
+    itself is excluded from the ranking.  Emits (key, cos_sim) with
+    cos_sim floor-rounded to 1e-6.
+    """
+    vm = F.floor(value_col * F.lit(1000.0) + F.lit(0.5)).cast(
+        "decimal(18,0)"
+    )
+    comps = (
+        df.select(
+            F.col(key_col).alias("k_"),
+            bucket_col.alias("b_"),
+            vm.alias("vm"),
+        )
+        .groupBy("k_", "b_")
+        .agg(F.sum("vm").cast("decimal(18,0)").alias("sv"))
+    )
+    anchor = F.broadcast(
+        comps.join(
+            F.broadcast(anchor_key.select(F.col(key_col).alias("k_"))),
+            "k_",
+        ).select(F.col("b_"), F.col("sv").alias("sa"))
+    )
+    sq = lambda c: (F.col(c) * F.col(c)).cast("decimal(38,0)")  # noqa: E731
+    norms = comps.groupBy("k_").agg(
+        F.sum(sq("sv")).cast("decimal(38,0)").alias("n2")
+    )
+    via_str = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    a_norm = F.broadcast(
+        anchor.agg(
+            F.sum((F.col("sa") * F.col("sa")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("na2")
+        )
+    )
+    dots = (
+        comps.join(anchor, "b_")
+        .groupBy("k_")
+        .agg(
+            F.sum((F.col("sv") * F.col("sa")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("dot")
+        )
+    )
+    anchor_k = anchor_key.select(F.col(key_col).alias("ak"))
+    cos = via_str("dot") / (
+        F.sqrt(via_str("n2")) * F.sqrt(via_str("na2"))
+    )
+    ranked = (
+        dots.join(norms, "k_")
+        .crossJoin(a_norm)
+        .join(F.broadcast(anchor_k), F.col("k_") == F.col("ak"), "left_anti")
+        .select(
+            F.col("k_").alias(key_col),
+            (
+                F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("cos_sim"),
+        )
+    )
+    return ranked.orderBy(F.desc("cos_sim"), key_col).limit(k)

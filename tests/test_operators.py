@@ -1391,3 +1391,33 @@ def F_ts():
     from pyspark.sql import functions as F
 
     return F.to_timestamp("ts")
+
+
+def test_sparse_cosine_topk_known_vectors(spark):
+    """Identical activity -> cos 1.0; proportional activity -> cos 1.0;
+    partial overlap ranks below; zero-overlap users are absent (inner
+    join on bucket — they'd rank last anyway)."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.operators.similarity import (
+        sparse_cosine_topk,
+    )
+
+    rows = [
+        (1, "h1", 1.0), (1, "h2", 2.0),          # anchor (min key)
+        (2, "h1", 1.0), (2, "h2", 2.0),          # identical -> 1.0
+        (3, "h1", 3.0), (3, "h2", 6.0),          # proportional -> 1.0
+        (4, "h1", 2.0),                           # partial overlap
+        (5, "h9", 5.0),                           # disjoint -> absent
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, b string, v double")
+    anchor = df.agg(F.min("user_id").alias("user_id"))
+    got = {
+        r["user_id"]: r["cos_sim"]
+        for r in sparse_cosine_topk(
+            df, "user_id", F.col("b"), F.col("v"), anchor, k=5
+        ).collect()
+    }
+    assert got[2] == 1.0 and got[3] == 1.0
+    assert 0 < got[4] < 1.0
+    assert 5 not in got and 1 not in got

@@ -334,3 +334,14 @@ def test_trimmed_mean_single_sort_per_type(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan[:900]
     assert "CartesianProduct" not in plan
+
+
+def test_user_similarity_broadcasts_anchor_take_ordered(spark):
+    """The sparse-cosine ranking must broadcast the single anchor
+    vector (never shuffle the corpus against it), finish with
+    TakeOrdered, and the only allowed nested-loop join is the 1-row
+    norm scalar attach."""
+    plan = _plan(spark, "user_activity_similarity")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
