@@ -5662,6 +5662,97 @@ ORACLE_USER_SIM = """
 """
 
 
+def q_daily_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-users by sketch: per (event_type, day), the LogLog
+    distinct-user estimate — the report every 100 TB event lake runs
+    hourly, at <= 64 shuffled rows per group instead of a raw-key
+    count_distinct shuffle. Small groups take the linear-counting path;
+    the estimate is bit-deterministic cross-engine (see
+    operators.dedup.loglog_finalize)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    return D.loglog_distinct(ev, "user_id", ["event_type", "day"], m=64)
+
+
+ORACLE_DAILY_LL = """
+    WITH h AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+            md5(CAST(user_id AS VARCHAR) || '#hll') AS hx
+        FROM events),
+    r AS (SELECT event_type, day,
+            CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 64 AS reg,
+            length(regexp_extract(substr(hx, 3, 12), '^0*')) AS z,
+            substr(substr(hx, 3, 12),
+                   length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1,
+                   1) AS d
+        FROM h),
+    rk AS (SELECT event_type, day, reg,
+            CASE WHEN z >= 12 THEN 49
+                 ELSE 4 * z + (4 - CASE WHEN d >= '8' THEN 4
+                                        WHEN d >= '4' THEN 3
+                                        WHEN d >= '2' THEN 2
+                                        ELSE 1 END) + 1 END AS rank
+        FROM r),
+    regs AS (SELECT event_type, day, reg, MAX(rank) AS mx
+             FROM rk GROUP BY 1, 2, 3),
+    per AS (SELECT event_type, day,
+            SUM(CAST(1 AS BIGINT) << CAST(50 - mx AS INT)) AS s_present,
+            COUNT(*) AS n_regs
+        FROM regs GROUP BY 1, 2),
+    est AS (SELECT event_type, day, n_regs,
+            3271368652461744128.0
+                / CAST(s_present + (64 - n_regs)
+                       * CAST(1125899906842624 AS BIGINT) AS DOUBLE)
+                AS raw
+        FROM per)
+    SELECT event_type, day,
+        FLOOR(CASE WHEN raw < 160.0 AND n_regs < 64
+                   THEN 64.0 * ln(64.0 / CAST(64 - n_regs AS DOUBLE))
+                   ELSE raw END * 1000000.0 + 0.5) / 1000000.0
+            AS est_distinct,
+        CAST(n_regs AS BIGINT) AS n_regs
+    FROM est
+"""
+
+
+def q_boilerplate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most widespread boilerplate spans: 8-token windows
+    (stride 4) ranked by how many DISTINCT documents contain them —
+    the report that tells a corpus curator WHAT the substring-dedup
+    pass would remove. TakeOrdered on (docs desc, hash asc); the
+    window hash stands in for the span text so no long strings cross
+    the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            D.windowed_span_hashes(F.col("text"), k=8, stride=4)
+        ).alias("wh"),
+    )
+    return (
+        w.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "wh")
+        .limit(20)
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+            list_transform(
+                list_filter(generate_series(1, len(toks) - 7),
+                            i -> (i - 1) % 4 = 0),
+                i -> md5(array_to_string(toks[i:i+7], ' ')))
+          ELSE [md5(array_to_string(toks, ' '))] END AS ws FROM t),
+    e AS (SELECT doc_id, unnest(ws) AS wh FROM w)
+    SELECT wh, COUNT(DISTINCT doc_id) AS n_docs
+    FROM e GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, wh LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5768,6 +5859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_matches": q_part_name_matches,
     "trimmed_event_stats": q_trimmed_event_stats,
     "user_activity_similarity": q_user_activity_similarity,
+    "daily_distinct_estimates": q_daily_distinct_estimates,
+    "boilerplate_topk": q_boilerplate_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5876,6 +5969,8 @@ ORACLES: dict[str, str] = {
     "part_name_matches": ORACLE_PART_MATCHES,
     "trimmed_event_stats": ORACLE_TRIMMED,
     "user_activity_similarity": ORACLE_USER_SIM,
+    "daily_distinct_estimates": ORACLE_DAILY_LL,
+    "boilerplate_topk": ORACLE_BOILERPLATE,
 }
 
 
