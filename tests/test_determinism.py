@@ -29,6 +29,14 @@ REPRESENTATIVES = [
     "embedding_dup_pairs",
     "bm25_scores",
     "dedup_keep_best",
+    # wave 4g/4h mechanisms: micro-unit span fractions, sketch register
+    # combine + libm-bearing linear counting, distinct-entity blocking,
+    # trimmed ranking cut, sparse DECIMAL cosine with top-k tie-break
+    "substring_dup_spans",
+    "daily_distinct_estimates",
+    "part_name_matches",
+    "trimmed_event_stats",
+    "user_activity_similarity",
 ]
 
 
