@@ -345,3 +345,14 @@ def test_user_similarity_broadcasts_anchor_take_ordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_topk_partial_agg_take_ordered(spark):
+    """The boilerplate report must partial-aggregate the distinct-doc
+    count (two exchanges: dedup + count), stay JVM-side, and finish
+    with TakeOrdered — no global sort of the window-frequency table."""
+    plan = _plan(spark, "boilerplate_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
