@@ -409,3 +409,78 @@ def test_streaming_loglog_registers_merge_and_match_batch(spark, tmp_path):
     }
     for k, (est, _) in got.items():
         assert abs(est - exact[k]) / max(exact[k], 1) < 0.6, (k, est, exact[k])
+
+
+def test_incremental_span_dedup_stream(spark, tmp_path):
+    """Ingest-time boilerplate rejection through a real file stream:
+    batch-2 must reject a document that re-uses a batch-1 document's
+    text (every window already in the store) and admit a novel one;
+    replaying batch 2 yields identical decisions (strictly-earlier
+    batch filter = idempotence)."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.streaming.incremental_spans import (
+        IncrementalSpanDedup,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates and follow us on all "
+        "social media channels for the latest news and special offers "
+        "every single week"
+    )
+    novel = (
+        "a completely fresh piece of writing with original words that "
+        "appear nowhere else in the accepted corpus history at all "
+        "guaranteed unique tokens here"
+    )
+    b1 = [(1, boiler), (2, "some ordinary first batch document text "
+                           "with enough words to form several windows "
+                           "of its very own making")]
+    b2 = [(10, boiler), (11, novel)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(b2, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "dec")
+    handler = IncrementalSpanDedup(spark, store, out)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dec = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in dec.collect()}
+    assert set(rows) == {1, 2, 10, 11}
+    # batch 1 sees an empty store: everything admitted
+    assert rows[1]["admitted"] and rows[2]["admitted"]
+    # batch 2: the boilerplate re-post is fully covered by history...
+    assert rows[10]["dup_windows"] == rows[10]["n_windows"]
+    assert not rows[10]["admitted"]
+    # ...the novel doc shares nothing and is admitted
+    assert rows[11]["dup_windows"] == 0 and rows[11]["admitted"]
+
+    # replay the LAST batch by hand: decisions must be unchanged
+    # (store rows from the replayed batch itself are invisible)
+    last_bid = max(r["batch_id"] for r in rows.values())
+    replay = spark.createDataFrame(b2, "doc_id bigint, text string")
+    handler(replay, last_bid)
+    dec2 = spark.read.parquet(out)
+    rows2 = {r["doc_id"]: (r["admitted"], r["dup_windows"])
+             for r in dec2.collect()}
+    assert rows2 == {k: (r["admitted"], r["dup_windows"])
+                     for k, r in rows.items()}
