@@ -356,3 +356,48 @@ def test_boilerplate_topk_partial_agg_take_ordered(spark):
     assert "partial_count" in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """At 100 TB the scan sides clear Spark's default runtime-filter
+    thresholds (creation side <= 10 MB built FROM a selective dim,
+    application side >= 10 GB) and Catalyst injects a bloom
+    might_contain onto the fact scan before the shuffle — rows that
+    can't join die at the scan. The sf0.1 fact side is 11 MB, so this
+    guard lowers the application threshold to prove the MECHANISM fires
+    and stays wired in this engine's session config; broadcast is
+    disabled because a broadcast join subsumes the bloom."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1MB",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        ord_ = spark.read.parquet(
+            "/root/testdata/sf0.1/orders.parquet"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        j = (
+            li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan.lower(), plan[:1200]
