@@ -5753,6 +5753,75 @@ ORACLE_BOILERPLATE = f"""
 """
 
 
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: per (event_type, hour-of-day), event count,
+    micro-unit mean value, and the seasonality index — this hour's mean
+    over the type's all-hours mean, in ppm by EXACT integer arithmetic
+    (sum_h * n_total * 1e6) div (n_h * sum_total), so no double forms
+    anywhere: Spark holds the product in DECIMAL(38,0); the oracle must
+    use HUGEINT because DuckDB silently widens an over-38-digit decimal
+    product to DOUBLE, which floors one ulp low on ~half the rows
+    (observed at sf0.01). One scan, two partial aggregations, a
+    broadcast-size rejoin on event_type — the 100 TB shape of every
+    diurnal-load report."""
+    ev = _t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    hourly = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            vm.alias("vm"),
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vm").alias("s"))
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_tot"), F.sum("s").alias("s_tot")
+    )
+    mean_micro = F.expr("(s div n_events) + ((s % n_events) * 2 + n_events) div (2 * n_events)")
+    # index_ppm = (s/n) / (s_tot/n_tot) * 1e6, exactly:
+    #   (s * n_tot * 1e6) div (n_events * s_tot)   [all BIGINT-safe at
+    #   micro-units <= 5e8 and group counts <= 1e9 via the decimal cast]
+    idx = F.expr(
+        "CAST((CAST(s AS DECIMAL(38,0)) * n_tot * 1000000)"
+        " div (CAST(n_events AS DECIMAL(38,0)) * s_tot) AS BIGINT)"
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            (mean_micro.cast("double") / F.lit(1000000.0)).alias(
+                "mean_value"
+            ),
+            idx.alias("season_ppm"),
+        )
+    )
+
+
+ORACLE_SEASONALITY = """
+    WITH h AS (SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        FROM events),
+    hourly AS (SELECT event_type, hour_of_day, COUNT(*) AS n_events,
+                      SUM(vm) AS s
+               FROM h GROUP BY 1, 2),
+    totals AS (SELECT event_type, SUM(n_events) AS n_tot, SUM(s) AS s_tot
+               FROM hourly GROUP BY 1)
+    SELECT hourly.event_type, CAST(hour_of_day AS INT) AS hour_of_day,
+        n_events,
+        CAST((s // n_events) + ((s % n_events) * 2 + n_events)
+             // (2 * n_events) AS DOUBLE) / 1000000.0 AS mean_value,
+        CAST((CAST(s AS HUGEINT) * n_tot * 1000000)
+             // (CAST(n_events AS HUGEINT) * s_tot) AS BIGINT)
+            AS season_ppm
+    FROM hourly JOIN totals ON hourly.event_type = totals.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5861,6 +5930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_activity_similarity": q_user_activity_similarity,
     "daily_distinct_estimates": q_daily_distinct_estimates,
     "boilerplate_topk": q_boilerplate_topk,
+    "hourly_seasonality": q_hourly_seasonality,
 }
 
 ORACLES: dict[str, str] = {
@@ -5971,6 +6041,7 @@ ORACLES: dict[str, str] = {
     "user_activity_similarity": ORACLE_USER_SIM,
     "daily_distinct_estimates": ORACLE_DAILY_LL,
     "boilerplate_topk": ORACLE_BOILERPLATE,
+    "hourly_seasonality": ORACLE_SEASONALITY,
 }
 
 
