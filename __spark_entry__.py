@@ -5723,12 +5723,7 @@ def q_boilerplate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window hash stands in for the span text so no long strings cross
     the shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.explode(
-            D.windowed_span_hashes(F.col("text"), k=8, stride=4)
-        ).alias("wh"),
-    )
+    w = D.span_rows(docs)
     return (
         w.groupBy("wh")
         .agg(F.count_distinct("doc_id").alias("n_docs"))

@@ -932,6 +932,26 @@ def windowed_span_hashes(
     return F.transform(strided, lambda w: F.md5(w))
 
 
+def span_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """(doc_id, wh) — one exploded row per sampled window, duplicates
+    within a document preserved (denominators count positions).  THE
+    span contract: the batch operators, the boilerplate report, and the
+    streaming span store all call this one projection, so their hashes
+    agree bit-for-bit — tune k/stride here or nowhere."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            windowed_span_hashes(F.col(text_col), k=k, stride=stride)
+        ).alias("wh"),
+    )
+
+
 def duplicated_span_counts(
     docs: DataFrame, k: int = 8, stride: int = 4
 ) -> DataFrame:
@@ -946,12 +966,7 @@ def duplicated_span_counts(
     100 TB the window-frequency table is the big intermediate; it is
     keyed by a 128-bit hash, so the join is an equi-join AQE can run
     as a shuffled hash join with skew splitting."""
-    w = docs.select(
-        "doc_id",
-        F.explode(windowed_span_hashes(F.col("text"), k, stride)).alias(
-            "wh"
-        ),
-    )
+    w = span_rows(docs, k=k, stride=stride)
     nd = w.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
     return (
         w.join(nd, "wh")

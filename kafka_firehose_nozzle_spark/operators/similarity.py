@@ -887,11 +887,7 @@ def sparse_cosine_topk(
     )
     via_str = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
     a_norm = F.broadcast(
-        anchor.agg(
-            F.sum((F.col("sa") * F.col("sa")).cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
-            .alias("na2")
-        )
+        anchor.agg(F.sum(sq("sa")).cast("decimal(38,0)").alias("na2"))
     )
     dots = (
         comps.join(anchor, "b_")

@@ -29,12 +29,11 @@ deterministic batch sequence.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_firehose_nozzle_spark.operators import dedup as D
+from kafka_firehose_nozzle_spark.streaming.store import read_store
 
 _STORE_SCHEMA = "doc_id bigint, band_ix int, band_hash string, batch_id bigint"
 
@@ -68,11 +67,7 @@ class IncrementalLshDedup:
         self.text_col = text_col
 
     def _store(self) -> DataFrame:
-        if os.path.isdir(self.store_dir) and any(
-            not n.startswith((".", "_")) for n in os.listdir(self.store_dir)
-        ):
-            return self.spark.read.schema(_STORE_SCHEMA).parquet(self.store_dir)
-        return self.spark.createDataFrame([], _STORE_SCHEMA)
+        return read_store(self.spark, self.store_dir, _STORE_SCHEMA)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         # 1. resolve within-batch dups first (lowest id is canonical)

@@ -14,9 +14,10 @@ Same foreachBatch discipline as streaming/incremental_lsh.py:
   (operators/dedup.windowed_span_hashes — md5 over stride-sampled
   8-token windows, no UDF);
 - the history probe is an equi-join on the 128-bit hash against the
-  store, which is laid out partitioned by a hash prefix — at 100 TB
-  the probe shuffles the batch (small) against pruned store buckets,
-  never the whole history;
+  store, which is laid out partitioned by a hash prefix; the read
+  prunes to the partitions the batch's own hashes touch (a real cut
+  for small micro-batches; a batch spanning all 256 prefixes probes
+  the full history once — the floor for an exact containment check);
 - the admit decision is PURE INTEGER (2 * dup_windows <= n_windows at
   the default 0.5 threshold) — no float, so replays and engine moves
   can't flip a borderline doc;
@@ -28,26 +29,13 @@ Same foreachBatch discipline as streaming/incremental_lsh.py:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_firehose_nozzle_spark.operators import dedup as D
+from kafka_firehose_nozzle_spark.streaming.store import read_store
 
 _STORE_SCHEMA = "wh string, wh_pfx string, batch_id bigint"
-
-
-def _span_rows(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, wh) — one row per sampled window, duplicates within a
-    document preserved (the denominator counts positions, matching the
-    batch operator's n_windows)."""
-    return batch.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            D.windowed_span_hashes(F.col(text_col), k=8, stride=4)
-        ).alias("wh"),
-    )
 
 
 class IncrementalSpanDedup:
@@ -79,23 +67,28 @@ class IncrementalSpanDedup:
         self.reject_den = reject_den
 
     def _store(self) -> DataFrame:
-        if os.path.isdir(self.store_dir) and any(
-            not n.startswith((".", "_")) for n in os.listdir(self.store_dir)
-        ):
-            return self.spark.read.schema(_STORE_SCHEMA).parquet(
-                self.store_dir
-            )
-        return self.spark.createDataFrame([], _STORE_SCHEMA)
+        return read_store(self.spark, self.store_dir, _STORE_SCHEMA)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        spans = _span_rows(
+        spans = D.span_rows(
             batch, self.id_col, self.text_col
         ).localCheckpoint()
 
         # distinct history hashes from STRICTLY EARLIER batches; a
-        # window matching many store rows still counts once
+        # window matching many store rows still counts once. The store
+        # read prunes to the batch's hash-prefix partitions — a real
+        # cut only when the micro-batch touches few of the 256 buckets
+        # (small batches); a large batch probes most of the history,
+        # which is the honest floor for an exact containment check.
+        pfxs = [
+            r["p"]
+            for r in spans.select(
+                F.substring("wh", 1, 2).alias("p")
+            ).distinct().collect()
+        ]
         seen = (
             self._store()
+            .filter(F.col("wh_pfx").isin(pfxs))
             .filter(F.col("batch_id") < batch_id)
             .select("wh")
             .distinct()

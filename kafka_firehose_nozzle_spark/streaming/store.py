@@ -1,0 +1,27 @@
+"""Shared on-disk store access for the incremental foreachBatch
+handlers (incremental_lsh, incremental_spans).
+
+``read_store`` goes through the Spark reader, NOT driver-local
+``os.path`` checks: a store on HDFS/S3 (the 100 TB deployment shape)
+is invisible to the driver's local filesystem, and an os.path-guarded
+read would silently return an empty history — admitting every
+duplicate with no error raised. An absent path is detected by catching
+the reader's error instead, which works on every Hadoop-compatible
+filesystem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+
+def read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """The store's rows, or an empty frame with the same schema when the
+    path does not exist yet (first batch ever)."""
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.schema  # force path resolution now, inside the try
+        return df
+    except AnalysisException:
+        return spark.createDataFrame([], schema)

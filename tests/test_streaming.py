@@ -466,18 +466,30 @@ def test_incremental_span_dedup_stream(spark, tmp_path):
     dec = spark.read.parquet(out)
     rows = {r["doc_id"]: r for r in dec.collect()}
     assert set(rows) == {1, 2, 10, 11}
-    # batch 1 sees an empty store: everything admitted
-    assert rows[1]["admitted"] and rows[2]["admitted"]
-    # batch 2: the boilerplate re-post is fully covered by history...
-    assert rows[10]["dup_windows"] == rows[10]["n_windows"]
-    assert not rows[10]["admitted"]
-    # ...the novel doc shares nothing and is admitted
+    # file->batch order follows mtime and can tie: derive it from the
+    # decision log instead of assuming b1 ran first
+    first, second = (
+        (1, 10)
+        if rows[1]["batch_id"] < rows[10]["batch_id"]
+        else (10, 1)
+    )
+    # whichever boiler copy arrived first was novel then; the other is
+    # fully covered by history and rejected
+    assert rows[first]["admitted"]
+    assert rows[second]["dup_windows"] == rows[second]["n_windows"]
+    assert not rows[second]["admitted"]
+    # the unique docs share nothing with history either way
+    assert rows[2]["dup_windows"] == 0 and rows[2]["admitted"]
     assert rows[11]["dup_windows"] == 0 and rows[11]["admitted"]
 
     # replay the LAST batch by hand: decisions must be unchanged
     # (store rows from the replayed batch itself are invisible)
     last_bid = max(r["batch_id"] for r in rows.values())
-    replay = spark.createDataFrame(b2, "doc_id bigint, text string")
+    last_ids = {k for k, r in rows.items() if r["batch_id"] == last_bid}
+    replay = spark.createDataFrame(
+        [t for t in b1 + b2 if t[0] in last_ids],
+        "doc_id bigint, text string",
+    )
     handler(replay, last_bid)
     dec2 = spark.read.parquet(out)
     rows2 = {r["doc_id"]: (r["admitted"], r["dup_windows"])
