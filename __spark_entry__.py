@@ -5817,6 +5817,37 @@ ORACLE_SEASONALITY = """
 """
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning manifest: per source, document count, total
+    chars, distinct languages, and an ORDER-INDEPENDENT 60-bit content
+    signature — bit_xor over per-document content fingerprints. Two
+    pipeline runs (any partitioning, any row order) produce the same
+    signature iff they kept exactly the same normalized texts; xor is
+    the right combine because it is commutative, associative, and
+    overflow-free. One scan, one partial-aggregating shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    fp60 = F.conv(
+        F.substring(TX.fingerprint(F.col("text")), 1, 15), 16, 10
+    ).cast("bigint")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.bit_xor(fp60).alias("content_sig"),
+    )
+
+
+ORACLE_MANIFEST = """
+    SELECT source, COUNT(*) AS n_docs,
+        SUM(n_chars) AS total_chars,
+        COUNT(DISTINCT lang) AS n_langs,
+        bit_xor(CAST(('0x' || substr(
+            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+            1, 15)) AS BIGINT)) AS content_sig
+    FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -5926,6 +5957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_distinct_estimates": q_daily_distinct_estimates,
     "boilerplate_topk": q_boilerplate_topk,
     "hourly_seasonality": q_hourly_seasonality,
+    "corpus_manifest": q_corpus_manifest,
 }
 
 ORACLES: dict[str, str] = {
@@ -6037,6 +6069,7 @@ ORACLES: dict[str, str] = {
     "daily_distinct_estimates": ORACLE_DAILY_LL,
     "boilerplate_topk": ORACLE_BOILERPLATE,
     "hourly_seasonality": ORACLE_SEASONALITY,
+    "corpus_manifest": ORACLE_MANIFEST,
 }
 
 

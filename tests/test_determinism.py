@@ -37,6 +37,8 @@ REPRESENTATIVES = [
     "part_name_matches",
     "trimmed_event_stats",
     "user_activity_similarity",
+    # xor-combine signature must be partitioning-invariant by design
+    "corpus_manifest",
 ]
 
 
