@@ -88,9 +88,24 @@ def main() -> None:
                 "encode_events_per_sec": _encode_throughput(spark),
                 **_wide_ann_bench(spark),
                 **_lsh_pair_scoring_bench(spark, sf_dir),
+                **_round4_side_metrics(spark, sf_dir, qs),
             }
         )
     )
+
+
+def _round4_side_metrics(spark, sf_dir: str, qs) -> dict:
+    """min-of-3 timings for the round-4 flagship additions — kept OUT
+    of the headline total so cross-round totals stay comparable."""
+    out = {}
+    for name in ("substring_dup_spans", "loglog_distinct_users"):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{name}_sec"] = round(best, 3)
+    return out
 
 
 def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
