@@ -1421,3 +1421,53 @@ def test_sparse_cosine_topk_known_vectors(spark):
     assert got[2] == 1.0 and got[3] == 1.0
     assert 0 < got[4] < 1.0
     assert 5 not in got and 1 not in got
+
+
+def test_avg_micro_expr_matches_fraction_reference(spark):
+    """_avg_micro_expr must equal round-half-up(s/n * 1e6) computed in
+    exact rational arithmetic, across magnitudes and remainders — 500
+    seeded cases in one DataFrame pass (the expression underpins every
+    micro-unit average in the registry)."""
+    import random
+    from fractions import Fraction
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    rng = random.Random(4242)
+    cases = [(rng.randrange(0, 10**15), rng.randrange(1, 10**7))
+             for _ in range(500)]
+    df = spark.createDataFrame(cases, "s bigint, n bigint")
+    got = {
+        (r["s"], r["n"]): r["m"]
+        for r in df.select(
+            "s", "n", entry._avg_micro_expr("s", "n").alias("m")
+        ).collect()
+    }
+    for s, n in cases:
+        q = Fraction(s, n) * 1_000_000
+        want = (q.numerator * 2 + q.denominator) // (2 * q.denominator)
+        assert got[(s, n)] == want, (s, n, got[(s, n)], want)
+
+
+def test_loglog_rank_matches_python_reference(spark):
+    """The hex-string rank expression must equal the leading-zero-count
+    reference on the md5 tail for arbitrary keys (the register math the
+    whole sketch family rests on)."""
+    import hashlib
+
+    from kafka_firehose_nozzle_spark.operators.dedup import loglog_reg_rank
+    from pyspark.sql import functions as F
+
+    keys = [str(i) for i in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    reg, rank = loglog_reg_rank("k", m=64)
+    got = {r["k"]: (r["reg"], r["rank"])
+           for r in df.select("k", reg, rank).collect()}
+    for k in keys:
+        h = hashlib.md5((k + "#hll").encode()).hexdigest()
+        want_reg = int(h[:2], 16) % 64
+        tail = h[2:14]
+        v = int(tail, 16)
+        want_rank = 49 if v == 0 else (48 - v.bit_length()) + 1
+        assert got[k] == (want_reg, want_rank), (k, got[k], (want_reg, want_rank))
