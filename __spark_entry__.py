@@ -5819,12 +5819,16 @@ ORACLE_SEASONALITY = """
 
 def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-versioning manifest: per source, document count, total
-    chars, distinct languages, and an ORDER-INDEPENDENT 60-bit content
-    signature — bit_xor over per-document content fingerprints. Two
-    pipeline runs (any partitioning, any row order) produce the same
-    signature iff they kept exactly the same normalized texts; xor is
-    the right combine because it is commutative, associative, and
-    overflow-free. One scan, one partial-aggregating shuffle."""
+    chars, distinct languages, and an ORDER-INDEPENDENT multiset
+    content signature — the exact DECIMAL sum of per-document 60-bit
+    fingerprints (emitted as a string for cross-engine dtype
+    stability), plus the bit_xor as a cheap secondary. The SUM is the
+    primary because xor cancels even multiplicities ({A,A,B} xors
+    equal to {C,C,B}); a sum collision needs two multisets with equal
+    fingerprint totals — not constructible by swapping duplicated
+    docs. Both combines are commutative/associative, so any
+    partitioning or row order yields the identical manifest. One scan,
+    one partial-aggregating shuffle."""
     docs = _t(spark, sf_dir, "documents")
     fp60 = F.conv(
         F.substring(TX.fingerprint(F.col("text")), 1, 15), 16, 10
@@ -5833,18 +5837,27 @@ def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.count_distinct("lang").alias("n_langs"),
-        F.bit_xor(fp60).alias("content_sig"),
+        F.sum(fp60.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("content_sig"),
+        F.bit_xor(fp60).alias("content_xor"),
     )
 
 
 ORACLE_MANIFEST = """
+    WITH f AS (SELECT source, n_chars, lang,
+            CAST(('0x' || substr(
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
+                1, 15)) AS BIGINT) AS fp
+        FROM documents)
     SELECT source, COUNT(*) AS n_docs,
         SUM(n_chars) AS total_chars,
         COUNT(DISTINCT lang) AS n_langs,
-        bit_xor(CAST(('0x' || substr(
-            md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))),
-            1, 15)) AS BIGINT)) AS content_sig
-    FROM documents GROUP BY source
+        CAST(CAST(SUM(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             AS VARCHAR) AS content_sig,
+        bit_xor(fp) AS content_xor
+    FROM f GROUP BY source
 """
 
 

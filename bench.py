@@ -67,13 +67,7 @@ def main() -> None:
     # inflates single-pass timings ~30%)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _best_of_3(lambda: qs[name](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(
@@ -94,18 +88,25 @@ def main() -> None:
     )
 
 
+def _best_of_3(action) -> float:
+    """THE measurement protocol (pass 1 absorbs codegen/JIT, min-of-3
+    rides out load spikes) — headline and side metrics share it so the
+    numbers stay comparable."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        action()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _round4_side_metrics(spark, sf_dir: str, qs) -> dict:
     """min-of-3 timings for the round-4 flagship additions — kept OUT
     of the headline total so cross-round totals stay comparable."""
-    out = {}
-    for name in ("substring_dup_spans", "loglog_distinct_users"):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"{name}_sec"] = round(best, 3)
-    return out
+    return {
+        f"{name}_sec": _best_of_3(lambda: qs[name](spark, sf_dir).count())
+        for name in ("substring_dup_spans", "loglog_distinct_users")
+    }
 
 
 def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:

@@ -18,10 +18,18 @@ from pyspark.sql.utils import AnalysisException
 
 def read_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """The store's rows, or an empty frame with the same schema when the
-    path does not exist yet (first batch ever)."""
+    path does not exist yet (first batch ever).
+
+    ONLY path-not-found maps to empty: any other analysis failure
+    (misconfigured datasource, unreadable location) re-raises — treating
+    it as an empty history would silently admit every duplicate, the
+    exact failure mode this module exists to eliminate."""
     try:
         df = spark.read.schema(schema).parquet(path)
         df.schema  # force path resolution now, inside the try
         return df
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        klass = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in klass or "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise

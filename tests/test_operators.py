@@ -1432,11 +1432,15 @@ def test_avg_micro_expr_matches_fraction_reference(spark):
     from fractions import Fraction
 
     import __spark_entry__ as entry
-    from pyspark.sql import functions as F
 
     rng = random.Random(4242)
-    cases = [(rng.randrange(0, 10**15), rng.randrange(1, 10**7))
-             for _ in range(500)]
+    # stay inside the expression's documented int64-safe domain:
+    # (s div n) * 1e6 must fit, i.e. s < ~9.2e12 * n
+    cases = []
+    while len(cases) < 500:
+        n = rng.randrange(1, 10**7)
+        s = rng.randrange(0, min(10**15, 9 * 10**12 * n))
+        cases.append((s, n))
     df = spark.createDataFrame(cases, "s bigint, n bigint")
     got = {
         (r["s"], r["n"]): r["m"]
@@ -1457,7 +1461,6 @@ def test_loglog_rank_matches_python_reference(spark):
     import hashlib
 
     from kafka_firehose_nozzle_spark.operators.dedup import loglog_reg_rank
-    from pyspark.sql import functions as F
 
     keys = [str(i) for i in range(3000)]
     df = spark.createDataFrame([(k,) for k in keys], "k string")
