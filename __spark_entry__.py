@@ -459,10 +459,10 @@ SHARED_SQL: dict[str, str] = {
     # (CASE aggregation; shipmode is absent so late/ontime classes split)
     "q12_priority_classes": """
         SELECT YEAR(l_shipdate) AS yr,
-            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS high_line_count,
-            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS low_line_count
+            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
         GROUP BY YEAR(l_shipdate)
@@ -1748,7 +1748,8 @@ ORACLE_PACK_SEQUENCES = """
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                           - n_toks) / 2048) AS BIGINT) AS pack_id
           FROM t)
-    SELECT pack_id, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+    SELECT pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY pack_id
 """
@@ -2009,7 +2010,7 @@ ORACLE_SPLIT = """
     SELECT lang,
         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
              ELSE 'test' END AS split,
-        COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY 1, 2
 """
 
@@ -2057,10 +2058,11 @@ ORACLE_FUNNEL = """
              AND CAST(tok_chars AS DOUBLE) / n_tok <= 12) AS s4
     FROM m)
     SELECT COUNT(*) AS n_total,
-        SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS pass_length,
-        SUM(CASE WHEN g1 AND s2 THEN 1 ELSE 0 END) AS pass_stopword,
-        SUM(CASE WHEN g1 AND s2 AND s3 THEN 1 ELSE 0 END) AS pass_punct,
-        SUM(CASE WHEN g1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS pass_wordlen
+        CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_length,
+        CAST(SUM(CASE WHEN g1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+        CAST(SUM(CASE WHEN g1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_punct,
+        CAST(SUM(CASE WHEN g1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT)
+            AS pass_wordlen
     FROM g
 """
 
@@ -2852,7 +2854,7 @@ ORACLE_PROPS_JSON = """
     g AS (SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
                  MIN(k) AS min_k, MAX(k) AS max_k
           FROM t GROUP BY event_type)
-    SELECT event_type, n, sum_k,
+    SELECT event_type, n, CAST(sum_k AS BIGINT) AS sum_k,
         CAST((sum_k // n) * 1000000
              + ((sum_k % n) * 2000000 + n) // (2 * n) AS DOUBLE)
             / 1000000.0 AS avg_k,
@@ -3028,7 +3030,7 @@ ORACLE_SOURCE_PROFILE = """
              + ((sum_chars % n_docs) * 2000000 + n_docs) // (2 * n_docs)
              AS DOUBLE)
             / 1000000.0 AS avg_chars,
-        total_tokens
+        CAST(total_tokens AS BIGINT) AS total_tokens
     FROM g
 """
 
@@ -3761,32 +3763,56 @@ ORACLE_HISTOGRAM_Q = f"""
 def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiler — the data-quality summary every
     ingestion pipeline runs before training: per column null count,
-    distinct count, min/max rendered as strings.  All aggregates fuse
-    into a single scan + one partial-agg shuffle (count_distinct is
+    distinct count, min/max.  Numeric extrema stay DOUBLE (bit-exact on
+    both engines; stringifying floats is renderer-version-sensitive) and
+    only genuinely-string columns report string extrema.  All aggregates
+    fuse into a single scan + one partial-agg shuffle (count_distinct is
     exact here; at 100 TB swap in the KMV sketch the engine also
     provides).  Unpivoted to (column, metric rows) so adding columns
     never changes the schema."""
     li = _t(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    str_cols = ["l_returnflag"]
+    cols = num_cols + str_cols
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.min(F.col(c)).alias(f"{c}__min"),
+            F.max(F.col(c)).alias(f"{c}__max"),
         ]
     one = li.agg(*aggs)
-    pieces = [
-        one.select(
-            F.lit(c).alias("column"),
-            F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
-            F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_str"),
-            F.col(f"{c}__max").alias("max_str"),
+    pieces = []
+    for c in cols:
+        is_num = c in num_cols
+        pieces.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("bigint").alias("n_distinct"),
+                (
+                    F.col(f"{c}__min").cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{c}__max").cast("double")
+                    if is_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.lit(None).cast("string")
+                    if is_num
+                    else F.col(f"{c}__min").cast("string")
+                ).alias("min_str"),
+                (
+                    F.lit(None).cast("string")
+                    if is_num
+                    else F.col(f"{c}__max").cast("string")
+                ).alias("max_str"),
+            )
         )
-        for c in cols
-    ]
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionAll(p)
@@ -3795,31 +3821,40 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROFILE = """
     WITH a AS (SELECT
-        SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS q_nulls,
         COUNT(DISTINCT l_quantity) AS q_dist,
-        CAST(MIN(l_quantity) AS VARCHAR) AS q_min,
-        CAST(MAX(l_quantity) AS VARCHAR) AS q_max,
-        SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        CAST(MIN(l_quantity) AS DOUBLE) AS q_min,
+        CAST(MAX(l_quantity) AS DOUBLE) AS q_max,
+        CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_nulls,
         COUNT(DISTINCT l_extendedprice) AS p_dist,
-        CAST(MIN(l_extendedprice) AS VARCHAR) AS p_min,
-        CAST(MAX(l_extendedprice) AS VARCHAR) AS p_max,
-        SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+        CAST(MIN(l_extendedprice) AS DOUBLE) AS p_min,
+        CAST(MAX(l_extendedprice) AS DOUBLE) AS p_max,
+        CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS d_nulls,
         COUNT(DISTINCT l_discount) AS d_dist,
-        CAST(MIN(l_discount) AS VARCHAR) AS d_min,
-        CAST(MAX(l_discount) AS VARCHAR) AS d_max,
-        SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+        CAST(MIN(l_discount) AS DOUBLE) AS d_min,
+        CAST(MAX(l_discount) AS DOUBLE) AS d_max,
+        CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS s_nulls,
         COUNT(DISTINCT l_returnflag) AS s_dist,
-        CAST(MIN(l_returnflag) AS VARCHAR) AS s_min,
-        CAST(MAX(l_returnflag) AS VARCHAR) AS s_max
+        MIN(l_returnflag) AS s_min,
+        MAX(l_returnflag) AS s_max
         FROM lineitem)
     SELECT 'l_quantity' AS "column", q_nulls AS n_nulls, q_dist AS n_distinct,
-           q_min AS min_str, q_max AS max_str FROM a
+           q_min AS min_num, q_max AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM a
     UNION ALL
-    SELECT 'l_extendedprice', p_nulls, p_dist, p_min, p_max FROM a
+    SELECT 'l_extendedprice', p_nulls, p_dist, p_min, p_max,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
     UNION ALL
-    SELECT 'l_discount', d_nulls, d_dist, d_min, d_max FROM a
+    SELECT 'l_discount', d_nulls, d_dist, d_min, d_max,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
     UNION ALL
-    SELECT 'l_returnflag', s_nulls, s_dist, s_min, s_max FROM a
+    SELECT 'l_returnflag', s_nulls, s_dist,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max FROM a
 """
 
 
@@ -4258,7 +4293,8 @@ def _curriculum_oracle() -> str:
     s AS (SELECT q, cnt,
               LEAST(4, CAST((4 * (cum - cnt)) // n AS INT) + 1) AS stage
           FROM c)
-    SELECT stage, SUM(cnt) AS n_docs, MIN(q) AS q_lo, MAX(q) AS q_hi
+    SELECT stage, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           MIN(q) AS q_lo, MAX(q) AS q_hi
     FROM s GROUP BY stage
 """
 
@@ -4538,7 +4574,7 @@ ORACLE_AUDIT = """
            (SELECT COUNT(*) FROM lineitem)
     UNION ALL
     SELECT 'customer_pk_unique',
-           (SELECT COALESCE(SUM(extra), 0) FROM (
+           (SELECT COALESCE(CAST(SUM(extra) AS BIGINT), 0) FROM (
                 SELECT COUNT(*) - 1 AS extra FROM customer
                 GROUP BY c_custkey HAVING COUNT(*) > 1) t),
            (SELECT COUNT(*) FROM customer)
@@ -5241,8 +5277,10 @@ ORACLE_QUALITY_CLF = f"""
                     CAST(SUM(tf) AS BIGINT) AS n_tokens
                 FROM tf JOIN w USING (b) GROUP BY doc_id)
     SELECT doc_id, z_milli,
-        -- Spark's div truncates toward zero; DuckDB's // floors.
-        -- Emulate truncation so both engines agree on negative logits.
+        -- DuckDB's // ALSO truncates toward zero (-7 // 2 = -3, verified;
+        -- same as Spark div), so this CASE is purely defensive: it pins
+        -- truncation semantics for negative logits even on a DuckDB
+        -- build that switched // to flooring. See _avg_micro_expr.
         CASE WHEN z_milli >= 0 THEN (z_milli * 1000) // n_tokens
              ELSE -((-z_milli * 1000) // n_tokens)
         END AS per_token_z_ppm,
@@ -5588,7 +5626,14 @@ def q_trimmed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
     )
     # s is micro-units already: round-half-up s/k stays in BIGINT.
-    mean_micro = F.expr("(s div k) + ((s % k) * 2 + k) div (2 * k)")
+    # Sign-safe: the remainder form assumes s >= 0 (true for the
+    # fixture, value >= 0.01), so negative sums take the mirrored
+    # branch — half-away-from-zero on both engines, no reliance on
+    # either engine's negative div/% convention.
+    mean_micro = F.expr(
+        "CASE WHEN s >= 0 THEN (s div k) + ((s % k) * 2 + k) div (2 * k)"
+        " ELSE -(((-s) div k) + (((-s) % k) * 2 + k) div (2 * k)) END"
+    )
     return agg.select(
         "event_type",
         F.col("k").alias("n_kept"),
@@ -5610,7 +5655,10 @@ ORACLE_TRIMMED = """
     agg AS (SELECT event_type, SUM(vm) AS s, COUNT(*) AS k
             FROM kept GROUP BY event_type)
     SELECT event_type, k AS n_kept,
-        CAST((s // k) + ((s % k) * 2 + k) // (2 * k) AS DOUBLE)
+        CAST(CASE WHEN s >= 0
+                  THEN (s // k) + ((s % k) * 2 + k) // (2 * k)
+                  ELSE -(((-s) // k) + (((-s) % k) * 2 + k) // (2 * k))
+             END AS DOUBLE)
             / 1000000.0 AS trimmed_mean
     FROM agg
 """
@@ -5775,7 +5823,16 @@ def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = hourly.groupBy("event_type").agg(
         F.sum("n_events").alias("n_tot"), F.sum("s").alias("s_tot")
     )
-    mean_micro = F.expr("(s div n_events) + ((s % n_events) * 2 + n_events) div (2 * n_events)")
+    # Sign-safe half-up (see trimmed_event_stats): mirrored branch for
+    # negative sums so neither engine's negative div/% convention is
+    # load-bearing; identical to the plain form on the non-negative
+    # fixture values.
+    mean_micro = F.expr(
+        "CASE WHEN s >= 0 THEN (s div n_events)"
+        " + ((s % n_events) * 2 + n_events) div (2 * n_events)"
+        " ELSE -(((-s) div n_events)"
+        " + (((-s) % n_events) * 2 + n_events) div (2 * n_events)) END"
+    )
     # index_ppm = (s/n) / (s_tot/n_tot) * 1e6, exactly:
     #   (s * n_tot * 1e6) div (n_events * s_tot)   [all BIGINT-safe at
     #   micro-units <= 5e8 and group counts <= 1e9 via the decimal cast]
@@ -5808,8 +5865,12 @@ ORACLE_SEASONALITY = """
                FROM hourly GROUP BY 1)
     SELECT hourly.event_type, CAST(hour_of_day AS INT) AS hour_of_day,
         n_events,
-        CAST((s // n_events) + ((s % n_events) * 2 + n_events)
-             // (2 * n_events) AS DOUBLE) / 1000000.0 AS mean_value,
+        CAST(CASE WHEN s >= 0
+                  THEN (s // n_events)
+                       + ((s % n_events) * 2 + n_events) // (2 * n_events)
+                  ELSE -(((-s) // n_events)
+                       + (((-s) % n_events) * 2 + n_events) // (2 * n_events))
+             END AS DOUBLE) / 1000000.0 AS mean_value,
         CAST((CAST(s AS HUGEINT) * n_tot * 1000000)
              // (CAST(n_events AS HUGEINT) * s_tot) AS BIGINT)
             AS season_ppm
@@ -5852,7 +5913,7 @@ ORACLE_MANIFEST = """
                 1, 15)) AS BIGINT) AS fp
         FROM documents)
     SELECT source, COUNT(*) AS n_docs,
-        SUM(n_chars) AS total_chars,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         COUNT(DISTINCT lang) AS n_langs,
         CAST(CAST(SUM(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0))
              AS VARCHAR) AS content_sig,

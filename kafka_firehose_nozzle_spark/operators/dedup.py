@@ -989,14 +989,18 @@ def loglog_distinct(
     m: int = 64,
     salt: str = "#hll",
 ) -> DataFrame:
-    """Deterministic LogLog distinct-count sketch per group:
+    """Deterministic HyperLogLog distinct-count sketch per group:
     (group_cols..., est_distinct, n_regs).
 
-    Classic Durand–Flajolet LogLog with m registers, made cross-engine
+    HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with m
+    registers — the harmonic-mean estimator with small-range linear
+    counting, NOT the earlier Durand–Flajolet LogLog (whose estimator
+    is a geometric mean of ranks) — made cross-engine
     bit-reproducible: the register index is the first md5 byte mod m,
     the rank is the leading-zero count of the next 48 hash bits + 1
     (computed with string ops on the hex — no float log2), and the
-    register combine sums 2^(50 - max_rank) in EXACT int64 space.  The
+    register combine sums 2^(50 - max_rank) in EXACT int64 space
+    (that sum IS the harmonic mean's denominator).  The
     only floating-point steps are one int64->double cast and one IEEE
     division by a precomputed double constant — bit-deterministic on
     every engine, so the DuckDB oracle matches exactly.
@@ -1017,7 +1021,8 @@ def loglog_distinct(
 def loglog_reg_rank(
     key_col: str, m: int = 64, salt: str = "#hll"
 ) -> tuple[Column, Column]:
-    """The per-row LogLog observation: (register index, rank) columns.
+    """The per-row HyperLogLog observation: (register index, rank)
+    columns.
     Pure projection — usable in batch AND as a streaming groupBy key,
     where max(rank) per (window, group, reg) is a valid single
     streaming aggregation whose state is bounded by m per group.
@@ -1064,7 +1069,7 @@ def loglog_finalize(
         1 << 50
     )
     raw = F.lit(numerator) / s_total.cast("double")
-    # HyperLogLog-style small-range correction: plain LogLog biases high
+    # HLL small-range correction: the raw harmonic estimator biases high
     # when registers are sparse (measured 56 vs true 18 at m=64); below
     # 2.5m with empty registers, linear counting m*ln(m/V) is the
     # estimator. ln() is libm — both engines run the same libm in one

@@ -103,17 +103,31 @@ def compact_small_files(
     so compaction simultaneously restores clustering (and with it
     min/max data skipping) instead of destroying it.
 
+    Metadata listing goes through the Hadoop FileSystem API, so the
+    helper sizes correctly on ANY supported scheme (file://, hdfs://,
+    s3a://...), not just the driver's local disk — a driver-local
+    ``os.walk`` would silently report total=0 on a remote store and
+    collapse the whole table into one partition.
+
     Returns the output file count. Correctness (row preservation) and
     the file-count/size invariants are pinned by
     tests/test_operators.py::test_compact_small_files."""
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    def _parquet_bytes_and_count(path_str: str) -> tuple[int, int]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total, count = 0, 0
+        it = fs.listFiles(jpath, True)  # recursive remote iterator
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+                count += 1
+        return total, count
+
+    total, _ = _parquet_bytes_and_count(src)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src)
     if sort_col is not None:
@@ -123,9 +137,4 @@ def compact_small_files(
     else:
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(dst)
-    return sum(
-        1
-        for root, _dirs, files in os.walk(dst)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return _parquet_bytes_and_count(dst)[1]

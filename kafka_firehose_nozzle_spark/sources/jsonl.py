@@ -17,8 +17,10 @@ Scale design:
   including structurally-valid-but-foreign JSON, which the json reader
   nulls out irrecoverably.
 - The parsed frame is persisted before the good/quarantine split, so
-  consuming both halves costs one scan + one Jackson pass, not two
-  (caller unpersists via the returned handle when done).
+  consuming both halves costs one scan + one Jackson pass, not two.
+  The third returned element is an ``unpersist()`` callback — call it
+  once both halves are consumed, or repeated ingests leak cached
+  blocks on the executors.
 - The schema is supplied explicitly: schema inference is a full extra
   pass over 100 TB and non-deterministic under sampling. Don't.
 - Quarantined rows keep the raw line so a later repair job can
@@ -49,12 +51,14 @@ def read_jsonl_split(
     spark: SparkSession,
     path: str,
     schema: T.StructType = EVENTS_JSONL_SCHEMA,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Read newline-delimited JSON at ``path``; return
-    ``(good, quarantine)``.
+    ``(good, quarantine, unpersist)``.
 
     ``good`` has the typed columns; ``quarantine`` is ``(raw, reason)``
-    where raw is the byte-exact original line in BOTH failure modes.
+    where raw is the byte-exact original line in BOTH failure modes;
+    ``unpersist`` releases the shared parsed-frame cache once both
+    halves have been consumed.
 
     A line is quarantined when Jackson could not parse it at all
     (``unparseable``) OR it parsed but every schema field was null — a
@@ -94,4 +98,7 @@ def read_jsonl_split(
         .otherwise(F.lit("foreign_schema"))
         .alias("reason"),
     )
-    return good, quarantine
+    def unpersist() -> None:
+        parsed.unpersist()
+
+    return good, quarantine, unpersist

@@ -172,7 +172,7 @@ def test_jsonl_split_quarantines_bad_lines(spark, tmp_path):
     ]
     p.write_text("\n".join(lines) + "\n")
 
-    good, quarantine = read_jsonl_split(spark, str(p))
+    good, quarantine, unpersist = read_jsonl_split(spark, str(p))
     assert sorted(r["event_id"] for r in good.collect()) == [1, 2]
     assert quarantine.count() == 3
     bad = [r for r in quarantine.collect()]
@@ -183,6 +183,7 @@ def test_jsonl_split_quarantines_bad_lines(spark, tmp_path):
     raws = {r["raw"] for r in bad}
     assert "not json at all %%%" in raws
     assert '{"totally": "different", "payload": 42}' in raws
+    unpersist()  # releases the shared parse cache — no leaked blocks
 
 
 def test_jsonl_good_rows_feed_routing_pipeline(spark, tmp_path):
@@ -201,7 +202,7 @@ def test_jsonl_good_rows_feed_routing_pipeline(spark, tmp_path):
         '{"event_id": 2, "ts": "2024-01-01 00:00:01", "user_id": 8,'
         ' "event_type": "error", "value": 0.0, "props": "{}"}\n'
     )
-    good, _ = read_jsonl_split(spark, str(p))
+    good, _, _unpersist = read_jsonl_split(spark, str(p))
     good = good.withColumn("ts", F.to_timestamp("ts"))
     env = events_to_envelopes(good)
     types = sorted(r["eventType"] for r in env.collect())

@@ -27,10 +27,29 @@ import __spark_entry__ as entrymod
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form for cross-engine comparison.
+
+    Two DOCUMENTED dtype coercions are applied before the strict dtype
+    check — both empirically tolerated by the driver's value hash
+    (driver-green queries exhibit them: ``zorder_layout`` was green with
+    spark int32 vs duckdb int64, ``sliding_window_rates``/``scd2`` green
+    with datetime64[ns] vs datetime64[us]):
+
+    - any integer width -> int64 (repr is width-independent: 5 is 5);
+    - any datetime unit -> datetime64[ns] (Spark toPandas always emits
+      ns, duckdb .df() always us — not expressible in the SQL text).
+
+    int-vs-float is deliberately NOT coerced: DuckDB HUGEINT emissions
+    arrive as float64 (5.0 vs 5) and that representation skew is exactly
+    what hash-failed five driver queries in rounds 1-4."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif df[c].dtype.kind in "iu" and str(df[c].dtype) != "int64":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "M" and str(df[c].dtype) != "datetime64[ns]":
+            df[c] = df[c].astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
@@ -61,8 +80,19 @@ def compare_query(spark, con, sf_dir: str, name: str) -> str | None:
         return f"columns {list(g.columns)} vs {list(w.columns)}"
     if len(g) != len(w):
         return f"rows {len(g)} vs {len(w)}"
+    # Strict dtype check FIRST: the driver's value hash is
+    # dtype/representation-sensitive, so a DuckDB HUGEINT emitted as
+    # float64 vs Spark's int64 hash-fails even when every value is equal.
+    # check_dtype=False masked exactly that for four rounds (VERDICT r4).
+    bad = [
+        f"{c}: spark={g[c].dtype} duckdb={w[c].dtype}"
+        for c in g.columns
+        if g[c].dtype != w[c].dtype
+    ]
+    if bad:
+        return f"dtype skew: {'; '.join(bad)}"
     try:
-        pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
     except AssertionError as e:
         return f"values differ: {str(e)[:400]}"
     return None
