@@ -30,6 +30,7 @@ from kafka_firehose_nozzle_spark.operators import dedup as D
 from kafka_firehose_nozzle_spark.operators import graph as G
 from kafka_firehose_nozzle_spark.operators import history as H
 from kafka_firehose_nozzle_spark.operators import layout as LAY
+from kafka_firehose_nozzle_spark.operators import sampling as SA
 from kafka_firehose_nozzle_spark.operators import similarity as S
 from kafka_firehose_nozzle_spark.operators import text as TX
 from kafka_firehose_nozzle_spark.pipeline import route_envelopes
@@ -5922,6 +5923,308 @@ ORACLE_MANIFEST = """
 """
 
 
+def q_dsir_log_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (Xie et al. 2023): score
+    every raw document by how target-like its token distribution is —
+    the importance-resampling recipe for tilting a 100 TB crawl toward
+    a quality target.  Target split here: lang='en' documents; raw: the
+    whole corpus.  See operators/sampling.py::dsir_log_weights for the
+    scale shape (two B-row bucket tables, broadcast log-ratio join)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return SA.dsir_log_weights(docs, target)
+
+
+ORACLE_DSIR = f"""
+    WITH raw_toks AS (
+        SELECT doc_id,
+            ('0x' || substr(md5(tok || '#dsir'), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+    tgt_toks AS (
+        SELECT ('0x' || substr(md5(tok || '#dsir'), 1, 15))::BIGINT % 1024 AS b
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents
+              WHERE lang = 'en')),
+    nr AS (SELECT COUNT(*) AS n FROM raw_toks),
+    nt AS (SELECT COUNT(*) AS n FROM tgt_toks),
+    rb AS (SELECT b, COUNT(*) AS cr FROM raw_toks GROUP BY b),
+    tb AS (SELECT b, COUNT(*) AS ct FROM tgt_toks GROUP BY b),
+    ratios AS (SELECT COALESCE(rb.b, tb.b) AS b,
+        CAST(ln((COALESCE(ct, 0) + 1) / CAST(nt.n + 1024 AS DOUBLE))
+             - ln((COALESCE(cr, 0) + 1) / CAST(nr.n + 1024 AS DOUBLE))
+             AS DECIMAL(20,6)) AS term
+        FROM rb FULL OUTER JOIN tb ON rb.b = tb.b
+        CROSS JOIN nr CROSS JOIN nt)
+    SELECT doc_id, COUNT(*) AS n_toks,
+        {DET.det_round_sql('CAST(SUM(term) AS DOUBLE)', 4)} AS log_weight
+    FROM raw_toks JOIN ratios USING (b)
+    GROUP BY doc_id
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every document
+    gets a (shard, position) that is a pure function of its id — the
+    reproducible global shuffle a data loader needs (re-running the
+    pipeline, on any engine at any parallelism, yields byte-identical
+    epoch order).  shard = 60-bit md5 hash mod 8; position =
+    rank-by-hash within the shard.  Scale shape: the hash is a scan
+    projection; the only shuffle is the per-shard repartition, and each
+    shard's sort covers 1/n_shards of the corpus — with shards sized to
+    executor count this is the standard distributed-shuffle shape (no
+    global sort ever materializes a total order)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#shuf"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(8)))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+
+
+ORACLE_SHUFFLE_SHARDS = """
+    WITH h AS (SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuf'), 1, 15))
+            ::BIGINT AS h
+    FROM documents)
+    SELECT doc_id, h % 8 AS shard,
+        ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+    FROM h
+"""
+
+
+def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity audit: Shannon entropy of the language mix per
+    source, plus dominant-language share in ppm — the balance report a
+    multilingual training mix is tuned against.  Exact arithmetic
+    everywhere it can be: counts stay int64, the dominant share is an
+    integer ppm division, and each p*ln(p) term quantizes to
+    DECIMAL(20,6) before the (bounded, n_langs-row) sum.  One partial
+    agg to (source, lang) — tiny — then a per-source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = by_lang.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"), F.max("cnt").alias("top_cnt")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_docs").cast("double")
+    term = (-p * F.log(p)).cast("decimal(20,6)")
+    return (
+        by_lang.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            DET.det_round(F.sum(term).cast("double"), 6).alias(
+                "lang_entropy"
+            ),
+            F.expr("first(top_cnt) * 1000000 div first(n_docs)").alias(
+                "top_share_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_LANG_ENTROPY = f"""
+    WITH c AS (SELECT source, lang, COUNT(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                 MAX(cnt) AS top_cnt
+          FROM c GROUP BY source)
+    SELECT c.source, t.n_docs, COUNT(*) AS n_langs,
+        {DET.det_round_sql(
+            "CAST(SUM(CAST(-(cnt / CAST(n_docs AS DOUBLE))"
+            " * ln(cnt / CAST(n_docs AS DOUBLE)) AS DECIMAL(20,6)))"
+            " AS DOUBLE)", 6
+        )} AS lang_entropy,
+        top_cnt * 1000000 // n_docs AS top_share_ppm
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source, t.n_docs, t.top_cnt
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens emitted per
+    whitespace word (the BPE-ish proxy count over the word count), in
+    exact micro-units — the metric that decides whether a tokenizer is
+    fair to a language before a multilingual training run.  Pure map +
+    one partial agg; the micro-unit average is the repo's exact
+    integer half-up idiom, so no double forms until the final cast."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        TX.token_count(text).cast("bigint").alias("n_words"),
+        TX.bpe_ish_token_count(text).cast("bigint").alias("n_sub"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_sub").alias("subs"),
+    )
+    # remainder-form micro average: intermediates bounded by words*2e6,
+    # so a 100 TB-scale token count cannot overflow int64 (the naive
+    # subs*1e6 form dies at ~9e12 subwords)
+    fert_micro = _avg_micro_expr("subs", "words")
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("words").alias("n_words"),
+        F.col("subs").alias("n_subwords"),
+        (fert_micro.cast("double") / F.lit(1000000.0)).alias("fertility"),
+    )
+
+
+ORACLE_FERTILITY = f"""
+    WITH per_doc AS (SELECT lang,
+        len({_TOKS}) AS n_words,
+        CAST(list_sum(list_transform(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> ''),
+            x -> CASE WHEN length(x) <= 4 THEN 1
+                      ELSE CAST(ceil(length(x) / 4.0) AS BIGINT) END))
+            AS BIGINT) AS n_sub
+    FROM documents),
+    agg AS (SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_words) AS BIGINT) AS words,
+                CAST(SUM(n_sub) AS BIGINT) AS subs
+            FROM per_doc GROUP BY lang)
+    SELECT lang, n_docs, words AS n_words, subs AS n_subwords,
+        CAST((subs // words) * 1000000
+             + ((subs % words) * 2000000 + words) // (2 * words)
+             AS DOUBLE) / 1000000.0 AS fertility
+    FROM agg
+"""
+
+
+def q_robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier report per event type — the
+    loss-spike detector shape: median and median-absolute-deviation of
+    event value in EXACT micro-unit integers (lower median at rank
+    (n+1)/2 under a deterministic (value, event_id) order), then the
+    count of values beyond 3 MADs.  No mean/stddev — one hot key with
+    a fat tail cannot drag the threshold.  Scale: two per-type rank
+    windows (same trade as trimmed_event_stats — swap in approx
+    quantiles at 100 TB; exact here for oracle checkability) and one
+    final partial agg."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = ev.select("event_type", "event_id", vm.alias("vm"))
+    w = Window.partitionBy("event_type").orderBy("vm", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("vm").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dv", F.abs(F.col("vm") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dv", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dv").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.first("med").cast("double") / F.lit(1000000.0)).alias(
+                "median_value"
+            ),
+            (F.first("mad").cast("double") / F.lit(1000000.0)).alias(
+                "mad_value"
+            ),
+            F.count_if(
+                F.col("dv") > F.lit(3) * F.col("mad")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+ORACLE_ROBUST_OUTLIERS = """
+    WITH base AS (SELECT event_type, event_id,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        FROM events),
+    r AS (SELECT event_type, vm,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY vm, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM base),
+    med AS (SELECT event_type, vm AS med FROM r WHERE rn = (n + 1) // 2),
+    dev AS (SELECT base.event_type, base.event_id, base.vm,
+                   abs(base.vm - med.med) AS dv, med.med
+            FROM base JOIN med ON base.event_type = med.event_type),
+    rd AS (SELECT event_type, dv,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY dv, event_id) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+    mad AS (SELECT event_type, dv AS mad FROM rd WHERE rn = (n + 1) // 2)
+    SELECT dev.event_type, COUNT(*) AS n,
+        CAST(MIN(dev.med) AS DOUBLE) / 1000000.0 AS median_value,
+        CAST(MIN(mad.mad) AS DOUBLE) / 1000000.0 AS mad_value,
+        COUNT(*) FILTER (WHERE dev.dv > 3 * mad.mad) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+"""
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the planted corpus: benchmark =
+    doc_id % 7 == 3 (the mutated copies of those land on % 7 == 4, i.e.
+    in train — so the planted duplicates ARE the contamination the pass
+    must find).  Flags train docs sharing any verbatim word 8-gram with
+    the benchmark; see operators/text.py::benchmark_decontam for the
+    broadcast-probe scale shape."""
+    docs2 = _planted_docs(spark, sf_dir)
+    bench = docs2.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+    train = docs2.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 3)
+    return TX.benchmark_decontam(train, bench)
+
+
+ORACLE_DECONTAM = f"""
+    WITH docs2 AS ({_PLANTED_SQL}),
+    tk AS (SELECT doc_id, {_TOKS} AS toks FROM docs2),
+    g AS (SELECT doc_id, {_GRAMS8} AS grams FROM tk),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+                FROM g) u),
+    t AS (SELECT DISTINCT doc_id AS train_id, gh FROM h
+          WHERE doc_id % 7 <> 3),
+    b AS (SELECT DISTINCT doc_id AS bench_id, gh FROM h
+          WHERE doc_id % 7 = 3)
+    SELECT train_id, COUNT(DISTINCT gh) AS n_shared_grams,
+           COUNT(DISTINCT bench_id) AS n_bench_docs
+    FROM t JOIN b USING (gh)
+    GROUP BY train_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6032,6 +6335,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_topk": q_boilerplate_topk,
     "hourly_seasonality": q_hourly_seasonality,
     "corpus_manifest": q_corpus_manifest,
+    "dsir_log_weights": q_dsir_log_weights,
+    "shuffle_shards": q_shuffle_shards,
+    "lang_entropy_by_source": q_lang_entropy_by_source,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "robust_outlier_events": q_robust_outlier_events,
+    "benchmark_decontam": q_benchmark_decontam,
 }
 
 ORACLES: dict[str, str] = {
@@ -6144,6 +6453,12 @@ ORACLES: dict[str, str] = {
     "boilerplate_topk": ORACLE_BOILERPLATE,
     "hourly_seasonality": ORACLE_SEASONALITY,
     "corpus_manifest": ORACLE_MANIFEST,
+    "dsir_log_weights": ORACLE_DSIR,
+    "shuffle_shards": ORACLE_SHUFFLE_SHARDS,
+    "lang_entropy_by_source": ORACLE_LANG_ENTROPY,
+    "tokenizer_fertility": ORACLE_FERTILITY,
+    "robust_outlier_events": ORACLE_ROBUST_OUTLIERS,
+    "benchmark_decontam": ORACLE_DECONTAM,
 }
 
 

@@ -66,3 +66,99 @@ def hash_fraction_sample(df: DataFrame, id_col: str, percent: int) -> DataFrame:
     that pushes into the scan's batch evaluation."""
     bucket = F.conv(F.substring(hash_rank(F.col(id_col)), 1, 4), 16, 10).cast("long")
     return df.filter(bucket * 100 < 65536 * percent)
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "#dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per raw document, the
+    hashed-unigram log importance weight
+
+        log w(d) = sum_tok [ ln p_target(b(tok)) - ln p_raw(b(tok)) ]
+
+    where b() hashes tokens into ``n_buckets`` features and both
+    distributions are Laplace-smoothed ((c+1) / (N+B)).  High-weight
+    documents 'look like' the target corpus; resampling raw data by
+    these weights is the standard recipe for tilting a 100 TB crawl
+    toward a quality target without training a classifier.
+
+    Scale shape: two token-cardinality partial aggregations build the
+    two B-row bucket tables (B is a constant — 1024 rows — regardless
+    of corpus size), the per-token log-ratio joins via BROADCAST, and
+    one per-doc partial agg emits the weight.  No shuffle ever carries
+    more than token-cardinality rows, and the only sort anywhere is
+    Spark's partial-agg hashing.  Cross-engine determinism: each ln()
+    term quantizes to DECIMAL(20,6) BEFORE the per-doc sum (the repo's
+    libm-ulps idiom), totals are exact int64 scalars.
+
+    Returns (id_col, n_toks, log_weight) for every raw document.
+    """
+    from kafka_firehose_nozzle_spark.functions import detmath as DET
+    from kafka_firehose_nozzle_spark.operators import text as TX
+
+    def bucket(tok: Column) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(tok, F.lit(salt))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    def toks_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col(text_col)))
+            ).alias("tok"),
+        ).withColumn("b", bucket(F.col("tok")))
+
+    raw_toks = toks_of(docs)
+    tgt_toks = toks_of(target)
+    # bounded driver scalars: two counts, exactly like the unigram LM
+    n_raw = raw_toks.count()
+    n_tgt = tgt_toks.count()
+    raw_buckets = raw_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_buckets = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # B-row broadcast table of per-bucket log ratios; missing buckets
+    # fall back to the pure smoothing mass via coalesce AFTER the outer
+    # join of the two bounded tables
+    ratios = (
+        raw_buckets.join(tgt_buckets, "b", "outer")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / F.lit(float(n_tgt + n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / F.lit(float(n_raw + n_buckets))
+                )
+            )
+            .cast("decimal(20,6)")
+            .alias("term"),
+        )
+    )
+    return (
+        raw_toks.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            DET.det_round(F.sum("term").cast("double"), 4).alias(
+                "log_weight"
+            ),
+        )
+    )

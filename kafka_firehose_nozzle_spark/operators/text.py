@@ -438,3 +438,51 @@ def duplicated_window_stats(
             "dup_ppm", F.expr("dup_windows * 1000000 div n_windows")
         )
     )
+
+
+def benchmark_decontam(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag TRAINING documents that share at
+    least one verbatim word ``n``-gram with a held-out benchmark set —
+    the GPT-3-style 13-gram decontamination pass every training corpus
+    runs before a model ships (here over word n-grams; the window size
+    is the caller's contract with their eval suite).
+
+    Direction matters: ngram_containment scores how contaminated each
+    TEST doc is; this flags the TRAIN docs to drop, which is the
+    actionable output of a decontamination run.
+
+    Per flagged train doc: distinct shared n-grams and distinct
+    benchmark docs hit.  Scale shape: both sides explode to distinct
+    (doc, 60-bit gram hash) pairs — fixed-width ints cross the wire,
+    never gram strings; the benchmark side is BROADCAST (an eval suite
+    is MBs against a 100 TB corpus), so the train-side explode never
+    shuffles at all and the flagging is a map-side hash probe."""
+    def hashed(df: DataFrame, out_id: str) -> DataFrame:
+        grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+        return (
+            df.select(F.col(id_col).alias(out_id), F.explode(grams).alias("g"))
+            .select(
+                out_id,
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("gh"),
+            )
+            .distinct()
+        )
+
+    t = hashed(train, "train_id")
+    b = hashed(bench, "bench_id")
+    return (
+        t.join(F.broadcast(b), "gh")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("gh").alias("n_shared_grams"),
+            F.count_distinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -401,3 +401,52 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
             else:
                 spark.conf.set(k, v)
     assert "might_contain" in plan.lower(), plan[:1200]
+
+
+def test_dsir_broadcasts_bucket_ratios_no_cartesian(spark):
+    """DSIR's log-ratio table is B rows (a constant) — it must reach the
+    token stream via broadcast, and nothing may cross-join: at 100 TB
+    the token stream is the corpus, and a shuffled join on the bucket id
+    would move it."""
+    plan = _plan(spark, "dsir_log_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_shards_no_global_sort(spark):
+    """The deterministic corpus shuffle must sort per shard (hash
+    partitioning on the shard id), never materialize a total order:
+    'Exchange SinglePartition' under the window would serialize the
+    whole corpus through one task."""
+    plan = _plan(spark, "shuffle_shards")
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_robust_outliers_broadcasts_medians(spark):
+    """The per-type median and MAD tables are event-type-cardinality
+    rows; they must broadcast back onto the stream — a shuffled rejoin
+    of the full event volume per statistic would double the job's
+    shuffle IO."""
+    plan = _plan(spark, "robust_outlier_events")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_lang_entropy_partial_agg_before_rollup(spark):
+    """The (source, lang) aggregation must partial-combine map-side —
+    the rollup input is bounded by the language-mix cardinality, not
+    the corpus."""
+    plan = _plan(spark, "lang_entropy_by_source")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_broadcasts_benchmark_side(spark):
+    """The benchmark gram table must broadcast (an eval suite is MBs
+    against a 100 TB corpus) so the train-side explode never shuffles
+    for the probe."""
+    plan = _plan(spark, "benchmark_decontam")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

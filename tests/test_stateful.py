@@ -474,3 +474,91 @@ def test_correlate_left_outer_emits_unmatched_after_watermark(
     inner = correlate_errors_with_http(batch_env).toPandas()
     matched = out[out["http_time"].notna()]
     assert len(matched) == len(inner)
+
+
+def test_rate_limiter_stream_matches_sequential_model(spark, tmp_path):
+    """The streaming token bucket, fed the event log in two ts-ordered
+    micro-batches, must admit/drop exactly what a sequential per-user
+    model admits over the full log — integer event-time refill carries
+    across the batch boundary, and the memory-sink final row per user
+    equals the model's totals."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        rate_limited_counts,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_id", "ts")
+        .filter(F.col("user_id") < 10)
+    )
+    cutoff = ev.agg(
+        F.expr("percentile(unix_micros(to_timestamp(ts)), 0.5)")
+    ).head()[0]
+    micros = F.unix_micros(F.to_timestamp(F.col("ts")))
+    src = str(tmp_path / "src")
+    ev.filter(micros <= cutoff).coalesce(1).write.parquet(src)
+    ev.filter(micros > cutoff).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        rate_limited_counts(stream, capacity=5, refill_per_sec=1e-5)
+        .writeStream.format("memory")
+        .queryName("rate_limited_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends each batch's update rows;
+    # totals are monotonic, so the max tuple per user is the final state
+    got_rows = spark.table("rate_limited_t").collect()
+    got = {}
+    for r in got_rows:
+        got[r["user_id"]] = (r["allowed"], r["dropped"])
+    # (parquet appends both batches' update rows; totals are monotonic,
+    # so the max tuple per user is the final state)
+    got = {
+        u: max(
+            (r["allowed"], r["dropped"])
+            for r in got_rows
+            if r["user_id"] == u
+        )
+        for u in {r["user_id"] for r in got_rows}
+    }
+
+    # sequential reference over the full, globally ordered log
+    cap_micro, refill_micro = 5_000_000, 10
+    state = {}
+    rows = sorted(
+        ev.withColumn("us", micros).collect(),
+        key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+    )
+    for r in rows:
+        tokens, last_us, allowed, dropped = state.get(
+            r["user_id"], (cap_micro, -1, 0, 0)
+        )
+        us = r["us"]
+        if last_us >= 0 and us > last_us:
+            tokens = min(
+                cap_micro, tokens + (us - last_us) * refill_micro // 1_000_000
+            )
+        last_us = max(last_us, us)
+        if tokens >= 1_000_000:
+            tokens, allowed = tokens - 1_000_000, allowed + 1
+        else:
+            dropped += 1
+        state[r["user_id"]] = (tokens, last_us, allowed, dropped)
+
+    expected = {u: (s[2], s[3]) for u, s in state.items()}
+    assert got == expected
+    # the limiter must actually have limited something at this rate
+    assert sum(d for _a, d in expected.values()) > 0
