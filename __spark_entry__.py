@@ -6225,6 +6225,155 @@ ORACLE_DECONTAM = f"""
 """
 
 
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the event changelog: per-user state AS OF
+    2024-01-15 00:00:00 — the warehouse snapshot query (reconstruct any
+    historical table version from the append-only log without storing
+    versions).  Same operator as changelog_compact; the as-of bound is
+    a pure scan predicate, so at 100 TB partition pruning on the ts
+    column does the time travel before a single row shuffles."""
+    asof = "2024-01-15 00:00:00"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit(asof).cast("timestamp")
+    )
+    out = H.compact_changelog(
+        ev, "user_id", "ts", "event_id", F.col("event_type") == "error"
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("asof_ts"),
+        F.col("event_type").alias("asof_type"),
+        DET.det_round(F.col("value"), 6).alias("asof_value"),
+    )
+
+
+ORACLE_SNAPSHOT_ASOF = f"""
+    WITH r AS (SELECT user_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events
+               WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    SELECT user_id, ts AS asof_ts, event_type AS asof_type,
+           {DET.det_round_sql('value', 6)} AS asof_value
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_quality_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source rank normalization of the quality score — the step
+    that makes scores comparable ACROSS sources before a curriculum or
+    mixing decision (a 0.7 from a clean source and a 0.7 from a noisy
+    one are different animals; their within-source percentiles are
+    not).  Exact integer ppm: pct = (rank - 1) * 1e6 div (n - 1), ties
+    share a rank (RANK, not ROW_NUMBER, so equal scores get equal
+    percentiles).  One per-source sort window — each source sorts
+    independently, the partition-count knob at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("q")
+    )
+    # exact integer ppm with a div-by-zero-proof denominator: NO double
+    # division anywhere (Spark's double->bigint cast truncates while
+    # DuckDB's ROUNDS — the cross-engine trap the integer form avoids)
+    pct = F.expr(
+        "CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0"
+        " ELSE (CAST(rank() OVER (PARTITION BY source ORDER BY q) - 1"
+        "       AS BIGINT) * 1000000)"
+        " div GREATEST(count(*) OVER (PARTITION BY source) - 1, 1) END"
+    )
+    return scored.select(
+        "doc_id", "source", "q", pct.cast("bigint").alias("pct_ppm")
+    )
+
+
+ORACLE_QUALITY_PCT = f"""
+    WITH scores AS ({ORACLE_QUALITY.strip()}),
+    j AS (SELECT s.doc_id, d.source, s.quality AS q
+          FROM scores s JOIN documents d ON s.doc_id = d.doc_id)
+    SELECT doc_id, source, q,
+        CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0
+             ELSE (CAST(RANK() OVER (PARTITION BY source ORDER BY q) - 1
+                        AS BIGINT) * 1000000)
+                  // GREATEST(COUNT(*) OVER (PARTITION BY source) - 1, 1)
+        END AS pct_ppm
+    FROM j
+"""
+
+
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: distribution drift of
+    event value between the first and second half of the month (split
+    at 2024-01-16) over 10 fixed-width bins — the ML-monitoring metric
+    that decides whether a feature or label distribution moved enough
+    to retrain.  PSI = sum (p2-p1) * ln(p2/p1), Laplace-smoothed so an
+    empty bin cannot produce infinities; each term quantizes to
+    DECIMAL(20,6) before the (10-row) sum.  One scan, one partial agg
+    to (type, half, bin) — bounded rows — then a broadcast-size
+    pivot."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < split, F.lit(1)).otherwise(F.lit(2)).alias("half"),
+        F.least(
+            F.lit(9), F.floor(F.col("value") / F.lit(50.0)).cast("int")
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("half") == 1).alias("c1"),
+        F.count_if(F.col("half") == 2).alias("c2"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p1 = (F.col("c1") + F.lit(1)).cast("double") / (
+        F.col("n1") + F.lit(10)
+    ).cast("double")
+    p2 = (F.col("c2") + F.lit(1)).cast("double") / (
+        F.col("n2") + F.lit(10)
+    ).cast("double")
+    term = ((p2 - p1) * F.log(p2 / p1)).cast("decimal(20,6)")
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n1").alias("n_first_half"),
+            F.first("n2").alias("n_second_half"),
+            DET.det_round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+    )
+
+
+ORACLE_PSI = f"""
+    WITH b AS (SELECT event_type,
+            CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 2 END AS half,
+            LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS bin
+        FROM events),
+    c AS (SELECT event_type, bin,
+            COUNT(*) FILTER (WHERE half = 1) AS c1,
+            COUNT(*) FILTER (WHERE half = 2) AS c2
+          FROM b GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2
+          FROM c GROUP BY 1)
+    SELECT c.event_type, t.n1 AS n_first_half, t.n2 AS n_second_half,
+        {DET.det_round_sql(
+            "CAST(SUM(CAST(((c2 + 1) / CAST(n2 + 10 AS DOUBLE)"
+            "     - (c1 + 1) / CAST(n1 + 10 AS DOUBLE))"
+            " * ln(((c2 + 1) / CAST(n2 + 10 AS DOUBLE))"
+            "      / ((c1 + 1) / CAST(n1 + 10 AS DOUBLE)))"
+            " AS DECIMAL(20,6))) AS DOUBLE)", 6
+        )} AS psi
+    FROM c JOIN t ON c.event_type = t.event_type
+    GROUP BY c.event_type, t.n1, t.n2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6341,6 +6490,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "robust_outlier_events": q_robust_outlier_events,
     "benchmark_decontam": q_benchmark_decontam,
+    "snapshot_asof": q_snapshot_asof,
+    "quality_percentile_by_source": q_quality_percentile_by_source,
+    "psi_value_drift": q_psi_value_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -6459,6 +6611,9 @@ ORACLES: dict[str, str] = {
     "tokenizer_fertility": ORACLE_FERTILITY,
     "robust_outlier_events": ORACLE_ROBUST_OUTLIERS,
     "benchmark_decontam": ORACLE_DECONTAM,
+    "snapshot_asof": ORACLE_SNAPSHOT_ASOF,
+    "quality_percentile_by_source": ORACLE_QUALITY_PCT,
+    "psi_value_drift": ORACLE_PSI,
 }
 
 

@@ -450,3 +450,22 @@ def test_decontam_broadcasts_benchmark_side(spark):
     plan = _plan(spark, "benchmark_decontam")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_asof_pushes_time_bound_to_scan(spark):
+    """The as-of bound must reach the parquet scan as a pushed filter —
+    at 100 TB that predicate IS the time travel (partition/row-group
+    pruning); a post-scan filter reads the whole log."""
+    plan = _plan(spark, "snapshot_asof")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "ts" in pushed
+
+
+def test_psi_broadcasts_totals_partial_agg(spark):
+    """PSI's per-type totals are event-type-cardinality rows — broadcast
+    rejoin, and the (type, bin) aggregation must partial-combine."""
+    plan = _plan(spark, "psi_value_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
