@@ -83,6 +83,7 @@ def main() -> None:
                 **_wide_ann_bench(spark),
                 **_lsh_pair_scoring_bench(spark, sf_dir),
                 **_round4_side_metrics(spark, sf_dir, qs),
+                **_round5_side_metrics(spark, sf_dir, qs),
             }
         )
     )
@@ -106,6 +107,17 @@ def _round4_side_metrics(spark, sf_dir: str, qs) -> dict:
     return {
         f"{name}_sec": _best_of_3(lambda: qs[name](spark, sf_dir).count())
         for name in ("substring_dup_spans", "loglog_distinct_users")
+    }
+
+
+def _round5_side_metrics(spark, sf_dir: str, qs) -> dict:
+    """min-of-3 timings for the round-5 flagship additions (DSIR
+    weights and benchmark decontamination — the two volume-bound new
+    ops) — kept OUT of the headline total so cross-round totals stay
+    comparable."""
+    return {
+        f"{name}_sec": _best_of_3(lambda: qs[name](spark, sf_dir).count())
+        for name in ("dsir_log_weights", "benchmark_decontam")
     }
 
 

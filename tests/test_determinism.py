@@ -39,6 +39,14 @@ REPRESENTATIVES = [
     "user_activity_similarity",
     # xor-combine signature must be partitioning-invariant by design
     "corpus_manifest",
+    # wave-5 mechanisms: DECIMAL-quantized ln sums over a broadcast
+    # ratio table (DSIR), rank-window integer medians (robust MAD),
+    # smoothed-ln drift terms (PSI), exact integer ppm rank
+    # normalization with ties
+    "dsir_log_weights",
+    "robust_outlier_events",
+    "psi_value_drift",
+    "quality_percentile_by_source",
 ]
 
 

@@ -207,3 +207,52 @@ def test_jsonl_good_rows_feed_routing_pipeline(spark, tmp_path):
     env = events_to_envelopes(good)
     types = sorted(r["eventType"] for r in env.collect())
     assert types == [4, 8]  # HttpStartStop, Error
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, tmp_path
+):
+    """overwrite_partitions replaces exactly the partitions present in
+    the written frame; untouched partitions survive byte-for-byte —
+    the incremental-backfill contract (static overwrite would wipe the
+    whole table)."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.sinks.lake import overwrite_partitions
+
+    lake = str(tmp_path / "lake")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("day", F.dayofmonth("ts"))
+        .filter(F.col("day") <= 4)
+    )
+    overwrite_partitions(ev, lake, ["day"])
+    before = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(lake)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(before) == {1, 2, 3, 4}
+
+    # backfill day 2 with half its rows: only day 2 may change
+    day2 = ev.filter(F.col("day") == 2).filter(F.col("event_id") % 2 == 0)
+    n_day2 = day2.count()
+    overwrite_partitions(day2, lake, ["day"])
+    after = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(lake)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after[2] == n_day2 != before[2]
+    assert {d: n for d, n in after.items() if d != 2} == {
+        d: n for d, n in before.items() if d != 2
+    }
+    # the session setting must be restored (it is session-global)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
