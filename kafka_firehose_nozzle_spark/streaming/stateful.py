@@ -534,3 +534,113 @@ def rate_limited_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HEAVY_HITTERS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("item", T.LongType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("max_overestimate", T.LongType()),
+    ]
+)
+
+_SS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _space_saving(m: int):
+    def step(
+        key: tuple,
+        pdfs: "Iterator[pd.DataFrame]",
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.exists:
+            items, counts, errs = state.get
+            table = {
+                i: (c, e) for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "item"])
+            for it in pdf["item"].astype("int64"):
+                it = int(it)
+                if it in table:
+                    c, e = table[it]
+                    table[it] = (c + 1, e)
+                elif len(table) < m:
+                    table[it] = (1, 0)
+                else:
+                    # evict the minimum counter; ties broken by the
+                    # SMALLEST item id so replay is deterministic
+                    ev_it = min(
+                        table, key=lambda k: (table[k][0], k)
+                    )
+                    mn = table[ev_it][0]
+                    del table[ev_it]
+                    table[it] = (mn + 1, mn)
+        ordered = sorted(table.items(), key=lambda kv: kv[0])
+        state.update(
+            (
+                [i for i, _ in ordered],
+                [c for _, (c, _e) in ordered],
+                [e for _, (_c, e) in ordered],
+            )
+        )
+        out = sorted(
+            table.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(out),
+                "item": [i for i, _ in out],
+                "est_count": [c for _, (c, _e) in out],
+                "max_overestimate": [e for _, (_c, e) in out],
+            }
+        )
+
+    return step
+
+
+def heavy_hitters(
+    events: DataFrame,
+    m: int = 8,
+) -> DataFrame:
+    """Streaming SpaceSaving heavy hitters per event type: the top-m
+    item table that answers "who dominates this stream?" with state
+    BOUNDED at m counters per key — the 100 TB / unbounded-stream
+    replacement for a groupBy-count top-k whose state would be the
+    full item cardinality.
+
+    SpaceSaving (Metwally et al. 2005) invariants the test pins:
+    est_count >= true count for every tracked item, the overestimate
+    is at most the evicted minimum recorded alongside, and any item
+    with true count > N/m is guaranteed tracked.  Determinism: rows
+    process in (event time, item) order and counter eviction
+    tie-breaks on the smallest item id, so any replay of the same
+    batch sequence yields the identical table — the same property
+    every stateful op in this module guarantees.
+
+    State per key: three m-length arrays — O(keys * m), independent of
+    stream length.  Each micro-batch emits the full current table per
+    key seen in the batch (outputMode("update"))."""
+    cols = events.select(
+        "event_type",
+        F.col("user_id").cast("long").alias("item"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return cols.groupBy("event_type").applyInPandasWithState(
+        _space_saving(m),
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
