@@ -6374,6 +6374,81 @@ ORACLE_PSI = f"""
 """
 
 
+def q_pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) over documents: keep every doc not
+    DOMINATED by another — no other doc is both strictly shorter
+    (n_chars) and at-least-as-good while being better on one axis
+    (quality, higher better; length, shorter better).  The
+    multi-objective curation shape: 'shortest doc at each quality
+    level you can't beat'.
+
+    Scale-first: a naive skyline is a NOT EXISTS self-join (O(n^2));
+    an unpartitioned sort-window is a single task.  Here dominance
+    against SHORTER docs factors through length buckets: per-bucket
+    max quality is a bounded table, its running max over buckets is a
+    <=256-row window, and each doc compares against (a) the broadcast
+    cumulative max of all strictly-shorter BUCKETS and (b) an
+    intra-bucket running max over strictly-shorter docs — so the only
+    per-row windows are per-bucket (parallel), and the cross-bucket
+    pass is driver-free and bounded.  Dominance is strict on one axis:
+    doc A dominates B iff len(A) < len(B) and q(A) >= q(B), or
+    len(A) == len(B) is never dominance (ties co-exist), matching the
+    oracle's NOT EXISTS formulation exactly."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        TX.quality_score(F.col("text")).alias("q"),
+        F.least(
+            F.lit(255), F.floor(F.col("n_chars") / F.lit(64)).cast("int")
+        ).alias("bkt"),
+    )
+    per_bkt = scored.groupBy("bkt").agg(F.max("q").alias("bq"))
+    wcum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # window over <=256 bucket rows — bounded, not the corpus
+    prev_max = per_bkt.select(
+        "bkt", F.max("bq").over(wcum).alias("prev_bkt_max")
+    )
+    # intra-bucket dominance: max q over STRICTLY shorter same-bucket
+    # docs — RANGE to -1 on the integer length excludes equal lengths
+    wlen = Window.partitionBy("bkt").orderBy("n_chars").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = (
+        scored.join(F.broadcast(prev_max), "bkt", "left")
+        .withColumn("shorter_in_bkt_max", F.max("q").over(wlen))
+        .withColumn(
+            "dominated",
+            (
+                F.coalesce(F.col("prev_bkt_max") >= F.col("q"), F.lit(False))
+            )
+            | (
+                F.coalesce(
+                    F.col("shorter_in_bkt_max") >= F.col("q"), F.lit(False)
+                )
+            ),
+        )
+    )
+    return flagged.filter(~F.col("dominated")).select(
+        "doc_id", "n_chars", "q"
+    )
+
+
+ORACLE_PARETO = f"""
+    WITH scores AS ({ORACLE_QUALITY.strip()}),
+    j AS (SELECT d.doc_id, d.n_chars, s.quality AS q
+          FROM documents d JOIN scores s ON d.doc_id = s.doc_id)
+    SELECT doc_id, n_chars, q FROM j a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM j b
+        WHERE b.n_chars < a.n_chars AND b.q >= a.q
+    )
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6493,6 +6568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_asof": q_snapshot_asof,
     "quality_percentile_by_source": q_quality_percentile_by_source,
     "psi_value_drift": q_psi_value_drift,
+    "pareto_frontier_docs": q_pareto_frontier_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -6614,6 +6690,7 @@ ORACLES: dict[str, str] = {
     "snapshot_asof": ORACLE_SNAPSHOT_ASOF,
     "quality_percentile_by_source": ORACLE_QUALITY_PCT,
     "psi_value_drift": ORACLE_PSI,
+    "pareto_frontier_docs": ORACLE_PARETO,
 }
 
 

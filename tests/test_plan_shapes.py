@@ -469,3 +469,14 @@ def test_psi_broadcasts_totals_partial_agg(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_no_self_join_no_cartesian(spark):
+    """The skyline must factor through length buckets: no NOT-EXISTS
+    self-join (cartesian/nested-loop) may appear, and the per-row
+    windows must be bucket-partitioned (a single unpartitioned window
+    over the corpus would serialize it through one task)."""
+    plan = _plan(spark, "pareto_frontier_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(bkt" in plan
