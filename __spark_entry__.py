@@ -6449,6 +6449,71 @@ ORACLE_PARETO = f"""
 """
 
 
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC (Mann-Whitney) of the quality score as a predictor of
+    lang='en', in integer ppm — the model-eval primitive a data-quality
+    classifier ships with.  Tie handling is the textbook average-rank
+    form, computed EXACTLY: the score is low-cardinality, so ranks
+    factor through a value histogram (per-score pos/neg counts, a
+    bounded-row cumulative window) and
+    AUC = sum_v pos_v * (neg_below_v + neg_v / 2) / (pos * neg)
+    is emitted as AUC2x * 1e6 div (2 * pos * neg) — all BIGINT, no
+    double ever forms (above ~2e9 docs the rank-sum product needs
+    DECIMAL(38,0); the int64 form is exact to there).  At 100 TB: one
+    partial agg to the histogram,
+    one bounded window, a 1-row result; a global rank window (the
+    naive AUC) would serialize the corpus through one task."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.quality_score(F.col("text")).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos_v"),
+        F.sum(F.lit(1) - F.col("y")).alias("neg_v"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "s",
+        "pos_v",
+        "neg_v",
+        F.coalesce(F.sum("neg_v").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("pos_v").alias("n_pos"),
+        F.sum("neg_v").alias("n_neg"),
+        F.expr(
+            "CAST(sum(pos_v * (2 * neg_below + neg_v)) AS BIGINT)"
+            " * 1000000 div (2 * sum(pos_v) * sum(neg_v))"
+        ).alias("auc_ppm"),
+    )
+
+
+ORACLE_AUC = f"""
+    WITH scores AS ({ORACLE_QUALITY.strip()}),
+    j AS (SELECT s.quality AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents d JOIN scores s ON d.doc_id = s.doc_id),
+    hist AS (SELECT s, CAST(SUM(y) AS BIGINT) AS pos_v,
+                    CAST(SUM(1 - y) AS BIGINT) AS neg_v
+             FROM j GROUP BY s),
+    c AS (SELECT s, pos_v, neg_v,
+            COALESCE(CAST(SUM(neg_v) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS neg_below
+          FROM hist)
+    SELECT CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+           CAST(SUM(neg_v) AS BIGINT) AS n_neg,
+           CAST(SUM(pos_v * (2 * neg_below + neg_v)) AS BIGINT)
+               * 1000000
+               // (2 * CAST(SUM(pos_v) AS BIGINT)
+                     * CAST(SUM(neg_v) AS BIGINT)) AS auc_ppm
+    FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6569,6 +6634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_percentile_by_source": q_quality_percentile_by_source,
     "psi_value_drift": q_psi_value_drift,
     "pareto_frontier_docs": q_pareto_frontier_docs,
+    "classifier_auc": q_classifier_auc,
 }
 
 ORACLES: dict[str, str] = {
@@ -6691,6 +6757,7 @@ ORACLES: dict[str, str] = {
     "quality_percentile_by_source": ORACLE_QUALITY_PCT,
     "psi_value_drift": ORACLE_PSI,
     "pareto_frontier_docs": ORACLE_PARETO,
+    "classifier_auc": ORACLE_AUC,
 }
 
 
