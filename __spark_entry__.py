@@ -6514,6 +6514,106 @@ ORACLE_AUC = f"""
 """
 
 
+def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimated vocabulary sizes of sources
+    src0 and src1, their union, and their Jaccard overlap — all from
+    two 64-hash sketches, never from the raw token sets.  This is the
+    sketch property that matters at 100 TB: per-corpus KMV sketches are
+    k rows each; union = merge + re-rank of 2k rows; the Jaccard
+    estimator is the fraction of the union's k smallest hashes present
+    in both sketches (Beyer et al. 2007).  Everything after the two
+    per-source k-smallest windows runs on <= 2k rows.  Jaccard emits as
+    exact integer ppm (matched * 1e6 div k); sizes use the standard
+    (k-1) * 2^60 / h_k estimator, det-rounded."""
+    from pyspark.sql import Window
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("tok"),
+    ).distinct()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("tok"), F.lit("#kmvv"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = toks.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    kmin = hashed.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k
+    )
+    # everything below operates on <= 2k rows
+    flags = kmin.groupBy("h").agg(
+        F.max((F.col("source") == "src0").cast("int")).alias("in_a"),
+        F.max((F.col("source") == "src1").cast("int")).alias("in_b"),
+    )
+    wu = Window.orderBy("h")
+    union_k = flags.withColumn("_rk", F.row_number().over(wu)).filter(
+        F.col("_rk") <= k
+    )
+    est = lambda cnt, mx: DET.det_round(
+        (cnt - 1).cast("double") * F.lit(float(2**60)) / mx, 4
+    )
+    per = kmin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kk"), F.max("h").alias("mx")
+    )
+    a = per.filter(F.col("source") == "src0").select(
+        est(F.col("kk"), F.col("mx")).alias("est_vocab_a")
+    )
+    b = per.filter(F.col("source") == "src1").select(
+        est(F.col("kk"), F.col("mx")).alias("est_vocab_b")
+    )
+    u = union_k.agg(
+        est(F.count(F.lit(1)), F.max("h")).alias("est_vocab_union"),
+        F.expr(
+            "CAST(sum(in_a * in_b) AS BIGINT) * 1000000 div count(*)"
+        ).alias("jaccard_ppm"),
+    )
+    return a.crossJoin(b).crossJoin(u)
+
+
+ORACLE_KMV_VOCAB = f"""
+    WITH toks AS (SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents
+              WHERE source IN ('src0', 'src1')) t),
+    hashed AS (SELECT DISTINCT source,
+            ('0x' || substr(md5(tok || '#kmvv'), 1, 15))::BIGINT AS h
+        FROM toks),
+    kmin AS (SELECT source, h FROM (
+            SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY h) AS rk FROM hashed) r WHERE rk <= 64),
+    flags AS (SELECT h,
+            MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+            MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+        FROM kmin GROUP BY h),
+    union_k AS (SELECT * FROM (
+            SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rk
+            FROM flags) r WHERE rk <= 64),
+    pa AS (SELECT COUNT(*) AS kk, MAX(h) AS mx FROM kmin
+           WHERE source = 'src0'),
+    pb AS (SELECT COUNT(*) AS kk, MAX(h) AS mx FROM kmin
+           WHERE source = 'src1'),
+    pu AS (SELECT COUNT(*) AS kk, MAX(h) AS mx,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS matched
+           FROM union_k)
+    SELECT
+        {DET.det_round_sql(
+            "CAST(pa.kk - 1 AS DOUBLE) * 1152921504606846976.0 / pa.mx", 4
+        )} AS est_vocab_a,
+        {DET.det_round_sql(
+            "CAST(pb.kk - 1 AS DOUBLE) * 1152921504606846976.0 / pb.mx", 4
+        )} AS est_vocab_b,
+        {DET.det_round_sql(
+            "CAST(pu.kk - 1 AS DOUBLE) * 1152921504606846976.0 / pu.mx", 4
+        )} AS est_vocab_union,
+        pu.matched * 1000000 // pu.kk AS jaccard_ppm
+    FROM pa, pb, pu
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6635,6 +6735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_value_drift": q_psi_value_drift,
     "pareto_frontier_docs": q_pareto_frontier_docs,
     "classifier_auc": q_classifier_auc,
+    "kmv_vocab_overlap": q_kmv_vocab_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -6758,6 +6859,7 @@ ORACLES: dict[str, str] = {
     "psi_value_drift": ORACLE_PSI,
     "pareto_frontier_docs": ORACLE_PARETO,
     "classifier_auc": ORACLE_AUC,
+    "kmv_vocab_overlap": ORACLE_KMV_VOCAB,
 }
 
 
