@@ -1474,3 +1474,45 @@ def test_loglog_rank_matches_python_reference(spark):
         v = int(tail, 16)
         want_rank = 49 if v == 0 else (48 - v.bit_length()) + 1
         assert got[k] == (want_reg, want_rank), (k, got[k], (want_reg, want_rank))
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    """merge_rollup folded over daily batches must equal the
+    from-scratch aggregate over the full log, cell for cell — the
+    invariant that makes incremental maintenance trustworthy.  Sums run
+    in exact integer micro-units so associativity is exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.operators.history import (
+        bootstrap_rollup,
+        merge_rollup,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("day", F.dayofmonth("ts"))
+        .withColumn(
+            "vm",
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .select("event_type", "day", "vm")
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    assert len(days) >= 3
+    first, rest = days[0], days[1:]
+    rolled = bootstrap_rollup(
+        ev.filter(F.col("day") == first), ["event_type"], ["vm"]
+    )
+    for d in rest:
+        rolled = merge_rollup(
+            rolled, ev.filter(F.col("day") == d), ["event_type"], ["vm"]
+        )
+    full = bootstrap_rollup(ev, ["event_type"], ["vm"])
+
+    got = {
+        r["event_type"]: (r["n"], r["vm"]) for r in rolled.collect()
+    }
+    want = {r["event_type"]: (r["n"], r["vm"]) for r in full.collect()}
+    assert got == want and len(want) >= 3
