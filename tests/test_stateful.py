@@ -663,3 +663,98 @@ def test_heavy_hitters_stream_matches_model_and_bounds(spark, tmp_path):
         for (t, it), n in exact.items():
             if t == et and n > threshold:
                 assert it in tracked, (et, it, n)
+
+
+def test_rate_limiter_state_survives_query_restart(spark, tmp_path):
+    """Crash-recovery contract for stateful ops: stop the query after
+    batch 1, start a NEW query from the same checkpoint, feed batch 2 —
+    the final totals must equal the single-run (and sequential-model)
+    result, proving bucket state restores from the state store rather
+    than resetting."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        rate_limited_counts,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_id", "ts")
+        .filter(F.col("user_id") < 5)
+    )
+    cutoff = ev.agg(
+        F.expr("percentile(unix_micros(to_timestamp(ts)), 0.5)")
+    ).head()[0]
+    micros = F.unix_micros(F.to_timestamp(F.col("ts")))
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    out = str(tmp_path / "out")
+
+    def run_query(qname):
+        # memory sink cannot recover an existing checkpoint; foreachBatch
+        # appending to parquet is the recoverable update-mode sink shape
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            rate_limited_counts(stream, capacity=5, refill_per_sec=1e-5)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .queryName(qname)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .start()
+        )
+
+    # run 1: only batch 1 exists
+    ev.filter(micros <= cutoff).coalesce(1).write.parquet(src)
+    q = run_query("rl_run1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch 2 lands while no query is running (the crash window)
+    ev.filter(micros > cutoff).coalesce(1).write.mode("append").parquet(src)
+    q = run_query("rl_run2")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_rows = spark.read.parquet(out).collect()
+    got = {
+        u: max(
+            (r["allowed"], r["dropped"])
+            for r in got_rows
+            if r["user_id"] == u
+        )
+        for u in {r["user_id"] for r in got_rows}
+    }
+
+    # sequential model over the full log
+    cap_micro, refill_micro = 5_000_000, 10
+    state = {}
+    for r in sorted(
+        ev.withColumn("us", micros).collect(),
+        key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+    ):
+        tokens, last_us, allowed, dropped = state.get(
+            r["user_id"], (cap_micro, -1, 0, 0)
+        )
+        us = r["us"]
+        if last_us >= 0 and us > last_us:
+            tokens = min(
+                cap_micro, tokens + (us - last_us) * refill_micro // 1_000_000
+            )
+        last_us = max(last_us, us)
+        if tokens >= 1_000_000:
+            tokens, allowed = tokens - 1_000_000, allowed + 1
+        else:
+            dropped += 1
+        state[r["user_id"]] = (tokens, last_us, allowed, dropped)
+    expected = {u: (s[2], s[3]) for u, s in state.items()}
+    assert got == expected
