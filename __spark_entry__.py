@@ -6614,6 +6614,133 @@ ORACLE_KMV_VOCAB = f"""
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse snapshot diff: per-user state at 2024-01-10 vs
+    2024-01-20 reconstructed from the SAME changelog, classified as
+    created / deleted / changed / unchanged — the version-comparison
+    report a data-versioning layer prints between two table versions.
+    Mechanism: two time-travel compactions (each one key shuffle over
+    the pruned scan) full-outer-joined on the key; the classification
+    is a pure projection.  At 100 TB both sides prune to their ts
+    bound, and the join shuffles state rows (key cardinality), not the
+    log."""
+    def state_at(asof: str) -> DataFrame:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("ts") <= F.lit(asof).cast("timestamp")
+        )
+        return H.compact_changelog(
+            ev, "user_id", "ts", "event_id", F.col("event_type") == "error"
+        ).select(
+            "user_id",
+            F.col("event_type").alias("et"),
+            F.col("value").alias("v"),
+        )
+
+    a = state_at("2024-01-10 00:00:00").alias("a")
+    b = state_at("2024-01-20 00:00:00").alias("b")
+    j = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "outer")
+    cls = (
+        F.when(F.col("a.user_id").isNull(), F.lit("created"))
+        .when(F.col("b.user_id").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("a.et") == F.col("b.et")) & (F.col("a.v") == F.col("b.v")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.groupBy(cls.alias("change")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+    WITH sa AS (SELECT user_id, event_type AS et, value AS v FROM (
+            SELECT user_id, event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00') r
+        WHERE rn = 1 AND event_type <> 'error'),
+    sb AS (SELECT user_id, event_type AS et, value AS v FROM (
+            SELECT user_id, event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') r
+        WHERE rn = 1 AND event_type <> 'error')
+    SELECT CASE WHEN sa.user_id IS NULL THEN 'created'
+                WHEN sb.user_id IS NULL THEN 'deleted'
+                WHEN sa.et = sb.et AND sa.v = sb.v THEN 'unchanged'
+                ELSE 'changed' END AS change,
+           COUNT(*) AS n_users
+    FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
+    GROUP BY 1
+"""
+
+
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/synthetic-
+    data screen: observed first-digit counts of o_totalprice vs the
+    Benford expectation, with the chi-square statistic in deterministic
+    arithmetic on the ppm scale: expected_ppm = round-half-up of
+    1e6*log10(1+1/d) as a LITERAL table (no runtime transcendental);
+    observed_ppm = obs*1e6 div n; chi term = (obs_ppm - exp_ppm)^2 div
+    exp_ppm — every intermediate <= 1e12, overflow-proof at any corpus
+    size (the un-rescaled (obs*1e6 - n*exp)^2 form overflows int64 past
+    ~140k rows).  First digit via the string head: both engines render
+    doubles shortest-roundtrip and plain (not E-notation) for
+    1e-3 <= x < 1e7, which bounds o_totalprice at every SF.  One scan,
+    a 9-row aggregate, a broadcast literal join."""
+    import math
+
+    ev = _t(spark, sf_dir, "orders")
+    d = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    obs = (
+        ev.select(d.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    bexp = [
+        (dd, int(math.floor(1e6 * math.log10(1 + 1 / dd) + 0.5)))
+        for dd in range(1, 10)
+    ]
+    exp_df = spark.createDataFrame(bexp, "digit int, expected_ppm long")
+    tot = obs.agg(F.sum("observed").alias("n"))
+    return (
+        obs.join(F.broadcast(exp_df), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            "expected_ppm",
+            F.expr(
+                "((observed * 1000000 div n) - expected_ppm)"
+                " * ((observed * 1000000 div n) - expected_ppm)"
+                " div expected_ppm"
+            ).alias("chi_term_micro"),
+        )
+    )
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {int(__import__('math').floor(1e6 * __import__('math').log10(1 + 1 / d) + 0.5))})"
+    for d in range(1, 10)
+)
+
+ORACLE_BENFORD = f"""
+    WITH obs AS (SELECT digit, COUNT(*) AS observed FROM (
+            SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)
+                AS digit FROM orders) t
+        WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+    e(digit, expected_ppm) AS (VALUES {_BENFORD_VALUES}),
+    n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+    SELECT obs.digit, observed, CAST(expected_ppm AS BIGINT) AS expected_ppm,
+        ((observed * 1000000 // n.n) - expected_ppm)
+        * ((observed * 1000000 // n.n) - expected_ppm)
+        // expected_ppm AS chi_term_micro
+    FROM obs JOIN e ON obs.digit = e.digit CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6736,6 +6863,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_frontier_docs": q_pareto_frontier_docs,
     "classifier_auc": q_classifier_auc,
     "kmv_vocab_overlap": q_kmv_vocab_overlap,
+    "snapshot_diff": q_snapshot_diff,
+    "benford_price_audit": q_benford_price_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -6860,6 +6989,8 @@ ORACLES: dict[str, str] = {
     "pareto_frontier_docs": ORACLE_PARETO,
     "classifier_auc": ORACLE_AUC,
     "kmv_vocab_overlap": ORACLE_KMV_VOCAB,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "benford_price_audit": ORACLE_BENFORD,
 }
 
 
