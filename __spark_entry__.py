@@ -6741,6 +6741,137 @@ ORACLE_BENFORD = f"""
 """
 
 
+def q_emb_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: per query vector (vec_id < 10),
+    the recall@10 of cosine top-k computed on the FIRST 16 dims against
+    the full-64-dim top-k — the measurement that decides whether a
+    pipeline can store/scan quarter-width embeddings.  Both rankings
+    are brute-force over the corpus side with the query set BROADCAST
+    (10 rows), per-query rank windows, and the overlap joins on
+    (query, id) — at 100 TB this is the eval-harness shape: corpus
+    scanned once per ranking, nothing but top-k rows ever shuffle.
+    recall_ppm is exact integer (matched * 1e6 div k)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 10)
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        S.cosine(F.col("v"), F.col("qv")).alias("fs"),
+        S.cosine(
+            F.slice(F.col("v"), 1, 16), F.slice(F.col("qv"), 1, 16)
+        ).alias("ts"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("fs"), "vec_id")
+    wt = Window.partitionBy("query_id").orderBy(F.desc("ts"), "vec_id")
+    top_f = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    top_t = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    matched = (
+        top_f.join(top_t, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return q.select("query_id").join(matched, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_matched"), F.lit(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.expr(
+            "CAST(coalesce(n_matched, 0) AS BIGINT) * 1000000 div 10"
+        ).alias("recall_ppm"),
+    )
+
+
+_TRUNC_DOT16 = (
+    "list_sum(list_transform(range(16), i -> {a}[i + 1] * {b}[i + 1]))"
+)
+
+ORACLE_TRUNC_RECALL = f"""
+    WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+    pairs AS (SELECT query_id, vec_id,
+        {_EMB_DOT.format(a='v', b='qv')} /
+        (sqrt(list_sum(list_transform(v, x -> x * x))) *
+         sqrt(list_sum(list_transform(qv, x -> x * x)))) AS fs,
+        {_TRUNC_DOT16.format(a='v', b='qv')} /
+        (sqrt({_TRUNC_DOT16.format(a='v', b='v')}) *
+         sqrt({_TRUNC_DOT16.format(a='qv', b='qv')})) AS ts
+        FROM c CROSS JOIN q),
+    tf AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY fs DESC, vec_id) AS rn
+            FROM pairs) r WHERE rn <= 10),
+    tt AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY ts DESC, vec_id) AS rn
+            FROM pairs) r WHERE rn <= 10),
+    m AS (SELECT tf.query_id, COUNT(*) AS n_matched
+          FROM tf JOIN tt ON tf.query_id = tt.query_id
+                          AND tf.vec_id = tt.vec_id
+          GROUP BY tf.query_id)
+    SELECT q.query_id,
+        COALESCE(CAST(m.n_matched AS BIGINT), 0) AS n_matched,
+        COALESCE(CAST(m.n_matched AS BIGINT), 0) * 1000000 // 10
+            AS recall_ppm
+    FROM q LEFT JOIN m ON q.query_id = m.query_id
+"""
+
+
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality score against the lang='en'
+    label: scores bucketed into deciles, per-bucket observed positive
+    rate in exact integer ppm — with AUC (classifier_auc), the two
+    standard classifier-eval reports.  One scan, a 10-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    s = TX.quality_score(F.col("text"))
+    bkt = F.least(F.lit(9), F.floor(s * F.lit(10.0)).cast("int"))
+    return (
+        docs.select(
+            bkt.alias("bucket"),
+            (F.col("lang") == "en").cast("long").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n").alias("pos_rate_ppm"),
+        )
+    )
+
+
+ORACLE_CALIBRATION = f"""
+    WITH scores AS ({ORACLE_QUALITY.strip()}),
+    j AS (SELECT LEAST(9, CAST(FLOOR(s.quality * 10.0) AS INT)) AS bucket,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents d JOIN scores s ON d.doc_id = s.doc_id)
+    SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS pos_rate_ppm
+    FROM j GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6865,6 +6996,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_vocab_overlap": q_kmv_vocab_overlap,
     "snapshot_diff": q_snapshot_diff,
     "benford_price_audit": q_benford_price_audit,
+    "emb_truncation_recall": q_emb_truncation_recall,
+    "calibration_curve": q_calibration_curve,
 }
 
 ORACLES: dict[str, str] = {
@@ -6991,6 +7124,8 @@ ORACLES: dict[str, str] = {
     "kmv_vocab_overlap": ORACLE_KMV_VOCAB,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "benford_price_audit": ORACLE_BENFORD,
+    "emb_truncation_recall": ORACLE_TRUNC_RECALL,
+    "calibration_curve": ORACLE_CALIBRATION,
 }
 
 
