@@ -6872,6 +6872,81 @@ ORACLE_CALIBRATION = f"""
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: per day, the maximum number of
+    simultaneously-active users (a user is active between their first
+    and last event of the day) and when the peak is first reached —
+    the capacity-planning query.  Mechanism: each interval becomes a
+    +1 (start) / -1 (end-exclusive) delta, and the peak is the max of
+    the running delta sum in event order — O(n log n) via one per-day
+    window, never interval-pair joins (O(n^2)).  Partitioned by day:
+    each day's sweep is independent; at 100 TB you'd range-partition
+    time finer and carry boundary offsets between ranges (a 2-pass
+    prefix-sum — same algebra, documented trade; per-day is the
+    honest local shape).  Tie order (ts, delta desc, user) counts a
+    user whose interval starts when another's ends as overlapping at
+    that instant; the oracle replays the identical order."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    spans = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    deltas = spans.select(
+        "day", "user_id", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(
+            "day", "user_id", F.col("t1").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        "t", F.desc("d"), "user_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.withColumn("c", F.sum("d").over(w))
+    wd = Window.partitionBy("day")
+    return (
+        running.withColumn("peak", F.max("c").over(wd))
+        .filter(F.col("c") == F.col("peak"))
+        .groupBy("day")
+        .agg(
+            F.first("peak").alias("peak_concurrent"),
+            F.min("t").alias("first_peak_at"),
+        )
+        .select(
+            # dates emit as ISO strings: Spark DateType reaches pandas as
+            # python objects while DuckDB DATE arrives datetime64 — the
+            # one emission type the (int-width, datetime-unit) coercions
+            # can't align; '2024-01-05' renders identically everywhere
+            F.col("day").cast("string").alias("day"),
+            F.col("peak_concurrent").cast("bigint").alias("peak_concurrent"),
+            "first_peak_at",
+        )
+    )
+
+
+ORACLE_PEAK_CONCURRENCY = """
+    WITH spans AS (SELECT CAST(ts AS DATE) AS day, user_id,
+                          MIN(ts) AS t0, MAX(ts) AS t1
+                   FROM events GROUP BY 1, 2),
+    deltas AS (SELECT day, user_id, t0 AS t, 1 AS d FROM spans
+               UNION ALL
+               SELECT day, user_id, t1 AS t, -1 AS d FROM spans),
+    running AS (SELECT day, t,
+            SUM(d) OVER (PARTITION BY day ORDER BY t, d DESC, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM deltas),
+    peaks AS (SELECT day, t, c,
+            MAX(c) OVER (PARTITION BY day) AS peak
+        FROM running)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(MIN(peak) AS BIGINT) AS peak_concurrent,
+           MIN(t) AS first_peak_at
+    FROM peaks WHERE c = peak GROUP BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -6998,6 +7073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benford_price_audit": q_benford_price_audit,
     "emb_truncation_recall": q_emb_truncation_recall,
     "calibration_curve": q_calibration_curve,
+    "peak_concurrency": q_peak_concurrency,
 }
 
 ORACLES: dict[str, str] = {
@@ -7126,6 +7202,7 @@ ORACLES: dict[str, str] = {
     "benford_price_audit": ORACLE_BENFORD,
     "emb_truncation_recall": ORACLE_TRUNC_RECALL,
     "calibration_curve": ORACLE_CALIBRATION,
+    "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
 }
 
 
