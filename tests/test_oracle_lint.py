@@ -37,7 +37,11 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-BANNED_TYPES = {"HUGEINT", "UHUGEINT"}
+# HUGEINT: pandas renders it float64 vs Spark's int64 (the r1-r4 red
+# class).  DATE: Spark DateType reaches pandas as python objects while
+# DuckDB DATE arrives datetime64 — unalignable by the comparator's
+# width/unit coercions; emit ISO strings instead (see peak_concurrency).
+BANNED_TYPES = {"HUGEINT", "UHUGEINT", "DATE"}
 
 # CAST(<agg>(...) AS VARCHAR) where the aggregate runs over a float
 # column is renderer-version-sensitive.  DECIMAL sums stringified via
