@@ -38,10 +38,13 @@ import __spark_entry__ as entrymod
 SF_DIR = "/root/testdata/sf0.001"
 
 # HUGEINT: pandas renders it float64 vs Spark's int64 (the r1-r4 red
-# class).  DATE: Spark DateType reaches pandas as python objects while
-# DuckDB DATE arrives datetime64 — unalignable by the comparator's
-# width/unit coercions; emit ISO strings instead (see peak_concurrency).
-BANNED_TYPES = {"HUGEINT", "UHUGEINT", "DATE"}
+# class).  DuckDB DATE is NOT banned: .df() renders it datetime64[us],
+# which the comparator's unit coercion aligns (order_date_parts is
+# green that way).  The un-coercible direction is a SPARK DateType
+# emission (pandas objects) — DuckDB-side metadata can't see it; the
+# strict dtype comparator in tests/test_oracle_full.py catches it
+# (see peak_concurrency, which emits ISO strings for that reason).
+BANNED_TYPES = {"HUGEINT", "UHUGEINT"}
 
 # CAST(<agg>(...) AS VARCHAR) where the aggregate runs over a float
 # column is renderer-version-sensitive.  DECIMAL sums stringified via
