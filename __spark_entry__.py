@@ -17,6 +17,7 @@ identical IEEE fold orders) so value hashes agree across engines.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -6676,6 +6677,15 @@ ORACLE_SNAPSHOT_DIFF = """
 """
 
 
+# the ONE Benford expectation table both the Spark query and the DuckDB
+# oracle are generated from (round-half-up ppm of log10(1 + 1/d)) — a
+# single source so the two sides cannot desynchronize
+_BENFORD_PPM = [
+    (d, int(math.floor(1e6 * math.log10(1 + 1 / d) + 0.5)))
+    for d in range(1, 10)
+]
+
+
 def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — the fraud/synthetic-
     data screen: observed first-digit counts of o_totalprice vs the
@@ -6689,8 +6699,6 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles shortest-roundtrip and plain (not E-notation) for
     1e-3 <= x < 1e7, which bounds o_totalprice at every SF.  One scan,
     a 9-row aggregate, a broadcast literal join."""
-    import math
-
     ev = _t(spark, sf_dir, "orders")
     d = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
     obs = (
@@ -6699,11 +6707,9 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed"))
     )
-    bexp = [
-        (dd, int(math.floor(1e6 * math.log10(1 + 1 / dd) + 0.5)))
-        for dd in range(1, 10)
-    ]
-    exp_df = spark.createDataFrame(bexp, "digit int, expected_ppm long")
+    exp_df = spark.createDataFrame(
+        _BENFORD_PPM, "digit int, expected_ppm long"
+    )
     tot = obs.agg(F.sum("observed").alias("n"))
     return (
         obs.join(F.broadcast(exp_df), "digit")
@@ -6721,10 +6727,7 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BENFORD_VALUES = ", ".join(
-    f"({d}, {int(__import__('math').floor(1e6 * __import__('math').log10(1 + 1 / d) + 0.5))})"
-    for d in range(1, 10)
-)
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)
 
 ORACLE_BENFORD = f"""
     WITH obs AS (SELECT digit, COUNT(*) AS observed FROM (

@@ -122,35 +122,49 @@ def dsir_log_weights(
 
     raw_toks = toks_of(docs)
     tgt_toks = toks_of(target)
-    # bounded driver scalars: two counts, exactly like the unigram LM
-    n_raw = raw_toks.count()
-    n_tgt = tgt_toks.count()
-    raw_buckets = raw_toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_buckets = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    # B-row broadcast table of per-bucket log ratios; missing buckets
-    # fall back to the pure smoothing mass via coalesce AFTER the outer
-    # join of the two bounded tables
-    ratios = (
-        raw_buckets.join(tgt_buckets, "b", "outer")
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
-                        "double"
-                    )
-                    / F.lit(float(n_tgt + n_buckets))
-                )
-                - F.log(
-                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1)).cast(
-                        "double"
-                    )
-                    / F.lit(float(n_raw + n_buckets))
-                )
+    # aggregate each side ONCE to its <=B-row bucket table and collect
+    # it (a bounded collect, like the LSH planes and IVF centroids) —
+    # totals derive from the collected counts rather than separate
+    # count() actions, which would each re-tokenize the whole corpus
+    # (two redundant 100 TB passes).  Raw side is scanned twice total
+    # (bucket agg + final per-doc join), target once; no cached frames
+    # are left behind.
+    spark = docs.sparkSession
+    raw_counts = {
+        r["b"]: r["cr"]
+        for r in raw_toks.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+        .collect()
+    }
+    tgt_counts = {
+        r["b"]: r["ct"]
+        for r in tgt_toks.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .collect()
+    }
+    n_raw = sum(raw_counts.values())
+    n_tgt = sum(tgt_counts.values())
+    buckets = sorted(set(raw_counts) | set(tgt_counts))
+    pairs = spark.createDataFrame(
+        [(b, raw_counts.get(b, 0), tgt_counts.get(b, 0)) for b in buckets],
+        "b long, cr long, ct long",
+    )
+    # B-row broadcast table of per-bucket log ratios; ln stays
+    # IN-ENGINE (the cross-engine libm argument the oracle relies on)
+    ratios = pairs.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + F.lit(1)).cast("double")
+                / F.lit(float(n_tgt + n_buckets))
             )
-            .cast("decimal(20,6)")
-            .alias("term"),
+            - F.log(
+                (F.col("cr") + F.lit(1)).cast("double")
+                / F.lit(float(n_raw + n_buckets))
+            )
         )
+        .cast("decimal(20,6)")
+        .alias("term"),
     )
     return (
         raw_toks.join(F.broadcast(ratios), "b")

@@ -325,8 +325,15 @@ def _ewma_detect(alpha: float, threshold: float, warmup: int):
 
         ewma, ewmvar, n = state.get if state.exists else (0.0, 0.0, 0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat-then-sort-once: a group spanning multiple Arrow chunks
+        # arrives in nondeterministic chunk order; per-chunk sorting
+        # would feed the recurrence out of (ts, event_id) order (see
+        # _token_bucket)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for row in pdf.itertuples(index=False):
                 x = float(row.value)
                 if n >= warmup:
@@ -464,8 +471,16 @@ def _token_bucket(capacity_micro: int, refill_micro_per_sec: int):
         tokens, last_us, allowed, dropped = (
             state.get if state.exists else (capacity_micro, -1, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["us", "event_id"])
+        # Arrow hands a group's rows as MULTIPLE chunks (split at
+        # maxRecordsPerBatch) in nondeterministic shuffle order —
+        # sorting each chunk alone would not restore the global
+        # (us, event_id) order the replay contract depends on, so
+        # concatenate first and sort ONCE.
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                ["us", "event_id"]
+            )
             for row in pdf.itertuples(index=False):
                 us = int(row.us)
                 if last_us >= 0 and us > last_us:
@@ -513,7 +528,7 @@ def rate_limited_counts(
     (outputMode("update")).
 
     Determinism at scale: refill is computed from EVENT time in exact
-    integer milli-token arithmetic (elapsed_us * rate // 1e6), so
+    integer micro-token arithmetic (elapsed_us * rate_micro // 1e6), so
     replaying the same batch sequence — any checkpoint recovery, any
     executor — reproduces identical admit/drop decisions; wall clocks
     never enter.  State per key is four int64s — O(users), bounded.
@@ -569,8 +584,14 @@ def _space_saving(m: int):
             }
         else:
             table = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "item"])
+        # concat-then-sort-once: chunked Arrow delivery would otherwise
+        # break the global (ts_us, item) order eviction determinism
+        # depends on (see _token_bucket)
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                ["ts_us", "item"]
+            )
             for it in pdf["item"].astype("int64"):
                 it = int(it)
                 if it in table:

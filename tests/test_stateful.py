@@ -758,3 +758,75 @@ def test_rate_limiter_state_survives_query_restart(spark, tmp_path):
         state[r["user_id"]] = (tokens, last_us, allowed, dropped)
     expected = {u: (s[2], s[3]) for u, s in state.items()}
     assert got == expected
+
+
+def test_rate_limiter_chunked_arrow_delivery_deterministic(spark, tmp_path):
+    """Force maxRecordsPerBatch=7 so every group's rows arrive as MANY
+    Arrow chunks in shuffle order: the operator must concat-then-sort
+    globally (per-chunk sorting would feed the bucket out of event-time
+    order and diverge from the sequential model)."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        rate_limited_counts,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        ev = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("user_id", "event_id", "ts")
+            .filter(F.col("user_id") < 5)
+        )
+        src = str(tmp_path / "src")
+        ev.coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            rate_limited_counts(stream, capacity=5, refill_per_sec=1e-5)
+            .writeStream.format("memory")
+            .queryName("rl_chunked")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["user_id"]: (r["allowed"], r["dropped"])
+            for r in spark.table("rl_chunked").collect()
+        }
+
+        micros = F.unix_micros(F.to_timestamp(F.col("ts")))
+        cap_micro, refill_micro = 5_000_000, 10
+        state = {}
+        for r in sorted(
+            ev.withColumn("us", micros).collect(),
+            key=lambda r: (r["user_id"], r["us"], r["event_id"]),
+        ):
+            tokens, last_us, allowed, dropped = state.get(
+                r["user_id"], (cap_micro, -1, 0, 0)
+            )
+            us = r["us"]
+            if last_us >= 0 and us > last_us:
+                tokens = min(
+                    cap_micro,
+                    tokens + (us - last_us) * refill_micro // 1_000_000,
+                )
+            last_us = max(last_us, us)
+            if tokens >= 1_000_000:
+                tokens, allowed = tokens - 1_000_000, allowed + 1
+            else:
+                dropped += 1
+            state[r["user_id"]] = (tokens, last_us, allowed, dropped)
+        expected = {u: (s[2], s[3]) for u, s in state.items()}
+        assert got == expected
+    finally:
+        spark.conf.set(key, old)
