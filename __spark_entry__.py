@@ -6950,6 +6950,36 @@ ORACLE_PEAK_CONCURRENCY = """
 """
 
 
+def q_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (lower) median of l_extendedprice by iterative histogram
+    narrowing — exact selection WITHOUT a global sort (the 100 TB
+    shape: each round is a predicate-pushed scan + a <=1024-row count
+    histogram; the driver sees histograms and bounds, never data).
+    tail_rows=2000 forces the histogram path at every tested SF so the
+    oracle checks the narrowing logic, not just the bounded-sort
+    finish.  See operators/selection.py::exact_kth."""
+    from kafka_firehose_nozzle_spark.operators.selection import exact_kth
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    k = (n + 1) // 2
+    med = exact_kth(li, "l_extendedprice", k, tail_rows=2000)
+    return spark.createDataFrame(
+        [(n, k, med)], "n bigint, k bigint, median double"
+    )
+
+
+ORACLE_EXACT_MEDIAN = """
+    WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM v)
+    SELECT n.n AS n, (n.n + 1) // 2 AS k,
+        (SELECT x FROM v ORDER BY x
+         LIMIT 1 OFFSET ((SELECT n FROM n) + 1) // 2 - 1) AS median
+    FROM n
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7077,6 +7107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_truncation_recall": q_emb_truncation_recall,
     "calibration_curve": q_calibration_curve,
     "peak_concurrency": q_peak_concurrency,
+    "exact_median_price": q_exact_median_price,
 }
 
 ORACLES: dict[str, str] = {
@@ -7206,6 +7237,7 @@ ORACLES: dict[str, str] = {
     "emb_truncation_recall": ORACLE_TRUNC_RECALL,
     "calibration_curve": ORACLE_CALIBRATION,
     "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
+    "exact_median_price": ORACLE_EXACT_MEDIAN,
 }
 
 

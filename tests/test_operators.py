@@ -1516,3 +1516,23 @@ def test_incremental_rollup_matches_full_recompute(spark):
     }
     want = {r["event_type"]: (r["n"], r["vm"]) for r in full.collect()}
     assert got == want and len(want) >= 3
+
+
+def test_exact_kth_matches_sorted_reference_across_ranks(spark):
+    """exact_kth with a tiny tail (forcing several histogram rounds)
+    must return the identical value a full sort returns, for first,
+    last, median, and near-boundary ranks."""
+    from kafka_firehose_nozzle_spark.operators.selection import exact_kth
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_extendedprice")
+    ref = sorted(
+        r["l_extendedprice"]
+        for r in li.collect()
+        if r["l_extendedprice"] is not None
+    )
+    n = len(ref)
+    for k in [1, 2, (n + 1) // 2, n - 1, n]:
+        got = exact_kth(li, "l_extendedprice", k, tail_rows=50)
+        assert got == float(ref[k - 1]), k
