@@ -1,0 +1,85 @@
+"""Batch decode of dropsonde protobuf wire frames from a binary column.
+
+The streaming source decodes frames one-at-a-time inside the custom
+DataSource reader (firehose.py::_decode_dropsonde); lakes additionally
+accumulate RAW capture files — parquet with a ``binary`` payload column
+of undecoded wire frames (the Kafka-archive / pcap-dump shape).  This
+module turns such a column into typed ENVELOPE_SCHEMA rows at corpus
+scale:
+
+- ``mapInPandas`` over Arrow batches: the pure-python proto2 parser
+  (sources/dropsonde_wire.py — no protobuf runtime needed on
+  executors) runs per frame inside a batch loop, so the plan stays one
+  embarrassingly-parallel map stage — no shuffle, no driver
+  involvement, partition-count parallelism.
+- Undecodable frames follow the reference's counted-drop stance
+  (kafka.go:269-271): they land in a ``_decode_error`` column instead
+  of killing the job, and the caller splits good/bad exactly like the
+  JSONL quarantine source.
+
+Reference parity: S1 (protobuf decode), the batch/lake edge of it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_firehose_nozzle_spark import schemas
+
+# every field forced nullable: a quarantined frame carries NULL
+# envelope fields, which the envelope schema's required (non-null)
+# proto2 fields would reject at the Unsafe row writer (JVM NPE)
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField(f.name, f.dataType, True)
+        for f in schemas.ENVELOPE_SCHEMA.fields
+    ]
+    + [T.StructField("_decode_error", T.StringType())]
+)
+
+
+def decode_wire_frames(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Binary wire-frame column -> typed envelope rows + _decode_error.
+
+    Rows whose frame fails to parse carry NULL envelope fields and the
+    error text in ``_decode_error``; good rows carry NULL there.  Split
+    with ``.filter("_decode_error IS NULL")`` / ``IS NOT NULL`` — both
+    halves share the single decode pass.
+    """
+    import pandas as pd
+
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        decode_envelope,
+    )
+
+    field_names = [f.name for f in DECODED_SCHEMA.fields]
+    env_names = [f.name for f in schemas.ENVELOPE_SCHEMA.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[payload_col]:
+                try:
+                    d = decode_envelope(bytes(buf))
+                    # nested messages stay DICTS — Arrow maps dict cells
+                    # to struct fields by NAME (tuples would bind
+                    # positionally and corrupt the row)
+                    row = {name: d.get(name) for name in env_names}
+                    row["_decode_error"] = None
+                except Exception as e:  # counted-drop, never job-fail
+                    row = {name: None for name in env_names}
+                    row["_decode_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(row)
+            # dtype=object: one quarantined row's None in an int64
+            # column would otherwise flip the whole batch to float64 —
+            # silently rounding ns timestamps (> 2^53) to 256-ns
+            # multiples; Arrow converts object ints to int64 exactly
+            yield pd.DataFrame(rows, columns=field_names, dtype=object)
+
+    return df.select(payload_col).mapInPandas(decode, DECODED_SCHEMA)

@@ -256,3 +256,44 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
         == "STATIC"
     )
+
+
+def test_wire_batch_decode_roundtrip_and_quarantine(spark, tmp_path):
+    """A binary column of encoded wire frames decodes back to the exact
+    envelope rows (byte-exact wire roundtrip through the lake shape),
+    and corrupt frames land in _decode_error instead of failing the
+    job — then the typed half routes identically to the original."""
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        encode_envelope,
+    )
+    from kafka_firehose_nozzle_spark.sources.wire_batch import (
+        decode_wire_frames,
+    )
+    from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
+
+    env = synthetic_envelope_df(spark, 300, seed=11)
+    dicts = [r.asDict(recursive=True) for r in env.collect()]
+    frames = [(encode_envelope(d),) for d in dicts]
+    frames.append((b"\x99\x99garbage-not-a-frame",))
+    raw = spark.createDataFrame(frames, "payload binary")
+    # lake shape: write/read the capture file
+    cap = str(tmp_path / "capture")
+    raw.write.parquet(cap)
+
+    decoded = decode_wire_frames(spark.read.parquet(cap))
+    good = decoded.filter("_decode_error IS NULL").drop("_decode_error")
+    bad = decoded.filter("_decode_error IS NOT NULL")
+    assert bad.count() == 1
+    assert good.count() == 300
+
+    # typed half equals the original envelopes on scalar fields
+    key = ["origin", "eventType", "timestamp", "deployment", "index"]
+    want = {tuple(r[k] for k in key) for r in env.collect()}
+    got = {tuple(r[k] for k in key) for r in good.collect()}
+    assert got == want
+
+    # and it feeds the routing pipeline like any other source
+    routed = route_envelopes(good, CFG)
+    assert routed.count() == good.filter(
+        F.col("eventType").isin(4, 5, 6, 7, 8, 9)
+    ).count()
