@@ -6958,12 +6958,12 @@ def q_exact_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail_rows=2000 forces the histogram path at every tested SF so the
     oracle checks the narrowing logic, not just the bounded-sort
     finish.  See operators/selection.py::exact_kth."""
-    from kafka_firehose_nozzle_spark.operators.selection import exact_kth
+    from kafka_firehose_nozzle_spark.operators.selection import exact_median
 
     li = _t(spark, sf_dir, "lineitem")
-    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
-    k = (n + 1) // 2
-    med = exact_kth(li, "l_extendedprice", k, tail_rows=2000)
+    # n and k come from the selection's own initial aggregate — a
+    # separate count() here would be one extra full scan
+    n, k, med = exact_median(li, "l_extendedprice", tail_rows=2000)
     return spark.createDataFrame(
         [(n, k, med)], "n bigint, k bigint, median double"
     )

@@ -4,18 +4,25 @@ A 100 TB exact median cannot ``ORDER BY x LIMIT 1 OFFSET n/2`` — the
 sort serializes the corpus through one task (Spark warns exactly that
 for unpartitioned windows).  ``exact_kth`` finds the EXACT k-th value
 with iterative histogram narrowing instead: each round partitions the
-current value interval into ``n_buckets`` equal ranges, aggregates one
-bounded (<= n_buckets rows) count histogram, and descends into the
-bucket containing the target rank.  Every round is a full predicate-
-pushed scan + a tiny aggregation — no shuffle ever carries data rows —
-and the interval shrinks by ~n_buckets x per round, so doubles
-converge in <= ~10 rounds (64-bit range / 1024-way split); the loop
-also exits early when the candidate set fits one bounded sort.
+current candidate set into ``n_buckets`` ranges, aggregates one bounded
+(<= n_buckets rows) count histogram, and descends into the bucket
+containing the target rank.  Every round is ONE full predicate-pushed
+scan (the histogram is also the remaining-count, so no separate
+count() pass) — no shuffle ever carries data rows — and the interval
+shrinks ~n_buckets x per round, so doubles converge in <= ~7 rounds
+(1024^7 > the full double exponent range); the loop exits early when
+the candidates fit one bounded TakeOrdered.
+
+Candidate narrowing filters on the SAME clamped bucket expression the
+histogram counted with — never on recomputed float bounds, which can
+disagree with ``floor((x - lo) / width)`` by one ulp at bucket edges
+and silently shift the result a rank (found by brute-force boundary
+search in review; the shared-expression form is immune by
+construction).
 
 The driver sees only histogram rows and scalar bounds — never data.
 This is the selection analog of the curriculum/histogram-quantile
-staging used elsewhere in the repo (value-histogram factoring instead
-of global ranks).
+staging used elsewhere in the repo.
 """
 
 from __future__ import annotations
@@ -24,54 +31,110 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_kth(
+def _kth_smallest(cand: DataFrame, rank: int) -> float:
+    # bounded TakeOrdered finish: limit(rank) caps the driver merge
+    got = cand.orderBy("x").limit(rank).orderBy(F.desc("x")).head()
+    return float(got["x"])
+
+
+def exact_median(
     df: DataFrame,
     col: str,
-    k: int,
     n_buckets: int = 1024,
     tail_rows: int = 100_000,
     max_rounds: int = 20,
-) -> float:
-    """Return the exact k-th smallest value (1-based) of ``df[col]``.
+) -> tuple[int, int, float]:
+    """Exact lower median: returns ``(n, k, value)`` with
+    k = (n + 1) // 2.  The rank derives from the SAME initial aggregate
+    the narrowing uses, so no separate count() scan precedes the
+    selection (a caller computing n itself would pay one extra full
+    pass just to choose k)."""
+    return exact_kth(
+        df,
+        col,
+        lambda n: (n + 1) // 2,
+        n_buckets=n_buckets,
+        tail_rows=tail_rows,
+        max_rounds=max_rounds,
+        _report=True,
+    )
+
+
+def exact_kth(
+    df: DataFrame,
+    col: str,
+    k,
+    n_buckets: int = 1024,
+    tail_rows: int = 100_000,
+    max_rounds: int = 20,
+    _report: bool = False,
+):
+    """Return the exact k-th smallest value (1-based) of ``df[col]``
+    over its non-null FINITE values.
+
+    ``k`` may be an int rank or a callable ``n -> rank`` (evaluated
+    against the finite-value count from the initial aggregate — how
+    exact_median avoids a separate counting pass).  With ``_report``
+    the return is ``(n, k, value)`` instead of the bare value.
 
     NULLs are excluded (rank over non-null values, matching SQL
-    ``ORDER BY x LIMIT 1 OFFSET k-1`` on a NOT NULL filter).  When the
-    remaining candidates number <= ``tail_rows`` the selection
-    finishes with one bounded sort-limit — the same documented
-    bounded-tail idiom as dup_components' union-find finish.
+    ``ORDER BY x LIMIT 1 OFFSET k-1`` on a NOT NULL filter); NaN or
+    +/-Infinity raise — a NaN would poison the max() bound and return
+    NaN for EVERY rank, and an Infinity makes the bucket width
+    meaningless, so the operator refuses rather than silently
+    answering wrong (the finiteness count rides the same initial
+    aggregate, costing no extra scan).  When the remaining candidates
+    number <= ``tail_rows`` the selection finishes with one bounded
+    sort-limit — the same documented bounded-tail idiom as
+    dup_components' union-find finish.
     """
     vals = df.select(F.col(col).cast("double").alias("x")).filter(
         F.col("x").isNotNull()
     )
+    nonfinite = F.isnan(F.col("x")) | (F.abs(F.col("x")) == float("inf"))
     row = vals.agg(
-        F.min("x").alias("lo"),
-        F.max("x").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(~nonfinite, F.col("x"))).alias("lo"),
+        F.max(F.when(~nonfinite, F.col("x"))).alias("hi"),
+        F.count(F.when(~nonfinite, F.lit(1))).alias("n"),
+        F.count_if(nonfinite).alias("bad"),
     ).head()
-    lo, hi, n = row["lo"], row["hi"], row["n"]
+    lo, hi, n, bad = row["lo"], row["hi"], row["n"], row["bad"]
+    if bad:
+        raise ValueError(
+            f"exact_kth: column {col!r} contains {bad} NaN/Infinity "
+            "value(s) — rank over them is ill-defined; filter first"
+        )
     if n == 0:
         raise ValueError("exact_kth on an empty column")
+    if callable(k):
+        k = int(k(n))
     if not 1 <= k <= n:
         raise ValueError(f"k={k} out of range 1..{n}")
-    # rank of the target within the current [lo, hi] candidate interval
-    rank = k
+
+    def done(value: float):
+        return (n, k, value) if _report else value
+
+    cand, remaining, rank = vals, n, k
     for _ in range(max_rounds):
-        if lo == hi:
-            return float(lo)
-        cand = vals.filter((F.col("x") >= lo) & (F.col("x") <= hi))
-        remaining = cand.count()
         if remaining <= tail_rows:
-            got = (
-                cand.orderBy("x").limit(rank).orderBy(F.desc("x")).head()
-            )
-            return float(got["x"])
+            return done(_kth_smallest(cand, rank))
         width = (hi - lo) / n_buckets
-        if width <= 0.0:  # denormal-range underflow: bounded finish
-            got = cand.orderBy("x").limit(rank).orderBy(F.desc("x")).head()
-            return float(got["x"])
-        bkt = F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
+        if width <= 0.0:
+            # interval exhausted (all-equal values or denormal-range
+            # underflow): bounded finish over what remains
+            return done(_kth_smallest(cand, rank))
+        # clamped bucket expression — BOTH the histogram and the next
+        # round's candidate filter use this exact expression, so edge
+        # rounding can never count a value in one set and filter it
+        # from the other
+        bkt = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast(
+                    "int"
+                ),
+            ),
         )
         hist = {
             r["b"]: r["c"]
@@ -79,31 +142,22 @@ def exact_kth(
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         }
-        running = 0
+        running, chosen = 0, n_buckets - 1
         for b in range(n_buckets):
             c = hist.get(b, 0)
             if running + c >= rank:
+                chosen = b
                 rank -= running
-                new_lo = lo + b * width
-                new_hi = lo + (b + 1) * width if b < n_buckets - 1 else hi
-                # guard float no-progress on pathological ranges
-                if new_lo == lo and new_hi == hi:
-                    got = (
-                        cand.orderBy("x")
-                        .limit(rank)
-                        .orderBy(F.desc("x"))
-                        .head()
-                    )
-                    return float(got["x"])
-                lo, hi = new_lo, new_hi
+                remaining = c
                 break
             running += c
-    # interval stopped shrinking within max_rounds: bounded-sort finish
-    got = (
-        vals.filter((F.col("x") >= lo) & (F.col("x") <= hi))
-        .orderBy("x")
-        .limit(rank)
-        .orderBy(F.desc("x"))
-        .head()
-    )
-    return float(got["x"])
+        cand = cand.filter(bkt == F.lit(chosen))
+        new_lo = max(lo, lo + chosen * width)
+        new_hi = min(hi, lo + (chosen + 1) * width)
+        if new_lo == lo and new_hi == hi:  # no float progress
+            return done(_kth_smallest(cand, rank))
+        lo, hi = new_lo, new_hi
+    # interval stopped shrinking within max_rounds: bounded finish over
+    # whatever candidates remain (geometric shrink makes this
+    # unreachable for finite doubles; kept as a safety net)
+    return done(_kth_smallest(cand, rank))

@@ -38,7 +38,13 @@ DECODED_SCHEMA = T.StructType(
         T.StructField(f.name, f.dataType, True)
         for f in schemas.ENVELOPE_SCHEMA.fields
     ]
-    + [T.StructField("_decode_error", T.StringType())]
+    + [
+        T.StructField("_decode_error", T.StringType()),
+        # raw frame bytes, populated ONLY for quarantined rows (same
+        # contract as the JSONL source: the byte-exact original is
+        # preserved for repair/replay, good rows don't double-store it)
+        T.StructField("_raw", T.BinaryType()),
+    ]
 )
 
 
@@ -72,9 +78,11 @@ def decode_wire_frames(
                     # positionally and corrupt the row)
                     row = {name: d.get(name) for name in env_names}
                     row["_decode_error"] = None
+                    row["_raw"] = None
                 except Exception as e:  # counted-drop, never job-fail
                     row = {name: None for name in env_names}
                     row["_decode_error"] = f"{type(e).__name__}: {e}"[:200]
+                    row["_raw"] = bytes(buf)
                 rows.append(row)
             # dtype=object: one quarantined row's None in an int64
             # column would otherwise flip the whole batch to float64 —

@@ -281,9 +281,13 @@ def test_wire_batch_decode_roundtrip_and_quarantine(spark, tmp_path):
     raw.write.parquet(cap)
 
     decoded = decode_wire_frames(spark.read.parquet(cap))
-    good = decoded.filter("_decode_error IS NULL").drop("_decode_error")
+    good = decoded.filter("_decode_error IS NULL").drop(
+        "_decode_error", "_raw"
+    )
     bad = decoded.filter("_decode_error IS NOT NULL")
     assert bad.count() == 1
+    # the quarantined frame keeps its byte-exact raw bytes for repair
+    assert bytes(bad.head()["_raw"]) == b"\x99\x99garbage-not-a-frame"
     assert good.count() == 300
 
     # typed half equals the original envelopes on scalar fields

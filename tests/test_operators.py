@@ -1536,3 +1536,24 @@ def test_exact_kth_matches_sorted_reference_across_ranks(spark):
     for k in [1, 2, (n + 1) // 2, n - 1, n]:
         got = exact_kth(li, "l_extendedprice", k, tail_rows=50)
         assert got == float(ref[k - 1]), k
+
+
+def test_exact_kth_refuses_nonfinite_values(spark):
+    """A single NaN would poison the max() bound and make every rank
+    return NaN; the operator must refuse loudly instead."""
+    import math
+
+    import pytest
+
+    from kafka_firehose_nozzle_spark.operators.selection import exact_kth
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(float("nan"),)], "x double"
+    )
+    with pytest.raises(ValueError, match="NaN/Infinity"):
+        exact_kth(df, "x", 50)
+    df2 = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(math.inf,)], "x double"
+    )
+    with pytest.raises(ValueError, match="NaN/Infinity"):
+        exact_kth(df2, "x", 50)
