@@ -6980,6 +6980,264 @@ ORACLE_EXACT_MEDIAN = """
 """
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence model: per (event_type -> next
+    event_type within the same user), transition count and probability
+    in exact integer ppm — the Markov matrix behind both
+    next-action prediction and funnel-anomaly detection.  One lead
+    window per user (the key shuffle), one bounded aggregation; ties
+    in event time break on event_id, the repo's standard total
+    order."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("n * 1000000 div n_src").alias("p_ppm"),
+        )
+    )
+
+
+ORACLE_MARKOV = """
+    WITH seq AS (SELECT user_id, event_type AS src,
+            LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS dst
+        FROM events),
+    pairs AS (SELECT src, dst, COUNT(*) AS n FROM seq
+              WHERE dst IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src
+            FROM pairs GROUP BY src)
+    SELECT pairs.src, dst, n, n * 1000000 // n_src AS p_ppm
+    FROM pairs JOIN tot ON pairs.src = tot.src
+"""
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per event type: the Theil-Sen slope (median of all
+    pairwise slopes) of daily mean value over the month — the
+    outlier-immune alternative to OLS for drift monitoring (one wild
+    day cannot drag the slope).  Exact arithmetic end-to-end: daily
+    means in micro-units (half-up integer), each pairwise slope in
+    micro-units/day (sign-safe half-up rational rounding), the median
+    by rank.  Scale shape: the pairwise join runs on the DAILY
+    AGGREGATE (<= 31 rows per type — pairs are bounded at 465/type no
+    matter the corpus size), so the only corpus-sized stage is the
+    first partial aggregation."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.dayofmonth("ts").alias("d"),
+            vm.alias("vm"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vm").alias("s"), F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "d",
+            _avg_micro_expr("s", "c").alias("mean_micro"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.expr(
+                "CASE WHEN `b`.`mean_micro` >= `a`.`mean_micro` THEN"
+                " ((`b`.`mean_micro` - `a`.`mean_micro`) div (`b`.`d` - `a`.`d`))"
+                " + (((`b`.`mean_micro` - `a`.`mean_micro`) % (`b`.`d` - `a`.`d`)) * 2"
+                "    + (`b`.`d` - `a`.`d`)) div (2 * (`b`.`d` - `a`.`d`))"
+                " ELSE"
+                " -(((`a`.`mean_micro` - `b`.`mean_micro`) div (`b`.`d` - `a`.`d`))"
+                " + (((`a`.`mean_micro` - `b`.`mean_micro`) % (`b`.`d` - `a`.`d`)) * 2"
+                "    + (`b`.`d` - `a`.`d`)) div (2 * (`b`.`d` - `a`.`d`)))"
+                " END"
+            ).alias("slope_micro"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    wn = Window.partitionBy("event_type")
+    med = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+    )
+    return med.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.col("slope_micro").cast("double") / F.lit(1000000.0)).alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+ORACLE_THEIL_SEN = """
+    WITH base AS (SELECT event_type, EXTRACT(day FROM ts) AS d,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        FROM events),
+    daily AS (SELECT event_type, d, CAST(SUM(vm) AS BIGINT) AS s,
+                     COUNT(*) AS c
+              FROM base GROUP BY 1, 2),
+    m AS (SELECT event_type, d,
+            (s // c) * 1000000 + ((s % c) * 2000000 + c) // (2 * c)
+                AS mean_micro
+          FROM daily),
+    slopes AS (SELECT a.event_type,
+            CASE WHEN b.mean_micro >= a.mean_micro THEN
+                ((b.mean_micro - a.mean_micro) // (b.d - a.d))
+                + (((b.mean_micro - a.mean_micro) % (b.d - a.d)) * 2
+                   + (b.d - a.d)) // (2 * (b.d - a.d))
+            ELSE
+                -(((a.mean_micro - b.mean_micro) // (b.d - a.d))
+                + (((a.mean_micro - b.mean_micro) % (b.d - a.d)) * 2
+                   + (b.d - a.d)) // (2 * (b.d - a.d)))
+            END AS slope_micro
+        FROM m a JOIN m b ON a.event_type = b.event_type AND a.d < b.d),
+    r AS (SELECT event_type, slope_micro,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY slope_micro) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM slopes)
+    SELECT event_type, n AS n_pairs,
+        CAST(slope_micro AS DOUBLE) / 1000000.0 AS theil_sen_slope
+    FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+def q_lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag diagnosis: Pearson correlation between hourly 'view'
+    and 'purchase' counts at lags -3..+3 hours — the cross-correlation
+    scan that finds how far engagement leads conversion.  The hour
+    series densifies over an integer hour spine (missing hours count
+    0 — real gaps, not dropped points), every sum is exact int64
+    (counts and their products), and r forms from those integers with
+    one IEEE sqrt each side + det_round.  Scale shape: one corpus
+    partial agg to (hour, type) counts; everything after runs on the
+    <=744-row month spine x 7 lags."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            # integer div, NOT floor(x / 3.6e9): micros exceed 2^53, so
+            # the double route would round hours near the boundary
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("h"),
+            "event_type",
+        )
+        .groupBy("h")
+        .agg(
+            F.count_if(F.col("event_type") == "view").alias("nv"),
+            F.count_if(F.col("event_type") == "purchase").alias("np"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).head()
+    h0, h1 = bounds["h0"], bounds["h1"]
+    spine = spark.range(h0, h1 + 1).select(F.col("id").alias("h"))
+    dense = (
+        spine.join(hourly, "h", "left")
+        .select(
+            "h",
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+            F.coalesce("np", F.lit(0)).alias("np"),
+        )
+    )
+    lags = spark.createDataFrame([(l,) for l in range(-3, 4)], "lag int")
+    x = dense.select("h", F.col("nv").alias("x"))
+    y = dense.select(F.col("h").alias("hy"), F.col("np").alias("y"))
+    joined = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.col("h") + F.col("lag") == F.col("hy"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (
+        F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+    ) * F.sqrt(
+        (F.col("n_points") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+    )
+    return joined.select(
+        "lag",
+        "n_points",
+        DET.det_round(num / den, 6).alias("r"),
+    ).orderBy("lag")
+
+
+ORACLE_LEAD_LAG = f"""
+    WITH hourly AS (SELECT
+            epoch_us(ts) // 3600000000 AS h,
+            COUNT(*) FILTER (WHERE event_type = 'view') AS nv,
+            COUNT(*) FILTER (WHERE event_type = 'purchase') AS np
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1),
+    b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (SELECT h0 + i AS h FROM b
+              CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) r
+              WHERE h0 + i <= h1),
+    dense AS (SELECT spine.h, COALESCE(nv, 0) AS nv, COALESCE(np, 0) AS np
+              FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
+    lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    j AS (SELECT lag, a.nv AS x, c.np AS y
+          FROM dense a CROSS JOIN lags
+          JOIN dense c ON a.h + lag = c.h),
+    agg AS (SELECT lag, COUNT(*) AS n_points,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM j GROUP BY lag)
+    SELECT lag, n_points,
+        {DET.det_round_sql(
+            "CAST(n_points * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n_points * syy - sy * sy AS DOUBLE)))", 6
+        )} AS r
+    FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7108,6 +7366,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_curve": q_calibration_curve,
     "peak_concurrency": q_peak_concurrency,
     "exact_median_price": q_exact_median_price,
+    "markov_transitions": q_markov_transitions,
+    "theil_sen_trend": q_theil_sen_trend,
+    "lead_lag_correlation": q_lead_lag_correlation,
 }
 
 ORACLES: dict[str, str] = {
@@ -7238,6 +7499,9 @@ ORACLES: dict[str, str] = {
     "calibration_curve": ORACLE_CALIBRATION,
     "peak_concurrency": ORACLE_PEAK_CONCURRENCY,
     "exact_median_price": ORACLE_EXACT_MEDIAN,
+    "markov_transitions": ORACLE_MARKOV,
+    "theil_sen_trend": ORACLE_THEIL_SEN,
+    "lead_lag_correlation": ORACLE_LEAD_LAG,
 }
 
 
