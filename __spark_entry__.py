@@ -7238,6 +7238,85 @@ ORACLE_LEAD_LAG = f"""
 """
 
 
+def q_gini_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality report: exact Gini coefficient of customer
+    lifetime spend per market segment, in integer ppm — the
+    concentration metric behind both revenue-risk and data-diversity
+    audits.  Formula over ascending spend x_1..x_n (rank i):
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)); every product runs
+    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — verified to agree
+    bit-for-bit under integral division — so the arithmetic cannot
+    overflow at ANY corpus scale, and ties order by (cents, custkey)
+    deterministically.  Scale shape: spend aggregates at customer
+    cardinality (one corpus-sized partial agg); the rank window sorts
+    the CUSTOMER dimension per segment — the documented
+    dimension-sized-sort trade, as in trimmed_event_stats."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    spend = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    per_cust = cust.join(
+        spend, cust["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        "c_mktsegment",
+        "c_custkey",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    ranked = per_cust.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s0"),
+        F.sum(
+            F.col("rn").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("s1"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.col("s0").cast("string").alias("total_cents"),
+        F.expr(
+            "(CAST(2 AS DECIMAL(38,0)) * s1"
+            " - (CAST(n AS DECIMAL(38,0)) + 1) * s0)"
+            " * CAST(1000000 AS DECIMAL(38,0))"
+            " div (CAST(n AS DECIMAL(38,0)) * s0)"
+        ).alias("gini_ppm"),
+    )
+
+
+ORACLE_GINI = """
+    WITH spend AS (SELECT o_custkey,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    pc AS (SELECT c_mktsegment, c_custkey,
+            COALESCE(cents, 0) AS cents
+        FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+    r AS (SELECT c_mktsegment, cents,
+            ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                ORDER BY cents, c_custkey) AS rn
+          FROM pc),
+    agg AS (SELECT c_mktsegment, COUNT(*) AS n,
+            CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s0,
+            CAST(SUM(CAST(rn AS HUGEINT) * CAST(cents AS HUGEINT))
+                 AS HUGEINT) AS s1
+        FROM r GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n, CAST(s0 AS VARCHAR) AS total_cents,
+        CAST((2 * s1 - (CAST(n AS HUGEINT) + 1) * s0) * 1000000
+             // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
+    FROM agg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7369,6 +7448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_transitions": q_markov_transitions,
     "theil_sen_trend": q_theil_sen_trend,
     "lead_lag_correlation": q_lead_lag_correlation,
+    "gini_spend_by_segment": q_gini_spend_by_segment,
 }
 
 ORACLES: dict[str, str] = {
@@ -7502,6 +7582,7 @@ ORACLES: dict[str, str] = {
     "markov_transitions": ORACLE_MARKOV,
     "theil_sen_trend": ORACLE_THEIL_SEN,
     "lead_lag_correlation": ORACLE_LEAD_LAG,
+    "gini_spend_by_segment": ORACLE_GINI,
 }
 
 
