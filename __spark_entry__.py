@@ -7317,6 +7317,120 @@ ORACLE_GINI = """
 """
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend in deciles: cumulative share of
+    total spend held by the bottom d/10 of customers, exact integer
+    ppm — the curve the Gini summarizes, reported pointwise.  Decile
+    assignment is row_number-based ((10*rn - 1) div n), deterministic
+    under the (cents, custkey) order; cumulative sums run over the
+    10-row decile aggregate, and the share divides in DECIMAL(38,0) /
+    HUGEINT so no corpus size can overflow it.  Same scale shape as
+    the Gini: corpus-sized partial agg to customer spend, then
+    dimension-sized ranking."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    spend = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    wn = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    deciles = (
+        ranked.withColumn(
+            "decile", F.expr("(10 * rn - 1) div n").cast("int") + 1
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("dc"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = deciles.agg(
+        F.sum("dc").cast("decimal(38,0)").alias("t")
+    )
+    return (
+        deciles.withColumn("cum", F.sum("dc").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.expr(
+                "CAST(cum AS DECIMAL(38,0))"
+                " * CAST(1000000 AS DECIMAL(38,0))"
+                " div CAST(t AS DECIMAL(38,0))"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+ORACLE_LORENZ = """
+    WITH spend AS (SELECT o_custkey,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    r AS (SELECT cents,
+            ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+            COUNT(*) OVER () AS n
+          FROM spend),
+    d AS (SELECT CAST((10 * rn - 1) // n AS INT) + 1 AS decile,
+                 COUNT(*) AS n_customers,
+                 CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS dc
+          FROM r GROUP BY 1),
+    c AS (SELECT decile, n_customers,
+            CAST(SUM(dc) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS HUGEINT) AS cum,
+            CAST(SUM(dc) OVER () AS HUGEINT) AS t
+          FROM d)
+    SELECT decile, n_customers,
+        CAST(cum * 1000000 // t AS BIGINT) AS cum_share_ppm
+    FROM c
+"""
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the planted corpus: how
+    many near-dup clusters exist at each size — the dedup summary that
+    decides keep-one-per-cluster savings before any deletion runs.
+    Composes lsh_candidate_pairs -> dup_components (star contraction +
+    bounded union-find tail) -> two bounded aggregations (component
+    cardinality, then size cardinality)."""
+    docs2 = _planted_docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    comp = D.dup_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .filter(F.col("size") >= 2)
+    )
+
+
+ORACLE_DUP_CLUSTER_SIZES = f"""
+    WITH comp AS ({ORACLE_DUP_COMPONENTS})
+    SELECT size, COUNT(*) AS n_clusters FROM (
+        SELECT component_id, COUNT(*) AS size
+        FROM comp GROUP BY component_id) s
+    WHERE size >= 2
+    GROUP BY size
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7449,6 +7563,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_trend": q_theil_sen_trend,
     "lead_lag_correlation": q_lead_lag_correlation,
     "gini_spend_by_segment": q_gini_spend_by_segment,
+    "lorenz_deciles": q_lorenz_deciles,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
 }
 
 ORACLES: dict[str, str] = {
@@ -7583,6 +7699,8 @@ ORACLES: dict[str, str] = {
     "theil_sen_trend": ORACLE_THEIL_SEN,
     "lead_lag_correlation": ORACLE_LEAD_LAG,
     "gini_spend_by_segment": ORACLE_GINI,
+    "lorenz_deciles": ORACLE_LORENZ,
+    "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
 }
 
 
