@@ -7431,6 +7431,198 @@ ORACLE_DUP_CLUSTER_SIZES = f"""
 """
 
 
+def q_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: users whose first view is
+    followed by a click within 24h, then a purchase within 24h of that
+    click — the windowed variant of event_funnel (unbounded funnels
+    overcount: a purchase a month later is not a conversion).  Each
+    stage is a conditional MIN over the prior stage's anchor with the
+    bound as a join predicate — partial-aggregated passes, never a
+    per-user sort."""
+    ev = _t(spark, sf_dir, "events")
+    day_us = 24 * 3600 * 1_000_000
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    s1 = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        base.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + F.lit(day_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t2") + F.lit(day_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    one = lambda df, stage, name: df.agg(
+        F.lit(stage).alias("stage"),
+        F.lit(name).alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return (
+        one(s1, 1, "view")
+        .unionAll(one(s2, 2, "click_within_24h"))
+        .unionAll(one(s3, 3, "purchase_within_24h"))
+    )
+
+
+ORACLE_BOUNDED_FUNNEL = """
+    WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM b
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT b.user_id, MIN(b.us) AS t2
+           FROM b JOIN s1 ON b.user_id = s1.user_id
+           WHERE b.event_type = 'click' AND b.us > s1.t1
+             AND b.us <= s1.t1 + 86400000000
+           GROUP BY b.user_id),
+    s3 AS (SELECT b.user_id, MIN(b.us) AS t3
+           FROM b JOIN s2 ON b.user_id = s2.user_id
+           WHERE b.event_type = 'purchase' AND b.us > s2.t2
+             AND b.us <= s2.t2 + 86400000000
+           GROUP BY b.user_id)
+    SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click_within_24h', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase_within_24h', COUNT(*) FROM s3
+"""
+
+
+def q_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label separability of the embedding space: per label, the ratio
+    of between-class to within-class scatter (the Fisher-criterion
+    diagonal), accumulated in deterministic truncated micro-unit
+    integer arithmetic (DECIMAL(38,0) div — bit-equal to DuckDB's
+    HUGEINT //) before ONE final double division — tells a pipeline
+    whether labels are linearly separable enough to train on.  Scale
+    shape: two partial aggs (per-label dim sums at label x dim
+    cardinality, then global); nothing but label-count
+    rows ever reaches the driver."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # posexplode to (label, dim, micro-value): the per-(label, dim)
+    # moment sums are the whole state — label x dim cardinality rows,
+    # never vectors, cross the shuffle
+    ex = emb.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xm"),
+    )
+    per_ld = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("s"),
+        F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+    )
+    glob = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("gn"), F.sum("xm").alias("gs")
+    )
+    # within = sum_l (ss_l - s_l^2/n_l); between = sum_l n_l*(mu_l-mu)^2
+    # — all in DECIMAL(38,0) micro^2 space, one double division at the
+    # end (DECIMAL div verified bit-equal to HUGEINT //)
+    j = per_ld.join(F.broadcast(glob), "dim")
+    terms = j.select(
+        "label",
+        F.expr(
+            "CAST(ss AS DECIMAL(38,0))"
+            " - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+            "   div CAST(n AS DECIMAL(38,0))"
+        ).alias("w"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0))"
+            " * (CAST(s AS DECIMAL(38,0)) div CAST(n AS DECIMAL(38,0))"
+            "    - CAST(gs AS DECIMAL(38,0)) div CAST(gn AS DECIMAL(38,0)))"
+            " * (CAST(s AS DECIMAL(38,0)) div CAST(n AS DECIMAL(38,0))"
+            "    - CAST(gs AS DECIMAL(38,0)) div CAST(gn AS DECIMAL(38,0)))"
+        ).alias("b"),
+    )
+    out = terms.groupBy("label").agg(
+        F.sum("w").alias("within"), F.sum("b").alias("between")
+    )
+    return out.select(
+        "label",
+        DET.det_round(
+            F.col("between").cast("double") / F.col("within").cast("double"),
+            6,
+        ).alias("fisher_ratio"),
+    )
+
+
+ORACLE_SEPARABILITY = """
+    WITH e AS (SELECT label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    ex AS (SELECT label, i AS dim,
+            CAST(FLOOR(v[i + 1] * 1000000.0 + 0.5) AS BIGINT) AS xm
+        FROM e, (SELECT unnest(range(64)) AS i) r),
+    per_ld AS (SELECT label, dim, COUNT(*) AS n,
+            CAST(SUM(xm) AS HUGEINT) AS s,
+            CAST(SUM(CAST(xm AS HUGEINT) * CAST(xm AS HUGEINT))
+                 AS HUGEINT) AS ss
+        FROM ex GROUP BY 1, 2),
+    gl AS (SELECT dim, COUNT(*) AS gn,
+            CAST(SUM(xm) AS HUGEINT) AS gs
+        FROM ex GROUP BY dim),
+    terms AS (SELECT label,
+            ss - s * s // CAST(n AS HUGEINT) AS w,
+            CAST(n AS HUGEINT)
+            * (s // CAST(n AS HUGEINT) - gs // CAST(gn AS HUGEINT))
+            * (s // CAST(n AS HUGEINT) - gs // CAST(gn AS HUGEINT)) AS b
+        FROM per_ld JOIN gl ON per_ld.dim = gl.dim),
+    agg AS (SELECT label, SUM(w) AS within_, SUM(b) AS between_
+            FROM terms GROUP BY label)
+    SELECT label,
+        (FLOOR((CAST(between_ AS DOUBLE) / CAST(within_ AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0) AS fisher_ratio
+    FROM agg
+"""
+
+
+def q_top_parts_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 part sizes per type WITH TIES (DENSE_RANK <= 3): every
+    part whose size ranks in the three largest distinct sizes of its
+    type — the 'WITH TIES' semantics ROW_NUMBER top-k silently breaks
+    (equal values must not be dropped arbitrarily).  One key-partition
+    window; output bounded by ties, not by an arbitrary cut."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy(F.desc("p_size"))
+    return (
+        part.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_type", "p_partkey", "p_size", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_TOP_TIES = """
+    SELECT p_type, p_partkey, p_size, CAST(rk AS INT) AS rk FROM (
+        SELECT p_type, p_partkey, p_size,
+            DENSE_RANK() OVER (PARTITION BY p_type
+                ORDER BY p_size DESC) AS rk
+        FROM part) r
+    WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7565,6 +7757,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_spend_by_segment": q_gini_spend_by_segment,
     "lorenz_deciles": q_lorenz_deciles,
     "dup_cluster_sizes": q_dup_cluster_sizes,
+    "bounded_funnel": q_bounded_funnel,
+    "embedding_separability": q_embedding_separability,
+    "top_parts_with_ties": q_top_parts_with_ties,
 }
 
 ORACLES: dict[str, str] = {
@@ -7701,6 +7896,9 @@ ORACLES: dict[str, str] = {
     "gini_spend_by_segment": ORACLE_GINI,
     "lorenz_deciles": ORACLE_LORENZ,
     "dup_cluster_sizes": ORACLE_DUP_CLUSTER_SIZES,
+    "bounded_funnel": ORACLE_BOUNDED_FUNNEL,
+    "embedding_separability": ORACLE_SEPARABILITY,
+    "top_parts_with_ties": ORACLE_TOP_TIES,
 }
 
 
