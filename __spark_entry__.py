@@ -7623,6 +7623,158 @@ ORACLE_TOP_TIES = """
 """
 
 
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burstiness per event type: the Fano factor (variance /
+    mean) of HOURLY event counts over a dense hour spine — Poisson
+    traffic sits at 1, bursty traffic far above; the load-model check
+    behind capacity planning and anomaly thresholds.  Exact integer
+    ppm: F = (n*S2 - S1^2) / ((n-1)*S1) with all products in
+    DECIMAL(38,0)/HUGEINT (n*S2*1e6 crosses int64 already at sf1).
+    Missing hours count ZERO (they carry variance); one corpus partial
+    agg, then spine-sized arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+            ).alias("h"),
+            "event_type",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).head()
+    h0, h1 = bounds["h0"], bounds["h1"]
+    n_hours = int(h1 - h0 + 1)
+    spine = spark.range(h0, h1 + 1).select(F.col("id").alias("h"))
+    types = hourly.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    agg = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s1").alias("n_events"),
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))"
+            " - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))"
+            " * CAST(1000000 AS DECIMAL(38,0))"
+            " div ((CAST(n AS DECIMAL(38,0)) - 1)"
+            "      * CAST(s1 AS DECIMAL(38,0)))"
+        ).alias("fano_ppm"),
+    )
+
+
+ORACLE_FANO = """
+    WITH hourly AS (SELECT event_type,
+            epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+    spine AS (SELECT h0 + i AS h FROM b
+              CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) r
+              WHERE h0 + i <= h1),
+    t AS (SELECT DISTINCT event_type FROM hourly),
+    dense AS (SELECT t.event_type, spine.h, COALESCE(c, 0) AS c
+              FROM t CROSS JOIN spine
+              LEFT JOIN hourly ON hourly.event_type = t.event_type
+                              AND hourly.h = spine.h),
+    agg AS (SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(c) AS BIGINT) AS s1,
+            CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                 AS HUGEINT) AS s2
+        FROM dense GROUP BY event_type)
+    SELECT event_type, n AS n_hours, s1 AS n_events,
+        CAST((CAST(n AS HUGEINT) * s2
+              - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) * 1000000
+             // ((CAST(n AS HUGEINT) - 1) * CAST(s1 AS HUGEINT))
+             AS BIGINT) AS fano_ppm
+    FROM agg
+"""
+
+
+def q_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: the exact lower
+    median of days between a customer's consecutive orders — the
+    re-engagement interval marketing models against.  One lag window
+    per customer (key shuffle), then a per-segment rank median over
+    the GAP rows (order cardinality minus customers — the same
+    dimension-sized-sort trade as trimmed_event_stats)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("us", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            ).alias("us"),
+        )
+        .withColumn("day", F.expr("us div 86400000000"))
+        .withColumn("prev_day", F.lag("day").over(w))
+        .filter(F.col("prev_day").isNotNull())
+        .select(
+            "o_custkey",
+            (F.col("day") - F.col("prev_day")).alias("gap_days"),
+            "o_orderkey",
+        )
+    )
+    j = gaps.join(
+        F.broadcast(cust), gaps["o_custkey"] == cust["c_custkey"]
+    )
+    wm = Window.partitionBy("c_mktsegment").orderBy(
+        "gap_days", "o_orderkey"
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    med = (
+        j.withColumn("rn", F.row_number().over(wm))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+    )
+    return med.select(
+        "c_mktsegment",
+        F.col("n").alias("n_gaps"),
+        F.col("gap_days").cast("bigint").alias("median_gap_days"),
+    )
+
+
+ORACLE_ORDER_GAP = """
+    WITH g AS (SELECT o_custkey, o_orderkey,
+            epoch_us(o_orderdate) // 86400000000 AS day,
+            LAG(epoch_us(o_orderdate) // 86400000000) OVER (
+                PARTITION BY o_custkey
+                ORDER BY epoch_us(o_orderdate), o_orderkey) AS prev_day
+        FROM orders),
+    gaps AS (SELECT o_custkey, day - prev_day AS gap_days, o_orderkey
+             FROM g WHERE prev_day IS NOT NULL),
+    j AS (SELECT c_mktsegment, gap_days, o_orderkey
+          FROM gaps JOIN customer ON o_custkey = c_custkey),
+    r AS (SELECT c_mktsegment, gap_days,
+            ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                ORDER BY gap_days, o_orderkey) AS rn,
+            COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM j)
+    SELECT c_mktsegment, n AS n_gaps,
+           CAST(gap_days AS BIGINT) AS median_gap_days
+    FROM r WHERE rn = (n + 1) // 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7760,6 +7912,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bounded_funnel": q_bounded_funnel,
     "embedding_separability": q_embedding_separability,
     "top_parts_with_ties": q_top_parts_with_ties,
+    "burstiness_fano": q_burstiness_fano,
+    "order_gap_median": q_order_gap_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -7899,6 +8053,8 @@ ORACLES: dict[str, str] = {
     "bounded_funnel": ORACLE_BOUNDED_FUNNEL,
     "embedding_separability": ORACLE_SEPARABILITY,
     "top_parts_with_ties": ORACLE_TOP_TIES,
+    "burstiness_fano": ORACLE_FANO,
+    "order_gap_median": ORACLE_ORDER_GAP,
 }
 
 
