@@ -7775,6 +7775,85 @@ ORACLE_ORDER_GAP = """
 """
 
 
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: of the 30-minute-gap sessions
+    (same definition as sessionize_events), the fraction consisting of
+    exactly one event, grouped by the session's FIRST event type — the
+    landing-quality metric.  Lag + cumulative-sum sessionization (one
+    user-key window), first_value for the entry type, exact ppm."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            ).over(wu)
+            > 1_800_000_000,  # micros, not seconds: a 1800.5 s gap
+            1,  # must break on BOTH engines identically
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = d.withColumn(
+        "sess_ix",
+        F.sum("brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_ix").orderBy(
+        "ts", "event_id"
+    )
+    per_sess = (
+        s.withColumn("entry", F.first("event_type").over(ws))
+        .groupBy("user_id", "sess_ix")
+        .agg(
+            F.first("entry").alias("entry"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+    )
+    return per_sess.groupBy("entry").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(F.col("n_ev") == 1).alias("n_bounces"),
+        F.expr(
+            "count_if(n_ev = 1) * 1000000 div count(*)"
+        ).alias("bounce_ppm"),
+    )
+
+
+ORACLE_BOUNCE = """
+    WITH d AS (SELECT user_id, event_id, ts, event_type,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (SELECT user_id, event_id, ts, event_type,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS sess_ix
+          FROM d),
+    w AS (SELECT user_id, sess_ix,
+            FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sess_ix
+                ORDER BY ts, event_id) AS entry
+          FROM s),
+    per_sess AS (SELECT user_id, sess_ix,
+            MIN(entry) AS entry, COUNT(*) AS n_ev
+        FROM w GROUP BY 1, 2)
+    SELECT entry, COUNT(*) AS n_sessions,
+        CAST(COUNT(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS n_bounces,
+        CAST(COUNT(*) FILTER (WHERE n_ev = 1) AS BIGINT) * 1000000
+            // COUNT(*) AS bounce_ppm
+    FROM per_sess GROUP BY entry
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -7914,6 +7993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_with_ties": q_top_parts_with_ties,
     "burstiness_fano": q_burstiness_fano,
     "order_gap_median": q_order_gap_median,
+    "session_bounce_rate": q_session_bounce_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -8055,6 +8135,7 @@ ORACLES: dict[str, str] = {
     "top_parts_with_ties": ORACLE_TOP_TIES,
     "burstiness_fano": ORACLE_FANO,
     "order_gap_median": ORACLE_ORDER_GAP,
+    "session_bounce_rate": ORACLE_BOUNCE,
 }
 
 
