@@ -37,10 +37,12 @@ from kafka_firehose_nozzle_spark.operators import text as TX
 from kafka_firehose_nozzle_spark.pipeline import route_envelopes
 from kafka_firehose_nozzle_spark.sources.events_adapter import events_to_envelopes
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# single source of truth for table names / TIMESTAMP(NANOS) columns /
+# the typed read lives in the package's catalog module — the SQL front
+# door and this driver contract must never drift apart
+from kafka_firehose_nozzle_spark import catalog as CAT
+
+TABLES = CAT.TABLES
 
 # Routing config used by the parity queries: templated log topic, disabled
 # counter_event (exercises the drop path, kafka.go:333-338).
@@ -52,22 +54,11 @@ ROUTE_TOPICS = TopicConfig(
 )
 
 
-# testdata columns stored as TIMESTAMP(NANOS) in parquet; Spark reads them
-# as int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and we surface
-# TimestampType (µs) like DuckDB does natively.
-_TS_COLS = {
-    "events": ["ts"],
-    "lineitem": ["l_shipdate"],
-    "orders": ["o_orderdate"],
-}
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # runtime-settable; ensures the driver's own session can read the
-    # TIMESTAMP(NANOS) testdata even if built without our session factory
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
+    # typed read (nanosAsLong + TIMESTAMP(NANOS) column derivation) is
+    # catalog.read_table — ONE implementation for the SQL views and the
+    # driver contract.
+    df = CAT.read_table(spark, sf_dir, name)
     # The local testdata is one single-row-group file per table, so the
     # scan yields ONE split no matter how many cores exist. On a real lake
     # a 100 TB table arrives as thousands of row groups and this branch
@@ -77,14 +68,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Dims below 256 KB stay single-split (they broadcast anyway).
     # (Catalyst still pushes filters/pruning through a Repartition node.)
     try:
-        nbytes = os.path.getsize(path)
+        nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
     except OSError:
         nbytes = 0
     if nbytes > 256 << 10:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    for c in _TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
@@ -7050,7 +7038,11 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.select(
             "event_type",
-            F.dayofmonth("ts").alias("d"),
+            # ABSOLUTE day index: dayofmonth would wrap at month
+            # boundaries and merge unrelated days
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("d"),
             vm.alias("vm"),
         )
         .groupBy("event_type", "d")
@@ -7058,7 +7050,12 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "d",
-            _avg_micro_expr("s", "c").alias("mean_micro"),
+            # vm is ALREADY micro-units: the mean is plain half-up s/c —
+            # routing it through _avg_micro_expr would scale by 1e6 a
+            # second time and inflate the final slope a million-fold
+            F.expr(
+                "(s div c) + ((s % c) * 2 + c) div (2 * c)"
+            ).alias("mean_micro"),
         )
     )
     a, b = daily.alias("a"), daily.alias("b")
@@ -7100,15 +7097,15 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_THEIL_SEN = """
-    WITH base AS (SELECT event_type, EXTRACT(day FROM ts) AS d,
+    WITH base AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d,
             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
         FROM events),
     daily AS (SELECT event_type, d, CAST(SUM(vm) AS BIGINT) AS s,
                      COUNT(*) AS c
               FROM base GROUP BY 1, 2),
     m AS (SELECT event_type, d,
-            (s // c) * 1000000 + ((s % c) * 2000000 + c) // (2 * c)
-                AS mean_micro
+            (s // c) + ((s % c) * 2 + c) // (2 * c) AS mean_micro
           FROM daily),
     slopes AS (SELECT a.event_type,
             CASE WHEN b.mean_micro >= a.mean_micro THEN
@@ -7213,9 +7210,7 @@ ORACLE_LEAD_LAG = f"""
         FROM events WHERE event_type IN ('view', 'purchase')
         GROUP BY 1),
     b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
-    spine AS (SELECT h0 + i AS h FROM b
-              CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) r
-              WHERE h0 + i <= h1),
+    spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
     dense AS (SELECT spine.h, COALESCE(nv, 0) AS nv, COALESCE(np, 0) AS np
               FROM spine LEFT JOIN hourly ON spine.h = hourly.h),
     lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
@@ -7231,8 +7226,8 @@ ORACLE_LEAD_LAG = f"""
     SELECT lag, n_points,
         {DET.det_round_sql(
             "CAST(n_points * sxy - sx * sy AS DOUBLE)"
-            " / (sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE))"
-            "    * sqrt(CAST(n_points * syy - sy * sy AS DOUBLE)))", 6
+            " / NULLIF(sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n_points * syy - sy * sy AS DOUBLE)), 0.0)", 6
         )} AS r
     FROM agg
 """
@@ -7333,10 +7328,19 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.floor(
         F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
     ).cast("bigint")
-    spend = (
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    spend0 = (
         orders.select("o_custkey", cents.alias("cents"))
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"))
+    )
+    # LEFT join from customer: zero-order customers rank at the bottom
+    # with zero spend, exactly as in the Gini this curve summarizes
+    spend = cust.join(
+        spend0, cust["c_custkey"] == spend0["o_custkey"], "left"
+    ).select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.coalesce("cents", F.lit(0)).alias("cents"),
     )
     w = Window.orderBy("cents", "o_custkey")
     wn = Window.partitionBy()
@@ -7377,10 +7381,12 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LORENZ = """
-    WITH spend AS (SELECT o_custkey,
+    WITH spend0 AS (SELECT o_custkey,
             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
                  AS BIGINT) AS cents
         FROM orders GROUP BY o_custkey),
+    spend AS (SELECT c_custkey AS o_custkey, COALESCE(cents, 0) AS cents
+              FROM customer LEFT JOIN spend0 ON c_custkey = o_custkey),
     r AS (SELECT cents,
             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
             COUNT(*) OVER () AS n
@@ -7530,7 +7536,12 @@ def q_embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ld = ex.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xm").alias("s"),
-        F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+        # DECIMAL accumulation: xm*xm ~ 1e12, so a BIGINT sum wraps
+        # past ~9.2e6 rows per (label, dim); the oracle uses HUGEINT
+        F.sum(
+            F.col("xm").cast("decimal(38,0)")
+            * F.col("xm").cast("decimal(38,0)")
+        ).alias("ss"),
     )
     glob = ex.groupBy("dim").agg(
         F.count(F.lit(1)).alias("gn"), F.sum("xm").alias("gs")
@@ -7590,7 +7601,8 @@ ORACLE_SEPARABILITY = """
     agg AS (SELECT label, SUM(w) AS within_, SUM(b) AS between_
             FROM terms GROUP BY label)
     SELECT label,
-        (FLOOR((CAST(between_ AS DOUBLE) / CAST(within_ AS DOUBLE))
+        (FLOOR((CAST(between_ AS DOUBLE)
+                / NULLIF(CAST(within_ AS DOUBLE), 0.0))
                * 1000000.0 + 0.5) / 1000000.0) AS fisher_ratio
     FROM agg
 """
@@ -7647,7 +7659,6 @@ def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("h0"), F.max("h").alias("h1")
     ).head()
     h0, h1 = bounds["h0"], bounds["h1"]
-    n_hours = int(h1 - h0 + 1)
     spine = spark.range(h0, h1 + 1).select(F.col("id").alias("h"))
     types = hourly.select("event_type").distinct()
     dense = (
@@ -7660,7 +7671,12 @@ def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = dense.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        # DECIMAL accumulation: a BIGINT sum of c*c wraps silently once
+        # hourly counts reach ~1e9 (the oracle's HUGEINT would not)
+        F.sum(
+            F.col("c").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+        ).alias("s2"),
     )
     return agg.select(
         "event_type",
@@ -7681,9 +7697,7 @@ ORACLE_FANO = """
             epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
         FROM events GROUP BY 1, 2),
     b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
-    spine AS (SELECT h0 + i AS h FROM b
-              CROSS JOIN (SELECT unnest(range(0, 100000)) AS i) r
-              WHERE h0 + i <= h1),
+    spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
     t AS (SELECT DISTINCT event_type FROM hourly),
     dense AS (SELECT t.event_type, spine.h, COALESCE(c, 0) AS c
               FROM t CROSS JOIN spine
