@@ -7868,6 +7868,105 @@ ORACLE_BOUNCE = """
 """
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (min count 5) — the association score that separates
+    'new york' from 'of the' no matter how frequent 'the' is.
+    PMI = ln(p(xy) / (p(x) p(y))) computed as ONE ln over a ratio of
+    exact int64 products (c_xy * n_uni^2) / (n_big * c_x * c_y) —
+    deterministic libm + det_round; ranking ties break on the bigram
+    string.  Scale shape: two token-cardinality partial aggs, two
+    equi-joins on the word (shuffles carry count rows, not text), a
+    TakeOrdered finish."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c")).head()[0]
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(TX.ngram_strings(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    n_big = (
+        toks.filter(F.size("toks") >= 2)
+        .select((F.size("toks") - 1).alias("k"))
+        .agg(F.sum("k"))
+        .head()[0]
+    )
+    parts = big.select(
+        "bg",
+        "cxy",
+        F.split(F.col("bg"), " ").getItem(0).alias("x"),
+        F.split(F.col("bg"), " ").getItem(1).alias("y"),
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        parts.join(ux, "x")
+        .join(uy, "y")
+        .select(
+            "bg",
+            "cxy",
+            "cx",
+            "cy",
+            DET.det_round(
+                F.log(
+                    (
+                        F.col("cxy")
+                        * F.lit(int(n_uni))
+                        * F.lit(int(n_uni))
+                    ).cast("double")
+                    / (
+                        F.lit(int(n_big)) * F.col("cx") * F.col("cy")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bg").limit(20)
+
+
+ORACLE_PMI = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(toks) AS w FROM t) u GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bt AS (SELECT toks FROM t WHERE len(toks) >= 2),
+    big AS (SELECT bg, COUNT(*) AS cxy FROM (
+            SELECT unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+            FROM bt) b
+        GROUP BY bg HAVING COUNT(*) >= 5),
+    nb AS (SELECT CAST(SUM(len(toks) - 1) AS BIGINT) AS n FROM bt),
+    parts AS (SELECT bg, cxy,
+            string_split(bg, ' ')[1] AS x,
+            string_split(bg, ' ')[2] AS y
+        FROM big),
+    scored AS (SELECT bg, cxy, ux.c AS cx, uy.c AS cy,
+            {DET.det_round_sql(
+                "ln(CAST(cxy * nu.n * nu.n AS DOUBLE)"
+                " / CAST(nb.n * ux.c * uy.c AS DOUBLE))", 6
+            )} AS pmi
+        FROM parts
+        JOIN uni ux ON parts.x = ux.w
+        JOIN uni uy ON parts.y = uy.w
+        CROSS JOIN nu CROSS JOIN nb)
+    SELECT bg, cxy, cx, cy, pmi FROM scored
+    ORDER BY pmi DESC, bg LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -8008,6 +8107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness_fano": q_burstiness_fano,
     "order_gap_median": q_order_gap_median,
     "session_bounce_rate": q_session_bounce_rate,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 ORACLES: dict[str, str] = {
@@ -8150,6 +8250,7 @@ ORACLES: dict[str, str] = {
     "burstiness_fano": ORACLE_FANO,
     "order_gap_median": ORACLE_ORDER_GAP,
     "session_bounce_rate": ORACLE_BOUNCE,
+    "pmi_bigrams": ORACLE_PMI,
 }
 
 
