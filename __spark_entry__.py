@@ -7887,7 +7887,15 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_uni = uni.agg(F.sum("c")).head()[0]
+    # BOTH corpus scalars from ONE aggregate action (separate count()
+    # actions would each re-tokenize the corpus — the DSIR lesson)
+    stats = toks.agg(
+        F.sum(F.size("toks")).alias("nu"),
+        F.sum(
+            F.when(F.size("toks") >= 2, F.size("toks") - 1).otherwise(0)
+        ).alias("nb"),
+    ).head()
+    n_uni, n_big = stats["nu"], stats["nb"]
     big = (
         toks.filter(F.size("toks") >= 2)
         .select(
@@ -7896,12 +7904,6 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cxy"))
         .filter(F.col("cxy") >= 5)
-    )
-    n_big = (
-        toks.filter(F.size("toks") >= 2)
-        .select((F.size("toks") - 1).alias("k"))
-        .agg(F.sum("k"))
-        .head()[0]
     )
     parts = big.select(
         "bg",
