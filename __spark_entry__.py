@@ -7872,10 +7872,14 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-20 word bigrams by pointwise mutual
     information (min count 5) — the association score that separates
     'new york' from 'of the' no matter how frequent 'the' is.
-    PMI = ln(p(xy) / (p(x) p(y))) computed as ONE ln over a ratio of
-    exact int64 products (c_xy * n_uni^2) / (n_big * c_x * c_y) —
-    deterministic libm + det_round; ranking ties break on the bigram
-    string.  Scale shape: two token-cardinality partial aggs, two
+    PMI = ln(p(xy) / (p(x) p(y))) computed in log space —
+    ln(cxy) + 2 ln(n_uni) − ln(n_big) − ln(cx) − ln(cy), identical
+    operation order on both sides — because the one-ln-over-a-ratio
+    form needs the int64 product cxy·n_uni², which past ~3e7 corpus
+    tokens silently wraps in non-ANSI Spark while DuckDB errors
+    (round-5 ADVICE); log-space never overflows at any corpus size.
+    det_round(6) keeps libm determinism; ranking ties break on the
+    bigram string.  Scale shape: two token-cardinality partial aggs, two
     equi-joins on the word (shuffles carry count rows, not text), a
     TakeOrdered finish."""
     docs = _t(spark, sf_dir, "documents")
@@ -7921,17 +7925,15 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cxy",
             "cx",
             "cy",
+            # log-space sum, left-to-right — the SAME association and
+            # operation order the oracle uses, so the doubles agree
+            # bit-for-bit before det_round
             DET.det_round(
-                F.log(
-                    (
-                        F.col("cxy")
-                        * F.lit(int(n_uni))
-                        * F.lit(int(n_uni))
-                    ).cast("double")
-                    / (
-                        F.lit(int(n_big)) * F.col("cx") * F.col("cy")
-                    ).cast("double")
-                ),
+                F.log(F.col("cxy").cast("double"))
+                + F.lit(2.0) * F.log(F.lit(float(n_uni)))
+                - F.log(F.lit(float(n_big)))
+                - F.log(F.col("cx").cast("double"))
+                - F.log(F.col("cy").cast("double")),
                 6,
             ).alias("pmi"),
         )
@@ -7957,8 +7959,11 @@ ORACLE_PMI = f"""
         FROM big),
     scored AS (SELECT bg, cxy, ux.c AS cx, uy.c AS cy,
             {DET.det_round_sql(
-                "ln(CAST(cxy * nu.n * nu.n AS DOUBLE)"
-                " / CAST(nb.n * ux.c * uy.c AS DOUBLE))", 6
+                "ln(CAST(cxy AS DOUBLE))"
+                " + 2.0 * ln(CAST(nu.n AS DOUBLE))"
+                " - ln(CAST(nb.n AS DOUBLE))"
+                " - ln(CAST(ux.c AS DOUBLE))"
+                " - ln(CAST(uy.c AS DOUBLE))", 6
             )} AS pmi
         FROM parts
         JOIN uni ux ON parts.x = ux.w

@@ -46,9 +46,24 @@ _TS_COLS = {
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One table of ``sf_dir`` with timestamp columns properly typed."""
+    """One table of ``sf_dir`` with timestamp columns properly typed.
+
+    ``nanosAsLong`` is needed only while ``spark.read.parquet`` converts
+    the footer schema (verified: the returned DataFrame keeps its
+    analyzed schema through later actions), so the prior session value
+    is restored on exit — a bare ``conf.set`` here would permanently
+    flip how UNRELATED reads in the same session interpret
+    TIMESTAMP(NANOS) parquet (round-5 ADVICE; ``sinks/lake.py`` already
+    uses this save/restore pattern)."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     for c in _TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(

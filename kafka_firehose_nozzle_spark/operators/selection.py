@@ -37,6 +37,26 @@ def _kth_smallest(cand: DataFrame, rank: int) -> float:
     return float(got["x"])
 
 
+def _kth_by_value_histogram(cand: DataFrame, rank: int) -> float:
+    """Rank walk over an exact-VALUE count histogram — the finish for
+    zero-width intervals, where the caller has proven the distinct
+    values remaining are bounded (~n_buckets) even though the ROW count
+    may not be (a single value duplicated billions of times).  The
+    driver sees one (value, count) row per distinct value, never data
+    rows, regardless of duplication."""
+    rows = sorted(
+        cand.groupBy("x").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["x"],
+    )
+    running = 0
+    for r in rows:
+        running += r["c"]
+        if running >= rank:
+            return float(r["x"])
+    # unreachable: rank <= remaining row count by construction
+    return float(rows[-1]["x"])
+
+
 def exact_median(
     df: DataFrame,
     col: str,
@@ -120,9 +140,16 @@ def exact_kth(
             return done(_kth_smallest(cand, rank))
         width = (hi - lo) / n_buckets
         if width <= 0.0:
-            # interval exhausted (all-equal values or denormal-range
-            # underflow): bounded finish over what remains
-            return done(_kth_smallest(cand, rank))
+            # interval exhausted: either hi == lo (every candidate
+            # equals the bound) or denormal-range underflow, where
+            # hi - lo spans at most ~n_buckets representable doubles.
+            # Either way the DISTINCT values remaining are bounded by
+            # ~n_buckets, so an exact-value histogram is itself the
+            # bounded finish — unlike a TakeOrdered(rank), whose
+            # driver merge grows with the duplicate count of a single
+            # value (round-5 ADVICE: a value duplicated beyond
+            # tail_rows broke the documented histograms-only bound).
+            return done(_kth_by_value_histogram(cand, rank))
         # clamped bucket expression — BOTH the histogram and the next
         # round's candidate filter use this exact expression, so edge
         # rounding can never count a value in one set and filter it

@@ -64,6 +64,12 @@ def read_jsonl_split(
     (``unparseable``) OR it parsed but every schema field was null — a
     JSON object from a different stream: structurally valid,
     semantically foreign (``foreign_schema``).
+
+    .. note:: the return grew from 2-tuple to 3-tuple when the cache
+       lifetime moved to the caller (round 4); pre-1.0 the tuple is the
+       API, and any FURTHER additions will come as attributes on a
+       small result object rather than a fourth positional element, so
+       3-tuple unpacking is stable from here on.
     """
     data_fields = [f.name for f in schema.fields if f.name != CORRUPT_COL]
     parse_schema = T.StructType(

@@ -1538,6 +1538,26 @@ def test_exact_kth_matches_sorted_reference_across_ranks(spark):
         assert got == float(ref[k - 1]), k
 
 
+def test_exact_kth_degenerate_duplicates_stay_bounded(spark):
+    """A value duplicated far beyond tail_rows collapses the interval
+    to zero width; the finish must still be correct AND histogram-
+    bounded — the round-5 ADVICE case where orderBy().limit(rank) let
+    the driver merge grow with the duplicate count.  10k copies of one
+    value with tail_rows=10 exercises exactly that branch (width -> 0
+    while remaining=10k >> tail_rows), for ranks on both sides of and
+    inside the duplicate run."""
+    from kafka_firehose_nozzle_spark.operators.selection import exact_kth
+
+    dup = [(5.0,)] * 10_000
+    edges = [(1.0,), (2.0,), (9.0,)]
+    df = spark.createDataFrame(edges + dup, "x double")
+    ref = sorted(v for (v,) in edges + dup)
+    n = len(ref)
+    for k in [1, 2, 3, 4, n // 2, n - 1, n]:
+        got = exact_kth(df, "x", k, tail_rows=10)
+        assert got == ref[k - 1], k
+
+
 def test_exact_kth_refuses_nonfinite_values(spark):
     """A single NaN would poison the max() bound and make every rank
     return NaN; the operator must refuse loudly instead."""
