@@ -80,7 +80,7 @@ def main() -> None:
                 "sf": sf,
                 "routing_events_per_sec": _routing_throughput(spark),
                 "encode_events_per_sec": _encode_throughput(spark),
-                **_wide_ann_bench(spark),
+                **_wide_ann_bench_isolated(),
                 **_lsh_pair_scoring_bench(spark, sf_dir),
                 **_round4_side_metrics(spark, sf_dir, qs),
                 **_round5_side_metrics(spark, sf_dir, qs),
@@ -119,6 +119,46 @@ def _round5_side_metrics(spark, sf_dir: str, qs) -> dict:
         f"{name}_sec": _best_of_3(lambda: qs[name](spark, sf_dir).count())
         for name in ("dsir_log_weights", "benchmark_decontam")
     }
+
+
+def _wide_ann_bench_isolated() -> dict:
+    """Run ``_wide_ann_bench`` in a FRESH subprocess JVM.
+
+    Its corpus is fixed-size synthetic, yet inside the long bench
+    session its blas number drifted 0.68 -> 1.67 s between sf0.1 and
+    sf1 runs (VERDICT r5 item 3) — pure context pressure (heap/GC state
+    from 197 queries), which muddies the expr-vs-BLAS comparison the
+    metric exists to make.  A subprocess gives it the same cold-JVM
+    conditions every round regardless of what ran before; the headline
+    loop ordering is unchanged, so totals stay cross-round comparable.
+    Falls back to in-session on subprocess failure (never loses the
+    metric)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import sys, json; sys.path.insert(0, %r); "
+        "from kafka_firehose_nozzle_spark.session import get_spark; "
+        "import bench; "
+        "print('WIDEANN ' + json.dumps(bench._wide_ann_bench(get_spark('kfn-bench-ann'))))"
+        % here
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=here,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("WIDEANN "):
+                return json.loads(line[len("WIDEANN "):])
+    except Exception:
+        pass
+    from kafka_firehose_nozzle_spark.session import get_spark
+
+    return _wide_ann_bench(get_spark("kfn-bench"))
 
 
 def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
@@ -197,7 +237,11 @@ def _routing_throughput(spark, n: int = 2_000_000) -> int:
     implementation; tracked per PR'). The full hot path — route + topic
     template + byte-exact sonde JSON encode — runs to completion into the
     noop sink (count() alone would let Catalyst prune the encoded value
-    column). min-of-2, like the query timings."""
+    column). min-of-4: a round-6 isolated idle probe measured 0.39–1.45
+    M/s across six IDENTICAL passes (the r4 447k and r5 1.19M driver
+    readings were this variance, not regressions — same code
+    best-of-6 read 1.45M), and two passes frequently both land in the
+    slow half; four passes make the reported best a stable statistic."""
     from kafka_firehose_nozzle_spark.config import Config, KafkaConfig, TopicConfig
     from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
     from kafka_firehose_nozzle_spark.pipeline import route_envelopes_config
@@ -216,7 +260,7 @@ def _routing_throughput(spark, n: int = 2_000_000) -> int:
     )
     routed = route_envelopes_config(synthetic_envelope_df(spark, n), config)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         routed.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
@@ -228,14 +272,15 @@ def _encode_throughput(spark, n: int = 2_000_000) -> int:
     reference itself ships (encoder_test.go:41-67 races stdlib vs
     easyjson on canonical envelopes; run via `make bench`). Same
     canonical 6-type mix here, byte-exact encoder expression, noop sink
-    so the JSON strings are fully materialized. min-of-2."""
+    so the JSON strings are fully materialized. min-of-4 (same
+    variance rationale as _routing_throughput)."""
     from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
     from kafka_firehose_nozzle_spark.functions.sonde_json import sonde_json
 
     env = synthetic_envelope_df(spark, n)
     encoded = env.select(sonde_json(env).alias("value"))
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         encoded.write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
