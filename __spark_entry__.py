@@ -2730,6 +2730,38 @@ ORACLE_MEDIA = """
 """
 
 
+def q_media_decoded_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header decode (the round-5 stub closed): spec-correct
+    PNG/JPEG/GIF payload bytes are built per doc (doc_id % 3 picks the
+    format) and the dependency-free parser recovers format + dims from
+    the BYTES — fixed big-endian offsets for PNG, a JPEG marker walk
+    past APP0+DQT to SOF0, little-endian GIF logical screen.  The
+    oracle states the dims arithmetically, so a parser that misreads
+    any offset, endianness, or marker hash-mismatches.  Scale shape:
+    one Arrow-batched mapInPandas over the payload column, zero
+    shuffle; real corpora read the same bytes from parquet."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_image_headers,
+        synthetic_image_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image_headers(synthetic_image_payloads(docs)).orderBy(
+        "media_id"
+    )
+
+
+ORACLE_MEDIA_DIMS = """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png'
+                           WHEN 1 THEN 'jpeg'
+                           ELSE 'gif' END AS format,
+           CAST(64 + doc_id % 1857 AS INT) AS width,
+           CAST(64 + (doc_id * 7) % 1017 AS INT) AS height
+    FROM documents ORDER BY media_id
+"""
+
+
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session windows (F.session_window, the same operator the
     streaming path uses with a watermark) in batch mode; the oracle derives
@@ -8017,6 +8049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
+    "media_decoded_dims": q_media_decoded_dims,
     "frame_sample_plan": q_frame_sample_plan,
     "session_window_agg": q_session_window_agg,
     "roundtrip_route_topics": q_roundtrip_route_topics,
@@ -8160,6 +8193,7 @@ ORACLES: dict[str, str] = {
     "prefix_jaccard_pairs": ORACLE_PREFIX_JACCARD,
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
+    "media_decoded_dims": ORACLE_MEDIA_DIMS,
     "frame_sample_plan": ORACLE_FRAME_PLAN,
     "session_window_agg": ORACLE_SESSION_WINDOW,
     "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,

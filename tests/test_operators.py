@@ -748,6 +748,108 @@ def test_decode_seams_raise(spark):
         sample_frames(docs)
 
 
+def _real_png(w: int, h: int) -> bytes:
+    """A COMPLETE valid PNG file built with stdlib zlib — real CRCs,
+    real IDAT (w x h gray pixels) — so the parser golden runs against
+    bytes any external viewer would accept, not just our own fixture."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, depth 8
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_image_header_goldens():
+    """Parser vs spec, no Spark: a complete real PNG (stdlib-zlib CRCs
+    and IDAT), a JPEG whose marker walk must step over APP0 + DQT + a
+    standalone TEM marker to reach SOF2 (progressive — not just C0),
+    a GIF87a little-endian screen, and the quarantine cases
+    (truncation mid-header, corrupt segment length, unknown magic)."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    assert parse_image_header(_real_png(320, 7)) == ("png", 320, 7)
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb\x00\x43" + bytes(65)
+    tem = b"\xff\x01"  # standalone: no length field
+    sof2 = b"\xff\xc2\x00\x11\x08" + (480).to_bytes(2, "big") + (
+        640
+    ).to_bytes(2, "big") + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = b"\xff\xd8" + app0 + tem + dqt + sof2
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    # C4 (DHT) must NOT be taken for a frame header
+    dht = b"\xff\xc4\x00\x05" + bytes(3)
+    assert parse_image_header(b"\xff\xd8" + dht + sof2) == (
+        "jpeg",
+        640,
+        480,
+    )
+
+    gif = b"GIF87a" + (1023).to_bytes(2, "little") + (64).to_bytes(
+        2, "little"
+    ) + b"\xf7\x00\x00"
+    assert parse_image_header(gif) == ("gif", 1023, 64)
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == (
+        None,
+        None,
+        None,
+    )  # truncated before IHDR
+    assert parse_image_header(b"\xff\xd8\xff\xdb\x00\x01") == (
+        "jpeg",
+        None,
+        None,
+    )  # corrupt segment length: must terminate, not loop
+    assert parse_image_header(b"BM\x00\x00") == (None, None, None)
+
+
+def test_decode_image_headers_distributed(spark):
+    """The mapInPandas wrapper: synthetic payloads for all three
+    formats decode to the arithmetic dims, and a NULL payload yields
+    NULL columns (Int32 nullable path through Arrow)."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_image_headers,
+        synthetic_image_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x") for i in range(6)]
+    )
+    payloads = synthetic_image_payloads(docs)
+    got = {
+        r["media_id"]: r
+        for r in decode_image_headers(payloads).collect()
+    }
+    for i in range(6):
+        fmt = ["png", "jpeg", "gif"][i % 3]
+        assert got[i]["format"] == fmt, i
+        assert got[i]["width"] == 64 + i % 1857
+        assert got[i]["height"] == 64 + (i * 7) % 1017
+    nulls = spark.createDataFrame(
+        [Row(media_id=99, payload=None)],
+        "media_id long, payload binary",
+    )
+    r = decode_image_headers(nulls).collect()[0]
+    assert (r["format"], r["width"], r["height"]) == (None, None, None)
+
+
 def test_embedding_lsh_dup_pairs_finds_near_identical(spark):
     """Near-identical vectors land in the same sign bucket in at least
     one band (planes can't separate an ~0 angle unless a plane passes
