@@ -8006,6 +8006,103 @@ ORACLE_PMI = f"""
 """
 
 
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter: each doc scored by its
+    mean ln p(w2|w1) under the corpus bigram model (add-one smoothing,
+    contexts counted from the bigram table).  Log-space terms (the
+    pmi_bigrams overflow lesson), DECIMAL(20,6) order-independent sums,
+    ppl = exp(-avg) of the already-quantized average.  See
+    operators/text.py::bigram_lm_scores for the scale shape (count
+    tables at vocab cardinality = the broadcast knob)."""
+    return TX.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM_LM = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t) u),
+    bt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    occ AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg FROM bt),
+    cb AS (SELECT bg, COUNT(*) AS cb FROM occ GROUP BY bg),
+    cw AS (SELECT string_split(bg, ' ')[1] AS w1, COUNT(*) AS cw
+           FROM occ GROUP BY 1),
+    s AS (SELECT occ.doc_id,
+            CAST({DET.det_round_sql(
+                "ln(CAST(cb.cb + 1 AS DOUBLE))"
+                " - ln(CAST(cw.cw + v.v AS DOUBLE))", 6
+            )} AS DECIMAL(20,6)) AS term
+          FROM occ JOIN cb USING (bg)
+          JOIN cw ON string_split(occ.bg, ' ')[1] = cw.w1
+          CROSS JOIN v),
+    p AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+            {DET.det_round_sql(
+                "CAST(SUM(term) AS DOUBLE) / COUNT(*)", 4
+            )} AS avg_logprob
+          FROM s GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, avg_logprob,
+        {DET.det_round_sql("exp(-avg_logprob)", 4)} AS ppl
+    FROM p
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=4 word grams, window w=4):
+    guarantees any shared >= w+k-1-token run between two documents
+    produces an identical fingerprint, making boilerplate detection an
+    equi-join.  The (hash, position) window argmin rides ONE int64
+    (hash40 * 2^20 + pos) so no cross-engine struct-ordering semantics
+    are involved.  See operators/text.py::winnow_fingerprints."""
+    return TX.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_WINNOW = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+    p AS (SELECT doc_id, u.i AS pos,
+            ('0x' || substr(md5(
+                array_to_string(toks[u.i + 1:u.i + 4], ' ')), 1, 10)
+            )::BIGINT * 1048576 + u.i AS comb
+          FROM g, unnest(range(len(toks) - 3)) AS u(i)),
+    sel AS (SELECT doc_id, pos,
+            MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+            COUNT(*) OVER (PARTITION BY doc_id) AS m
+          FROM p)
+    SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash,
+           CAST(sel % 1048576 AS INT) AS fp_pos
+    FROM sel WHERE pos <= greatest(m - 4, 0)
+"""
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen attribution of 8-gram content: per doc, the fraction
+    of its distinct grams no lower doc_id contains — spans say WHAT is
+    duplicated, novelty says WHO introduced it.  Exact integer ppm.
+    See operators/text.py::gram_novelty."""
+    return TX.gram_novelty(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_GRAM_NOVELTY = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, {_GRAMS8} AS grams FROM t),
+    h AS (SELECT DISTINCT doc_id,
+            ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+                FROM g) u),
+    f AS (SELECT gh, MIN(doc_id) AS first_doc FROM h GROUP BY gh),
+    p AS (SELECT h.doc_id, COUNT(*) AS n_grams,
+            CAST(SUM(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS novel_grams
+          FROM h JOIN f USING (gh) GROUP BY h.doc_id)
+    SELECT doc_id, n_grams, novel_grams,
+        (novel_grams // n_grams) * 1000000
+        + ((novel_grams % n_grams) * 2000000 + n_grams)
+          // (2 * n_grams) AS novelty_ppm
+    FROM p
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -8148,6 +8245,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_gap_median": q_order_gap_median,
     "session_bounce_rate": q_session_bounce_rate,
     "pmi_bigrams": q_pmi_bigrams,
+    "bigram_lm_scores": q_bigram_lm_scores,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "gram_novelty": q_gram_novelty,
 }
 
 ORACLES: dict[str, str] = {
@@ -8292,6 +8392,9 @@ ORACLES: dict[str, str] = {
     "order_gap_median": ORACLE_ORDER_GAP,
     "session_bounce_rate": ORACLE_BOUNCE,
     "pmi_bigrams": ORACLE_PMI,
+    "bigram_lm_scores": ORACLE_BIGRAM_LM,
+    "winnow_fingerprints": ORACLE_WINNOW,
+    "gram_novelty": ORACLE_GRAM_NOVELTY,
 }
 
 

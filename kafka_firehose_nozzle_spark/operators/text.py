@@ -486,3 +486,206 @@ def benchmark_decontam(
             F.count_distinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document bigram language-model score — the CCNet/KenLM-style
+    perplexity filter one tier up from the unigram version: p(w2|w1) =
+    (c(w1w2) + 1) / (ctx(w1) + V), add-one smoothed, contexts counted
+    from the bigram table itself (so doc-final tokens never inflate a
+    denominator).  Emits (doc_id, n_bigrams, avg_logprob, ppl); docs
+    with < 2 tokens have no bigram events and are excluded.
+
+    Determinism: each term is ln(cb+1) − ln(ctx+V) — log-space, so no
+    integer product can overflow at any corpus size (the pmi_bigrams
+    lesson) — det_rounded to 6dp and summed as DECIMAL(20,6): the sum
+    is exact and order-independent, so shuffle order can't change the
+    emitted double.  ppl = exp(−avg) of the ALREADY-quantized average.
+
+    Scale shape: one distinct-vocab aggregate (the only driver scalar),
+    two count tables at vocab/bigram-type cardinality — the broadcast
+    knob at 100 TB, since token types grow ~Heaps-sublinearly while
+    occurrences grow linearly — and one per-doc partial agg.  Shuffles
+    carry count rows and (doc, bigram) occurrences, never documents.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    vocab = int(
+        toks.select(F.explode("toks").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+        .head()["v"]
+    )
+    occ = toks.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(ngram_strings(F.col("toks"), 2)).alias("bg")
+    )
+    cb = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    cw = (
+        occ.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    term = det_round(
+        F.log((F.col("cb") + F.lit(1)).cast("double"))
+        - F.log((F.col("cw") + F.lit(vocab)).cast("double")),
+        6,
+    ).cast("decimal(20,6)")
+    per = (
+        occ.join(cb, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(term).alias("s"))
+    )
+    avg = det_round(F.col("s").cast("double") / F.col("n_bigrams"), 4)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        det_round(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
+def winnow_fingerprints(
+    docs,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): hash every word ``k``-gram, slide a ``w``-wide window
+    over the hash sequence, keep each window's minimum (leftmost on
+    ties), dedupe repeated selections.  Guarantees every shared run of
+    ``w + k - 1`` tokens between two documents yields at least one
+    IDENTICAL (hash, offset-independent) fingerprint — the property
+    that makes cross-doc plagiarism/boilerplate detection an equi-join
+    on the fingerprint hash instead of any pairwise comparison.
+
+    The (hash, position) argmin is encoded in ONE int64 —
+    ``hash40 * 2^20 + pos`` (40-bit md5 prefix, docs bounded well under
+    2^20 grams) — so a single MIN window aggregate performs the
+    tie-broken argmin exactly; no struct ordering semantics are relied
+    on cross-engine.  Docs shorter than ``k`` tokens have no grams and
+    are excluded; sequences shorter than ``w`` yield their global min
+    (the ROWS frame truncates at the partition edge).
+
+    Scale shape: one explode to (doc, pos, hash) and one per-doc
+    window — partitioned by doc_id, each partition bounded by document
+    length, so the sort never globalizes.  Output is distinct
+    fingerprint rows, ~1/w of gram volume.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    grams = toks.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.posexplode(ngram_strings(F.col("toks"), k)).alias("pos", "gram"),
+    )
+    h40 = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("bigint")
+    enc = grams.select(
+        "doc_id",
+        "pos",
+        (h40 * F.lit(1 << 20) + F.col("pos")).alias("comb"),
+    )
+    sel_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        0, w - 1
+    )
+    per_doc = Window.partitionBy("doc_id")
+    sel = enc.select(
+        "doc_id",
+        "pos",
+        F.min("comb").over(sel_win).alias("sel"),
+        F.count(F.lit(1)).over(per_doc).alias("m"),
+    ).filter(F.col("pos") <= F.greatest(F.col("m") - F.lit(w), F.lit(0)))
+    return (
+        sel.select(
+            "doc_id",
+            F.expr("sel div 1048576").alias("fp_hash"),
+            F.pmod("sel", F.lit(1 << 20)).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def gram_novelty(
+    docs,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document content novelty by first-seen attribution: of a
+    document's DISTINCT word ``n``-grams, how many first appear in THIS
+    document (no lower doc_id contains them)?  The dedup-adjacent
+    curation signal substring_dup_spans doesn't give: spans tell you
+    WHAT is duplicated, novelty tells you WHO introduced it — low
+    novelty marks near-pure recombinations of earlier content (drop
+    candidates under an ingest-order or priority-order id).
+
+    Emits (doc_id, n_grams, novel_grams, novelty_ppm) with the exact
+    integer-ppm average idiom — no double is ever rounded.
+
+    Scale shape: explode to distinct (doc, gram-hash) pairs (fixed-
+    width int64s cross the wire, never gram strings), one MIN(doc_id)
+    aggregation at gram-type cardinality with map-side partials, one
+    equi-join back.  Nothing is pairwise in documents; AQE skew-splits
+    a boilerplate gram shared by millions of docs.
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_text(F.col(text_col))).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size("toks") >= n,
+                        ngram_strings(F.col("toks"), n),
+                    ).otherwise(
+                        F.array(F.concat_ws(" ", F.col("toks")))
+                    )
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+        .distinct()
+    )
+    first = pairs.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        pairs.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("novel_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        F.expr(
+            "(novel_grams div n_grams) * 1000000"
+            " + ((novel_grams % n_grams) * 2000000 + n_grams)"
+            " div (2 * n_grams)"
+        ).alias("novelty_ppm"),
+    )

@@ -1679,3 +1679,134 @@ def test_exact_kth_refuses_nonfinite_values(spark):
     )
     with pytest.raises(ValueError, match="NaN/Infinity"):
         exact_kth(df2, "x", 50)
+
+
+# --- round-6 text operators -------------------------------------------------------
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a run of
+    w + k - 1 = 7 tokens must share at least one fingerprint HASH (at
+    different positions), no matter what surrounds the run. Disjoint
+    documents share nothing."""
+    from kafka_firehose_nozzle_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"xx yy zz {shared} qq ww"),
+            Row(doc_id=1, text=f"{shared} aa bb cc dd ee ff gg"),
+            Row(doc_id=2, text="one two three four five six seven eight"),
+        ]
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[0] & by_doc[1], "shared 7-token run must co-fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_selection_model(spark):
+    """Spark selection == a literal Python transcription of the
+    algorithm (k-gram 40-bit md5 hashes, window min, leftmost tie,
+    dedupe) on a short doc — pins the encode/decode arithmetic."""
+    import hashlib
+
+    from kafka_firehose_nozzle_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    text = "a b c a b c a b c d"
+    toks = text.split()
+    k, w = 4, 4
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+    ]
+    want = set()
+    m = len(hs)
+    for start in range(max(m - w, 0) + 1):
+        window = hs[start : start + w]
+        mn = min(window)
+        pos = start + window.index(mn)  # leftmost tie via encoded pos
+        want.add((mn, pos))
+    got = {
+        (r["fp_hash"], r["fp_pos"])
+        for r in winnow_fingerprints(
+            spark.createDataFrame([Row(doc_id=0, text=text)])
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bigram_lm_scores_model(spark):
+    """Spark bigram LM == hand-computed add-one model on a 3-doc
+    corpus; repeated-phrase doc must score higher (less surprising)
+    than the unique-phrase doc."""
+    import math
+
+    from kafka_firehose_nozzle_spark.operators.text import (
+        bigram_lm_scores,
+    )
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the hat",
+        2: "quantum flux capacitor overload",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in corpus.items()]
+    )
+    toksd = {i: t.split() for i, t in corpus.items()}
+    cb, cw = {}, {}
+    for ts in toksd.values():
+        for a, b in zip(ts, ts[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            cw[a] = cw.get(a, 0) + 1
+    vocab = len({t for ts in toksd.values() for t in ts})
+
+    def dround(x, k):  # det_round twin
+        return math.floor(x * 10**k + 0.5) / 10**k
+
+    want = {}
+    for i, ts in toksd.items():
+        terms = [
+            dround(
+                math.log(cb[(a, b)] + 1) - math.log(cw[a] + vocab), 6
+            )
+            for a, b in zip(ts, ts[1:])
+        ]
+        s = round(sum(terms), 6)  # decimal(20,6) sum is exact
+        avg = dround(s / len(terms), 4)
+        want[i] = (len(terms), avg, dround(math.exp(-avg), 4))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["ppl"])
+        for r in bigram_lm_scores(docs).collect()
+    }
+    assert got == want
+    assert got[0][1] > got[2][1]  # shared phrasing less surprising
+
+
+def test_gram_novelty_attribution(spark):
+    """First-seen semantics: an exact copy with a higher doc_id has
+    zero novelty; the original keeps full credit; an unrelated doc is
+    fully novel. Short docs fall back to the whole-doc gram."""
+    from kafka_firehose_nozzle_spark.operators.text import gram_novelty
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="fresh unique content entirely"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in gram_novelty(docs).collect()}
+    assert got[0]["novel_grams"] == got[0]["n_grams"] == 3
+    assert got[0]["novelty_ppm"] == 1_000_000
+    assert got[1]["novel_grams"] == 0 and got[1]["novelty_ppm"] == 0
+    assert got[2]["n_grams"] == 1 and got[2]["novelty_ppm"] == 1_000_000
