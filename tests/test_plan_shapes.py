@@ -480,3 +480,38 @@ def test_pareto_no_self_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(bkt" in plan
+
+
+def test_winnow_single_exchange_doc_partitioned_windows(spark):
+    """Winnowing's two window functions (argmin + per-doc count) must
+    share ONE doc_id exchange and sort — a second Exchange would mean
+    the windows repartition independently — and the window must be
+    doc-partitioned, never a global (unpartitioned) sort."""
+    plan = _plan(spark, "winnow_fingerprints")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(doc_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bigram_lm_count_tables_broadcast_no_python(spark):
+    """The bigram/context count tables (vocab cardinality) must join
+    to the occurrence stream as broadcasts at this SF — the 100 TB
+    degrade path is a shuffled equi-join, never a nested loop — and
+    the whole score stays JVM-side."""
+    plan = _plan(spark, "bigram_lm_scores")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gram_novelty_equi_join_on_hash_no_python(spark):
+    """Novelty's first-seen join must be an equi-join on the int64
+    gram hash (broadcast here, shuffled-hash at scale) with the
+    distinct pair aggregation partitioned on (doc_id, gh)."""
+    plan = _plan(spark, "gram_novelty")
+    assert "hashpartitioning(doc_id" in plan and "gh" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
