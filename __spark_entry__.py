@@ -8103,6 +8103,46 @@ ORACLE_GRAM_NOVELTY = f"""
 """
 
 
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step over the winnowing fingerprints: doc pairs
+    sharing >= 2 distinct fingerprint hashes, joined WITHIN buckets
+    with ubiquitous fingerprints (> 100 docs) dropped as
+    stop-fingerprints before the self-join — the same heavy-bucket
+    discipline as the LSH paths.  See
+    operators/text.py::winnow_dup_pairs."""
+    return TX.winnow_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+_WINNOW_FPS_SQL = """
+    t AS (SELECT doc_id, %(toks)s AS toks FROM documents),
+    g AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 4),
+    p AS (SELECT doc_id, u.i AS pos,
+            ('0x' || substr(md5(
+                array_to_string(toks[u.i + 1:u.i + 4], ' ')), 1, 10)
+            )::BIGINT * 1048576 + u.i AS comb
+          FROM g, unnest(range(len(toks) - 3)) AS u(i)),
+    sel AS (SELECT doc_id, pos,
+            MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+            COUNT(*) OVER (PARTITION BY doc_id) AS m
+          FROM p),
+    fh AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash
+           FROM sel WHERE pos <= greatest(m - 4, 0))
+""" % {"toks": _TOKS}
+
+
+ORACLE_WINNOW_PAIRS = f"""
+    WITH {_WINNOW_FPS_SQL},
+    width AS (SELECT fp_hash FROM fh GROUP BY fp_hash
+              HAVING COUNT(*) <= 100)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fh a JOIN fh b ON a.fp_hash = b.fp_hash
+         AND a.doc_id < b.doc_id
+    JOIN width ON a.fp_hash = width.fp_hash
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -8248,6 +8288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_scores": q_bigram_lm_scores,
     "winnow_fingerprints": q_winnow_fingerprints,
     "gram_novelty": q_gram_novelty,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -8395,6 +8436,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm_scores": ORACLE_BIGRAM_LM,
     "winnow_fingerprints": ORACLE_WINNOW,
     "gram_novelty": ORACLE_GRAM_NOVELTY,
+    "winnow_dup_pairs": ORACLE_WINNOW_PAIRS,
 }
 
 

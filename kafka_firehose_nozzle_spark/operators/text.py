@@ -689,3 +689,57 @@ def gram_novelty(
             " div (2 * n_grams)"
         ).alias("novelty_ppm"),
     )
+
+
+def winnow_dup_pairs(
+    docs,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Candidate near-duplicate pairs from winnowing fingerprints: docs
+    sharing >= ``min_shared`` distinct fingerprint hashes, found by an
+    equi-join WITHIN fingerprint buckets — the MOSS match step, and the
+    third blocking family in the repo next to MinHash-band and
+    sign-LSH buckets.
+
+    Stop-fingerprint cap: a hash present in more than
+    ``max_docs_per_fp`` documents is ubiquitous boilerplate whose
+    bucket would contribute O(bucket²) pairs while carrying no
+    discriminative signal — exactly a stop-word — so it is dropped
+    BEFORE the self-join.  That bounds per-bucket pair fan-out by
+    ``max_docs_per_fp²`` regardless of corpus size, the same
+    heavy-bucket discipline the LSH paths use.
+
+    Emits (doc_a, doc_b, n_shared) with doc_a < doc_b.  Scale shape:
+    distinct (doc, hash) pairs, one per-hash count for the cap, one
+    bucketed self-equi-join on the int64 hash; nothing is ever
+    all-pairs across the corpus.
+    """
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    width = fps.groupBy("fp_hash").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    kept = fps.join(
+        width.filter(F.col("nd") <= max_docs_per_fp), "fp_hash"
+    ).select("doc_id", "fp_hash")
+    a = kept.select(
+        F.col("fp_hash"), F.col("doc_id").alias("doc_a")
+    )
+    b = kept.select(
+        F.col("fp_hash"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1810,3 +1810,43 @@ def test_gram_novelty_attribution(spark):
     assert got[0]["novelty_ppm"] == 1_000_000
     assert got[1]["novel_grams"] == 0 and got[1]["novelty_ppm"] == 0
     assert got[2]["n_grams"] == 1 and got[2]["novelty_ppm"] == 1_000_000
+
+
+def test_winnow_dup_pairs_finds_overlap_and_caps_stop_fps(spark):
+    """Two docs sharing a long run must pair with n_shared >= 2; a
+    fingerprint carried by MORE docs than the cap is dropped before
+    the self-join, so a 120-copy boilerplate cluster produces ZERO
+    pairs (the stop-fingerprint discipline that bounds bucket fan-out
+    at scale)."""
+    from kafka_firehose_nozzle_spark.operators.text import (
+        winnow_dup_pairs,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{run} unique tail zero"),
+            Row(doc_id=1, text=f"other head one {run}"),
+            Row(doc_id=2, text="nothing in common here at all friends"),
+        ]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_dup_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
+
+    clones = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="same old boilerplate text repeated verbatim")
+            for i in range(120)
+        ]
+    )
+    assert winnow_dup_pairs(clones).count() == 0
+    # with a cap above the cluster size the pairs reappear (the short
+    # clone doc has one window, hence one shared fingerprint)
+    assert (
+        winnow_dup_pairs(clones, min_shared=1, max_docs_per_fp=200).count()
+        == 120 * 119 // 2
+    )
