@@ -2762,6 +2762,43 @@ ORACLE_MEDIA_DIMS = """
 """
 
 
+def q_media_av_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V container header decode, the audio/video twin of
+    media_decoded_dims: spec-correct WAV (RIFF chunk walk, little-
+    endian) and MP4 (ISO BMFF box walk into moov/mvhd, big-endian)
+    payloads built per doc, parsed back to sample_rate/channels/
+    duration_ms by the dependency-free parser; the oracle states the
+    same values arithmetically, so any offset/endianness/box-walk
+    mistake hash-mismatches.  duration_ms is exact integer math
+    (ticks * 1000 div timescale; data_bytes * 1000 div byte_rate) on
+    both sides.  One mapInPandas pass, zero shuffle."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_av_headers,
+        synthetic_av_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_av_headers(synthetic_av_payloads(docs)).orderBy(
+        "media_id"
+    )
+
+
+ORACLE_MEDIA_AV = """
+    SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        CASE WHEN doc_id % 2 = 0
+             THEN CAST(8000 + 4000 * (doc_id % 8) AS INT) END AS sample_rate,
+        CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS INT) END AS channels,
+        CASE WHEN doc_id % 2 = 0
+             THEN (100 * (1 + doc_id % 997) * 1000)
+                  // ((8000 + 4000 * (doc_id % 8)) * 2)
+             ELSE ((31 * doc_id) % 100000) * 1000
+                  // (1000 + doc_id % 9000)
+        END AS duration_ms
+    FROM documents ORDER BY media_id
+"""
+
+
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session windows (F.session_window, the same operator the
     streaming path uses with a watermark) in batch mode; the oracle derives
@@ -8187,6 +8224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_norms": q_embedding_centroid_norms,
     "media_batch_stats": q_media_batch_stats,
     "media_decoded_dims": q_media_decoded_dims,
+    "media_av_durations": q_media_av_durations,
     "frame_sample_plan": q_frame_sample_plan,
     "session_window_agg": q_session_window_agg,
     "roundtrip_route_topics": q_roundtrip_route_topics,
@@ -8335,6 +8373,7 @@ ORACLES: dict[str, str] = {
     "embedding_centroid_norms": ORACLE_CENTROID_NORMS,
     "media_batch_stats": ORACLE_MEDIA,
     "media_decoded_dims": ORACLE_MEDIA_DIMS,
+    "media_av_durations": ORACLE_MEDIA_AV,
     "frame_sample_plan": ORACLE_FRAME_PLAN,
     "session_window_agg": ORACLE_SESSION_WINDOW,
     "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,

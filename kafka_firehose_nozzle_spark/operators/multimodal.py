@@ -361,3 +361,176 @@ def resize_dims(width, height, box: int = 224):
         F.lit(1), ((height.cast("bigint") * box) / long_side).cast("bigint")
     ).cast("int")
     return F.struct(out_w.alias("out_w"), out_h.alias("out_h"))
+
+
+AV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def parse_av_header(b) -> tuple:
+    """Pure-Python audio/video container header parse:
+    ``(container, sample_rate, channels, duration_ms)`` from WAV or MP4
+    bytes, no codec library — the A/V twin of
+    :func:`parse_image_header`.
+
+    - WAV: RIFF chunk walk (chunks are [4cc][size-le-u32][payload],
+      word-aligned); ``fmt `` yields channels (le u16 at +2) and
+      sample rate (le u32 at +4), ``data`` yields the payload size;
+      duration_ms = data_size * 1000 // byte_rate, exact integer math.
+    - MP4 (ISO BMFF): box walk ([size-be-u32][4cc][payload]); the
+      ``moov`` box is a container whose child ``mvhd`` (version 0)
+      carries timescale (be u32 at +12) and duration (be u32 at +16);
+      duration_ms = duration * 1000 // timescale.
+
+    Unknown or truncated payloads return all-None columns.
+    """
+    if b is None:
+        return (None, None, None, None)
+    b = bytes(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i, rate, ch, byte_rate, data_size = 12, None, None, None, None
+        while i + 8 <= len(b):
+            cc = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            body = b[i + 8 : i + 8 + size]
+            if cc == b"fmt " and len(body) >= 16:
+                ch = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                byte_rate = int.from_bytes(body[8:12], "little")
+            elif cc == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        dur = (
+            data_size * 1000 // byte_rate
+            if data_size is not None and byte_rate
+            else None
+        )
+        return ("wav", rate, ch, dur)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+
+        def walk(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(b[i : i + 4], "big")
+                cc = b[i + 4 : i + 8]
+                if size < 8:
+                    return None
+                if cc == b"moov":
+                    got = walk(i + 8, min(i + size, hi))
+                    if got is not None:
+                        return got
+                elif cc == b"mvhd" and i + 28 <= hi and b[i + 8] == 0:
+                    ts = int.from_bytes(b[i + 20 : i + 24], "big")
+                    d = int.from_bytes(b[i + 24 : i + 28], "big")
+                    return d * 1000 // ts if ts else None
+                i += size
+            return None
+
+        return ("mp4", None, None, walk(0, len(b)))
+    return (None, None, None, None)
+
+
+def decode_av_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched :func:`parse_av_header` over the payload column —
+    same contract and scale shape as :func:`decode_image_headers`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_av_header(x) for x in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "container": [p[0] for p in parsed],
+                    "sample_rate": pd.array(
+                        [p[1] for p in parsed], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [p[2] for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p[3] for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AV_SCHEMA
+    )
+
+
+def synthetic_av_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic spec-correct WAV/MP4 payloads from doc_id (even ->
+    WAV, odd -> MP4) — the A/V twin of :func:`synthetic_image_payloads`.
+    WAV: rate = 8000 + 4000·(id % 8), channels = 1 + id % 2, 16-bit,
+    data bytes = 100·(1 + id % 997).  MP4: timescale = 1000 + id % 9000,
+    duration ticks = 31·id % 100000."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    rate = 8000 + 4000 * (mid % 8)
+                    ch = 1 + mid % 2
+                    bits = 16
+                    block = ch * bits // 8
+                    byte_rate = rate * block
+                    data = bytes(100 * (1 + mid % 997))
+                    fmt = (
+                        (1).to_bytes(2, "little")
+                        + ch.to_bytes(2, "little")
+                        + rate.to_bytes(4, "little")
+                        + byte_rate.to_bytes(4, "little")
+                        + block.to_bytes(2, "little")
+                        + bits.to_bytes(2, "little")
+                    )
+                    chunks = (
+                        b"fmt "
+                        + (16).to_bytes(4, "little")
+                        + fmt
+                        + b"data"
+                        + len(data).to_bytes(4, "little")
+                        + data
+                    )
+                    payloads.append(
+                        b"RIFF"
+                        + (4 + len(chunks)).to_bytes(4, "little")
+                        + b"WAVE"
+                        + chunks
+                    )
+                else:
+                    ts = 1000 + mid % 9000
+                    dur = 31 * mid % 100000
+                    mvhd = (
+                        (108).to_bytes(4, "big")
+                        + b"mvhd"
+                        + bytes(4)  # version 0 + flags
+                        + bytes(8)  # ctime/mtime
+                        + ts.to_bytes(4, "big")
+                        + dur.to_bytes(4, "big")
+                        + bytes(80)
+                    )
+                    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+                    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + bytes(4)
+                    payloads.append(ftyp + moov)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        build,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )

@@ -1850,3 +1850,72 @@ def test_winnow_dup_pairs_finds_overlap_and_caps_stop_fps(spark):
         winnow_dup_pairs(clones, min_shared=1, max_docs_per_fp=200).count()
         == 120 * 119 // 2
     )
+
+
+def test_parse_av_header_goldens():
+    """WAV chunk walk (incl. an odd-size chunk forcing word-align
+    padding and a LIST chunk before fmt) and MP4 box walk (mvhd nested
+    after a free box inside moov); truncation and unknown magic
+    quarantine to all-None."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        parse_av_header,
+    )
+
+    fmt = (
+        (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")          # stereo
+        + (44100).to_bytes(4, "little")
+        + (176400).to_bytes(4, "little")     # byte rate
+        + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad
+    chunks = (
+        odd
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + (88200).to_bytes(4, "little")
+    )
+    wav = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    assert parse_av_header(wav) == ("wav", 44100, 2, 500)  # 88200/176400
+
+    mvhd = (
+        (108).to_bytes(4, "big") + b"mvhd" + bytes(4) + bytes(8)
+        + (600).to_bytes(4, "big") + (900).to_bytes(4, "big") + bytes(80)
+    )
+    free = (16).to_bytes(4, "big") + b"free" + bytes(8)
+    moov = (8 + len(free) + len(mvhd)).to_bytes(4, "big") + b"moov" + free + mvhd
+    mp4 = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + bytes(4) + moov
+    assert parse_av_header(mp4) == ("mp4", None, None, 1500)
+
+    assert parse_av_header(None) == (None, None, None, None)
+    assert parse_av_header(b"RIFF\x00\x00") == (None, None, None, None)
+    assert parse_av_header(b"OggS\x00\x00\x00\x00\x00\x00\x00\x00") == (
+        None, None, None, None,
+    )
+
+
+def test_decode_av_headers_distributed(spark):
+    """The mapInPandas wrapper decodes both container families and
+    passes NULL payloads through as NULL columns."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_av_headers,
+        synthetic_av_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x") for i in range(4)]
+    )
+    got = {
+        r["media_id"]: r
+        for r in decode_av_headers(synthetic_av_payloads(docs)).collect()
+    }
+    for i in (0, 2):
+        rate = 8000 + 4000 * (i % 8)
+        assert got[i]["container"] == "wav"
+        assert got[i]["sample_rate"] == rate
+        assert got[i]["channels"] == 1
+        assert got[i]["duration_ms"] == 100 * (1 + i % 997) * 1000 // (rate * 2)
+    for i in (1, 3):
+        assert got[i]["container"] == "mp4"
+        assert got[i]["sample_rate"] is None
+        assert got[i]["duration_ms"] == (31 * i % 100000) * 1000 // (1000 + i % 9000)
