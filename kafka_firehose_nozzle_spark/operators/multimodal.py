@@ -9,12 +9,14 @@ Design for 100 TB multimodal corpora (images/audio/video as columns):
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` operators — per-partition, zero shuffle; at scale the
   decode stage is compute-bound and scales linearly with executors.
-- the actual codec work (PIL/ffmpeg/torchaudio) is NOT in this
-  container, so ``decode_image``/``sample_frames`` raise
-  NotImplementedError behind a clearly marked seam, while
-  ``media_features`` computes real deterministic features (byte length,
-  content hash) so the Spark-side contract — schemas, batching, UDF
-  signatures — is fully exercised and oracle-checkable.
+- header/metadata decode is REAL and dependency-free:
+  ``parse_image_header`` (PNG/JPEG/GIF dims) and ``parse_av_header``
+  (WAV/MP4 sample rate + duration) run Arrow-batched over the binary
+  column and are oracle-checked end to end.  Only pixel/sample
+  extraction (PIL/ffmpeg, absent from this container) remains behind
+  the ``decode_image``/``sample_frames`` NotImplementedError seams;
+  ``media_features`` exercises the same plumbing with deterministic
+  features (byte length, content hash).
 """
 
 from __future__ import annotations
