@@ -2790,7 +2790,7 @@ ORACLE_MEDIA_AV = """
              THEN CAST(8000 + 4000 * (doc_id % 8) AS INT) END AS sample_rate,
         CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS INT) END AS channels,
         CASE WHEN doc_id % 2 = 0
-             THEN (100 * (1 + doc_id % 997) * 1000)
+             THEN (4 * (1 + doc_id % 997) * 1000)
                   // ((8000 + 4000 * (doc_id % 8)) * 2)
              ELSE ((31 * doc_id) % 100000) * 1000
                   // (1000 + doc_id % 9000)

@@ -471,8 +471,14 @@ def synthetic_av_payloads(docs: DataFrame) -> DataFrame:
     """Deterministic spec-correct WAV/MP4 payloads from doc_id (even ->
     WAV, odd -> MP4) — the A/V twin of :func:`synthetic_image_payloads`.
     WAV: rate = 8000 + 4000·(id % 8), channels = 1 + id % 2, 16-bit,
-    data bytes = 100·(1 + id % 997).  MP4: timescale = 1000 + id % 9000,
-    duration ticks = 31·id % 100000."""
+    data bytes = 4·(1 + id % 997).  MP4: timescale = 1000 + id % 9000,
+    duration ticks = 31·id % 100000.
+
+    Payloads are deliberately KB-scale (the data chunk is real but
+    small): a metadata-decode pass should never ship media BODIES
+    through Arrow — the first fixture used ~50 KB bodies and spent 8x
+    sf1 wall-clock serializing zeros between the two Python stages.
+    Real-body parsing is pinned by the golden tests instead."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -485,7 +491,7 @@ def synthetic_av_payloads(docs: DataFrame) -> DataFrame:
                     bits = 16
                     block = ch * bits // 8
                     byte_rate = rate * block
-                    data = bytes(100 * (1 + mid % 997))
+                    data = bytes(4 * (1 + mid % 997))
                     fmt = (
                         (1).to_bytes(2, "little")
                         + ch.to_bytes(2, "little")
