@@ -2799,6 +2799,49 @@ ORACLE_MEDIA_AV = """
 """
 
 
+def q_av_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> plan composition: REAL MP4 container durations (box
+    walk, not stand-in metadata) feed frame_sample_plan's work-list
+    grid — the full metadata path a video ingest runs before ffmpeg
+    touches a byte.  Planning never reads the payload after the decode
+    stage; one frame per second, t=0 always included."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_av_headers,
+        frame_sample_plan,
+        synthetic_av_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    av = decode_av_headers(synthetic_av_payloads(docs)).filter(
+        F.col("container") == "mp4"
+    )
+    media = av.select(
+        "media_id",
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms").cast("int").alias("duration_ms"),
+            F.lit("mp4").alias("codec"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+ORACLE_AV_FRAME_PLAN = """
+    WITH mp4 AS (SELECT doc_id AS media_id,
+            ((31 * doc_id) % 100000) * 1000
+                // (1000 + doc_id % 9000) AS dur
+          FROM documents WHERE doc_id % 2 = 1),
+    n AS (SELECT media_id,
+            greatest(1, CAST(ceil(dur / 1000.0) AS INT)) AS nf
+          FROM mp4)
+    SELECT media_id, CAST(u.i AS INT) AS frame_ix,
+           CAST(u.i * 1000 AS INT) AS ts_ms
+    FROM n, unnest(range(nf)) AS u(i)
+"""
+
+
 def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session windows (F.session_window, the same operator the
     streaming path uses with a watermark) in batch mode; the oracle derives
@@ -8225,6 +8268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_batch_stats": q_media_batch_stats,
     "media_decoded_dims": q_media_decoded_dims,
     "media_av_durations": q_media_av_durations,
+    "av_frame_plan": q_av_frame_plan,
     "frame_sample_plan": q_frame_sample_plan,
     "session_window_agg": q_session_window_agg,
     "roundtrip_route_topics": q_roundtrip_route_topics,
@@ -8374,6 +8418,7 @@ ORACLES: dict[str, str] = {
     "media_batch_stats": ORACLE_MEDIA,
     "media_decoded_dims": ORACLE_MEDIA_DIMS,
     "media_av_durations": ORACLE_MEDIA_AV,
+    "av_frame_plan": ORACLE_AV_FRAME_PLAN,
     "frame_sample_plan": ORACLE_FRAME_PLAN,
     "session_window_agg": ORACLE_SESSION_WINDOW,
     "roundtrip_route_topics": ORACLE_ROUTE_TOPICS,
