@@ -8223,6 +8223,316 @@ ORACLE_WINNOW_PAIRS = f"""
 """
 
 
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality screen (Rae et al. 2021 §A1.1): exact
+    integer word-count / mean-word-length / stopword-presence /
+    top-token-dominance flags per document.  See
+    operators/text.py::gopher_flags."""
+    return TX.gopher_flags(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_GOPHER = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    pt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(SUM(length(tok)) AS BIGINT) AS chars
+           FROM tok GROUP BY 1, 2),
+    pd AS (SELECT doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_words,
+            CAST(SUM(chars) AS BIGINT) AS n_chars,
+            CAST(MAX(c) AS BIGINT) AS top_c,
+            CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and',
+                'in','is','it','for','on') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stop
+           FROM pt GROUP BY doc_id),
+    m AS (SELECT doc_id, n_words,
+            n_chars * 100 // n_words AS mean_centilen,
+            n_stop, top_c * 1000000 // n_words AS top_tok_ppm
+          FROM pd),
+    fl AS (SELECT *,
+            CASE WHEN n_words BETWEEN 20 AND 100000
+                 THEN 1 ELSE 0 END AS flag_word_count,
+            CASE WHEN mean_centilen BETWEEN 300 AND 1000
+                 THEN 1 ELSE 0 END AS flag_mean_len,
+            CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS flag_stopwords,
+            CASE WHEN top_tok_ppm <= 200000
+                 THEN 1 ELSE 0 END AS flag_repetition
+           FROM m)
+    SELECT doc_id, n_words, mean_centilen, n_stop, top_tok_ppm,
+        flag_word_count, flag_mean_len, flag_stopwords, flag_repetition,
+        flag_word_count * flag_mean_len * flag_stopwords
+            * flag_repetition AS passes
+    FROM fl
+"""
+
+
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law curve: cumulative distinct bigram TYPES vs cumulative
+    bigram occurrences per ingest-order decile — the new-type flattening
+    that says when the corpus stops contributing novelty.  The corpus
+    doc count is the one bounded scalar action (fano-bounds idiom).
+    See operators/text.py::heaps_vocab_growth."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return TX.heaps_vocab_growth(docs, n_docs=n_docs, n=2, buckets=10)
+
+
+ORACLE_HEAPS = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(range(len(toks) - 1),
+                i -> array_to_string(toks[i + 1:i + 2], ' ')) AS grams
+          FROM t WHERE len(toks) >= 2),
+    o AS (SELECT doc_id,
+            ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g) u),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    occ AS (SELECT CAST(least(doc_id * 10 // (SELECT n_docs FROM nd), 9)
+                AS BIGINT) AS bucket, gh FROM o),
+    pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM occ GROUP BY bucket),
+    first AS (SELECT gh, MIN(doc_id) AS first_doc FROM o GROUP BY gh),
+    nt AS (SELECT CAST(least(first_doc * 10 // (SELECT n_docs FROM nd), 9)
+                AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS new_types
+           FROM first GROUP BY 1),
+    j AS (SELECT COALESCE(pb.bucket, nt.bucket) AS bucket,
+            COALESCE(n_grams, 0) AS n_grams,
+            COALESCE(new_types, 0) AS new_types
+          FROM pb FULL OUTER JOIN nt ON pb.bucket = nt.bucket)
+    SELECT bucket, n_grams, new_types,
+        CAST(SUM(n_grams) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_grams,
+        CAST(SUM(new_types) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_types
+    FROM j
+"""
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick featurization per source: top-8 of 64
+    signed token-hash buckets by |weight| — the vocabulary-free sparse
+    features a linear quality classifier trains on.  See
+    operators/text.py::feature_hash_buckets."""
+    return TX.feature_hash_buckets(
+        _t(spark, sf_dir, "documents"), n_buckets=64, top=8
+    )
+
+
+ORACLE_FEATURE_HASH = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT source AS grp, unnest(toks) AS tok FROM t),
+    h AS (SELECT grp,
+            CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64
+                 AS INTEGER) AS bucket,
+            (('0x' || substr(md5(tok), 16, 1))::BIGINT % 2) * 2 - 1
+                AS sign
+          FROM tok),
+    agg AS (SELECT grp, bucket, CAST(SUM(sign) AS BIGINT) AS weight,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM h GROUP BY 1, 2),
+    r AS (SELECT grp AS source, bucket, weight, n_tokens,
+            CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                ORDER BY abs(weight) DESC, bucket ASC)
+                AS INTEGER) AS rnk
+          FROM agg)
+    SELECT source, bucket, weight, n_tokens, rnk FROM r WHERE rnk <= 8
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (ntile(5), ties broken by custkey so both engines assign
+    identical tiles), rolled up to segment cells with customer counts
+    and total lifetime cents.  Convention: 5 = most recent / most
+    frequent / highest spend.  Money runs in exact cents; segment
+    totals accumulate in DECIMAL(38,0)/HUGEINT and emit as strings
+    (the gini idiom) so no scale overflows them.
+
+    Scale shape: one fact-table partial agg to customer cardinality,
+    then three ntile windows over the CUSTOMER dimension — the
+    documented dimension-sized-sort trade (gini, trimmed_event_stats);
+    the fact table is never globally sorted.  Final rollup is <= 125
+    cells."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"
+            ).alias("day"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    w_r = Window.orderBy(F.col("last_day").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("n_orders").asc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    scored = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("total_cents"),
+    )
+
+
+ORACLE_RFM = """
+    WITH pc AS (SELECT o_custkey,
+            MAX(datediff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE))) AS last_day,
+            CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    s AS (SELECT o_custkey, cents,
+            CAST(NTILE(5) OVER (ORDER BY last_day ASC, o_custkey ASC)
+                AS INTEGER) AS r_score,
+            CAST(NTILE(5) OVER (ORDER BY n_orders ASC, o_custkey ASC)
+                AS INTEGER) AS f_score,
+            CAST(NTILE(5) OVER (ORDER BY cents ASC, o_custkey ASC)
+                AS INTEGER) AS m_score
+          FROM pc)
+    SELECT r_score, f_score, m_score,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS VARCHAR)
+            AS total_cents
+    FROM s GROUP BY 1, 2, 3
+"""
+
+
+def q_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day maximizing
+    |n * S_i - i * S_n| over the DENSE daily count spine (prefix sum
+    deviation from the linear ramp — the classic at-most-one-changepoint
+    statistic), earliest day on ties.  Missing days count zero; they
+    carry drift signal exactly as in burstiness_fano.  Products run in
+    DECIMAL(38,0)/HUGEINT; the emitted dev fits BIGINT whenever
+    n_days * total_events < 9.2e18 (a 10k-day corpus would need >9e14
+    events/type to cross it).
+
+    Scale shape: one corpus partial agg to (type, day) cardinality,
+    a types x days dense spine (spine bounds are one scalar action),
+    per-type prefix-sum windows partitioned by type, and a
+    spine-sized argmax — the fact table is shuffled once, at
+    (type, day) cardinality."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("d"),
+            "event_type",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1")).head()
+    d0, d1 = bounds["d0"], bounds["d1"]
+    spine = spark.range(d0, d1 + 1).select(F.col("id").alias("d"))
+    types = daily.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = dense.select(
+        "event_type",
+        "d",
+        (F.col("d") - F.lit(d0) + F.lit(1)).alias("i"),
+        F.sum("c").over(w_cum).alias("s_i"),
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s_n")
+    )
+    dev = pref.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        F.expr(
+            "CAST(abs(CAST(n AS DECIMAL(38,0)) * CAST(s_i AS DECIMAL(38,0))"
+            " - CAST(i AS DECIMAL(38,0)) * CAST(s_n AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("dev"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), F.col("d").asc()
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST(date_add(DATE '1970-01-01', CAST(d AS INT)) AS STRING)"
+            ).alias("change_date"),
+            "dev",
+        )
+    )
+
+
+ORACLE_CHANGEPOINT = """
+    WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+    t AS (SELECT DISTINCT event_type FROM daily),
+    dense AS (SELECT t.event_type, spine.d, COALESCE(c, 0) AS c
+              FROM t CROSS JOIN spine
+              LEFT JOIN daily ON daily.event_type = t.event_type
+                             AND daily.d = spine.d),
+    pref AS (SELECT event_type, d,
+            d - (SELECT d0 FROM b) + 1 AS i,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s_i
+          FROM dense),
+    tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(c) AS BIGINT) AS s_n
+           FROM dense GROUP BY event_type),
+    dev AS (SELECT pref.event_type, d, n,
+            CAST(abs(CAST(n AS HUGEINT) * CAST(s_i AS HUGEINT)
+                - CAST(i AS HUGEINT) * CAST(s_n AS HUGEINT))
+                AS BIGINT) AS dev
+          FROM pref JOIN tot ON pref.event_type = tot.event_type),
+    best AS (SELECT event_type, d, n, dev,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY dev DESC, d ASC) AS rk
+          FROM dev)
+    SELECT event_type, n AS n_days,
+        CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+            AS change_date,
+        dev
+    FROM best WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -8371,6 +8681,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "gram_novelty": q_gram_novelty,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "gopher_quality_flags": q_gopher_quality_flags,
+    "heaps_vocab_growth": q_heaps_vocab_growth,
+    "feature_hashing": q_feature_hashing,
+    "rfm_segments": q_rfm_segments,
+    "changepoint_daily": q_changepoint_daily,
 }
 
 ORACLES: dict[str, str] = {
@@ -8521,6 +8836,11 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": ORACLE_WINNOW,
     "gram_novelty": ORACLE_GRAM_NOVELTY,
     "winnow_dup_pairs": ORACLE_WINNOW_PAIRS,
+    "gopher_quality_flags": ORACLE_GOPHER,
+    "heaps_vocab_growth": ORACLE_HEAPS,
+    "feature_hashing": ORACLE_FEATURE_HASH,
+    "rfm_segments": ORACLE_RFM,
+    "changepoint_daily": ORACLE_CHANGEPOINT,
 }
 
 

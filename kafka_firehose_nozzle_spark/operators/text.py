@@ -743,3 +743,221 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def gopher_flags(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1,
+    public paper): per document, the four cheap structural rules a
+    pretraining corpus is screened with before any model-based scoring —
+    word-count bounds, mean-word-length bounds, minimum distinct
+    function-word presence, and a max single-token dominance cap (the
+    "repetition" rule family).  Every statistic is exact-integer
+    (centichars / ppm), so the DuckDB oracle replays it bit-for-bit.
+
+    Emits (doc_id, n_words, mean_centilen, n_stop, top_tok_ppm,
+    flag_word_count, flag_mean_len, flag_stopwords, flag_repetition,
+    passes).
+
+    Scale shape: one explode to (doc, token) rows, ONE hash aggregate
+    at (doc, token) cardinality producing per-token counts, then a
+    per-doc rollup — both aggs run with map-side partials and shuffle
+    only fixed-width rows.  The per-doc mode (top token count) factors
+    through the (doc, token) count table instead of an O(distinct x
+    len) array HOF, so per-doc work stays linear in document length on
+    real text where distinct ~ len.  No UDFs, no windows, no joins.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.length("tok")).alias("chars"),
+    )
+    stop = F.col("tok").isin(STOPWORDS)
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum("chars").alias("n_chars"),
+        F.max("c").alias("top_c"),
+        F.sum(F.when(stop, F.lit(1)).otherwise(F.lit(0))).alias("n_stop"),
+    )
+    mean_centi = F.expr("n_chars * 100 div n_words")
+    top_ppm = F.expr("top_c * 1000000 div n_words")
+    out = per_doc.select(
+        "doc_id",
+        "n_words",
+        mean_centi.alias("mean_centilen"),
+        F.col("n_stop").cast("bigint").alias("n_stop"),
+        top_ppm.alias("top_tok_ppm"),
+    )
+    f_wc = F.when(
+        (F.col("n_words") >= 20) & (F.col("n_words") <= 100000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    f_ml = F.when(
+        (F.col("mean_centilen") >= 300) & (F.col("mean_centilen") <= 1000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    f_st = F.when(F.col("n_stop") >= 2, F.lit(1)).otherwise(F.lit(0))
+    f_rep = F.when(F.col("top_tok_ppm") <= 200000, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return out.select(
+        "*",
+        f_wc.alias("flag_word_count"),
+        f_ml.alias("flag_mean_len"),
+        f_st.alias("flag_stopwords"),
+        f_rep.alias("flag_repetition"),
+    ).withColumn(
+        "passes",
+        F.col("flag_word_count")
+        * F.col("flag_mean_len")
+        * F.col("flag_stopwords")
+        * F.col("flag_repetition"),
+    )
+
+
+def heaps_vocab_growth(
+    docs,
+    n_docs: int,
+    n: int = 2,
+    buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Heaps-law vocabulary-growth curve: cumulative distinct word
+    ``n``-gram TYPES vs cumulative gram OCCURRENCES after each
+    ingest-order decile of the corpus — the curve that decides when a
+    tokenizer vocab / dedup threshold has seen enough data (new-type
+    rate flattening = diminishing novelty).  ``n_docs`` is the corpus
+    document count, passed in by the caller (one bounded scalar agg,
+    the fano-bounds idiom).
+
+    Emits (bucket, n_grams, new_types, cum_grams, cum_types) — all
+    exact BIGINTs; novelty per decile is new_types directly.
+
+    Scale shape: the same first-seen factoring as gram_novelty — every
+    gram ships as a fixed-width int64 hash, type attribution is ONE
+    MIN(doc_id) aggregate at type cardinality, and the decile rollups
+    are bucket-sized (<= ``buckets`` rows) before a trivial running
+    sum over a ``buckets``-row frame.  Nothing is pairwise and the
+    window sorts ``buckets`` rows, not the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_text(F.col(text_col))).alias("toks"),
+        )
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(ngram_strings(F.col("toks"), n)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    bkt = F.least(
+        F.expr(f"doc_id * {buckets} div {n_docs}"), F.lit(buckets - 1)
+    )
+    occ = grams.select(bkt.alias("bucket"), "gh")
+    per_bucket = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    new_types = (
+        first.select(
+            F.least(
+                F.expr(f"first_doc * {buckets} div {n_docs}"),
+                F.lit(buckets - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    joined = (
+        per_bucket.join(new_types, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "bucket",
+        "n_grams",
+        "new_types",
+        F.sum("n_grams").over(w).alias("cum_grams"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+
+
+def feature_hash_buckets(
+    docs,
+    n_buckets: int = 64,
+    top: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Signed hashing-trick featurization (Weinberger et al. 2009,
+    public paper): every token maps to ``hash % n_buckets`` with a
+    +/-1 sign drawn from an independent hash bit, token counts
+    accumulate signed into the bucket — the collision-unbiased sparse
+    bag-of-words used to featurize corpora for cheap linear quality
+    classifiers without materializing a vocabulary.  Reported per
+    ``group_col``: the ``top`` buckets by |weight| (tie-broken by
+    bucket id), i.e. each group's dominant feature directions.
+
+    Both hashes are md5-derived (independent hex ranges of the same
+    digest), so the DuckDB oracle reproduces every bucket and sign
+    bit-for-bit.
+
+    Emits (group, bucket, weight, n_tokens, rnk).
+
+    Scale shape: explode to tokens, ONE hash aggregate at
+    (group, bucket) cardinality — bounded by groups x n_buckets
+    regardless of corpus size — then a window over that bounded table.
+    The token stream itself is never re-shuffled: the agg runs with
+    map-side partials on fixed-width (group, int, int) rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    sign_bit = F.conv(F.substring(F.md5("tok"), 16, 1), 16, 10).cast(
+        "bigint"
+    )
+    hashed = toks.select(
+        "grp",
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+        (F.pmod(sign_bit, F.lit(2)) * F.lit(2) - F.lit(1)).alias("sign"),
+    )
+    agg = hashed.groupBy("grp", "bucket").agg(
+        F.sum("sign").cast("bigint").alias("weight"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.abs(F.col("weight")).desc(), F.col("bucket").asc()
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "bucket",
+            "weight",
+            "n_tokens",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= top)
+    )

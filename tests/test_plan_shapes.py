@@ -515,3 +515,62 @@ def test_gram_novelty_equi_join_on_hash_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gopher_flags_two_stage_agg_no_python(spark):
+    """Gopher flags must factor the per-doc mode through the
+    (doc, token) count table — two hash aggregates with map-side
+    partials, doc-partitioned, zero Python and zero joins."""
+    plan = _plan(spark, "gopher_quality_flags")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure aggregation pipeline
+
+
+def test_feature_hashing_bounded_agg_grp_window(spark):
+    """The signed-bucket aggregate is (group x 64)-bounded with
+    map-side partials; the ranking window must be group-partitioned
+    (never a global sort over the token stream)."""
+    plan = _plan(spark, "feature_hashing")
+    assert "partial_sum" in plan
+    assert "hashpartitioning(grp" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heaps_growth_type_agg_partials_no_python(spark):
+    """Heaps growth ships int64 gram hashes only: the first-seen
+    MIN(doc_id) aggregate and the bucket rollups must partial-combine;
+    the only window runs over <= buckets rows."""
+    plan = _plan(spark, "heaps_vocab_growth")
+    assert "partial_min" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_fact_agg_partials_dimension_windows(spark):
+    """RFM's fact-table pass must partial-combine down to customer
+    cardinality before any window; the ntile windows then sort the
+    customer DIMENSION (documented trade), never re-touching orders."""
+    plan = _plan(spark, "rfm_segments")
+    assert "partial_count" in plan
+    assert "partial_sum" in plan
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_changepoint_type_partitioned_windows_broadcast_totals(spark):
+    """CUSUM changepoint: the prefix-sum and argmax windows must be
+    event_type-partitioned, per-type totals rejoin as a broadcast, and
+    the raw event scan partial-combines to (type, day) before any
+    shuffle.  (The types x spine densification is a bounded
+    nested-loop by construction: types x days, never fact rows.)"""
+    plan = _plan(spark, "changepoint_daily")
+    assert "hashpartitioning(event_type" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
