@@ -8533,6 +8533,70 @@ ORACLE_CHANGEPOINT = """
 """
 
 
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption masking plan: deterministic hash-gated span
+    starts on a stride-5 grid (non-overlap by construction), ~15%
+    expected mask rate, exact integer accounting.  See
+    operators/sampling.py::span_corruption_plan."""
+    return SA.span_corruption_plan(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SPAN_PLAN = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) >= 1),
+    g AS (SELECT doc_id, n, unnest(range(0, n, 5)) AS p FROM n),
+    sel AS (SELECT doc_id, n, p FROM g
+            WHERE ('0x' || substr(md5(doc_id || ':' || p), 1, 8))::BIGINT
+                  % 4 = 0),
+    agg AS (SELECT doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_spans,
+            CAST(SUM(LEAST(3, n - p)) AS BIGINT) AS n_masked
+           FROM sel GROUP BY doc_id)
+    SELECT n.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        COALESCE(n_spans, 0) AS n_spans,
+        COALESCE(n_masked, 0) AS n_masked,
+        COALESCE(n_masked, 0) * 1000000 // n AS mask_ppm
+    FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+"""
+
+
+def q_jl_distortion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1-projection distance-distortion audit over strided vector
+    pairs — exact micro-integer arithmetic end to end.  See
+    operators/similarity.py::jl_distortion_pairs."""
+    return S.jl_distortion_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_JL = """
+    WITH xi AS (SELECT vec_id AS vid, i AS pos,
+            CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS xi
+        FROM embeddings CROSS JOIN range(64) t(i)),
+    a AS (SELECT vid AS vec_a, pos, xi AS xa FROM xi WHERE vid % 20 = 0),
+    b AS (SELECT vid - 1 AS vec_a, pos, xi AS xb FROM xi
+          WHERE (vid - 1) % 20 = 0),
+    d AS (SELECT a.vec_a, a.pos, xa - xb AS dx
+          FROM a JOIN b ON a.vec_a = b.vec_a AND a.pos = b.pos),
+    fdist AS (SELECT vec_a,
+            CAST(SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT))
+                AS HUGEINT) AS df
+        FROM d GROUP BY vec_a),
+    s AS (SELECT j, dcol,
+            (('0x' || substr(md5(j || ',' || dcol), 1, 1))::BIGINT % 2)
+                * 2 - 1 AS sgn
+          FROM range(16) r1(j) CROSS JOIN range(64) r2(dcol)),
+    y AS (SELECT vec_a, j, CAST(SUM(sgn * dx) AS HUGEINT) AS yj
+          FROM d JOIN s ON s.dcol = d.pos GROUP BY 1, 2),
+    proj AS (SELECT vec_a, CAST(SUM(yj * yj) AS HUGEINT) AS dp
+             FROM y GROUP BY vec_a)
+    SELECT f.vec_a, f.vec_a + 1 AS vec_b,
+        CAST(df AS BIGINT) AS dist_full,
+        CAST(dp AS BIGINT) AS dist_proj,
+        CAST(dp * 1000000 // nullif(16 * df, 0) AS BIGINT) AS ratio_ppm
+    FROM fdist f JOIN proj ON f.vec_a = proj.vec_a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -8686,6 +8750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_hashing": q_feature_hashing,
     "rfm_segments": q_rfm_segments,
     "changepoint_daily": q_changepoint_daily,
+    "span_corruption_plan": q_span_corruption_plan,
+    "jl_distortion_pairs": q_jl_distortion_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -8841,6 +8907,8 @@ ORACLES: dict[str, str] = {
     "feature_hashing": ORACLE_FEATURE_HASH,
     "rfm_segments": ORACLE_RFM,
     "changepoint_daily": ORACLE_CHANGEPOINT,
+    "span_corruption_plan": ORACLE_SPAN_PLAN,
+    "jl_distortion_pairs": ORACLE_JL,
 }
 
 

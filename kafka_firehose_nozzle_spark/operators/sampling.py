@@ -176,3 +176,85 @@ def dsir_log_weights(
             ),
         )
     )
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    span_len: int = 3,
+    stride: int = 5,
+    keep_mod: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption masking PLAN (Raffel et al. 2020 §3.1.4,
+    public paper): for each document, deterministically choose the token
+    spans a denoising objective would mask — span starts sit on a
+    ``stride``-token grid and are kept when an md5 hash of
+    (doc_id, position) lands in ``1/keep_mod`` of hash space, each
+    masking ``span_len`` tokens (clamped at the document tail).  With
+    ``stride > span_len`` spans can never overlap, so the plan needs no
+    sequential conflict resolution — what makes it a pure column
+    expression on BOTH engines.  Expected mask rate is
+    span_len / (stride * keep_mod) = 15% at the defaults, the T5 ratio.
+
+    Deterministic-by-hash rather than seeded-RNG for the same reason as
+    every sampler in this module: the identical spans are chosen on any
+    engine at any parallelism, which the DuckDB oracle checks directly.
+
+    Emits (doc_id, n_tokens, n_spans, n_masked, mask_ppm) — exact
+    integers.
+
+    Scale shape: zero shuffles and zero joins — the grid, the hash
+    gate, and the mask accounting are array HOFs fused into the scan
+    stage; work is linear in document length.  The downstream consumer
+    joins this plan back to the token stream by (doc_id, pos range) —
+    an equi-join prefix, never a scan of text.
+    """
+    from kafka_firehose_nozzle_spark.operators.text import (
+        normalize_text,
+        tokens,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("toks"),
+    ).select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    ).filter(
+        F.col("n_tokens") >= 1
+    )
+    grid = F.sequence(
+        F.lit(0), F.col("n_tokens") - 1, F.lit(stride)
+    )
+    gate = lambda p: (  # noqa: E731 - hash gate shared by the filter
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        p.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % keep_mod
+        == 0
+    )
+    sel = F.filter(grid, gate)
+    n_masked = F.aggregate(
+        sel,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.least(F.lit(span_len), F.col("n_tokens") - p).cast("bigint"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size(sel).cast("bigint").alias("n_spans"),
+        n_masked.alias("n_masked"),
+    ).withColumn("mask_ppm", F.expr("n_masked * 1000000 div n_tokens"))

@@ -915,3 +915,118 @@ def sparse_cosine_topk(
         )
     )
     return ranked.orderBy(F.desc("cos_sim"), key_col).limit(k)
+
+
+def jl_distortion_pairs(
+    emb: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    pair_stride: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project embeddings
+    through a deterministic ±1 sign matrix (Achlioptas 2003, public
+    paper — database-friendly random projections) down to ``k`` dims
+    and report, for a strided sample of vector pairs (vec_id, vec_id+1),
+    the ratio of projected to original squared distance.  E[ratio] = k
+    for a ±1 matrix, so ratio_ppm/k near 1e6 certifies the projection
+    preserves neighborhoods before a pipeline swaps full vectors for
+    cheap sketches (the decision emb_truncation_recall makes for
+    PREFIX truncation — this is the rotation-invariant alternative).
+
+    Everything after the component quantization (micro-ints,
+    floor(x*1e6+0.5) on the double cast both engines share) is exact
+    integer arithmetic in DECIMAL(38,0)/HUGEINT; the emitted distances
+    fit BIGINT while component magnitudes stay under ~3e3 (|x| <= 3e9
+    micro would be needed to overflow) and a zero original distance
+    yields NULL ratio on both engines (nullif guard).
+
+    Scale shape: the sign matrix is k x dim = 1024 literal rows,
+    broadcast; pairs join on (vec_a, pos) — an equi-join at sampled-
+    pair x dim cardinality; two partial-combined aggregations.  Nothing
+    touches unsampled vectors past the pushed ``vid % stride`` filters.
+    """
+    spark = emb.sparkSession
+    xi = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select(
+        "vid",
+        "pos",
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xi"),
+    )
+    a = xi.filter(F.col("vid") % pair_stride == 0).select(
+        F.col("vid").alias("vec_a"), "pos", F.col("xi").alias("xa")
+    )
+    b = xi.filter((F.col("vid") - 1) % pair_stride == 0).select(
+        (F.col("vid") - 1).alias("vec_a"), "pos", F.col("xi").alias("xb")
+    )
+    d = a.join(b, ["vec_a", "pos"]).select(
+        "vec_a", "pos", (F.col("xa") - F.col("xb")).alias("dx")
+    )
+    fdist = d.groupBy("vec_a").agg(
+        F.sum(
+            F.col("dx").cast("decimal(38,0)")
+            * F.col("dx").cast("decimal(38,0)")
+        ).alias("df")
+    )
+    signs = (
+        spark.range(k * dim)
+        .select(
+            F.expr(f"id div {dim}").alias("j"),
+            F.pmod(F.col("id"), F.lit(dim)).alias("dcol"),
+        )
+        .select(
+            "j",
+            "dcol",
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("j").cast("string"),
+                                    F.lit(","),
+                                    F.col("dcol").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(2),
+                )
+                * 2
+                - 1
+            ).alias("sgn"),
+        )
+    )
+    y = (
+        d.join(F.broadcast(signs), d["pos"] == signs["dcol"])
+        .groupBy("vec_a", "j")
+        .agg(F.sum(F.col("sgn") * F.col("dx")).alias("yj"))
+    )
+    proj = y.groupBy("vec_a").agg(
+        F.sum(
+            F.col("yj").cast("decimal(38,0)")
+            * F.col("yj").cast("decimal(38,0)")
+        ).alias("dp")
+    )
+    return fdist.join(proj, "vec_a").select(
+        "vec_a",
+        (F.col("vec_a") + 1).alias("vec_b"),
+        F.col("df").cast("bigint").alias("dist_full"),
+        F.col("dp").cast("bigint").alias("dist_proj"),
+        F.expr(
+            f"CAST(dp * CAST(1000000 AS DECIMAL(38,0))"
+            f" div nullif(CAST({k} AS DECIMAL(38,0)) * df,"
+            f" CAST(0 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )

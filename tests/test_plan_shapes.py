@@ -574,3 +574,26 @@ def test_changepoint_type_partitioned_windows_broadcast_totals(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_span_plan_is_pure_projection(spark):
+    """The span-corruption plan must stay a single map stage: grid,
+    hash gate, and mask accounting are array HOFs fused into the scan —
+    zero exchanges, zero joins, zero Python."""
+    plan = _plan(spark, "span_corruption_plan")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_jl_distortion_broadcast_signs_no_cartesian(spark):
+    """JL distortion: the 1024-row sign matrix must reach the diff
+    stream as a broadcast equi-join (built from ONE range, not a
+    range x range cartesian), pair filters push to the scan side, and
+    the distance aggregations partial-combine."""
+    plan = _plan(spark, "jl_distortion_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
