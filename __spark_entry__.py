@@ -8597,6 +8597,530 @@ ORACLE_JL = """
 """
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (the Self-BLEU-adjacent metric
+    generation-quality audits use): for n = 1, 2, 3, the number of
+    distinct n-grams over total n-gram occurrences, in exact integer
+    ppm — a low distinct-2/3 ratio is the repetitive-corpus signal
+    that per-doc repetition_scores can't see (cross-doc repetition).
+
+    One scan: the three gram arrays are concatenated per row into ONE
+    tagged struct array and exploded once, so the text column is read
+    and tokenized once, not three times; then a single (source, n)
+    partial aggregation carrying count + count_distinct.  At 100 TB
+    the explode output is ~3x token volume — the same volume class as
+    every other gram query here — and the agg is two-phase with the
+    distinct resolved by shuffle on (source, n, gram)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
+    )
+
+    def tagged(n: int):
+        arr = (
+            F.col("toks")
+            if n == 1
+            else TX.ngram_strings(F.col("toks"), n)
+        )
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    ex = toks.select(
+        "source",
+        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("t"),
+    )
+    agg = ex.groupBy("source", F.col("t.n").alias("n")).agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.count_distinct(F.col("t.g")).alias("distinct_grams"),
+    )
+    return agg.select(
+        "source",
+        "n",
+        "occurrences",
+        "distinct_grams",
+        F.expr("distinct_grams * 1000000 div occurrences").alias(
+            "diversity_ppm"
+        ),
+    )
+
+
+ORACLE_NGRAM_DIVERSITY = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT source, 1 AS n, unnest(toks) AS g FROM t
+        UNION ALL
+        SELECT source, 2 AS n,
+            unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM t
+        UNION ALL
+        SELECT source, 3 AS n,
+            unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> array_to_string(toks[i:i+2], ' '))) AS g
+        FROM t
+    )
+    SELECT source, n,
+        COUNT(*) AS occurrences,
+        COUNT(DISTINCT g) AS distinct_grams,
+        COUNT(DISTINCT g) * 1000000 // COUNT(*) AS diversity_ppm
+    FROM g GROUP BY source, n
+"""
+
+
+def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing allocator: given per-source token counts and a total
+    token budget (2/5 of the corpus here), find the integer water
+    level L such that sum(min(tokens_s, L)) <= budget — small sources
+    keep everything, large sources are capped at L (the
+    proportional-cap policy behind most pretraining mixes; cf.
+    temperature_lang_mix for the exponent variant).  The level is found
+    CLOSED-FORM, not by iteration: sort sources by token count
+    ascending, and for each prefix the candidate level is the budget
+    remainder spread over the remaining sources; exactly one candidate
+    lands inside its own segment (validity guard B >= prefix keeps the
+    division non-negative, so Spark's truncating div and DuckDB's
+    flooring // agree).
+
+    Scale shape: one corpus partial agg down to SOURCE cardinality;
+    everything after — the sort window, the level, the caps — runs on
+    that dimension-sized table (single-partition window over ~10 rows,
+    bounded by construction, same class as lang_rebalance)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.size(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("tokens"))
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("tokens").alias("t_max"),
+    )
+    w = Window.orderBy("tokens", "source")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "total",
+        "k",
+        "t_max",
+        F.expr("total * 2 div 5").alias("budget"),
+        F.row_number().over(w).alias("i"),
+        (F.sum("tokens").over(wc) - F.col("tokens")).alias("prev_sum"),
+        F.lag("tokens", 1, 0).over(w).alias("prev_tok"),
+    )
+    cand = rows.withColumn(
+        "li", F.expr("(budget - prev_sum) div (k - i + 1)")
+    ).withColumn(
+        "valid",
+        (F.col("budget") >= F.col("prev_sum"))
+        & (F.col("li") >= F.col("prev_tok"))
+        & (F.col("li") < F.col("tokens")),
+    )
+    level = cand.agg(
+        F.coalesce(
+            F.min(F.when(F.col("valid"), F.col("li"))),
+            F.max("t_max"),
+        ).alias("level")
+    )
+    return (
+        cand.crossJoin(F.broadcast(level))
+        .select(
+            "source",
+            "tokens",
+            F.least(F.col("tokens"), F.col("level")).alias("alloc"),
+            (F.col("tokens") > F.col("level")).alias("capped"),
+            "level",
+            "budget",
+        )
+    )
+
+
+ORACLE_WATERFILL = f"""
+    WITH per AS (SELECT source,
+            CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+            CAST(COUNT(*) AS BIGINT) AS k,
+            CAST(MAX(tokens) AS BIGINT) AS t_max
+        FROM per),
+    rows_ AS (SELECT source, tokens, total, k, t_max,
+            total * 2 // 5 AS budget,
+            ROW_NUMBER() OVER (ORDER BY tokens, source) AS i,
+            CAST(SUM(tokens) OVER (ORDER BY tokens, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) - tokens AS prev_sum,
+            COALESCE(LAG(tokens) OVER (ORDER BY tokens, source), 0)
+                AS prev_tok
+        FROM per CROSS JOIN tot),
+    cand AS (SELECT *, (budget - prev_sum) // (k - i + 1) AS li,
+            budget >= prev_sum AND (budget - prev_sum) // (k - i + 1)
+                >= prev_tok
+            AND (budget - prev_sum) // (k - i + 1) < tokens AS valid
+        FROM rows_),
+    lvl AS (SELECT COALESCE(
+            CAST(MIN(CASE WHEN valid THEN li END) AS BIGINT),
+            CAST(MAX(t_max) AS BIGINT)) AS level
+        FROM cand)
+    SELECT source, tokens,
+        LEAST(tokens, level) AS alloc,
+        tokens > level AS capped,
+        level, budget
+    FROM cand CROSS JOIN lvl
+"""
+
+
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend/residual decomposition of daily event counts per type: a
+    centered 7-day moving-average trend over the DENSE day spine
+    (missing days count zero — absence is signal, as in
+    burstiness_fano), residual = count - trend, reporting the
+    biggest-anomaly day and the mean absolute residual — the
+    volume-anomaly screen changepoint_daily's single-changepoint
+    statistic can't express.  All milli-count integers: trend_milli =
+    (7-day sum x 1000) div frame_rows (edge frames truncate, so the
+    divisor is COUNT over the same frame), residual exact by
+    subtraction — no doubles anywhere.
+
+    Scale shape: identical to changepoint_daily — one corpus partial
+    agg to (type, day) cardinality, a types x days dense spine, and
+    per-type ROWS-framed windows partitioned by type; the anomaly pick
+    and mean-abs agg run at spine cardinality."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("d"),
+            "event_type",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).head()
+    d0, d1 = bounds["d0"], bounds["d1"]
+    spine = spark.range(d0, d1 + 1).select(F.col("id").alias("d"))
+    types = daily.select("event_type").distinct()
+    dense = (
+        types.crossJoin(spine)
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    resid = dense.select(
+        "event_type",
+        "d",
+        "c",
+        F.expr("c * 1000").alias("c_milli"),
+        F.sum("c").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).select(
+        "event_type",
+        "d",
+        F.expr("c * 1000 - (s7 * 1000) div n7").alias("resid_milli"),
+    )
+    aggs = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "sum(abs(resid_milli)) div count(*)"
+        ).alias("mean_abs_resid_milli"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid_milli")).desc(), F.col("d").asc()
+    )
+    peak = (
+        resid.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(date_add(DATE '1970-01-01', CAST(d AS INT))"
+                " AS STRING)"
+            ).alias("peak_date"),
+            F.col("resid_milli").alias("peak_resid_milli"),
+        )
+    )
+    return aggs.join(F.broadcast(peak), "event_type").select(
+        "event_type",
+        "n_days",
+        "mean_abs_resid_milli",
+        "peak_date",
+        "peak_resid_milli",
+    )
+
+
+ORACLE_SEASONAL_DECOMP = """
+    WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS d FROM b),
+    t AS (SELECT DISTINCT event_type FROM daily),
+    dense AS (SELECT t.event_type, spine.d, COALESCE(c, 0) AS c
+              FROM t CROSS JOIN spine
+              LEFT JOIN daily ON daily.event_type = t.event_type
+                             AND daily.d = spine.d),
+    resid AS (SELECT event_type, d,
+            c * 1000 - (CAST(SUM(c) OVER w7 AS BIGINT) * 1000)
+                // CAST(COUNT(*) OVER w7 AS BIGINT) AS resid_milli
+        FROM dense
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    aggs AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_days,
+            CAST(SUM(ABS(resid_milli)) AS BIGINT) // COUNT(*)
+                AS mean_abs_resid_milli
+        FROM resid GROUP BY event_type),
+    peak AS (SELECT event_type,
+            CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+                AS peak_date,
+            resid_milli AS peak_resid_milli,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ABS(resid_milli) DESC, d ASC) AS rk
+        FROM resid)
+    SELECT aggs.event_type, n_days, mean_abs_resid_milli,
+        peak_date, peak_resid_milli
+    FROM aggs JOIN peak ON aggs.event_type = peak.event_type
+    WHERE rk = 1
+"""
+
+
+def q_zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source: OLS slope/intercept of
+    ln(freq) on ln(rank) over the top-1000 token ranks — natural text
+    sits near slope -1; a flat slope is the synthetic/templated-corpus
+    tell (this corpus's near-uniform vocabulary reads ~-0.3).  Ranks
+    are exact ROW_NUMBER over (freq DESC, token ASC).
+
+    Determinism: each ln term is det_round(_, 9) then DECIMAL(18,9), so
+    every OLS moment (sx, sy, sxx, sxy, products in DECIMAL(36..37,18))
+    is an EXACT order-independent decimal sum; moments go to double
+    through VARCHAR (the dispersion_stats idiom — int128-to-double
+    casts double-round) and the closed form is the identical IEEE
+    expression on both engines.  Sources with < 2 ranks are excluded
+    (undefined slope).
+
+    Scale shape: token counts are one partial agg at (source, token)
+    cardinality; the rank window partitions by source and the fit
+    aggregates 1000 rows/source — vocabulary grows Heaps-sublinearly,
+    so this never becomes the big shuffle."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source",
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    ranked = freq.withColumn("r", F.row_number().over(w_rank)).filter(
+        F.col("r") <= 1000
+    )
+    x = DET.det_round(F.log(F.col("r").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    y = DET.det_round(F.log(F.col("c").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    m = (
+        ranked.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    md = m.select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        F.expr("CAST(n AS DOUBLE)").alias("nd"),
+        F.expr("CAST(CAST(sx AS STRING) AS DOUBLE)").alias("dsx"),
+        F.expr("CAST(CAST(sy AS STRING) AS DOUBLE)").alias("dsy"),
+        F.expr("CAST(CAST(sxx AS STRING) AS DOUBLE)").alias("dsxx"),
+        F.expr("CAST(CAST(sxy AS STRING) AS DOUBLE)").alias("dsxy"),
+    )
+    slope = (F.col("nd") * F.col("dsxy") - F.col("dsx") * F.col("dsy")) / (
+        F.col("nd") * F.col("dsxx") - F.col("dsx") * F.col("dsx")
+    )
+    return md.select(
+        "source",
+        "n_ranks",
+        DET.det_round(slope, 6).alias("zipf_slope"),
+        DET.det_round(
+            (F.col("dsy") - slope * F.col("dsx")) / F.col("nd"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+ORACLE_ZIPF = f"""
+    WITH freq AS (SELECT source, w, COUNT(*) AS c
+        FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+        GROUP BY source, w),
+    ranked AS (SELECT source, c,
+            ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY c DESC, w ASC) AS r
+        FROM freq
+        QUALIFY r <= 1000),
+    q AS (SELECT source,
+            CAST({DET.det_round_sql('ln(CAST(r AS DOUBLE))', 9)}
+                AS DECIMAL(18,9)) AS x,
+            CAST({DET.det_round_sql('ln(CAST(c AS DOUBLE))', 9)}
+                AS DECIMAL(18,9)) AS y
+        FROM ranked),
+    m AS (SELECT source, COUNT(*) AS n,
+            SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM q GROUP BY source HAVING COUNT(*) >= 2),
+    md AS (SELECT source, n AS n_ranks,
+            CAST(n AS DOUBLE) AS nd,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+        FROM m)
+    SELECT source, n_ranks,
+        {DET.det_round_sql(
+            '(nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx)', 6
+        )} AS zipf_slope,
+        {DET.det_round_sql(
+            '(dsy - ((nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx))'
+            ' * dsx) / nd', 6
+        )} AS zipf_intercept
+    FROM md
+"""
+
+
+def q_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic hash split: users are
+    assigned to variants A/B by the same md5 60-bit hash the
+    train/val/test split uses (so assignment is reproducible across
+    runs, engines, and repartitioning — the property a real experiment
+    assignment needs), the conversion metric is "user has >= 1
+    purchase event", and the z statistic is the pooled-proportion
+    closed form.  Counts are exact integers; the z double is the
+    identical IEEE expression on both engines over exactly-representable
+    integer inputs, det_round(6); conversion rates are exact ppm.
+
+    Scale shape: one shuffle to user cardinality (partial-agg
+    combine), then a single conditional-sum reduce to ONE row — the
+    100 TB shape of every experiment readout."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("#ab"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(v.alias("variant"), "conv")
+    )
+    r = per_user.agg(
+        F.count_if(F.col("variant") == 0).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).alias("c_a"),
+        F.count_if(F.col("variant") == 1).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).alias("c_b"),
+    )
+    pa = F.expr("CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)")
+    pb = F.expr("CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)")
+    pp = F.expr(
+        "CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+    )
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.expr("CAST(n_a AS DOUBLE)")
+            + F.lit(1.0) / F.expr("CAST(n_b AS DOUBLE)")
+        )
+    )
+    return r.select(
+        "n_a",
+        F.col("c_a").alias("conv_a"),
+        F.expr("c_a * 1000000 div n_a").alias("conv_a_ppm"),
+        "n_b",
+        F.col("c_b").alias("conv_b"),
+        F.expr("c_b * 1000000 div n_b").alias("conv_b_ppm"),
+        DET.det_round((pa - pb) / F.nullif(se, F.lit(0.0)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+ORACLE_AB_TEST = f"""
+    WITH pu AS (SELECT
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'),
+                1, 15))::BIGINT % 2 AS BIGINT) AS variant,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS conv
+        FROM events GROUP BY user_id),
+    r AS (SELECT
+            CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS BIGINT)
+                AS n_a,
+            CAST(SUM(CASE WHEN variant = 0 THEN conv END) AS BIGINT)
+                AS c_a,
+            CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS BIGINT)
+                AS n_b,
+            CAST(SUM(CASE WHEN variant = 1 THEN conv END) AS BIGINT)
+                AS c_b
+        FROM pu)
+    SELECT n_a, c_a AS conv_a, c_a * 1000000 // n_a AS conv_a_ppm,
+        n_b, c_b AS conv_b, c_b * 1000000 // n_b AS conv_b_ppm,
+        {DET.det_round_sql(
+            '(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)'
+            ' - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))'
+            ' / NULLIF(SQRT((CAST(c_a + c_b AS DOUBLE)'
+            ' / CAST(n_a + n_b AS DOUBLE))'
+            ' * (1.0 - CAST(c_a + c_b AS DOUBLE)'
+            ' / CAST(n_a + n_b AS DOUBLE))'
+            ' * (1.0 / CAST(n_a AS DOUBLE)'
+            ' + 1.0 / CAST(n_b AS DOUBLE))), 0.0)', 6
+        )} AS z_score
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -8752,6 +9276,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint_daily": q_changepoint_daily,
     "span_corruption_plan": q_span_corruption_plan,
     "jl_distortion_pairs": q_jl_distortion_pairs,
+    "ngram_diversity": q_ngram_diversity,
+    "token_budget_waterfill": q_token_budget_waterfill,
+    "seasonal_decompose_daily": q_seasonal_decompose_daily,
+    "zipf_slope_by_source": q_zipf_slope_by_source,
+    "ab_test_zscores": q_ab_test_zscores,
 }
 
 ORACLES: dict[str, str] = {
@@ -8909,6 +9438,11 @@ ORACLES: dict[str, str] = {
     "changepoint_daily": ORACLE_CHANGEPOINT,
     "span_corruption_plan": ORACLE_SPAN_PLAN,
     "jl_distortion_pairs": ORACLE_JL,
+    "ngram_diversity": ORACLE_NGRAM_DIVERSITY,
+    "token_budget_waterfill": ORACLE_WATERFILL,
+    "seasonal_decompose_daily": ORACLE_SEASONAL_DECOMP,
+    "zipf_slope_by_source": ORACLE_ZIPF,
+    "ab_test_zscores": ORACLE_AB_TEST,
 }
 
 
