@@ -9121,6 +9121,537 @@ ORACLE_AB_TEST = f"""
 """
 
 
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at brand granularity: support /
+    confidence / lift for every brand pair co-occurring in an order —
+    the co-occurrence statistic behind "docs that cite X also cite Y"
+    curation rules.  Brand (25 values) is the right granularity: the
+    per-order basket is a SET of <= ~7 brands, so the within-basket
+    self-join fans out at most |basket|^2 per order — bounded by data
+    shape, never all-pairs across orders.  Lift in exact integer ppm;
+    the triple product pair*n_orders*1e6 runs in DECIMAL(38,0)/HUGEINT
+    (at 1.5e10 orders the int64 product would wrap).
+
+    Scale shape: one broadcast dim join (part), a distinct at
+    (order, brand) cardinality, an equi-self-join on orderkey with
+    per-order bounded fan-out, and a final agg at brand-pair
+    cardinality (<= 300 rows); brand totals broadcast back."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    tot = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    no = baskets.agg(
+        F.count_distinct(F.col("okey")).alias("n_orders")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, F.col("a.okey") == F.col("b.okey"))
+        .filter(F.col("a.brand") < F.col("b.brand"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    ta = tot.select(
+        F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    tb = tot.select(
+        F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .crossJoin(F.broadcast(no))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            "n_orders",
+            F.expr("pair_cnt * 1000000 div cnt_a").alias("conf_ab_ppm"),
+            F.expr("pair_cnt * 1000000 div cnt_b").alias("conf_ba_ppm"),
+            F.expr(
+                "CAST(CAST(pair_cnt AS DECIMAL(38,0)) * n_orders"
+                " * 1000000 div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+ORACLE_BASKET_LIFT = """
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS okey,
+            p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+    tot AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM baskets GROUP BY brand),
+    no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders
+        FROM baskets),
+    p AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+            CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2)
+    SELECT brand_a, brand_b, pair_cnt,
+        ta.cnt AS cnt_a, tb.cnt AS cnt_b, n_orders,
+        pair_cnt * 1000000 // ta.cnt AS conf_ab_ppm,
+        pair_cnt * 1000000 // tb.cnt AS conf_ba_ppm,
+        CAST(CAST(pair_cnt AS HUGEINT) * n_orders * 1000000
+            // (CAST(ta.cnt AS HUGEINT) * tb.cnt) AS BIGINT) AS lift_ppm
+    FROM p JOIN tot ta ON ta.brand = brand_a
+           JOIN tot tb ON tb.brand = brand_b
+           CROSS JOIN no
+"""
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline self-evaluation: recall/precision of the MinHash-LSH
+    blocking stage against the PLANTED ground truth — every doc has a
+    known near-dup at doc_id + 1e6 (last word dropped), so the truth
+    pair set is linear in corpus size and the evaluation is pure
+    equi-joins (the standard planted-pair protocol; an exact-Jaccard
+    ground truth would be the all-pairs join LSH exists to avoid).
+    recall = |cand ∩ planted| / |planted|; precision counts how much
+    of the candidate volume the planted pairs explain (the rest is
+    corpus self-similarity + banding collisions).  Exact integer ppm.
+
+    Scale shape: the LSH candidate generation is the existing bucketed
+    band join; truth is a projection of documents; the intersection is
+    a left-semi equi-join on (id_a, id_b); three count aggregates
+    cross-joined as broadcast single-row frames."""
+    docs2 = _planted_docs(spark, sf_dir)
+    cand = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    truth = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + _PLANT_OFFSET).alias("id_b"),
+    )
+    hits = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    r = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(
+            F.broadcast(
+                cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        )
+    )
+    return r.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.expr("n_hits * 1000000 div n_truth").alias("recall_ppm"),
+        F.expr("n_hits * 1000000 div n_candidates").alias(
+            "precision_ppm"
+        ),
+    )
+
+
+ORACLE_LSH_RECALL = _ORACLE_LSH_CAND + """,
+    tr AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+           FROM documents),
+    hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM cand JOIN tr ON cand.id_a = tr.id_a
+                         AND cand.id_b = tr.id_b),
+    ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr)
+    SELECT n_truth, n_candidates, n_hits,
+        n_hits * 1000000 // n_truth AS recall_ppm,
+        n_hits * 1000000 // n_candidates AS precision_ppm
+    FROM ntr CROSS JOIN ncand CROSS JOIN hit
+"""
+
+
+def q_ks_grid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic on a fixed price
+    grid: BUILDING vs MACHINERY order-total distributions, D = max
+    |CDF_a - CDF_b| evaluated at 1000-unit price buckets.  Grid-KS is
+    the scale-correct KS: the exact statistic needs a global ordered
+    cumulative over every distinct value (a single-partition sort of
+    the fact table), while the grid version aggregates to bucket
+    cardinality first — the price domain is bounded (< 500 buckets),
+    so the cumulative window is bounded by construction (the heaps /
+    waterfill dimension-window class).  The D comparison runs in exact
+    integers: |cum_a * n_b - cum_b * n_a| in DECIMAL(38,0)/HUGEINT
+    (cum * n wraps int64 past ~3e9 rows/side), emitted as exact ppm.
+
+    Scale shape: fact join + one partial agg to bucket cardinality;
+    everything downstream is dimension-sized."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    g = (
+        j.select(
+            F.expr(
+                "CAST(floor(o_totalprice) AS BIGINT) div 1000"
+            ).alias("bucket"),
+            (F.col("c_mktsegment") == F.lit("BUILDING")).alias("is_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "bucket",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = g.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr(
+            "abs(CAST(cum_a AS DECIMAL(38,0)) * n_b"
+            " - CAST(cum_b AS DECIMAL(38,0)) * n_a)"
+        ).alias("dev"),
+    )
+    w_best = Window.orderBy(F.col("dev").desc(), F.col("bucket").asc())
+    return (
+        dev.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            (F.col("bucket") * 1000).alias("ks_price_lo"),
+            F.expr(
+                "CAST(dev * 1000000 div (CAST(n_a AS DECIMAL(38,0))"
+                " * n_b) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )
+
+
+ORACLE_KS_GRID = """
+    WITH j AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 1000
+                AS bucket,
+            c_mktsegment = 'BUILDING' AS is_a
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    g AS (SELECT bucket,
+            CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                AS ca,
+            CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                AS cb
+        FROM j GROUP BY bucket),
+    cum AS (SELECT bucket,
+            CAST(SUM(ca) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_a,
+            CAST(SUM(cb) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_b
+        FROM g),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+            CAST(SUM(cb) AS BIGINT) AS n_b FROM g),
+    dev AS (SELECT bucket, n_a, n_b,
+            abs(CAST(cum_a AS HUGEINT) * n_b
+                - CAST(cum_b AS HUGEINT) * n_a) AS dev
+        FROM cum CROSS JOIN tot),
+    best AS (SELECT *, ROW_NUMBER() OVER
+            (ORDER BY dev DESC, bucket ASC) AS rk
+        FROM dev)
+    SELECT n_a, n_b, bucket * 1000 AS ks_price_lo,
+        CAST(dev * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+            AS ks_ppm
+    FROM best WHERE rk = 1
+"""
+
+
+def q_mutual_info_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information table between two categorical
+    features: event_type x day-of-week (dow 0 = Monday, derived as
+    (epoch_day + 3) % 7 — engine-independent integer arithmetic, no
+    locale-sensitive dayofweek()).  Each cell carries its exact counts
+    and its MI contribution p_xy * (ln c_xy + ln n - ln c_x - ln c_y)
+    in nats — the feature-dependence screen run before treating
+    features as independent in a mixture design.  Every ln is
+    det_round(9) of an exact integer count, the weight p_xy is one
+    IEEE division, and the product is det_round(9)-emitted: identical
+    doubles on both engines by construction (no cross-cell sum, so no
+    order dependence anywhere).
+
+    Scale shape: one corpus partial agg to (type, dow) cells (~35
+    rows); marginals re-aggregate the cell table; everything after the
+    first agg is dimension-sized with broadcast joins."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP))"
+                " div 86400000000 + 3) % 7"
+            ).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    cx = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    cy = cells.groupBy("dow").agg(F.sum("n_xy").alias("n_y"))
+    n = cells.agg(F.sum("n_xy").alias("n"))
+    ln9 = lambda col: DET.det_round(  # noqa: E731
+        F.log(F.col(col).cast("double")), 9
+    )
+    joined = (
+        cells.join(F.broadcast(cx), "event_type")
+        .join(F.broadcast(cy), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    term = ln9("n_xy") + ln9("n") - ln9("n_x") - ln9("n_y")
+    pxy = F.col("n_xy").cast("double") / F.col("n").cast("double")
+    return joined.select(
+        "event_type",
+        "dow",
+        "n_xy",
+        "n_x",
+        "n_y",
+        "n",
+        DET.det_round(pxy * term, 9).alias("mi_contrib_nats"),
+    )
+
+
+ORACLE_MUTUAL_INFO = f"""
+    WITH cells AS (SELECT event_type,
+            (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+            CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM events GROUP BY 1, 2),
+    cx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+        FROM cells GROUP BY event_type),
+    cy AS (SELECT dow, CAST(SUM(n_xy) AS BIGINT) AS n_y
+        FROM cells GROUP BY dow),
+    nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+    SELECT cells.event_type, cells.dow, n_xy, n_x, n_y, n,
+        {DET.det_round_sql(
+            "(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) * ("
+            + DET.det_round_sql("ln(CAST(n_xy AS DOUBLE))", 9)
+            + " + " + DET.det_round_sql("ln(CAST(n AS DOUBLE))", 9)
+            + " - " + DET.det_round_sql("ln(CAST(n_x AS DOUBLE))", 9)
+            + " - " + DET.det_round_sql("ln(CAST(n_y AS DOUBLE))", 9)
+            + ")", 9
+        )} AS mi_contrib_nats
+    FROM cells JOIN cx ON cells.event_type = cx.event_type
+               JOIN cy ON cells.dow = cy.dow
+               CROSS JOIN nn
+"""
+
+
+def q_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality
+    classifiers: A = the full Gopher structural screen (the
+    gopher_quality_flags conjunction), B = a cheap stopword-density
+    screen (density >= 30 per mille and >= 10 words).  Kappa is the
+    agreement-beyond-chance number that decides whether the cheap
+    classifier can gate the expensive one.  Fully exact: kappa_micro =
+    (n*(n00+n11) - pe_num) * 1e6 div (n*n - pe_num) with pe_num =
+    na0*nb0 + na1*nb1, all products in DECIMAL(38,0)/HUGEINT (n*n
+    wraps int64 past ~3e9 docs).
+
+    Scale shape: the gopher (doc, token) count-table idiom — two
+    partial-combined aggs to per-doc stats, then ONE single-row
+    confusion agg; nothing after the first shuffle exceeds doc
+    cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("tok"),
+    )
+    pt = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.length("tok")).alias("chars"),
+    )
+    stop = (
+        "('the','a','of','to','and','in','is','it','for','on')"
+    )
+    pd_ = pt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum("chars").alias("n_chars"),
+        F.max("c").alias("top_c"),
+        F.sum(
+            F.expr(f"CASE WHEN tok IN {stop} THEN c ELSE 0 END")
+        ).alias("n_stop"),
+    )
+    fl = pd_.select(
+        F.expr(
+            "CASE WHEN n_words BETWEEN 20 AND 100000"
+            " AND n_chars * 100 div n_words BETWEEN 300 AND 1000"
+            " AND n_stop >= 2"
+            " AND top_c * 1000000 div n_words <= 200000"
+            " THEN 1 ELSE 0 END"
+        ).alias("fa"),
+        F.expr(
+            "CASE WHEN n_words >= 10"
+            " AND n_stop * 1000 div n_words >= 30"
+            " THEN 1 ELSE 0 END"
+        ).alias("fb"),
+    )
+    conf = fl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END")).alias("n11"),
+        F.sum(F.expr("CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END")).alias("n10"),
+        F.sum(F.expr("CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END")).alias("n01"),
+        F.sum(F.expr("CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END")).alias("n00"),
+    )
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("(n11 + n00) * 1000000 div n").alias("po_ppm"),
+        F.expr(
+            "CAST((CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10))"
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * (n11 + n00)"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "    + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)))"
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n"
+            " - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            "    + CAST(n00 + n01 AS DECIMAL(38,0)) * (n00 + n10)))"
+            " AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+ORACLE_KAPPA = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    pt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c,
+            CAST(SUM(length(tok)) AS BIGINT) AS chars
+        FROM tok GROUP BY 1, 2),
+    pd AS (SELECT doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_words,
+            CAST(SUM(chars) AS BIGINT) AS n_chars,
+            CAST(MAX(c) AS BIGINT) AS top_c,
+            CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and',
+                'in','is','it','for','on') THEN c ELSE 0 END)
+                AS BIGINT) AS n_stop
+        FROM pt GROUP BY doc_id),
+    fl AS (SELECT
+            CASE WHEN n_words BETWEEN 20 AND 100000
+                 AND n_chars * 100 // n_words BETWEEN 300 AND 1000
+                 AND n_stop >= 2
+                 AND top_c * 1000000 // n_words <= 200000
+                 THEN 1 ELSE 0 END AS fa,
+            CASE WHEN n_words >= 10
+                 AND n_stop * 1000 // n_words >= 30
+                 THEN 1 ELSE 0 END AS fb
+        FROM pd),
+    conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n11,
+            CAST(SUM(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n10,
+            CAST(SUM(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n01,
+            CAST(SUM(CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n00
+        FROM fl)
+    SELECT n, n11, n10, n01, n00,
+        (n11 + n00) * 1000000 // n AS po_ppm,
+        CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+            + CAST(n00 + n01 AS HUGEINT) * (n00 + n10))
+            * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+        CAST((CAST(n AS HUGEINT) * (n11 + n00)
+            - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+               + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)))
+            * 1000000 // (CAST(n AS HUGEINT) * n
+            - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+               + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)))
+            AS BIGINT) AS kappa_micro
+    FROM conf
+"""
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user (step-function
+    integral between consecutive events over the microsecond clock) —
+    the metric that doesn't over-weight burst periods the way a plain
+    AVG does.  Values quantize to exact micro-ints (floor(v*1e6+0.5)
+    on the shared double — the jl/micro idiom), weights are exact
+    microsecond gaps, and the weighted sum runs in DECIMAL(38,0)/
+    HUGEINT (value_micro * gap_us reaches ~1e15 per term; the SUM
+    would wrap int64 within a single heavy user at 100 TB).  Truncating
+    div == flooring // because values are non-negative.  Users whose
+    events all share one timestamp have zero total weight and are
+    excluded (the NULLIF class, applied as a filter).
+
+    Scale shape: one per-user window (lead) over the natural
+    (user, ts) partitioning, then one agg to user cardinality."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("v_micro"),
+        (
+            F.lead(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))"), 1
+            ).over(w)
+            - F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        ).alias("gap_us"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("gap_us").alias("span_us"),
+        F.sum(
+            F.expr("CAST(v_micro AS DECIMAL(38,0)) * gap_us")
+        ).alias("wsum"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.expr("CAST(wsum div span_us AS BIGINT)").alias("twap_micro"),
+    )
+
+
+ORACLE_TWAP = """
+    WITH g AS (SELECT user_id,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+            LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+        FROM events),
+    agg AS (SELECT user_id,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(gap_us) AS BIGINT) AS span_us,
+            SUM(CAST(v_micro AS HUGEINT) * gap_us) AS wsum
+        FROM g GROUP BY user_id)
+    SELECT user_id, n_events, span_us,
+        CAST(wsum // span_us AS BIGINT) AS twap_micro
+    FROM agg WHERE span_us > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -9281,6 +9812,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decompose_daily": q_seasonal_decompose_daily,
     "zipf_slope_by_source": q_zipf_slope_by_source,
     "ab_test_zscores": q_ab_test_zscores,
+    "basket_lift_pairs": q_basket_lift_pairs,
+    "lsh_recall_eval": q_lsh_recall_eval,
+    "ks_grid_drift": q_ks_grid_drift,
+    "mutual_info_cells": q_mutual_info_cells,
+    "classifier_kappa": q_classifier_kappa,
+    "twap_user_value": q_twap_user_value,
 }
 
 ORACLES: dict[str, str] = {
@@ -9443,6 +9980,12 @@ ORACLES: dict[str, str] = {
     "seasonal_decompose_daily": ORACLE_SEASONAL_DECOMP,
     "zipf_slope_by_source": ORACLE_ZIPF,
     "ab_test_zscores": ORACLE_AB_TEST,
+    "basket_lift_pairs": ORACLE_BASKET_LIFT,
+    "lsh_recall_eval": ORACLE_LSH_RECALL,
+    "ks_grid_drift": ORACLE_KS_GRID,
+    "mutual_info_cells": ORACLE_MUTUAL_INFO,
+    "classifier_kappa": ORACLE_KAPPA,
+    "twap_user_value": ORACLE_TWAP,
 }
 
 

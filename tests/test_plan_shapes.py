@@ -597,3 +597,54 @@ def test_jl_distortion_broadcast_signs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
     assert "EvalPython" not in plan
+
+
+def test_basket_lift_broadcasts_dim_no_cartesian(spark):
+    """Market-basket: the part dim must reach lineitem as a broadcast,
+    the within-basket pairing is an equi-join on orderkey (per-order
+    bounded fan-out), and brand totals rejoin broadcast — no cartesian
+    or nested-loop anywhere."""
+    plan = _plan(spark, "basket_lift_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_lsh_recall_semi_join_no_cartesian(spark):
+    """LSH recall eval: the truth intersection must be a (left-semi)
+    equi-join on both pair ids; the candidate generation keeps its
+    banded equi-join shape."""
+    plan = _plan(spark, "lsh_recall_eval")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ks_grid_partial_agg_before_bounded_window(spark):
+    """Grid-KS: the fact join partial-combines to price-bucket
+    cardinality BEFORE the (bounded, <500-row) cumulative window — the
+    whole point of grid-KS over exact KS at 100 TB."""
+    plan = _plan(spark, "ks_grid_drift")
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kappa_factors_through_token_count_table(spark):
+    """Cohen's kappa: per-doc stats must factor through the (doc,
+    token) count table with partial-combined aggregates (the gopher
+    idiom); the confusion matrix is ONE single-row aggregate."""
+    plan = _plan(spark, "classifier_kappa")
+    assert "partial_count" in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+
+
+def test_twap_user_partitioned_window_then_agg(spark):
+    """TWAP: the lead() window must be user-partitioned (never a
+    global sort) and the weighted sums partial-combine to user
+    cardinality."""
+    plan = _plan(spark, "twap_user_value")
+    assert "hashpartitioning(user_id" in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
