@@ -9652,6 +9652,55 @@ ORACLE_TWAP = """
 """
 
 
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image PIXEL decode end-to-end (the last image seam closed):
+    spec-complete PNGs (real CRCs, zlib IDAT, scanline y filtered with
+    type y % 5 — all five PNG filters exercised) are built per doc,
+    then decoded back through the pure-stdlib decoder (chunk walk ->
+    zlib.decompress -> unfilter) to exact integer channel sums and
+    milli-means.  The oracle states the sums arithmetically from the
+    pixel formula, so any defect in decompression framing or ANY of
+    the five unfilter recurrences (Sub/Up/Average/Paeth) changes a sum
+    and hash-mismatches.  Scale shape: one Arrow-batched mapInPandas
+    over the payload column, zero shuffle; payload bytes cross the
+    Python boundary exactly once.  See
+    operators/multimodal.py::decode_image / decode_png_pixels."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_image,
+        synthetic_png_pixel_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image(synthetic_png_pixel_payloads(docs)).orderBy(
+        "media_id"
+    )
+
+
+ORACLE_PNG_PIXELS = """
+    WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+            3 + doc_id % 11 AS h
+        FROM documents),
+    px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+        FROM d,
+        unnest(generate_series(0, w - 1)) AS xs(x),
+        unnest(generate_series(0, h - 1)) AS ys(y)),
+    s AS (SELECT doc_id, w, h,
+            CAST(COUNT(*) AS BIGINT) AS n_px,
+            CAST(SUM((doc_id + 7 * x + 3 * y) % 256) AS BIGINT) AS sum_r,
+            CAST(SUM((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT)
+                AS sum_g,
+            CAST(SUM((3 * doc_id + x + 13 * y) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id AS media_id,
+        CAST(w AS INT) AS width, CAST(h AS INT) AS height, n_px,
+        sum_r, sum_g, sum_b,
+        sum_r * 1000 // n_px AS mean_r_milli,
+        sum_g * 1000 // n_px AS mean_g_milli,
+        sum_b * 1000 // n_px AS mean_b_milli
+    FROM s ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -9818,6 +9867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_info_cells": q_mutual_info_cells,
     "classifier_kappa": q_classifier_kappa,
     "twap_user_value": q_twap_user_value,
+    "png_pixel_stats": q_png_pixel_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -9986,6 +10036,7 @@ ORACLES: dict[str, str] = {
     "mutual_info_cells": ORACLE_MUTUAL_INFO,
     "classifier_kappa": ORACLE_KAPPA,
     "twap_user_value": ORACLE_TWAP,
+    "png_pixel_stats": ORACLE_PNG_PIXELS,
 }
 
 

@@ -12,11 +12,15 @@ Design for 100 TB multimodal corpora (images/audio/video as columns):
 - header/metadata decode is REAL and dependency-free:
   ``parse_image_header`` (PNG/JPEG/GIF dims) and ``parse_av_header``
   (WAV/MP4 sample rate + duration) run Arrow-batched over the binary
-  column and are oracle-checked end to end.  Only pixel/sample
-  extraction (PIL/ffmpeg, absent from this container) remains behind
-  the ``decode_image``/``sample_frames`` NotImplementedError seams;
-  ``media_features`` exercises the same plumbing with deterministic
-  features (byte length, content hash).
+  column and are oracle-checked end to end.  PNG PIXEL decode is also
+  REAL and dependency-free (``decode_png_pixels``: chunk walk ->
+  stdlib zlib -> spec unfiltering, surfaced through ``decode_image``
+  with exact-integer channel features, oracle-checked).  Only
+  entropy-coded pixel decode (JPEG/GIF) and video frame extraction
+  (ffmpeg) remain gated — JPEG/GIF rows yield NULL features from
+  ``decode_image``; ``sample_frames`` keeps its NotImplementedError
+  seam.  ``media_features`` exercises the same plumbing with
+  deterministic features (byte length, content hash).
 """
 
 from __future__ import annotations
@@ -308,19 +312,292 @@ def synthetic_image_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Image PIXEL decode seam: payload -> pixel tensor columns.
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Undo PNG per-scanline filtering (spec §9, filters 0-4) on the
+    decompressed IDAT stream; returns an (h, w, ch) uint8 array.
 
-    The metadata half (format/width/height) is fully implemented in
-    :func:`decode_image_headers`; the pixel half requires a codec
-    library (PIL/opencv) not present in this environment. The
-    production implementation decodes inside mapInPandas batches —
-    same signature as media_features.
-    """
-    raise NotImplementedError(
-        "image PIXEL decode requires a codec library (PIL/opencv) not "
-        "present in this environment; header decode is implemented in "
-        "decode_image_headers, plumbing in media_features"
+    Up (2) vectorizes across the row; Sub/Average/Paeth are
+    left-to-right recurrences, run per byte (pure Python — honest, and
+    fine for thumbnail-scale fixtures; a production cluster would swap
+    this one function for a C codec while everything around it — the
+    chunk walk, the mapInPandas batching, the exact-integer feature
+    math — is already the real pipeline)."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += stride
+        prev = (
+            out[y - 1].astype(np.int32)
+            if y
+            else np.zeros(stride, np.int32)
+        )
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 255
+        else:
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b_up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if ft == 1:  # Sub
+                    pred = a
+                elif ft == 3:  # Average
+                    pred = (a + b_up) // 2
+                elif ft == 4:  # Paeth
+                    p = a + b_up - c
+                    pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b_up
+                    else:
+                        pred = c
+                else:  # unknown filter type: quarantine upstream
+                    raise ValueError(f"bad PNG filter {ft}")
+                cur[x] = (int(row[x]) + pred) & 255
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_png_pixels(b):
+    """REAL pure-stdlib PNG pixel decode: chunk walk -> IDAT concat ->
+    zlib.decompress -> per-scanline unfilter.  Supports the 8-bit-depth
+    non-interlaced color types (0 grayscale, 2 RGB, 6 RGBA); returns an
+    (h, w, channels) uint8 array, or None for non-PNG / unsupported /
+    corrupt payloads (quarantine-don't-crash).  No PIL/opencv anywhere
+    — zlib is the Python standard library."""
+    import zlib
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if b[:8] != _PNG_SIG or len(b) < 33 or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, color, interlace = b[24], b[25], b[28]
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        return None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += b[i + 8 : i + 8 + ln]
+        if typ == b"IEND":
+            break
+        i += 12 + ln  # len + type + data + crc
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * channels):
+        return None
+    try:
+        return _png_unfilter(raw, h, w, channels)
+    except ValueError:
+        return None
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("mean_r_milli", T.LongType(), True),
+        T.StructField("mean_g_milli", T.LongType(), True),
+        T.StructField("mean_b_milli", T.LongType(), True),
+    ]
+)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Image PIXEL decode (REAL for PNG, the round-5 seam closed):
+    payload bytes -> decoded pixels -> exact-integer channel features,
+    Arrow-batched in mapInPandas, zero shuffle.
+
+    PNG decodes fully in pure Python (:func:`decode_png_pixels` —
+    stdlib zlib + spec unfiltering); per-image features are exact
+    integers (channel sums; milli-means = sum * 1000 // n_px) so the
+    result is engine-replayable bit-for-bit.  JPEG/GIF payloads yield
+    NULL feature rows — entropy-coded pixel decode genuinely needs a
+    codec library (the one remaining gated path, alongside ffmpeg
+    frame extraction in :func:`sample_frames`).
+
+    At 100 TB the payload column is read ONLY by this stage (payload
+    pruning is plan-guarded for the metadata queries) and never
+    crosses a second Python/JVM boundary — the media_av_durations
+    fixture incident (SCALE.md) is the rule: bodies transit Arrow
+    exactly once, features are a few fixed-width columns per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_pixels(b)
+                if px is None:
+                    rows.append((int(mid),) + (None,) * 9)
+                    continue
+                h, w, ch = px.shape
+                n = h * w
+                flat = px.reshape(n, ch).astype("int64")
+                s = flat.sum(axis=0)
+                sr = int(s[0])
+                sg = int(s[1]) if ch >= 3 else int(s[0])
+                sb = int(s[2]) if ch >= 3 else int(s[0])
+                rows.append(
+                    (
+                        int(mid),
+                        w,
+                        h,
+                        n,
+                        sr,
+                        sg,
+                        sb,
+                        sr * 1000 // n,
+                        sg * 1000 // n,
+                        sb * 1000 // n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in PIXEL_STATS_SCHEMA.fields],
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_px": "Int64",
+                    "sum_r": "Int64",
+                    "sum_g": "Int64",
+                    "sum_b": "Int64",
+                    "mean_r_milli": "Int64",
+                    "mean_g_milli": "Int64",
+                    "mean_b_milli": "Int64",
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+def _png_filter_row(cur, prev, ft: int, ch: int) -> bytes:
+    """Apply PNG filter ``ft`` to scanline ``cur`` (encoder side of
+    :func:`_png_unfilter`; fixtures only)."""
+    stride = len(cur)
+    out = bytearray(stride)
+    for x in range(stride):
+        a = cur[x - ch] if x >= ch else 0
+        b_up = prev[x]
+        c = prev[x - ch] if x >= ch else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b_up
+        elif ft == 3:
+            pred = (a + b_up) // 2
+        else:
+            p = a + b_up - c
+            pa, pb, pc = abs(p - a), abs(p - b_up), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b_up if pb <= pc else c)
+        out[x] = (cur[x] - pred) & 255
+    return bytes(out)
+
+
+def _crc32(data: bytes) -> bytes:
+    import zlib
+
+    return (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
+def build_png(width: int, height: int, pixel_fn) -> bytes:
+    """Assemble a spec-complete RGB8 PNG (real CRCs, zlib-compressed
+    IDAT) with pixels from ``pixel_fn(x, y) -> (r, g, b)``; scanline
+    ``y`` uses filter type ``y % 5`` so a decoder must implement ALL
+    five filters correctly to recover the pixels."""
+    import zlib
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+    raw = bytearray()
+    prev = bytes(width * 3)
+    for y in range(height):
+        cur = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            cur += bytes((r & 255, g & 255, b & 255))
+        ft = y % 5
+        raw.append(ft)
+        raw += _png_filter_row(bytes(cur), prev, ft, 3)
+        prev = bytes(cur)
+    idat = zlib.compress(bytes(raw), 6)
+    chunks = [(b"IHDR", ihdr), (b"IDAT", idat), (b"IEND", b"")]
+    out = bytearray(_PNG_SIG)
+    for typ, data in chunks:
+        out += len(data).to_bytes(4, "big") + typ + data
+        out += _crc32(typ + data)
+    return bytes(out)
+
+
+def synthetic_png_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNGs per doc: w = 4 + id % 13, h = 3 + id %
+    11, pixel (x, y) channels are fixed modular arithmetic in doc_id —
+    so an ORACLE can state the exact channel sums without decoding
+    anything, while the Spark side must round-trip filter+zlib encode
+    -> decode to produce the same integers.  Any mistake in the chunk
+    walk, decompression framing, or any of the five unfilter paths
+    changes a sum and hash-mismatches."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 13, 3 + mid % 11
+                payloads.append(
+                    build_png(
+                        w,
+                        h,
+                        lambda x, y, d=mid: (
+                            (d + 7 * x + 3 * y) % 256,
+                            (2 * d + 5 * x + 11 * y) % 256,
+                            (3 * d + x + 13 * y) % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        build,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
     )
 
 

@@ -738,12 +738,17 @@ def test_media_schema_prunes_payload(spark):
     assert meta_only.collect()[0]["codec"] == "utf-8"
 
 
-def test_decode_seams_raise(spark):
+def test_decode_image_real_and_frame_seam_raises(spark):
+    """decode_image is REAL now: non-PNG payloads (the text bytes of
+    documents_as_media) flow through and yield NULL feature rows —
+    quarantine, not crash.  Only the ffmpeg frame seam still raises."""
     docs = documents_as_media(
         spark.createDataFrame([Row(doc_id=1, text="x")])
     )
-    with pytest.raises(NotImplementedError):
-        decode_image(docs)
+    rows = decode_image(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["media_id"] == 1
+    assert rows[0]["width"] is None and rows[0]["sum_r"] is None
     with pytest.raises(NotImplementedError):
         sample_frames(docs)
 
@@ -1919,3 +1924,90 @@ def test_decode_av_headers_distributed(spark):
         assert got[i]["container"] == "mp4"
         assert got[i]["sample_rate"] is None
         assert got[i]["duration_ms"] == (31 * i % 100000) * 1000 // (1000 + i % 9000)
+
+
+def test_decode_png_pixels_handmade_golden():
+    """Pixel decoder vs HAND-COMPUTED spec math (encoder-independent:
+    a symmetric encode/decode bug cannot cancel here).  A 2x2 RGB PNG
+    with row 0 Sub-filtered and row 1 Paeth-filtered; the filtered
+    bytes below were derived by hand from the PNG spec recurrences.
+    Also: grayscale + RGBA paths, and the quarantine cases (16-bit
+    depth, interlace, truncated IDAT, non-PNG)."""
+    import zlib
+
+    import numpy as np
+
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png(w, h, color, raw, depth=8, interlace=0):
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes((depth, color, 0, 0, interlace))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # pixels: row0 = (1,2,3),(10,20,30); row1 = (100,110,120),(200,210,220)
+    # row0 ft=1 Sub:   px0 pred=0 -> 1,2,3 ; px1 pred=px0 -> 9,18,27
+    # row1 ft=4 Paeth: px0 a=c=0, p=b -> pred=up=(1,2,3) -> 99,108,117
+    #                  px1 a=(100,110,120) b=(10,20,30) c=(1,2,3)
+    #                  p=a+b-c=(109,128,147); pa=(9,18,27) smallest -> pred=a
+    #                  -> 100,100,100
+    raw = (
+        b"\x01" + bytes((1, 2, 3, 9, 18, 27))
+        + b"\x04" + bytes((99, 108, 117, 100, 100, 100))
+    )
+    px = decode_png_pixels(png(2, 2, 2, raw))
+    assert px.shape == (2, 2, 3)
+    assert px.tolist() == [
+        [[1, 2, 3], [10, 20, 30]],
+        [[100, 110, 120], [200, 210, 220]],
+    ]
+
+    # grayscale (color 0): Up filter row
+    raw_g = b"\x00" + bytes((5, 7)) + b"\x02" + bytes((10, 20))
+    pg = decode_png_pixels(png(2, 2, 0, raw_g))
+    assert pg.reshape(2, 2).tolist() == [[5, 7], [15, 27]]
+
+    # RGBA (color 6): Average filter; px0 pred=b//2=0, px1 pred=(a+0)//2
+    raw_a = b"\x03" + bytes((8, 8, 8, 8, 4, 4, 4, 4))
+    pa = decode_png_pixels(png(2, 1, 6, raw_a))
+    assert pa.reshape(2, 4).tolist() == [[8, 8, 8, 8], [8, 8, 8, 8]]
+
+    # quarantine: 16-bit depth, interlaced, truncated idat, non-png
+    assert decode_png_pixels(png(2, 2, 2, raw, depth=16)) is None
+    assert decode_png_pixels(png(2, 2, 2, raw, interlace=1)) is None
+    assert decode_png_pixels(png(3, 3, 2, raw)) is None  # wrong length
+    assert decode_png_pixels(b"GIF89a\x00\x00") is None
+    assert decode_png_pixels(None) is None
+
+    # round-trip against the fixture builder (all five filters)
+    from kafka_firehose_nozzle_spark.operators.multimodal import build_png
+
+    img = build_png(
+        6, 7, lambda x, y: (x * 40 % 256, y * 37 % 256, (x + y) % 256)
+    )
+    got = decode_png_pixels(img)
+    want = np.array(
+        [
+            [[x * 40 % 256, y * 37 % 256, (x + y) % 256] for x in range(6)]
+            for y in range(7)
+        ],
+        dtype=np.uint8,
+    )
+    assert (got == want).all()

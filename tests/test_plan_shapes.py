@@ -648,3 +648,14 @@ def test_twap_user_partitioned_window_then_agg(spark):
     assert "hashpartitioning(user_id" in plan
     assert "partial_sum" in plan
     assert "EvalPython" not in plan
+
+
+def test_png_pixel_decode_single_python_stage_no_join(spark):
+    """PNG pixel decode: payload bytes must cross the Python boundary
+    in mapInPandas stages with NO join and NO shuffle between build
+    and decode (the media_av_durations Arrow-transit lesson); the only
+    exchange allowed is the final presentation sort."""
+    plan = _plan(spark, "png_pixel_stats")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # rangepartitioning for orderBy
