@@ -9701,6 +9701,456 @@ ORACLE_PNG_PIXELS = """
 """
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage audit of an event-level train/val/test split: hash
+    events 80/10/10 by event_id (the WRONG unit when examples from one
+    user are correlated), then count users whose events straddle
+    splits — the audit that catches inflated eval numbers before
+    training does.  Exact integer ppm.
+
+    Scale shape: the split label is a pure map; one partial agg to
+    user cardinality (count + count-distinct-of-3-values), one
+    single-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"), F.lit("#esplit")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_user = ev.select(
+        "user_id", split.alias("split")
+    ).groupBy("user_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.expr("CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END")
+        ).alias("leaked_users"),
+        F.sum("n_ev").alias("n_events"),
+    ).select(
+        "n_users",
+        "leaked_users",
+        F.expr("leaked_users * 1000000 div n_users").alias(
+            "leaked_ppm"
+        ),
+        "n_events",
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = """
+    WITH s AS (SELECT user_id,
+            CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                 ELSE 'test' END AS split
+        FROM (SELECT user_id,
+                CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                    || '#esplit'), 1, 15)) AS BIGINT) % 100 AS h
+              FROM events) q),
+    pu AS (SELECT user_id,
+            CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+            CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM s GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS leaked_users,
+        CAST(SUM(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS leaked_ppm,
+        CAST(SUM(n_ev) AS BIGINT) AS n_events
+    FROM pu
+"""
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(dst | src) per source state, in
+    exact nano-nats: sum over destinations of p * (ln n_src - ln n)
+    where each ln is det_round(9) of an exact count and each term is
+    half-up quantized to int64 BEFORE the cross-destination sum — so
+    the sum is order-independent (integer addition commutes; a double
+    sum here would be partition-order-dependent).  The sequence-
+    predictability screen on top of markov_transitions: low entropy =
+    scripted/bot-like flows, high = organic.
+
+    Scale shape: identical to markov_transitions (one user-partitioned
+    lead window, one (src, dst) agg); the entropy rollup runs at
+    state-pair cardinality."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(
+        F.sum("n").alias("n_src"), F.count(F.lit(1)).alias("n_dsts")
+    )
+    ln9 = lambda c: DET.det_round(  # noqa: E731
+        F.log(F.col(c).cast("double")), 9
+    )
+    term = (
+        F.col("n").cast("double") / F.col("n_src").cast("double")
+    ) * (ln9("n_src") - ln9("n"))
+    per = pairs.join(F.broadcast(tot), "src").select(
+        "src",
+        "n_src",
+        "n_dsts",
+        F.floor(term * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t_nano"),
+    )
+    return per.groupBy("src", "n_src", "n_dsts").agg(
+        F.sum("t_nano").alias("entropy_nano")
+    )
+
+
+ORACLE_MARKOV_ENTROPY = f"""
+    WITH seq AS (SELECT user_id, event_type AS src,
+            LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS dst
+        FROM events),
+    pairs AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+              WHERE dst IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src,
+            CAST(COUNT(*) AS BIGINT) AS n_dsts
+        FROM pairs GROUP BY src),
+    per AS (SELECT pairs.src, n_src, n_dsts,
+            CAST(FLOOR((CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE))
+                * ({DET.det_round_sql('ln(CAST(n_src AS DOUBLE))', 9)}
+                   - {DET.det_round_sql('ln(CAST(n AS DOUBLE))', 9)})
+                * 1000000000.0 + 0.5) AS BIGINT) AS t_nano
+        FROM pairs JOIN tot ON pairs.src = tot.src)
+    SELECT src, n_src, n_dsts,
+        CAST(SUM(t_nano) AS BIGINT) AS entropy_nano
+    FROM per GROUP BY src, n_src, n_dsts
+"""
+
+
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over (quantity, extendedprice,
+    discount) in ONE fact-table pass: all ten moment sums (n, three
+    first moments, three squares, three cross products) accumulate as
+    exact micro-int DECIMAL(38,0) sums — order-independent, overflow-
+    safe past 1e31 — then bridge to double through VARCHAR (the
+    dispersion idiom: int128-to-double casts double-round) and apply
+    the closed form once, det_round(6).  The multicollinearity screen
+    run before fitting anything on these columns.
+
+    Scale shape: one partial-combined single-row aggregation; zero
+    joins, zero shuffles beyond the final combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = "CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)"
+    p = "CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST({q} AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST({p} AS {dec}))").alias("sy"),
+        F.expr(f"SUM(CAST({d} AS {dec}))").alias("sz"),
+        F.expr(f"SUM(CAST({q} AS {dec}) * {q})").alias("sxx"),
+        F.expr(f"SUM(CAST({p} AS {dec}) * {p})").alias("syy"),
+        F.expr(f"SUM(CAST({d} AS {dec}) * {d})").alias("szz"),
+        F.expr(f"SUM(CAST({q} AS {dec}) * {p})").alias("sxy"),
+        F.expr(f"SUM(CAST({q} AS {dec}) * {d})").alias("sxz"),
+        F.expr(f"SUM(CAST({p} AS {dec}) * {d})").alias("syz"),
+    )
+    br = m.select(
+        F.col("n").alias("n_rows"),
+        F.expr("CAST(n AS DOUBLE)").alias("dn"),
+        *[
+            F.expr(f"CAST(CAST({c} AS STRING) AS DOUBLE)").alias(
+                "d" + c
+            )
+            for c in (
+                "sx",
+                "sy",
+                "sz",
+                "sxx",
+                "syy",
+                "szz",
+                "sxy",
+                "sxz",
+                "syz",
+            )
+        ],
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = F.col("dn") * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (F.col("dn") * F.col(saa) - F.col(sa) * F.col(sa))
+            * (F.col("dn") * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return DET.det_round(num / den, 6)
+
+    return br.select(
+        "n_rows",
+        corr("dsxy", "dsx", "dsy", "dsxx", "dsyy").alias(
+            "corr_qty_price"
+        ),
+        corr("dsxz", "dsx", "dsz", "dsxx", "dszz").alias(
+            "corr_qty_disc"
+        ),
+        corr("dsyz", "dsy", "dsz", "dsyy", "dszz").alias(
+            "corr_price_disc"
+        ),
+    )
+
+
+def _corr_sql(sab, sa, sb, saa, sbb):
+    num = f"(dn * {sab} - {sa} * {sb})"
+    den = (
+        f"sqrt((dn * {saa} - {sa} * {sa}) * (dn * {sbb} - {sb} * {sb}))"
+    )
+    return DET.det_round_sql(f"{num} / {den}", 6)
+
+
+ORACLE_CORR_MATRIX = f"""
+    WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT)) AS sx,
+            SUM(CAST(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5)
+                AS BIGINT) AS HUGEINT)) AS sy,
+            SUM(CAST(CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT)) AS sz,
+            SUM(CAST(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT)
+              * CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+                AS sxx,
+            SUM(CAST(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5)
+                AS BIGINT) AS HUGEINT)
+              * CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+                AS syy,
+            SUM(CAST(CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT)
+              * CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT))
+                AS szz,
+            SUM(CAST(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT)
+              * CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+                AS sxy,
+            SUM(CAST(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)
+                AS HUGEINT)
+              * CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT))
+                AS sxz,
+            SUM(CAST(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5)
+                AS BIGINT) AS HUGEINT)
+              * CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT))
+                AS syz
+        FROM lineitem),
+    br AS (SELECT n AS n_rows, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+            CAST(CAST(sz AS VARCHAR) AS DOUBLE) AS dsz,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+            CAST(CAST(szz AS VARCHAR) AS DOUBLE) AS dszz,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
+            CAST(CAST(sxz AS VARCHAR) AS DOUBLE) AS dsxz,
+            CAST(CAST(syz AS VARCHAR) AS DOUBLE) AS dsyz
+        FROM m)
+    SELECT n_rows,
+        {_corr_sql('dsxy', 'dsx', 'dsy', 'dsxx', 'dsyy')}
+            AS corr_qty_price,
+        {_corr_sql('dsxz', 'dsx', 'dsz', 'dsxx', 'dszz')}
+            AS corr_qty_disc,
+        {_corr_sql('dsyz', 'dsy', 'dsz', 'dsyy', 'dszz')}
+            AS corr_price_disc
+    FROM br
+"""
+
+
+def q_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: the LogLog distinct-user estimate vs the
+    exact count per event type, with the relative error det_round(6) —
+    the companion evaluation to lsh_recall_eval, answering "is the
+    64-register sketch tight enough to replace count_distinct in the
+    dashboards?" (expected σ ≈ 1.3/√64 ≈ 16%).
+
+    Scale shape: the sketch shuffle carries ≤64 registers per group
+    (the whole point); the exact side is the plain distinct agg it
+    would replace; both land at event-type cardinality before the
+    join."""
+    ev = _t(spark, sf_dir, "events")
+    est = D.loglog_distinct(ev, "user_id", ["event_type"], m=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    j = est.join(exact, "event_type")
+    rel = F.abs(
+        F.col("est_distinct") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return j.select(
+        "event_type",
+        "est_distinct",
+        "exact_distinct",
+        DET.det_round(rel, 6).alias("rel_err"),
+    )
+
+
+ORACLE_HLL_ERROR = f"""
+    WITH base AS ({ORACLE_LOGLOG})
+    SELECT event_type, est_distinct, exact_distinct,
+        {DET.det_round_sql(
+            'abs(est_distinct - CAST(exact_distinct AS DOUBLE))'
+            ' / CAST(exact_distinct AS DOUBLE)', 6
+        )} AS rel_err
+    FROM base
+"""
+
+
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per embedding label: a = distance to
+    the own-label centroid, b = distance to the nearest other
+    centroid, s = (b - a) / max(a, b) — the cluster-quality audit that
+    says whether labels are geometrically meaningful (medoid-free
+    silhouette: the classic per-pair form is O(n²), this form is the
+    standard scalable variant).  Distances are EXACT int64 on micro-
+    quantized components (the jl idiom; centroids are truncated-mean
+    micro vectors — Spark div == DuckDB // toward zero, both engines
+    verified); the ratio is one IEEE division on <2^53 integers,
+    det_round(9), quantized to DECIMAL(18,9) before the per-label mean
+    so the cross-row sum is exact and order-independent.
+
+    Scale shape: centroid build is a (label, dim)-cardinality agg;
+    the assignment stage is a bounded broadcast nested loop (vectors x
+    10 centroid rows — the types-x-spine class); per-vector min/max
+    aggregate at vector cardinality, the final agg at label
+    cardinality."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("vm"),
+    )
+    ex = emb.select("label", F.posexplode("vm").alias("dim", "xm"))
+    cent = ex.groupBy("label", "dim").agg(
+        F.expr("SUM(xm) div COUNT(*)").alias("cm")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cm"))
+            ).alias("pc")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform(
+                F.col("pc"), lambda s: s.getField("cm")
+            ).alias("cvec"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    p = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    s = p.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+        ).alias("d_own"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+        ).alias("d_other"),
+    )
+    sil = F.when(
+        F.greatest("d_own", "d_other") == 0, F.lit(0.0)
+    ).otherwise(
+        (
+            F.col("d_other").cast("double")
+            - F.col("d_own").cast("double")
+        )
+        / F.greatest("d_own", "d_other").cast("double")
+    )
+    s9 = s.select(
+        "label",
+        DET.det_round(sil, 9).cast("decimal(18,9)").alias("s9"),
+    )
+    agg = s9.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("s9").alias("ssum")
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        DET.det_round(
+            F.expr("CAST(CAST(ssum AS STRING) AS DOUBLE)")
+            / F.col("n_vecs").cast("double"),
+            6,
+        ).alias("mean_silhouette"),
+    )
+
+
+ORACLE_SILHOUETTE = f"""
+    WITH e AS (SELECT vec_id, label,
+            list_transform(embedding, x ->
+                CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS vm
+        FROM embeddings),
+    ex AS (SELECT label, d.i AS dim, vm[d.i + 1] AS xm
+        FROM e, unnest(generate_series(0, len(vm) - 1)) AS d(i)),
+    cent AS (SELECT label, dim,
+            CAST(CAST(SUM(xm) AS BIGINT) // COUNT(*) AS BIGINT) AS cm
+        FROM ex GROUP BY 1, 2),
+    carr AS (SELECT label AS clabel, list(cm ORDER BY dim) AS cvec
+        FROM cent GROUP BY label),
+    p AS (SELECT e.vec_id, e.label, c.clabel,
+            CAST(list_sum(list_transform(generate_series(1, len(vm)),
+                i -> (vm[i] - cvec[i]) * (vm[i] - cvec[i])))
+                AS BIGINT) AS dist
+        FROM e CROSS JOIN carr c),
+    s AS (SELECT vec_id, label,
+            MAX(CASE WHEN clabel = label THEN dist END) AS d_own,
+            MIN(CASE WHEN clabel <> label THEN dist END) AS d_other
+        FROM p GROUP BY 1, 2),
+    s9 AS (SELECT label,
+            CAST({DET.det_round_sql(
+                'CASE WHEN GREATEST(d_own, d_other) = 0 THEN 0.0'
+                ' ELSE (CAST(d_other AS DOUBLE) - CAST(d_own AS DOUBLE))'
+                ' / CAST(GREATEST(d_own, d_other) AS DOUBLE) END', 9
+            )} AS DECIMAL(18,9)) AS s9
+        FROM s)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        {DET.det_round_sql(
+            'CAST(CAST(SUM(s9) AS VARCHAR) AS DOUBLE)'
+            ' / CAST(COUNT(*) AS DOUBLE)', 6
+        )} AS mean_silhouette
+    FROM s9 GROUP BY label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -9868,6 +10318,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_kappa": q_classifier_kappa,
     "twap_user_value": q_twap_user_value,
     "png_pixel_stats": q_png_pixel_stats,
+    "split_leakage_audit": q_split_leakage_audit,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "lineitem_corr_matrix": q_lineitem_corr_matrix,
+    "hll_error_audit": q_hll_error_audit,
+    "label_silhouette": q_label_silhouette,
 }
 
 ORACLES: dict[str, str] = {
@@ -10037,6 +10492,11 @@ ORACLES: dict[str, str] = {
     "classifier_kappa": ORACLE_KAPPA,
     "twap_user_value": ORACLE_TWAP,
     "png_pixel_stats": ORACLE_PNG_PIXELS,
+    "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
+    "markov_entropy_rate": ORACLE_MARKOV_ENTROPY,
+    "lineitem_corr_matrix": ORACLE_CORR_MATRIX,
+    "hll_error_audit": ORACLE_HLL_ERROR,
+    "label_silhouette": ORACLE_SILHOUETTE,
 }
 
 

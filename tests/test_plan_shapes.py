@@ -659,3 +659,43 @@ def test_png_pixel_decode_single_python_stage_no_join(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1  # rangepartitioning for orderBy
+
+
+def test_split_leakage_two_partial_aggs_no_join(spark):
+    """Leakage audit: split label is a pure map; the user rollup and
+    the single-row finish must both partial-combine; no joins."""
+    plan = _plan(spark, "split_leakage_audit")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_markov_entropy_user_window_broadcast_totals(spark):
+    """Entropy rate: lead() must stay user-partitioned; per-src totals
+    rejoin broadcast; the nano-term quantization keeps everything else
+    at state-pair cardinality."""
+    plan = _plan(spark, "markov_entropy_rate")
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_matrix_single_pass_no_join(spark):
+    """Correlation matrix: all ten moments in ONE partial-combined
+    aggregation over the fact scan — no joins, no second pass."""
+    plan = _plan(spark, "lineitem_corr_matrix")
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_silhouette_bounded_broadcast_loop_exact_ints(spark):
+    """Silhouette: the centroid assignment is the bounded
+    broadcast-nested-loop class (vectors x 10 centroid rows — the
+    types-x-spine precedent), never a CartesianProduct; distance math
+    stays JVM-side int64."""
+    plan = _plan(spark, "label_silhouette")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
