@@ -10151,6 +10151,384 @@ ORACLE_SILHOUETTE = f"""
 """
 
 
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding view/click by the same user (unbounded lookback;
+    'none' when the purchase is the user's first touch) — the revenue-
+    attribution rule every growth dashboard starts from.  One
+    user-partitioned window (last_value IGNORE NULLS over rows
+    unbounded-preceding .. 1-preceding — identical frame semantics on
+    both engines), then a purchase-cardinality aggregation in exact
+    ppm."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.select(
+        "event_type",
+        F.coalesce(
+            F.last(
+                F.when(
+                    F.col("event_type").isin("view", "click"),
+                    F.col("event_type"),
+                ),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("none"),
+        ).alias("touch"),
+    )
+    p = touched.filter(F.col("event_type") == "purchase")
+    tot = p.groupBy().agg(F.count(F.lit(1)).alias("n_purchases"))
+    return (
+        p.groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "touch",
+            "n",
+            "n_purchases",
+            F.expr("n * 1000000 div n_purchases").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = """
+    WITH t AS (SELECT event_type,
+            COALESCE(LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                'none') AS touch
+        FROM events),
+    p AS (SELECT touch FROM t WHERE event_type = 'purchase'),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p)
+    SELECT touch, CAST(COUNT(*) AS BIGINT) AS n, n_purchases,
+        CAST(COUNT(*) AS BIGINT) * 1000000 // n_purchases AS share_ppm
+    FROM p CROSS JOIN tot GROUP BY touch, n_purchases
+"""
+
+
+def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-event paths within 30-minute-gap sessions (the
+    session definition shared with sessionize_events /
+    session_bounce_rate, microsecond gap comparison): the funnel-mining
+    view of behavior — which 3-step flows dominate.  Ties break on the
+    path string so the top-20 cut is total-ordered on both engines.
+
+    Scale shape: the session windows are the one user-key shuffle;
+    the path space is bounded (|event types|³ ≈ 125 distinct rows), so
+    the ranking runs on a dimension-sized table."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            ).over(wu)
+            > 1_800_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = d.withColumn(
+        "sess_ix",
+        F.sum("brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sess_ix").orderBy(
+        "ts", "event_id"
+    )
+    tri = (
+        s.select(
+            F.col("event_type").alias("t0"),
+            F.lead("event_type", 1).over(ws).alias("t1"),
+            F.lead("event_type", 2).over(ws).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        tri.orderBy(F.col("n").desc(), F.col("path").asc()).limit(20)
+    )
+
+
+ORACLE_PATH_TRIGRAMS = """
+    WITH d AS (SELECT user_id, event_id, ts, event_type,
+            CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+        FROM events),
+    s AS (SELECT user_id, event_id, ts, event_type,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS sess_ix
+          FROM d),
+    tri AS (SELECT event_type AS t0,
+            LEAD(event_type, 1) OVER w AS t1,
+            LEAD(event_type, 2) OVER w AS t2
+        FROM s
+        WINDOW w AS (PARTITION BY user_id, sess_ix
+            ORDER BY ts, event_id)),
+    p AS (SELECT t0 || '>' || t1 || '>' || t2 AS path,
+            CAST(COUNT(*) AS BIGINT) AS n
+        FROM tri WHERE t2 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 20
+"""
+
+
+def q_quality_length_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confound screen per source: Pearson correlation between document
+    length (n_chars) and stopword density (permille) — when a quality
+    proxy correlates with length inside a source, a quality-filtered
+    mix silently becomes a length-filtered mix (the Simpson's-paradox
+    audit for curation configs).  Same exact-moment machinery as
+    lineitem_corr_matrix, grouped by source: integer x/y, DECIMAL(38,0)
+    moment sums, VARCHAR-bridged closed form, det_round(6).  Sources
+    with zero variance in either variable emit NULL (NULLIF on the
+    denominator).
+
+    Scale shape: one (doc, token) count-table pass to per-doc stats,
+    a doc-cardinality join back to the docs projection, then a
+    source-cardinality moment aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("tok"),
+    )
+    stop = "('the','a','of','to','and','in','is','it','for','on')"
+    pd_ = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.expr(f"CASE WHEN tok IN {stop} THEN 1 ELSE 0 END")
+        ).alias("n_stop"),
+    )
+    per_doc = docs.select("doc_id", "source", "n_chars").join(
+        pd_, "doc_id"
+    ).select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.expr("n_stop * 1000 div n_words").alias("y"),
+    )
+    dec = "DECIMAL(38,0)"
+    m = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST(y AS {dec}))").alias("sy"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("sxx"),
+        F.expr(f"SUM(CAST(y AS {dec}) * y)").alias("syy"),
+        F.expr(f"SUM(CAST(x AS {dec}) * y)").alias("sxy"),
+    )
+    br = m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(n AS DOUBLE)").alias("dn"),
+        *[
+            F.expr(f"CAST(CAST({c} AS STRING) AS DOUBLE)").alias(
+                "d" + c
+            )
+            for c in ("sx", "sy", "sxx", "syy", "sxy")
+        ],
+    )
+    num = F.col("dn") * F.col("dsxy") - F.col("dsx") * F.col("dsy")
+    den = F.sqrt(
+        (F.col("dn") * F.col("dsxx") - F.col("dsx") * F.col("dsx"))
+        * (F.col("dn") * F.col("dsyy") - F.col("dsy") * F.col("dsy"))
+    )
+    return br.select(
+        "source",
+        "n_docs",
+        DET.det_round(num / F.nullif(den, F.lit(0.0)), 6).alias(
+            "corr_len_stop"
+        ),
+    )
+
+
+ORACLE_LEN_CONFOUND = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pd AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_words,
+            CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','to','and','in','is','it','for','on'],
+                x))) AS BIGINT) AS n_stop
+        FROM t),
+    per_doc AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+            n_stop * 1000 // n_words AS y
+        FROM documents JOIN pd USING (doc_id)),
+    m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT)) AS sx,
+            SUM(CAST(y AS HUGEINT)) AS sy,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(y AS HUGEINT) * y) AS syy,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM per_doc GROUP BY source),
+    br AS (SELECT source, n AS n_docs, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+        FROM m)
+    SELECT source, n_docs,
+        {DET.det_round_sql(
+            '(dn * dsxy - dsx * dsy) / NULLIF('
+            'sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)),'
+            ' 0.0)', 6
+        )} AS corr_len_stop
+    FROM br
+"""
+
+
+def q_norm_quantile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label quantile rank of each embedding's squared L2 norm —
+    the normalization audit run before cosine vs dot-product decisions
+    (a label whose norms spread wide will dominate unnormalized
+    retrieval).  Norm² is EXACT int64 on micro-quantized components;
+    rank is row_number over the total order (norm2, vec_id);
+    pct_ppm = (rank-1) * 1e6 div (n-1) exact (single-member labels emit
+    0).  One label-partitioned window at vector cardinality."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(
+                    x * F.lit(1000000.0) + F.lit(0.5)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2"),
+    )
+    w = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    wn = Window.partitionBy("label")
+    return emb.select(
+        "vec_id",
+        "label",
+        "norm2",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_label"),
+    ).select(
+        "vec_id",
+        "label",
+        "norm2",
+        F.expr(
+            "CASE WHEN n_label = 1 THEN 0"
+            " ELSE (rk - 1) * 1000000 div (n_label - 1) END"
+        ).alias("pct_ppm"),
+    )
+
+
+ORACLE_NORM_QUANTILES = """
+    WITH e AS (SELECT vec_id, label,
+            CAST(list_sum(list_transform(embedding, x ->
+                CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)
+                * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT))) AS BIGINT) AS norm2
+        FROM embeddings),
+    r AS (SELECT vec_id, label, norm2,
+            ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY norm2, vec_id) AS rk,
+            COUNT(*) OVER (PARTITION BY label) AS n_label
+        FROM e)
+    SELECT vec_id, label, norm2,
+        CASE WHEN n_label = 1 THEN 0
+             ELSE (rk - 1) * 1000000 // (n_label - 1) END AS pct_ppm
+    FROM r
+"""
+
+
+def q_conversion_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per converting user, the time
+    from FIRST view to the first purchase AFTER it, bucketed by hour
+    (capped at 48) — the time-to-convert histogram behind attribution-
+    window choices (how long a lookback does last-touch actually
+    need?).  Exact microsecond arithmetic end-to-end.
+
+    Scale shape: two conditional MIN aggregates to user cardinality in
+    ONE pass, then a ≤49-row bucket rollup."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "view",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+            )
+        ).alias("t_view"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+            )
+        ).alias("t_first_purchase"),
+    )
+    ev2 = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    conv = (
+        per_user.filter(F.col("t_view").isNotNull())
+        .join(ev2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t_us") >= F.col("t_view"))
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_us").alias("t_conv"))
+    )
+    return (
+        conv.select(
+            F.expr(
+                "LEAST((t_conv - t_view) div 3600000000, 48)"
+            ).alias("hour_bucket")
+        )
+        .groupBy("hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+    WITH pu AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                AS t_view
+        FROM events GROUP BY user_id),
+    conv AS (SELECT e.user_id, pu.t_view,
+            MIN(epoch_us(e.ts)) AS t_conv
+        FROM events e JOIN pu ON e.user_id = pu.user_id
+        WHERE pu.t_view IS NOT NULL
+          AND e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= pu.t_view
+        GROUP BY e.user_id, pu.t_view)
+    SELECT LEAST((t_conv - t_view) // 3600000000, 48) AS hour_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM conv GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -10323,6 +10701,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_corr_matrix": q_lineitem_corr_matrix,
     "hll_error_audit": q_hll_error_audit,
     "label_silhouette": q_label_silhouette,
+    "last_touch_attribution": q_last_touch_attribution,
+    "session_path_trigrams": q_session_path_trigrams,
+    "quality_length_confound": q_quality_length_confound,
+    "norm_quantile_ranks": q_norm_quantile_ranks,
+    "conversion_latency_buckets": q_conversion_latency_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -10497,6 +10880,11 @@ ORACLES: dict[str, str] = {
     "lineitem_corr_matrix": ORACLE_CORR_MATRIX,
     "hll_error_audit": ORACLE_HLL_ERROR,
     "label_silhouette": ORACLE_SILHOUETTE,
+    "last_touch_attribution": ORACLE_ATTRIBUTION,
+    "session_path_trigrams": ORACLE_PATH_TRIGRAMS,
+    "quality_length_confound": ORACLE_LEN_CONFOUND,
+    "norm_quantile_ranks": ORACLE_NORM_QUANTILES,
+    "conversion_latency_buckets": ORACLE_CONVERSION_LATENCY,
 }
 
 

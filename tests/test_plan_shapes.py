@@ -699,3 +699,48 @@ def test_silhouette_bounded_broadcast_loop_exact_ints(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_attribution_user_window_then_bounded_agg(spark):
+    """Last-touch: one user-partitioned window (last_value over the
+    preceding frame), then aggregation at touch cardinality."""
+    plan = _plan(spark, "last_touch_attribution")
+    assert "hashpartitioning(user_id" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_path_trigrams_take_ordered_finish(spark):
+    """Session paths: the top-20 cut must be TakeOrdered (per-partition
+    heap), never a global sort of the path table."""
+    plan = _plan(spark, "session_path_trigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_len_confound_moments_partial_combine(spark):
+    """Length-quality confound: the per-source moment sums must
+    partial-combine; the doc join stays at doc cardinality."""
+    plan = _plan(spark, "quality_length_confound")
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_norm_quantiles_single_label_window_exchange(spark):
+    """Norm quantiles: both windows (rank + count) share the label
+    partitioning — exactly one exchange, JVM-side int64 norm math."""
+    plan = _plan(spark, "norm_quantile_ranks")
+    assert "hashpartitioning(label" in plan
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_conversion_latency_user_agg_before_join(spark):
+    """Conversion latency: the first-view MIN must partial-combine to
+    user cardinality BEFORE rejoining events; bucket rollup bounded at
+    49 rows."""
+    plan = _plan(spark, "conversion_latency_buckets")
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
