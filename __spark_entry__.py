@@ -10529,6 +10529,294 @@ ORACLE_CONVERSION_LATENCY = """
 """
 
 
+def q_km_survival_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right-censoring: per
+    user, "death" = first purchase at/after the first view, censor =
+    last observed event otherwise — the survival-analysis answer to
+    "how long do users take to convert, given most never do" (naive
+    latency averages over converters only are survivorship-biased).
+    Per death-day step, ln(1 - d/n) accumulates as HALF-UP-QUANTIZED
+    int64 nano-nats (det-rounded ln of exact counts; the
+    markov_entropy idiom) so the running product is an EXACT integer
+    cumulative sum — survival_lnano is bit-exact, and the companion
+    double is det_round(6) of one exp.  A step that kills all at-risk
+    users takes a -1e15 sentinel (exp underflows to exactly 0.0 on
+    both engines) instead of ln(0).
+
+    Scale shape: two user-cardinality aggregations (first-view /
+    last-event, then earliest qualifying purchase), a ≤ O(days)
+    day-step table, and bounded windows over it (the waterfill
+    dimension-window class)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "view",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+            )
+        ).alias("t0"),
+        F.max(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        ).alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    ev2 = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    deaths = (
+        per_user.join(ev2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t_us") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_death"))
+    )
+    u = per_user.join(deaths, "user_id", "left").select(
+        F.expr(
+            "CASE WHEN t_death IS NOT NULL"
+            " THEN (t_death - t0) div 86400000000"
+            " ELSE (t_last - t0) div 86400000000 END"
+        ).alias("end_day"),
+        F.col("t_death").isNotNull().alias("is_death"),
+    )
+    g = u.groupBy("end_day").agg(
+        F.count_if(F.col("is_death")).alias("n_deaths"),
+        F.count_if(~F.col("is_death")).alias("n_censored"),
+    )
+    w_prev = Window.orderBy("end_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = g.agg(
+        F.sum(F.expr("n_deaths + n_censored")).alias("n_total")
+    )
+    risk = g.crossJoin(F.broadcast(tot)).select(
+        "end_day",
+        "n_deaths",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.expr("n_deaths + n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    ln9 = lambda c: DET.det_round(  # noqa: E731
+        F.log(c.cast("double")), 9
+    )
+    term = F.when(
+        F.col("n_deaths") == F.col("n_risk"),
+        F.lit(-1_000_000_000_000_000).cast("bigint"),
+    ).otherwise(
+        F.floor(
+            (
+                ln9(F.col("n_risk") - F.col("n_deaths"))
+                - ln9(F.col("n_risk"))
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    steps = risk.filter(F.col("n_deaths") > 0).select(
+        "end_day", "n_risk", "n_deaths", "n_censored", term.alias("t_nano")
+    )
+    w_cum = Window.orderBy("end_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("end_day").alias("day"),
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        F.sum("t_nano").over(w_cum).alias("survival_lnano"),
+    ).select(
+        "day",
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        "survival_lnano",
+        DET.det_round(
+            F.exp(F.col("survival_lnano").cast("double") / F.lit(1e9)),
+            6,
+        ).alias("survival"),
+    )
+
+
+ORACLE_KM_SURVIVAL = f"""
+    WITH pu AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                AS t0,
+            MAX(epoch_us(ts)) AS t_last
+        FROM events GROUP BY user_id),
+    pv AS (SELECT * FROM pu WHERE t0 IS NOT NULL),
+    de AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_death
+        FROM events e JOIN pv ON e.user_id = pv.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= pv.t0
+        GROUP BY e.user_id),
+    u AS (SELECT CASE WHEN t_death IS NOT NULL
+                 THEN (t_death - t0) // 86400000000
+                 ELSE (t_last - t0) // 86400000000 END AS end_day,
+            t_death IS NOT NULL AS is_death
+        FROM pv LEFT JOIN de ON pv.user_id = de.user_id),
+    g AS (SELECT end_day,
+            CAST(SUM(CASE WHEN is_death THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_deaths,
+            CAST(SUM(CASE WHEN is_death THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_censored
+        FROM u GROUP BY end_day),
+    tot AS (SELECT CAST(SUM(n_deaths + n_censored) AS BIGINT)
+            AS n_total FROM g),
+    risk AS (SELECT end_day, n_deaths, n_censored,
+            n_total - COALESCE(CAST(SUM(n_deaths + n_censored)
+                OVER (ORDER BY end_day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                AS n_risk
+        FROM g CROSS JOIN tot),
+    steps AS (SELECT end_day, n_risk, n_deaths, n_censored,
+            CASE WHEN n_deaths = n_risk
+                 THEN CAST(-1000000000000000 AS BIGINT)
+                 ELSE CAST(FLOOR((
+                    {DET.det_round_sql(
+                        'ln(CAST(n_risk - n_deaths AS DOUBLE))', 9)}
+                    - {DET.det_round_sql('ln(CAST(n_risk AS DOUBLE))', 9)}
+                    ) * 1000000000.0 + 0.5) AS BIGINT) END AS t_nano
+        FROM risk WHERE n_deaths > 0),
+    cum AS (SELECT end_day AS day, n_risk, n_deaths, n_censored,
+            CAST(SUM(t_nano) OVER (ORDER BY day ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS survival_lnano
+        FROM steps)
+    SELECT day, n_risk, n_deaths, n_censored, survival_lnano,
+        {DET.det_round_sql(
+            'exp(CAST(survival_lnano AS DOUBLE) / 1000000000.0)', 6
+        )} AS survival
+    FROM cum
+"""
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: MinHash-LSH near-dup
+    candidate pairs on the RAW corpus, grouped by the (unordered)
+    source pair — the audit that finds one feed plagiarizing another
+    (off-diagonal mass) vs internal boilerplate (diagonal mass).
+    Exact ppm of total candidate volume per cell.
+
+    Scale shape: the banded LSH equi-join (never all-pairs); two
+    doc-cardinality joins to attach sources; a ≤ |sources|² cell
+    aggregation with the total broadcast back."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(
+        docs.select("doc_id", "text"), num_hashes=8, num_bands=4
+    )
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    cells = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = cells.agg(F.sum("n_pairs").alias("n_total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source_lo",
+        "source_hi",
+        "n_pairs",
+        "n_total",
+        F.expr("n_pairs * 1000000 div n_total").alias("share_ppm"),
+    )
+
+
+ORACLE_CROSS_SOURCE_DUPS = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, {_TH} AS th FROM t),
+    hs AS (SELECT doc_id, {_HSH} AS hsh FROM h),
+    sig AS (SELECT doc_id, {_ORACLE_SIG8} FROM hs),
+    bands AS ({_ORACLE_BANDS_UNION}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_ix = b.band_ix AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id),
+    cells AS (SELECT LEAST(da.source, db.source) AS source_lo,
+            GREATEST(da.source, db.source) AS source_hi,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM cand
+        JOIN documents da ON da.doc_id = cand.id_a
+        JOIN documents db ON db.doc_id = cand.id_b
+        GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM cells)
+    SELECT source_lo, source_hi, n_pairs, n_total,
+        n_pairs * 1000000 // n_total AS share_ppm
+    FROM cells CROSS JOIN tot
+"""
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment profile of the embedding space: exact
+    truncated-integer micro mean and biased variance per dimension —
+    the whitening/PCA-prep audit (dead dims, dominant dims, offset
+    dims) at dimension cardinality.  var_micro2 = (n*sxx - sx²) div n²
+    entirely in DECIMAL(38,0)/HUGEINT; no doubles anywhere.
+
+    Scale shape: one posexplode + (dim)-cardinality partial agg — the
+    shuffle carries dim rows of moment sums, never vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(
+            F.col("embedding").cast("array<double>")
+        ).alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("xm"),
+    )
+    dec = "DECIMAL(38,0)"
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(xm AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST(xm AS {dec}) * xm)").alias("sxx"),
+    ).select(
+        "dim",
+        "n",
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_micro2"),
+    )
+
+
+ORACLE_EMB_DIM_STATS = """
+    WITH ex AS (SELECT d.i AS dim,
+            CAST(FLOOR(CAST(embedding[d.i + 1] AS DOUBLE) * 1000000.0
+                + 0.5) AS BIGINT) AS xm
+        FROM embeddings,
+        unnest(generate_series(0, len(embedding) - 1)) AS d(i)),
+    m AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(xm AS HUGEINT)) AS sx,
+            SUM(CAST(xm AS HUGEINT) * xm) AS sxx
+        FROM ex GROUP BY dim)
+    SELECT dim, n,
+        CAST(sx // n AS BIGINT) AS mean_micro,
+        CAST((CAST(n AS HUGEINT) * sxx - sx * sx)
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro2
+    FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -10706,6 +10994,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_length_confound": q_quality_length_confound,
     "norm_quantile_ranks": q_norm_quantile_ranks,
     "conversion_latency_buckets": q_conversion_latency_buckets,
+    "km_survival_daily": q_km_survival_daily,
+    "cross_source_dup_matrix": q_cross_source_dup_matrix,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -10885,6 +11176,9 @@ ORACLES: dict[str, str] = {
     "quality_length_confound": ORACLE_LEN_CONFOUND,
     "norm_quantile_ranks": ORACLE_NORM_QUANTILES,
     "conversion_latency_buckets": ORACLE_CONVERSION_LATENCY,
+    "km_survival_daily": ORACLE_KM_SURVIVAL,
+    "cross_source_dup_matrix": ORACLE_CROSS_SOURCE_DUPS,
+    "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
 }
 
 

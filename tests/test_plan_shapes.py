@@ -744,3 +744,34 @@ def test_conversion_latency_user_agg_before_join(spark):
     assert "partial_min" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_km_survival_user_aggs_bounded_spine(spark):
+    """Kaplan-Meier: user-cardinality partial aggs feed a day-step
+    table; the unpartitioned cumulative windows run on that bounded
+    spine only (waterfill class), never on events."""
+    plan = _plan(spark, "km_survival_daily")
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_source_dups_banded_join_no_cartesian(spark):
+    """Cross-source matrix: candidate generation stays the banded LSH
+    equi-join; source attachment is two doc-cardinality equi-joins."""
+    plan = _plan(spark, "cross_source_dup_matrix")
+    assert "CartesianProduct" not in plan
+    # the only nested loop is the 1-row total broadcast (cells x tot)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan  # banded candidates + source joins
+    assert "EvalPython" not in plan
+
+
+def test_emb_dim_stats_single_dim_shuffle(spark):
+    """Dimension stats: one posexplode + one dim-cardinality
+    partial-combined agg; the shuffle carries moment rows, never
+    vectors."""
+    plan = _plan(spark, "embedding_dim_stats")
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
