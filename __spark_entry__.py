@@ -10817,6 +10817,167 @@ ORACLE_EMB_DIM_STATS = """
 """
 
 
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers (nation,
+    market segment, account-balance kilobucket): equivalence-class
+    size distribution and the re-identification exposure — rows in
+    classes smaller than k=5, singletons, largest class.  The
+    data-governance gate run before releasing joined analytics
+    extracts.  Exact integers / ppm.
+
+    Scale shape: one partial agg to QI-class cardinality, one
+    single-row rollup — the fact table is touched once."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(c_acctbal) AS BIGINT) div 1000"
+        ).alias("bal_kb"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return cls.agg(
+        F.sum("k").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count_if(F.col("k") == 1).alias("n_singletons"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+            "rows_k_lt_5"
+        ),
+        F.max("k").alias("max_class"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "n_singletons",
+        "rows_k_lt_5",
+        F.expr("rows_k_lt_5 * 1000000 div n_rows").alias(
+            "at_risk_ppm"
+        ),
+        "max_class",
+    )
+
+
+ORACLE_K_ANONYMITY = """
+    WITH cls AS (SELECT c_nationkey, c_mktsegment,
+            CAST(FLOOR(c_acctbal) AS BIGINT) // 1000 AS bal_kb,
+            CAST(COUNT(*) AS BIGINT) AS k
+        FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_singletons,
+        CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+            AS rows_k_lt_5,
+        CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+            * 1000000 // CAST(SUM(k) AS BIGINT) AS at_risk_ppm,
+        CAST(MAX(k) AS BIGINT) AS max_class
+    FROM cls
+"""
+
+
+def q_gini_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature screen: the best single threshold on
+    per-user event count for predicting conversion (did the user ever
+    purchase), by weighted Gini impurity — "is activity volume even
+    predictive?" answered with one exact relational pass, the screen
+    run before training anything.  All arithmetic exact:
+    side_micro = (n² - c0² - c1²)·1e6 // n (= n·gini·1e6) per side in
+    DECIMAL(38,0)/HUGEINT, split ppm = (left + right) // n, argmin
+    with threshold-ascending tiebreak.
+
+    Scale shape: one user-cardinality agg; candidate thresholds are
+    the DISTINCT per-user counts (a bounded small-int domain), so the
+    cumulative windows run on that dimension-sized table (waterfill
+    class)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.max(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            )
+        ).alias("y"),
+    )
+    g = pu.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n_x"),
+        F.sum("y").alias("c1_x"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = g.agg(
+        F.sum("n_x").alias("n"), F.sum("c1_x").alias("c1")
+    )
+    cum = g.select(
+        F.col("x").alias("threshold"),
+        F.sum("n_x").over(w).alias("nl"),
+        F.sum("c1_x").over(w).alias("c1l"),
+    ).crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    dec = "DECIMAL(38,0)"
+    side = (
+        lambda n_, c1_: f"(CAST({n_} AS {dec}) * {n_}"  # noqa: E731
+        f" - CAST({n_} - {c1_} AS {dec}) * ({n_} - {c1_})"
+        f" - CAST({c1_} AS {dec}) * {c1_}) * 1000000 div {n_}"
+    )
+    scored = cum.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.expr(
+            f"CAST(({side('nl', 'c1l')}"
+            f" + {side('(n - nl)', '(c1 - c1l)')})"
+            " div n AS BIGINT)"
+        ).alias("split_gini_ppm"),
+        F.expr(
+            f"CAST(({side('n', 'c1')}) div n AS BIGINT)"
+        ).alias("root_gini_ppm"),
+    )
+    w_best = Window.orderBy(
+        F.col("split_gini_ppm").asc(), F.col("threshold").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _gini_side_sql(n_, c1_):
+    return (
+        f"(CAST({n_} AS HUGEINT) * {n_}"
+        f" - CAST({n_} - {c1_} AS HUGEINT) * ({n_} - {c1_})"
+        f" - CAST({c1_} AS HUGEINT) * {c1_}) * 1000000 // {n_}"
+    )
+
+
+ORACLE_GINI_STUMP = f"""
+    WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS y
+        FROM events GROUP BY user_id),
+    g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_x,
+            CAST(SUM(y) AS BIGINT) AS c1_x
+        FROM pu GROUP BY x),
+    tot AS (SELECT CAST(SUM(n_x) AS BIGINT) AS n,
+            CAST(SUM(c1_x) AS BIGINT) AS c1 FROM g),
+    cum AS (SELECT x AS threshold,
+            CAST(SUM(n_x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+            CAST(SUM(c1_x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS c1l
+        FROM g),
+    scored AS (SELECT threshold, nl AS n_left, n - nl AS n_right,
+            CAST(({_gini_side_sql('nl', 'c1l')}
+                + {_gini_side_sql('(n - nl)', '(c1 - c1l)')})
+                // n AS BIGINT) AS split_gini_ppm,
+            CAST(({_gini_side_sql('n', 'c1')}) // n AS BIGINT)
+                AS root_gini_ppm
+        FROM cum CROSS JOIN tot WHERE nl < n)
+    SELECT threshold, n_left, n_right, split_gini_ppm, root_gini_ppm
+    FROM scored ORDER BY split_gini_ppm ASC, threshold ASC LIMIT 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -10997,6 +11158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "km_survival_daily": q_km_survival_daily,
     "cross_source_dup_matrix": q_cross_source_dup_matrix,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "gini_stump_split": q_gini_stump_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -11179,6 +11342,8 @@ ORACLES: dict[str, str] = {
     "km_survival_daily": ORACLE_KM_SURVIVAL,
     "cross_source_dup_matrix": ORACLE_CROSS_SOURCE_DUPS,
     "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
+    "k_anonymity_audit": ORACLE_K_ANONYMITY,
+    "gini_stump_split": ORACLE_GINI_STUMP,
 }
 
 

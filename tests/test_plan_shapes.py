@@ -775,3 +775,22 @@ def test_emb_dim_stats_single_dim_shuffle(spark):
     assert "partial_sum" in plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_k_anonymity_two_aggs_no_join(spark):
+    """k-anonymity: one QI-class partial agg + one single-row rollup;
+    the customer table is scanned exactly once."""
+    plan = _plan(spark, "k_anonymity_audit")
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gini_stump_user_agg_then_bounded_spine(spark):
+    """Gini stump: the user-cardinality agg is the only corpus-sized
+    stage; threshold scoring runs on the distinct-count spine with the
+    1-row totals broadcast."""
+    plan = _plan(spark, "gini_stump_split")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
