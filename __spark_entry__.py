@@ -10978,6 +10978,219 @@ ORACLE_GINI_STUMP = f"""
 """
 
 
+def q_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded term-coverage
+    relevance (rel = distinct query terms present, gain = 2^rel - 1) —
+    the ranking-quality eval that closes the retrieval loop
+    (bm25_scores produces the ranking, this scores it).  Each DCG term
+    gain/log2(rank+1) is det-rounded then HALF-UP-QUANTIZED to int64
+    nano-units before summing (the km/markov idiom: the cumulative is
+    exact integer), and NDCG emits as exact ppm of the ideal ordering.
+
+    Scale shape: the ranking cut is TakeOrdered(10) on the scored
+    postings aggregate; every window after runs on 10 rows."""
+    from pyspark.sql import Window
+
+    scores = q_bm25_scores(spark, sf_dir)
+    top10 = scores.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(10)
+    w_r = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    gain = F.expr("CAST(shiftleft(1, n_terms_hit) - 1 AS BIGINT)")
+    g = top10.select(
+        gain.alias("gain"),
+        "doc_id",
+        F.row_number().over(w_r).alias("i"),
+    )
+    w_i = Window.orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+    disc = lambda pos: DET.det_round(  # noqa: E731
+        F.log(pos.cast("double") + F.lit(1.0)) / F.lit(math.log(2.0)), 9
+    )
+    t_nano = F.floor(
+        (F.col("gain").cast("double") / disc(F.col("i")))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    ranked = g.withColumn("j", F.row_number().over(w_i)).select(
+        t_nano.alias("t_nano"),
+        F.floor(
+            (F.col("gain").cast("double") / disc(F.col("j")))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ti_nano"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum("t_nano").alias("dcg_nano"),
+        F.sum("ti_nano").alias("idcg_nano"),
+    ).select(
+        "n_ranked",
+        "dcg_nano",
+        "idcg_nano",
+        F.expr("dcg_nano * 1000000 div idcg_nano").alias("ndcg_ppm"),
+    )
+
+
+_NDCG_DISC = lambda pos: DET.det_round_sql(  # noqa: E731
+    f"ln(CAST({pos} AS DOUBLE) + 1.0) / {math.log(2.0)!r}", 9
+)
+
+ORACLE_NDCG = (
+    "WITH "
+    + _BM25_CTES
+    + f""",
+    top10 AS (SELECT doc_id, n_terms_hit, bm25 FROM bm25_out
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 10),
+    g AS (SELECT doc_id,
+            CAST((1 << n_terms_hit) - 1 AS BIGINT) AS gain,
+            ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS i
+        FROM top10),
+    ranked AS (SELECT gain, i,
+            ROW_NUMBER() OVER (ORDER BY gain DESC, doc_id ASC) AS j
+        FROM g),
+    terms AS (SELECT
+            CAST(FLOOR((CAST(gain AS DOUBLE) / ({_NDCG_DISC('i')}))
+                * 1000000000.0 + 0.5) AS BIGINT) AS t_nano,
+            CAST(FLOOR((CAST(gain AS DOUBLE) / ({_NDCG_DISC('j')}))
+                * 1000000000.0 + 0.5) AS BIGINT) AS ti_nano
+        FROM ranked)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+        CAST(SUM(t_nano) AS BIGINT) AS dcg_nano,
+        CAST(SUM(ti_nano) AS BIGINT) AS idcg_nano,
+        CAST(SUM(t_nano) AS BIGINT) * 1000000
+            // CAST(SUM(ti_nano) AS BIGINT) AS ndcg_ppm
+    FROM terms
+"""
+)
+
+
+def q_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out data valuation at source granularity: for each
+    source, the corpus mean document length WITHOUT it vs with it —
+    the cheapest Shapley-flavored answer to "which feed is dragging
+    the average".  Entirely exact: per-source sums, one broadcast
+    total, truncated micro means in DECIMAL(38,0)/HUGEINT, integer
+    delta.
+
+    Scale shape: one partial agg to source cardinality; everything
+    after is dimension-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("s_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("s_chars").alias("s_all")
+    )
+    dec = "DECIMAL(38,0)"
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"CAST(CAST(s_all AS {dec}) * 1000000 div n_all AS BIGINT)"
+        ).alias("mean_full_micro"),
+        F.expr(
+            f"CAST(CAST(s_all - s_chars AS {dec}) * 1000000"
+            " div (n_all - n_docs) AS BIGINT)"
+        ).alias("mean_loo_micro"),
+        F.expr(
+            f"CAST(CAST(s_all - s_chars AS {dec}) * 1000000"
+            " div (n_all - n_docs)"
+            f" - CAST(s_all AS {dec}) * 1000000 div n_all AS BIGINT)"
+        ).alias("delta_micro"),
+    )
+
+
+ORACLE_LOO_SOURCE = """
+    WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS s_chars
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+            CAST(SUM(s_chars) AS BIGINT) AS s_all FROM per)
+    SELECT source, n_docs,
+        CAST(CAST(s_all AS HUGEINT) * 1000000 // n_all AS BIGINT)
+            AS mean_full_micro,
+        CAST(CAST(s_all - s_chars AS HUGEINT) * 1000000
+            // (n_all - n_docs) AS BIGINT) AS mean_loo_micro,
+        CAST(CAST(s_all - s_chars AS HUGEINT) * 1000000
+            // (n_all - n_docs)
+            - CAST(s_all AS HUGEINT) * 1000000 // n_all AS BIGINT)
+            AS delta_micro
+    FROM per CROSS JOIN tot
+"""
+
+
+def q_activity_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal churn quadrant: split the observation window at its
+    midpoint day and cross-tabulate users by (active in first half,
+    active in second half) — the retained / churned / resurrected /
+    new taxonomy that defines churn-model labels WITHOUT leaking the
+    label window into the feature window (cf. split_leakage_audit).
+    Exact integers; the midpoint is (d0 + d1 + 1) div 2 on epoch days.
+
+    Scale shape: corpus bounds via one broadcast single-row agg, one
+    user-cardinality agg, a 4-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("d"),
+    )
+    bounds = days.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    pu = (
+        days.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            (
+                F.col("d") < F.expr("(d0 + d1 + 1) div 2")
+            ).alias("is_early"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("CASE WHEN is_early THEN 1 ELSE 0 END")).alias(
+                "active_early"
+            ),
+            F.max(F.expr("CASE WHEN is_early THEN 0 ELSE 1 END")).alias(
+                "active_late"
+            ),
+        )
+    )
+    tot = pu.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        pu.groupBy("active_early", "active_late")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "active_early",
+            "active_late",
+            "n",
+            F.expr("n * 1000000 div n_users").alias("share_ppm"),
+        )
+    )
+
+
+ORACLE_ACTIVITY_TRANSITION = """
+    WITH days AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events),
+    b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days),
+    pu AS (SELECT user_id,
+            CAST(MAX(CASE WHEN d < (d0 + d1 + 1) // 2 THEN 1 ELSE 0
+                END) AS BIGINT) AS active_early,
+            CAST(MAX(CASE WHEN d < (d0 + d1 + 1) // 2 THEN 0 ELSE 1
+                END) AS BIGINT) AS active_late
+        FROM days CROSS JOIN b GROUP BY user_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM pu)
+    SELECT active_early, active_late, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) AS BIGINT) * 1000000 // n_users AS share_ppm
+    FROM pu CROSS JOIN tot GROUP BY active_early, active_late, n_users
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -11160,6 +11373,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "k_anonymity_audit": q_k_anonymity_audit,
     "gini_stump_split": q_gini_stump_split,
+    "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
+    "loo_source_influence": q_loo_source_influence,
+    "activity_transition_matrix": q_activity_transition_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -11344,6 +11560,9 @@ ORACLES: dict[str, str] = {
     "embedding_dim_stats": ORACLE_EMB_DIM_STATS,
     "k_anonymity_audit": ORACLE_K_ANONYMITY,
     "gini_stump_split": ORACLE_GINI_STUMP,
+    "ndcg_retrieval_eval": ORACLE_NDCG,
+    "loo_source_influence": ORACLE_LOO_SOURCE,
+    "activity_transition_matrix": ORACLE_ACTIVITY_TRANSITION,
 }
 
 

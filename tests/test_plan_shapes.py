@@ -794,3 +794,29 @@ def test_gini_stump_user_agg_then_bounded_spine(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ndcg_take_ordered_then_ten_row_windows(spark):
+    """NDCG: the ranking cut must be TakeOrdered(10); the rank/ideal
+    windows run on that 10-row frame only (bounded by construction)."""
+    plan = _plan(spark, "ndcg_retrieval_eval")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_loo_influence_dimension_sized_after_one_agg(spark):
+    """LOO influence: one source-cardinality partial agg; totals
+    broadcast back; exact decimal means."""
+    plan = _plan(spark, "loo_source_influence")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_activity_transition_user_agg_four_row_rollup(spark):
+    """Churn quadrant: bounds broadcast, one user-cardinality agg,
+    4-row rollup."""
+    plan = _plan(spark, "activity_transition_matrix")
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
