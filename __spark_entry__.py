@@ -9135,7 +9135,11 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one broadcast dim join (part), a distinct at
     (order, brand) cardinality, an equi-self-join on orderkey with
     per-order bounded fan-out, and a final agg at brand-pair
-    cardinality (<= 300 rows); brand totals broadcast back."""
+    cardinality (<= 300 rows); brand totals broadcast back.  The
+    baskets subtree feeds four consumers (pair sides, totals,
+    n_orders) — AQE's ReuseExchange dedupes them at runtime (final
+    adaptive plan verified: 3 ReusedExchange nodes), so the fact
+    table is not rescanned per consumer."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
@@ -11191,6 +11195,270 @@ ORACLE_ACTIVITY_TRANSITION = """
 """
 
 
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate around the window midpoint:
+    treatment series = 'click' event values, control = 'view', DiD =
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre) on truncated
+    exact micro means — the causal-inference template (parallel-trends
+    differencing) reduced to one grouped aggregation.  All four cell
+    means are DECIMAL(38,0) div BIGINT; the estimate is exact integer
+    subtraction of truncated means.
+
+    Scale shape: one corpus partial agg to 4 cells, one-row finish."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("d"),
+        F.expr(
+            "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("vm"),
+    )
+    bounds = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cells = (
+        days.crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("event_type") == F.lit("click")).alias("treat"),
+            (F.col("d") >= F.expr("(d0 + d1 + 1) div 2")).alias("post"),
+            "vm",
+        )
+        .groupBy("treat", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL accumulation: vm*rows wraps int64 past ~1e18
+            F.sum(F.expr("CAST(vm AS DECIMAL(38,0))")).alias("s"),
+        )
+    )
+    m = cells.agg(
+        *[
+            F.max(
+                F.expr(
+                    f"CASE WHEN treat = {t} AND post = {p}"
+                    " THEN CAST(s div n AS BIGINT)"
+                    " END"
+                )
+            ).alias(name)
+            for name, t, p in [
+                ("treat_pre_micro", "true", "false"),
+                ("treat_post_micro", "true", "true"),
+                ("ctrl_pre_micro", "false", "false"),
+                ("ctrl_post_micro", "false", "true"),
+            ]
+        ]
+    )
+    return m.select(
+        "treat_pre_micro",
+        "treat_post_micro",
+        "ctrl_pre_micro",
+        "ctrl_post_micro",
+        F.expr(
+            "(treat_post_micro - treat_pre_micro)"
+            " - (ctrl_post_micro - ctrl_pre_micro)"
+        ).alias("did_micro"),
+    )
+
+
+ORACLE_DID = """
+    WITH days AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS d,
+            CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+        FROM events WHERE event_type IN ('click', 'view')),
+    b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days),
+    cells AS (SELECT event_type = 'click' AS treat,
+            d >= (d0 + d1 + 1) // 2 AS post,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(vm AS HUGEINT)) AS s
+        FROM days CROSS JOIN b GROUP BY 1, 2),
+    m AS (SELECT
+            MAX(CASE WHEN treat AND NOT post
+                THEN CAST(s // n AS BIGINT) END) AS treat_pre_micro,
+            MAX(CASE WHEN treat AND post
+                THEN CAST(s // n AS BIGINT) END) AS treat_post_micro,
+            MAX(CASE WHEN NOT treat AND NOT post
+                THEN CAST(s // n AS BIGINT) END) AS ctrl_pre_micro,
+            MAX(CASE WHEN NOT treat AND post
+                THEN CAST(s // n AS BIGINT) END) AS ctrl_post_micro
+        FROM cells)
+    SELECT treat_pre_micro, treat_post_micro, ctrl_pre_micro,
+        ctrl_post_micro,
+        (treat_post_micro - treat_pre_micro)
+            - (ctrl_post_micro - ctrl_pre_micro) AS did_micro
+    FROM m
+"""
+
+
+def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the per-arm conversion rate of the
+    deterministic A/B split (ab_test_zscores' arms) — the uncertainty
+    quantification a rate without an interval is missing; Wilson stays
+    valid at small counts where the normal interval collapses.  Counts
+    are exact integers; the interval is the closed-form IEEE expression
+    on those integers (z = 1.96 literal), det_round(6) on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            )
+        ).alias("conv")
+    ).select(
+        F.expr(
+            "CAST(conv AS BIGINT) AS conv"
+        ),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit("#ab")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("variant"),
+    )
+    arms = pu.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    z = 1.96
+    ph = F.col("c").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    denom = F.lit(1.0) + F.lit(z * z) / nn
+    center = ph + F.lit(z * z) / (F.lit(2.0) * nn)
+    rad = F.lit(z) * F.sqrt(
+        ph * (F.lit(1.0) - ph) / nn
+        + F.lit(z * z) / (F.lit(4.0) * nn * nn)
+    )
+    return arms.select(
+        "variant",
+        "n",
+        F.col("c").alias("conversions"),
+        F.expr("c * 1000000 div n").alias("rate_ppm"),
+        DET.det_round((center - rad) / denom, 6).alias("wilson_lo"),
+        DET.det_round((center + rad) / denom, 6).alias("wilson_hi"),
+    )
+
+
+_WILSON = (
+    "((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " + 3.8416 / (2.0 * CAST(n AS DOUBLE)) {sign} 1.96 * sqrt("
+    "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / CAST(n AS DOUBLE)"
+    " + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+    " / (1.0 + 3.8416 / CAST(n AS DOUBLE))"
+)
+
+ORACLE_WILSON = f"""
+    WITH pu AS (SELECT
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'),
+                1, 15))::BIGINT % 2 AS BIGINT) AS variant,
+            CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS conv
+        FROM events GROUP BY user_id),
+    arms AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(conv) AS BIGINT) AS c
+        FROM pu GROUP BY variant)
+    SELECT variant, n, c AS conversions,
+        c * 1000000 // n AS rate_ppm,
+        {DET.det_round_sql(_WILSON.format(sign='-'), 6)} AS wilson_lo,
+        {DET.det_round_sql(_WILSON.format(sign='+'), 6)} AS wilson_hi
+    FROM arms
+"""
+
+
+def q_vocab_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between corpus halves (ingest order): PSI
+    contribution per top-100 token — the token-level companion to
+    psi_value_drift that catches topic/source drift a value-PSI can't.
+    Add-one smoothing keeps ratios finite; each contribution
+    (p2 - p1)·ln(p2/p1) emits per token det_round(9) (no cross-token
+    sum — the mutual_info order-independence idiom).  Top-100 cut is
+    TakeOrdered with token tiebreak.
+
+    Scale shape: token counts partial-combine per half; the PSI table
+    is 100 rows joined to two broadcast one-row totals."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_nrows(f"{sf_dir}/documents.parquet")
+    half = n_docs // 2
+    toks = docs.select(
+        (F.col("doc_id") < F.lit(half)).alias("first_half"),
+        F.explode(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.expr("CASE WHEN first_half THEN 1 ELSE 0 END")).alias(
+            "c1"
+        ),
+        F.sum(F.expr("CASE WHEN first_half THEN 0 ELSE 1 END")).alias(
+            "c2"
+        ),
+    )
+    top = cnt.orderBy(
+        F.expr("c1 + c2").desc(), F.col("tok").asc()
+    ).limit(100)
+    tot = cnt.agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = top.crossJoin(F.broadcast(tot))
+    p1 = (F.col("c1") + F.lit(1)).cast("double") / (
+        F.col("t1") + F.col("v")
+    ).cast("double")
+    p2 = (F.col("c2") + F.lit(1)).cast("double") / (
+        F.col("t2") + F.col("v")
+    ).cast("double")
+    ln9 = lambda c: DET.det_round(F.log(c), 9)  # noqa: E731
+    return j.select(
+        "tok",
+        "c1",
+        "c2",
+        DET.det_round((p2 - p1) * (ln9(p2) - ln9(p1)), 9).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+ORACLE_VOCAB_PSI = f"""
+    WITH nd AS (SELECT COUNT(*) // 2 AS half FROM documents),
+    toks AS (SELECT doc_id < (SELECT half FROM nd) AS first_half,
+            unnest({_TOKS}) AS tok
+        FROM documents),
+    cnt AS (SELECT tok,
+            CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT)
+                AS c1,
+            CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT)
+                AS c2
+        FROM toks GROUP BY tok),
+    top AS (SELECT * FROM cnt ORDER BY c1 + c2 DESC, tok ASC LIMIT 100),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+            CAST(SUM(c2) AS BIGINT) AS t2,
+            CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt)
+    SELECT tok, c1, c2,
+        {DET.det_round_sql(
+            "(CAST(c2 + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE)"
+            " - CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))"
+            " * ("
+            + DET.det_round_sql(
+                "ln(CAST(c2 + 1 AS DOUBLE) / CAST(t2 + v AS DOUBLE))", 9)
+            + " - "
+            + DET.det_round_sql(
+                "ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))", 9)
+            + ")", 9
+        )} AS psi_contrib
+    FROM top CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -11376,6 +11644,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ndcg_retrieval_eval": q_ndcg_retrieval_eval,
     "loo_source_influence": q_loo_source_influence,
     "activity_transition_matrix": q_activity_transition_matrix,
+    "did_estimate": q_did_estimate,
+    "conversion_wilson_ci": q_conversion_wilson_ci,
+    "vocab_psi_drift": q_vocab_psi_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -11563,6 +11834,9 @@ ORACLES: dict[str, str] = {
     "ndcg_retrieval_eval": ORACLE_NDCG,
     "loo_source_influence": ORACLE_LOO_SOURCE,
     "activity_transition_matrix": ORACLE_ACTIVITY_TRANSITION,
+    "did_estimate": ORACLE_DID,
+    "conversion_wilson_ci": ORACLE_WILSON,
+    "vocab_psi_drift": ORACLE_VOCAB_PSI,
 }
 
 

@@ -820,3 +820,31 @@ def test_activity_transition_user_agg_four_row_rollup(spark):
     assert "partial_max" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_did_single_cell_agg(spark):
+    """DiD: one corpus partial agg to 4 cells with DECIMAL sums; the
+    one-row finish carries no second scan of events beyond the bounds
+    probe."""
+    plan = _plan(spark, "did_estimate")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wilson_user_agg_then_two_arms(spark):
+    """Wilson CI: per-user conversion partial-combines to user
+    cardinality; arm stats are a 2-row table."""
+    plan = _plan(spark, "conversion_wilson_ci")
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_vocab_psi_take_ordered_top_tokens(spark):
+    """Vocab PSI: the top-100 cut must be TakeOrdered; half totals
+    rejoin as a 1-row broadcast."""
+    plan = _plan(spark, "vocab_psi_drift")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
