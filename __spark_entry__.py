@@ -11459,6 +11459,258 @@ ORACLE_VOCAB_PSI = f"""
 """
 
 
+def q_order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve: per month, orders placed, orders fully
+    shipped (last lineitem shipdate), and the running backlog =
+    cumulative placed - cumulative shipped — the event-sourcing
+    balance-over-time view (same state math as an inventory or queue
+    depth curve).  Monthly grain keeps the spine bounded by the DATE
+    DOMAIN (~84 rows for 7 years), corpus-size-independent, so the
+    cumulative windows are dimension-sized (dense-spine class).
+
+    Scale shape: one order-cardinality agg for ship dates, two
+    month-cardinality rollups, a bounded spine with cumulative
+    windows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+        ).alias("m_open"),
+    )
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.expr(
+            "MAX(year(l_shipdate) * 12 + month(l_shipdate) - 1)"
+        ).alias("m_ship")
+    )
+    placed = o.groupBy(F.col("m_open").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_placed")
+    )
+    shipped = li.groupBy(F.col("m_ship").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_shipped")
+    )
+    months = (
+        placed.select("m")
+        .unionAll(shipped.select("m"))
+        .agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+        .head()
+    )
+    spine = spark.range(months["m0"], months["m1"] + 1).select(
+        F.col("id").alias("m")
+    )
+    j = (
+        spine.join(placed, "m", "left")
+        .join(shipped, "m", "left")
+        .select(
+            "m",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        F.expr(
+            "CAST(m div 12 AS BIGINT) * 100 + m % 12 + 1"
+        ).alias("yyyymm"),
+        "n_placed",
+        "n_shipped",
+        (
+            F.sum("n_placed").over(w) - F.sum("n_shipped").over(w)
+        ).alias("backlog"),
+    )
+
+
+ORACLE_BACKLOG = """
+    WITH o AS (SELECT o_orderkey,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                AS BIGINT) AS m_open
+        FROM orders),
+    li AS (SELECT l_orderkey,
+            CAST(MAX(year(l_shipdate) * 12 + month(l_shipdate) - 1)
+                AS BIGINT) AS m_ship
+        FROM lineitem GROUP BY l_orderkey),
+    placed AS (SELECT m_open AS m, CAST(COUNT(*) AS BIGINT) AS n_placed
+        FROM o GROUP BY 1),
+    shipped AS (SELECT m_ship AS m, CAST(COUNT(*) AS BIGINT)
+            AS n_shipped
+        FROM li GROUP BY 1),
+    b AS (SELECT MIN(m) AS m0, MAX(m) AS m1 FROM
+        (SELECT m FROM placed UNION ALL SELECT m FROM shipped) u),
+    spine AS (SELECT unnest(generate_series(m0, m1)) AS m FROM b),
+    j AS (SELECT spine.m,
+            COALESCE(n_placed, 0) AS n_placed,
+            COALESCE(n_shipped, 0) AS n_shipped
+        FROM spine LEFT JOIN placed ON placed.m = spine.m
+                   LEFT JOIN shipped ON shipped.m = spine.m)
+    SELECT CAST(m // 12 AS BIGINT) * 100 + m % 12 + 1 AS yyyymm,
+        n_placed, n_shipped,
+        CAST(SUM(n_placed) OVER w - SUM(n_shipped) OVER w AS BIGINT)
+            AS backlog
+    FROM j
+    WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+        AND CURRENT ROW)
+"""
+
+
+_ALERT_RULES = [
+    ("spark_query", ["spark", "query"]),
+    ("table_join", ["table", "join"]),
+    ("error_watch", ["error", "failed"]),
+    ("data_stream", ["data", "stream"]),
+]
+
+
+def q_percolator_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator / reverse search: a fixed rule set (term lists) is
+    matched against every document — the standing-alert shape
+    (saved searches, brand monitoring, PII watchlists) where RULES are
+    the small side and the corpus streams past them.  A doc matches a
+    rule when it contains ALL the rule's terms.  Per rule: match
+    count, ppm of corpus, earliest matching doc.
+
+    Scale shape: rules broadcast (literal VALUES on both engines), the
+    corpus tokenizes once into a token SET, the match test is
+    array-containment fused into the scan; one rule-cardinality
+    aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = _parquet_nrows(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("ts"),
+    )
+    rules = spark.createDataFrame(
+        [(name, terms) for name, terms in _ALERT_RULES],
+        "rule STRING, terms ARRAY<STRING>",
+    )
+    m = (
+        toks.crossJoin(F.broadcast(rules))
+        .filter(
+            F.size(
+                F.array_except(F.col("terms"), F.col("ts"))
+            )
+            == 0
+        )
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    return m.select(
+        "rule",
+        "n_matches",
+        F.expr(f"n_matches * 1000000 div {n_docs}").alias(
+            "match_ppm"
+        ),
+        "first_doc",
+    )
+
+
+_ALERT_VALUES = ", ".join(
+    "('%s', [%s])" % (name, ", ".join(f"'{t}'" for t in terms))
+    for name, terms in _ALERT_RULES
+)
+
+ORACLE_PERCOLATOR = f"""
+    WITH rules(rule, terms) AS (VALUES {_ALERT_VALUES}),
+    toks AS (SELECT doc_id, list_distinct({_TOKS}) AS ts
+        FROM documents),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    m AS (SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_matches,
+            MIN(doc_id) AS first_doc
+        FROM toks CROSS JOIN rules
+        WHERE len(list_filter(terms, t -> NOT list_contains(ts, t)))
+            = 0
+        GROUP BY rule)
+    SELECT rule, n_matches,
+        n_matches * 1000000 // (SELECT n_docs FROM nd) AS match_ppm,
+        first_doc
+    FROM m
+"""
+
+
+def q_char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character-bigram distribution per source,
+    in exact nano-nats — the dependency-free compressibility proxy
+    (low bigram entropy = repetitive/templated text; the signal a
+    zlib-ratio filter gives, computable relationally).  Each
+    -p·ln(p) term = (c/total)·(ln total - ln c) with det-rounded lns,
+    HALF-UP-QUANTIZED to int64 per bigram BEFORE the per-source sum
+    (the markov_entropy order-independence idiom).
+
+    Scale shape: char-bigram explode partial-combines to (source,
+    bigram) cardinality; source totals broadcast back; the entropy
+    rollup is dimension-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.split(TX.normalize_text(F.col("text")), "")
+    m = F.size(F.col("_c")) - 1
+    bg = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(F.col("_c"), 1, m),
+            F.slice(F.col("_c"), 2, m),
+            lambda a, b: F.concat(a, b),
+        ),
+    ).otherwise(F.array())
+    cnt = (
+        docs.select("source", chars.alias("_c"))
+        .select("source", F.explode(bg).alias("bg"))
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_bigram_types"),
+    )
+    ln9 = lambda c: DET.det_round(  # noqa: E731
+        F.log(F.col(c).cast("double")), 9
+    )
+    term = (
+        F.col("c").cast("double") / F.col("total").cast("double")
+    ) * (ln9("total") - ln9("c"))
+    per = cnt.join(F.broadcast(tot), "source").select(
+        "source",
+        "total",
+        "n_bigram_types",
+        F.floor(term * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t_nano"),
+    )
+    return per.groupBy("source", "total", "n_bigram_types").agg(
+        F.sum("t_nano").alias("entropy_nano")
+    )
+
+
+ORACLE_CHAR_ENTROPY = f"""
+    WITH t AS (SELECT source,
+            lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+        FROM documents),
+    bg AS (SELECT source,
+            unnest(list_transform(range(1, length(s)),
+                i -> substr(s, i, 2))) AS bg
+        FROM t WHERE length(s) >= 2),
+    cnt AS (SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total,
+            CAST(COUNT(*) AS BIGINT) AS n_bigram_types
+        FROM cnt GROUP BY source),
+    per AS (SELECT cnt.source, total, n_bigram_types,
+            CAST(FLOOR((CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                * ({DET.det_round_sql('ln(CAST(total AS DOUBLE))', 9)}
+                   - {DET.det_round_sql('ln(CAST(c AS DOUBLE))', 9)})
+                * 1000000000.0 + 0.5) AS BIGINT) AS t_nano
+        FROM cnt JOIN tot ON cnt.source = tot.source)
+    SELECT source, total, n_bigram_types,
+        CAST(SUM(t_nano) AS BIGINT) AS entropy_nano
+    FROM per GROUP BY source, total, n_bigram_types
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -11647,6 +11899,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "did_estimate": q_did_estimate,
     "conversion_wilson_ci": q_conversion_wilson_ci,
     "vocab_psi_drift": q_vocab_psi_drift,
+    "order_backlog_timeseries": q_order_backlog_timeseries,
+    "percolator_alerts": q_percolator_alerts,
+    "char_entropy_by_source": q_char_entropy_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -11837,6 +12092,9 @@ ORACLES: dict[str, str] = {
     "did_estimate": ORACLE_DID,
     "conversion_wilson_ci": ORACLE_WILSON,
     "vocab_psi_drift": ORACLE_VOCAB_PSI,
+    "order_backlog_timeseries": ORACLE_BACKLOG,
+    "percolator_alerts": ORACLE_PERCOLATOR,
+    "char_entropy_by_source": ORACLE_CHAR_ENTROPY,
 }
 
 

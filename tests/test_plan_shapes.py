@@ -848,3 +848,31 @@ def test_vocab_psi_take_ordered_top_tokens(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial_sum" in plan
     assert "EvalPython" not in plan
+
+
+def test_backlog_month_spine_bounded_windows(spark):
+    """Backlog curve: order-cardinality ship agg + month-cardinality
+    rollups; cumulative windows on the date-domain spine only."""
+    plan = _plan(spark, "order_backlog_timeseries")
+    assert "partial_max" in plan  # per-order last ship month
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_percolator_rules_broadcast_scan_fused(spark):
+    """Percolator: rules reach the corpus as a broadcast; the
+    containment test is array ops fused into the scan side (bounded
+    4-row nested loop, the types-x-spine class)."""
+    plan = _plan(spark, "percolator_alerts")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_char_entropy_bigram_partial_combine(spark):
+    """Char entropy: the bigram explode must partial-combine to
+    (source, bigram) cardinality; totals broadcast back; int64 terms
+    before the rollup."""
+    plan = _plan(spark, "char_entropy_by_source")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
