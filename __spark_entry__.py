@@ -11877,6 +11877,63 @@ ORACLE_HILL = f"""
 """
 
 
+def q_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning profile: per event, lateness = (max event time
+    seen so far in ARRIVAL order) - own event time, bucketed by minute
+    (capped at 120) — the out-of-orderness distribution that decides
+    `withWatermark` delay (how much state a given lateness bound would
+    drop).  Arrival order is event_id (the ingest sequence).  The
+    global running max runs through the two-pass distributed prefix
+    max (operators/packing.py::with_global_running_max — prefix-MAX
+    twin of the packing prefix sum; NO single-task window), exact
+    microsecond integers throughout.
+
+    Scale shape: rangepartition by event_id, per-partition maxima
+    prefix-combined at partition cardinality, minute-bucket rollup
+    bounded at 121 rows."""
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_max,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    rm = with_global_running_max(ev, "event_id", "t_us", "max_seen")
+    tot = rm.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        rm.select(
+            F.expr(
+                "LEAST((max_seen - t_us) div 60000000, 120)"
+            ).alias("minute_bucket")
+        )
+        .groupBy("minute_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "minute_bucket",
+            "n_events",
+            F.expr("n_events * 1000000 div n_total").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_LATENESS = """
+    WITH rm AS (SELECT event_id, epoch_us(ts) AS t_us,
+            MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS max_seen
+        FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rm)
+    SELECT LEAST((max_seen - t_us) // 60000000, 120) AS minute_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(*) AS BIGINT) * 1000000 // n_total AS share_ppm
+    FROM rm CROSS JOIN tot GROUP BY minute_bucket, n_total
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -12070,6 +12127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy_by_source": q_char_entropy_by_source,
     "abc_part_classes": q_abc_part_classes,
     "hill_tail_index": q_hill_tail_index,
+    "lateness_histogram": q_lateness_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -12265,6 +12323,7 @@ ORACLES: dict[str, str] = {
     "char_entropy_by_source": ORACLE_CHAR_ENTROPY,
     "abc_part_classes": ORACLE_ABC,
     "hill_tail_index": ORACLE_HILL,
+    "lateness_histogram": ORACLE_LATENESS,
 }
 
 

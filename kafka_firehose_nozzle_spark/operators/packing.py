@@ -96,3 +96,59 @@ def pack_assignments(
             "bigint"
         ),
     ).drop("_cum")
+
+
+def with_global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """df + ``out_col`` = max of ``value_col`` over all rows with
+    ``order_col`` <= this row's (inclusive) — the prefix-MAX twin of
+    :func:`with_global_running_sum` (same two-pass shape; max is
+    associative, so per-partition maxima prefix-combine exactly like
+    subtotals).  The watermark-lateness profile is the motivating
+    consumer: "max event time seen so far" in arrival order, without a
+    single-task window.  ``order_col`` values must be unique."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if checkpoint:
+        staged = staged.localCheckpoint(eager=False)
+    submax = (
+        staged.groupBy("_pid")
+        .agg(F.max(F.col(value_col)).alias("_sub"))
+        .withColumn(
+            "_prev_max",
+            F.max("_sub").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_pid", "_prev_max")
+    )
+    within = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        staged.join(F.broadcast(submax), "_pid")
+        .withColumn(
+            out_col,
+            F.greatest(
+                F.coalesce(
+                    F.col("_prev_max"),
+                    F.max(F.col(value_col)).over(within),
+                ),
+                F.max(F.col(value_col)).over(within),
+            ),
+        )
+        .drop("_pid", "_prev_max")
+    )

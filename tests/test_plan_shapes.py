@@ -895,3 +895,53 @@ def test_hill_take_ordered_then_201_rows(spark):
     plan = _plan(spark, "hill_tail_index")
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_running_max_window_is_partitioned(spark):
+    """The global running MAX (prefix-max twin) must also run as a
+    _pid-partitioned window over a range partitioning, never one task
+    holding the corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_max,
+    )
+
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t")
+    )
+    out = with_global_running_max(df, "event_id", "t", checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    corpus_windows = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+        if "event_id" in seg.split(")")[0]
+    ]
+    assert corpus_windows and all("_pid" in w for w in corpus_windows), (
+        plan[:1200]
+    )
+
+
+def test_running_max_matches_sequential_model(spark):
+    """Exactness: the two-pass prefix max equals the sequential cummax
+    on a shuffled-value fixture (including a strictly-decreasing tail,
+    where _prev_max dominates)."""
+    from pyspark.sql import functions as F
+
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_max,
+    )
+
+    vals = [(i, (i * 37) % 101) for i in range(500)] + [
+        (500 + i, 50 - i) for i in range(40)
+    ]
+    df = spark.createDataFrame(vals, "k LONG, v LONG")
+    got = {
+        r["k"]: r["rm"]
+        for r in with_global_running_max(df, "k", "v", "rm").collect()
+    }
+    best = None
+    for k, v in vals:
+        best = v if best is None or v > best else best
+        assert got[k] == best, (k, got[k], best)
