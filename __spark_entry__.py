@@ -8617,10 +8617,16 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def tagged(n: int):
+        # ngram_strings' contract: callers guard size(toks) >= n — a
+        # 0/1-token doc would otherwise build slice(toks, 1, -1) and
+        # crash the job (quarantine-don't-crash rule)
         arr = (
             F.col("toks")
             if n == 1
-            else TX.ngram_strings(F.col("toks"), n)
+            else F.when(
+                F.size("toks") >= n,
+                TX.ngram_strings(F.col("toks"), n),
+            ).otherwise(F.array().cast("array<string>"))
         )
         return F.transform(
             arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
@@ -8827,7 +8833,6 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "d",
         "c",
-        F.expr("c * 1000").alias("c_milli"),
         F.sum("c").over(w7).alias("s7"),
         F.count(F.lit(1)).over(w7).alias("n7"),
     ).select(
@@ -9494,21 +9499,27 @@ def q_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_words"),
         F.sum("chars").alias("n_chars"),
         F.max("c").alias("top_c"),
+        # classifier A needs DISTINCT stopword types present (one per
+        # (doc, tok) row — the gopher_quality_flags definition);
+        # classifier B needs stopword OCCURRENCES for its density
+        F.sum(
+            F.expr(f"CASE WHEN tok IN {stop} THEN 1 ELSE 0 END")
+        ).alias("n_stop_types"),
         F.sum(
             F.expr(f"CASE WHEN tok IN {stop} THEN c ELSE 0 END")
-        ).alias("n_stop"),
+        ).alias("n_stop_occ"),
     )
     fl = pd_.select(
         F.expr(
             "CASE WHEN n_words BETWEEN 20 AND 100000"
             " AND n_chars * 100 div n_words BETWEEN 300 AND 1000"
-            " AND n_stop >= 2"
+            " AND n_stop_types >= 2"
             " AND top_c * 1000000 div n_words <= 200000"
             " THEN 1 ELSE 0 END"
         ).alias("fa"),
         F.expr(
             "CASE WHEN n_words >= 10"
-            " AND n_stop * 1000 div n_words >= 30"
+            " AND n_stop_occ * 1000 div n_words >= 30"
             " THEN 1 ELSE 0 END"
         ).alias("fb"),
     )
@@ -9554,17 +9565,20 @@ ORACLE_KAPPA = f"""
             CAST(SUM(chars) AS BIGINT) AS n_chars,
             CAST(MAX(c) AS BIGINT) AS top_c,
             CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and',
+                'in','is','it','for','on') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stop_types,
+            CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and',
                 'in','is','it','for','on') THEN c ELSE 0 END)
-                AS BIGINT) AS n_stop
+                AS BIGINT) AS n_stop_occ
         FROM pt GROUP BY doc_id),
     fl AS (SELECT
             CASE WHEN n_words BETWEEN 20 AND 100000
                  AND n_chars * 100 // n_words BETWEEN 300 AND 1000
-                 AND n_stop >= 2
+                 AND n_stop_types >= 2
                  AND top_c * 1000000 // n_words <= 200000
                  THEN 1 ELSE 0 END AS fa,
             CASE WHEN n_words >= 10
-                 AND n_stop * 1000 // n_words >= 30
+                 AND n_stop_occ * 1000 // n_words >= 30
                  THEN 1 ELSE 0 END AS fb
         FROM pd),
     conf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -10472,8 +10486,10 @@ def q_conversion_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window choices (how long a lookback does last-touch actually
     need?).  Exact microsecond arithmetic end-to-end.
 
-    Scale shape: two conditional MIN aggregates to user cardinality in
-    ONE pass, then a ≤49-row bucket rollup."""
+    Scale shape: one conditional-MIN aggregate to user cardinality,
+    a purchase rejoin (the first purchase AT/AFTER the first view is
+    not expressible in the same pass), then a ≤49-row bucket
+    rollup."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(
@@ -10482,12 +10498,6 @@ def q_conversion_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
             )
         ).alias("t_view"),
-        F.min(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
-            )
-        ).alias("t_first_purchase"),
     )
     ev2 = ev.select(
         "user_id",
@@ -11327,14 +11337,18 @@ def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = pu.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
     )
-    z = 1.96
+    # z = 1.96; z^2 is the DECIMAL LITERAL 3.8416 on BOTH engines —
+    # Python's 1.96*1.96 is 1 ulp below the parsed literal the oracle
+    # uses, which would break the bit-for-bit contract at a rounding
+    # boundary
+    z2 = 3.8416
     ph = F.col("c").cast("double") / F.col("n").cast("double")
     nn = F.col("n").cast("double")
-    denom = F.lit(1.0) + F.lit(z * z) / nn
-    center = ph + F.lit(z * z) / (F.lit(2.0) * nn)
-    rad = F.lit(z) * F.sqrt(
+    denom = F.lit(1.0) + F.lit(z2) / nn
+    center = ph + F.lit(z2) / (F.lit(2.0) * nn)
+    rad = F.lit(1.96) * F.sqrt(
         ph * (F.lit(1.0) - ph) / nn
-        + F.lit(z * z) / (F.lit(4.0) * nn * nn)
+        + F.lit(z2) / (F.lit(4.0) * nn * nn)
     )
     return arms.select(
         "variant",
@@ -11719,7 +11733,8 @@ def q_abc_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass distributed prefix sum (operators/packing.py::
     with_global_running_sum — rangepartitioning + per-partition
     subtotals; NO single-partition window over parts), ordered by a
-    unique DECIMAL key encoding (revenue DESC, partkey ASC).  Row
+    unique fixed-width STRING key encoding (revenue DESC, partkey
+    ASC) whose lexicographic order equals the numeric order.  Row
     revenues micro-quantize on the shared IEEE double; sums stay
     DECIMAL(38,0)/HUGEINT; shares are exact ppm.
 
@@ -11736,12 +11751,21 @@ def q_abc_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(rm AS DECIMAL(38,0))")).alias("rev")
     )
     tot = rev.agg(F.sum("rev").alias("total"))
+    # unique ascending key == (revenue DESC, partkey ASC), encoded as a
+    # fixed-width string: lexicographic order == numeric order, and no
+    # arithmetic packing that could overflow DECIMAL(38) or collide
+    # once partkeys outgrow a multiplier (an earlier -rev*1e7+partkey
+    # encoding broke exactly there at TPC-H SF >= 50).  max_rev is one
+    # bounded scalar action (the changepoint-bounds idiom).
+    max_rev = rev.agg(F.max("rev").alias("m")).head()["m"]
     ordered = rev.select(
         "l_partkey",
         "rev",
-        # unique ascending key == revenue DESC, partkey ASC
-        F.expr(
-            "-rev * 10000000 + CAST(l_partkey AS DECIMAL(38,0))"
+        F.concat(
+            F.lpad(
+                (F.lit(max_rev) - F.col("rev")).cast("string"), 39, "0"
+            ),
+            F.lpad(F.col("l_partkey").cast("string"), 15, "0"),
         ).alias("ord"),
     )
     from kafka_firehose_nozzle_spark.operators.packing import (

@@ -142,11 +142,10 @@ def with_global_running_max(
         staged.join(F.broadcast(submax), "_pid")
         .withColumn(
             out_col,
+            # greatest() ignores NULLs, so a NULL _prev_max (first
+            # partition) falls through to the within-partition max
             F.greatest(
-                F.coalesce(
-                    F.col("_prev_max"),
-                    F.max(F.col(value_col)).over(within),
-                ),
+                F.col("_prev_max"),
                 F.max(F.col(value_col)).over(within),
             ),
         )
