@@ -2011,3 +2011,29 @@ def test_decode_png_pixels_handmade_golden():
         dtype=np.uint8,
     )
     assert (got == want).all()
+
+
+def test_ngram_diversity_short_docs_no_crash(spark, tmp_path):
+    """0- and 1-token documents must flow through ngram_diversity (the
+    n=2/3 gram arrays guard size(toks) >= n; an unguarded
+    ngram_strings builds slice(toks, 1, -1) and aborts the job).
+    Empty/short docs contribute to n=1 only — same as the oracle."""
+    import __spark_entry__ as entry
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "", "en", "web", 0),
+            (1, "one", "en", "web", 3),
+            (2, "two words", "en", "web", 9),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING,"
+        " n_chars LONG",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        (r["n"],): (r["occurrences"], r["distinct_grams"])
+        for r in entry.queries()["ngram_diversity"](spark, d).collect()
+    }
+    assert rows[(1,)] == (3, 3)  # 'one', 'two', 'words'
+    assert rows[(2,)] == (1, 1)  # only 'two words'
+    assert (3,) not in rows  # no doc has 3 tokens
