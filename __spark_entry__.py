@@ -11958,6 +11958,62 @@ ORACLE_LATENESS = """
 """
 
 
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels (the
+    multimodal near-dup primitive): spec-complete PNGs (>= 8x8 so
+    every 4x4 block is non-empty) are built per doc, decoded through
+    the pure-stdlib pipeline, and hashed with EXACT integer block
+    means — bit = block_sum * n_pixels > total_sum * n_block, no
+    division anywhere, so the oracle replays the 16-bit hash from the
+    pixel formula and any decode/unfilter/blocking defect flips a bit
+    and hash-mismatches.  See operators/multimodal.py::image_ahash.
+
+    Scale shape: one mapInPandas over payloads, zero shuffle."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        image_ahash,
+        synthetic_png_pixel_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthetic_png_pixel_payloads(
+        docs, base_w=8, mod_w=9, base_h=8, mod_h=6
+    )
+    return image_ahash(media).orderBy("media_id")
+
+
+ORACLE_MEDIA_AHASH = """
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h
+        FROM documents),
+    px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+            (doc_id + 7 * xs.x + 3 * ys.y) % 256
+              + (2 * doc_id + 5 * xs.x + 11 * ys.y) % 256
+              + (3 * doc_id + xs.x + 13 * ys.y) % 256 AS lum
+        FROM d,
+        unnest(generate_series(0, w - 1)) AS xs(x),
+        unnest(generate_series(0, h - 1)) AS ys(y)),
+    blocks AS (SELECT doc_id, w, h,
+            (y * 4) // h AS by, (x * 4) // w AS bx,
+            CAST(SUM(lum) AS BIGINT) AS bsum,
+            CAST(COUNT(*) AS BIGINT) AS bn
+        FROM px GROUP BY 1, 2, 3, 4, 5),
+    tot AS (SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS total,
+            CAST(SUM(bn) AS BIGINT) AS n_total
+        FROM blocks GROUP BY doc_id),
+    bits AS (SELECT blocks.doc_id, w, h,
+            CASE WHEN bsum * n_total > total * bn
+                 THEN CAST(1 AS BIGINT) << CAST(by * 4 + bx AS INT)
+                 ELSE 0 END AS bitval,
+            CASE WHEN bsum * n_total > total * bn THEN 1 ELSE 0 END
+                AS one
+        FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id)
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        CAST(h AS INT) AS height,
+        CAST(SUM(bitval) AS BIGINT) AS ahash16,
+        CAST(SUM(one) AS INT) AS bits_set
+    FROM bits GROUP BY doc_id, w, h ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -12152,6 +12208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abc_part_classes": q_abc_part_classes,
     "hill_tail_index": q_hill_tail_index,
     "lateness_histogram": q_lateness_histogram,
+    "media_ahash": q_media_ahash,
 }
 
 ORACLES: dict[str, str] = {
@@ -12348,6 +12405,7 @@ ORACLES: dict[str, str] = {
     "abc_part_classes": ORACLE_ABC,
     "hill_tail_index": ORACLE_HILL,
     "lateness_histogram": ORACLE_LATENESS,
+    "media_ahash": ORACLE_MEDIA_AHASH,
 }
 
 

@@ -560,21 +560,30 @@ def build_png(width: int, height: int, pixel_fn) -> bytes:
     return bytes(out)
 
 
-def synthetic_png_pixel_payloads(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL PNGs per doc: w = 4 + id % 13, h = 3 + id %
-    11, pixel (x, y) channels are fixed modular arithmetic in doc_id —
-    so an ORACLE can state the exact channel sums without decoding
-    anything, while the Spark side must round-trip filter+zlib encode
-    -> decode to produce the same integers.  Any mistake in the chunk
-    walk, decompression framing, or any of the five unfilter paths
-    changes a sum and hash-mismatches."""
+def synthetic_png_pixel_payloads(
+    docs: DataFrame,
+    base_w: int = 4,
+    mod_w: int = 13,
+    base_h: int = 3,
+    mod_h: int = 11,
+) -> DataFrame:
+    """Deterministic REAL PNGs per doc: w = base_w + id % mod_w, h =
+    base_h + id % mod_h (defaults 4+id%13 x 3+id%11), pixel (x, y)
+    channels are fixed modular arithmetic in doc_id — so an ORACLE can
+    state the exact channel sums without decoding anything, while the
+    Spark side must round-trip filter+zlib encode -> decode to produce
+    the same integers.  Any mistake in the chunk walk, decompression
+    framing, or any of the five unfilter paths changes a sum and
+    hash-mismatches.  image_ahash uses base 8 so every 4x4 grid block
+    is non-empty."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for mid in pdf["media_id"]:
                 mid = int(mid)
-                w, h = 4 + mid % 13, 3 + mid % 11
+                w = base_w + mid % mod_w
+                h = base_h + mid % mod_h
                 payloads.append(
                     build_png(
                         w,
@@ -598,6 +607,79 @@ def synthetic_png_pixel_payloads(docs: DataFrame) -> DataFrame:
                 T.StructField("payload", T.BinaryType(), True),
             ]
         ),
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("ahash16", T.LongType(), True),
+        T.StructField("bits_set", T.IntegerType(), True),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: luminance
+    block means on a grid x grid lattice, bit b = 1 iff its block mean
+    exceeds the image mean — the classic aHash near-dup primitive,
+    here in EXACT integer arithmetic (the mean comparison is the
+    cross-multiplication block_sum * n_pixels > total_sum * n_block,
+    so no division ever happens and an oracle can replay the hash
+    bit-for-bit from a pixel formula).  Pixel block assignment is
+    bx = x*grid // w, by = y*grid // h (every block non-empty when
+    w, h >= grid).  Non-PNG / unsupported payloads yield NULL rows
+    (quarantine-don't-crash).
+
+    Scale shape: one Arrow-batched mapInPandas over the payload
+    column, zero shuffle — payload bytes cross the Python boundary
+    once and only fixed-width columns come out."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_pixels(b)
+                if px is None or px.shape[0] < grid or px.shape[1] < grid:
+                    rows.append((int(mid), None, None, None, None))
+                    continue
+                h, w, ch = px.shape
+                if ch >= 3:
+                    lum = px[:, :, :3].astype("int64").sum(axis=2)
+                else:
+                    lum = px.reshape(h, w).astype("int64") * 3
+                total = int(lum.sum())
+                n_total = h * w
+                yb = (np.arange(h) * grid) // h
+                xb = (np.arange(w) * grid) // w
+                hashv = 0
+                bits = 0
+                for by in range(grid):
+                    rsel = lum[yb == by]
+                    for bx in range(grid):
+                        blk = rsel[:, xb == bx]
+                        bsum = int(blk.sum())
+                        bn = blk.size
+                        if bsum * n_total > total * bn:
+                            hashv |= 1 << (by * grid + bx)
+                            bits += 1
+                rows.append((int(mid), w, h, hashv, bits))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            ).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "ahash16": "Int64",
+                    "bits_set": "Int32",
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
     )
 
 

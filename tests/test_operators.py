@@ -2037,3 +2037,37 @@ def test_ngram_diversity_short_docs_no_crash(spark, tmp_path):
     assert rows[(1,)] == (3, 3)  # 'one', 'two', 'words'
     assert rows[(2,)] == (1, 1)  # only 'two words'
     assert (3,) not in rows  # no doc has 3 tokens
+
+
+def test_image_ahash_quarantine_and_grid(spark):
+    """aHash: non-PNG payloads yield NULL rows; images smaller than
+    the grid are quarantined too; a flat image hashes to 0 (no block
+    above the mean); a half-bright image sets exactly the bright
+    blocks."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        build_png,
+        image_ahash,
+    )
+
+    flat = build_png(8, 8, lambda x, y: (50, 50, 50))
+    half = build_png(8, 8, lambda x, y: (200, 200, 200) if x >= 4 else (10, 10, 10))
+    tiny = build_png(2, 2, lambda x, y: (1, 2, 3))
+    rows = {
+        r["media_id"]: r
+        for r in image_ahash(
+            spark.createDataFrame(
+                [(0, bytearray(flat)), (1, bytearray(half)),
+                 (2, bytearray(tiny)), (3, bytearray(b"GIF89a"))],
+                "media_id LONG, payload BINARY",
+            )
+        ).collect()
+    }
+    assert rows[0]["ahash16"] == 0 and rows[0]["bits_set"] == 0
+    # right half bright: bits bx in {2,3} for every by -> 8 bits set
+    assert rows[1]["bits_set"] == 8
+    expected = sum(
+        1 << (by * 4 + bx) for by in range(4) for bx in (2, 3)
+    )
+    assert rows[1]["ahash16"] == expected
+    assert rows[2]["ahash16"] is None  # smaller than grid
+    assert rows[3]["ahash16"] is None  # not a PNG

@@ -945,3 +945,13 @@ def test_running_max_matches_sequential_model(spark):
     for k, v in vals:
         best = v if best is None or v > best else best
         assert got[k] == best, (k, got[k], best)
+
+
+def test_media_ahash_single_python_stage_no_join(spark):
+    """aHash: payload bytes cross the Python boundary in mapInPandas
+    with no join/shuffle between build and hash; only the presentation
+    sort exchange remains."""
+    plan = _plan(spark, "media_ahash")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
