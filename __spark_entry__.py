@@ -12014,6 +12014,238 @@ ORACLE_MEDIA_AHASH = """
 """
 
 
+def q_ahash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual hashing, evaluated end to
+    end: every doc gets a base PNG (channels mod 200, headroom so no
+    clamping) and a +20-brightness variant at id+1e6; BOTH are real
+    encoded PNGs decoded through the stdlib pipeline and aHashed.
+    aHash is exactly invariant under unclamped constant brightness
+    shift (each bit compares block_sum·n vs total·bn; adding c to
+    every pixel adds c·bn·n to both sides), so exact-match blocking on
+    the 16-bit hash must recover EVERY planted pair — recall_ppm ==
+    1e6 is the oracle-checked invariance proof, and distinct-hash /
+    collision counts report the blocking selectivity.
+
+    Scale shape: one mapInPandas per variant (zero shuffle), an
+    id-equi join of two hash projections, single-row rollup."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        build_png,
+        image_ahash,
+    )
+    import pandas as _pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_builder(shift: int, offset: int):
+        def build(batches):
+            for pdf in batches:
+                payloads, ids = [], []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    w, h = 8 + mid % 9, 8 + mid % 6
+                    payloads.append(
+                        build_png(
+                            w,
+                            h,
+                            lambda x, y, d=mid, s=shift: (
+                                (d + 7 * x + 3 * y) % 200 + s,
+                                (2 * d + 5 * x + 11 * y) % 200 + s,
+                                (3 * d + x + 13 * y) % 200 + s,
+                            ),
+                        )
+                    )
+                    ids.append(mid + offset)
+                yield _pd.DataFrame(
+                    {"media_id": ids, "payload": payloads}
+                )
+
+        return build
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("media_id", _T.LongType(), False),
+            _T.StructField("payload", _T.BinaryType(), True),
+        ]
+    )
+    base = docs.mapInPandas(make_builder(0, 0), schema=schema)
+    var = docs.mapInPandas(
+        make_builder(20, _PLANT_OFFSET), schema=schema
+    )
+    ah = image_ahash(base.unionAll(var))
+    b = ah.filter(F.col("media_id") < _PLANT_OFFSET).select(
+        F.col("media_id").alias("mid"), F.col("ahash16").alias("hb")
+    )
+    v = ah.filter(F.col("media_id") >= _PLANT_OFFSET).select(
+        (F.col("media_id") - _PLANT_OFFSET).alias("mid"),
+        F.col("ahash16").alias("hv"),
+    )
+    j = b.join(v, "mid")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.expr("CASE WHEN hb = hv THEN 1 ELSE 0 END")
+        ).alias("n_matched"),
+        F.count_distinct("hb").alias("n_distinct_hashes"),
+    ).select(
+        "n_docs",
+        "n_matched",
+        F.expr("n_matched * 1000000 div n_docs").alias("recall_ppm"),
+        "n_distinct_hashes",
+    )
+
+
+def _ahash_oracle_pipeline(alias: str, shift: int) -> str:
+    return f"""
+    px_{alias} AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+            (doc_id + 7 * xs.x + 3 * ys.y) % 200
+              + (2 * doc_id + 5 * xs.x + 11 * ys.y) % 200
+              + (3 * doc_id + xs.x + 13 * ys.y) % 200
+              + {3 * shift} AS lum
+        FROM d,
+        unnest(generate_series(0, w - 1)) AS xs(x),
+        unnest(generate_series(0, h - 1)) AS ys(y)),
+    blocks_{alias} AS (SELECT doc_id,
+            (y * 4) // h AS by, (x * 4) // w AS bx,
+            CAST(SUM(lum) AS BIGINT) AS bsum,
+            CAST(COUNT(*) AS BIGINT) AS bn
+        FROM px_{alias} GROUP BY 1, 2, 3),
+    tot_{alias} AS (SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS total,
+            CAST(SUM(bn) AS BIGINT) AS n_total
+        FROM blocks_{alias} GROUP BY doc_id),
+    hash_{alias} AS (SELECT b.doc_id,
+            CAST(SUM(CASE WHEN bsum * n_total > total * bn
+                THEN CAST(1 AS BIGINT) << CAST(by * 4 + bx AS INT)
+                ELSE 0 END) AS BIGINT) AS h
+        FROM blocks_{alias} b JOIN tot_{alias} t
+          ON b.doc_id = t.doc_id
+        GROUP BY b.doc_id)"""
+
+
+ORACLE_AHASH_DEDUP = f"""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 6 AS h
+        FROM documents),
+    {_ahash_oracle_pipeline('b', 0)},
+    {_ahash_oracle_pipeline('v', 20)},
+    j AS (SELECT hash_b.doc_id, hash_b.h AS hb, hash_v.h AS hv
+        FROM hash_b JOIN hash_v ON hash_b.doc_id = hash_v.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN hb = hv THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+        CAST(SUM(CASE WHEN hb = hv THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS recall_ppm,
+        CAST(COUNT(DISTINCT hb) AS BIGINT) AS n_distinct_hashes
+    FROM j
+"""
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-purchase graph (the
+    supplier_triangles edge set, min support 3): Pearson correlation
+    of endpoint degrees over both edge orientations — positive =
+    hub-to-hub trading (failure cascades concentrate), negative =
+    hub-to-periphery.  Exact integer degree moments in DECIMAL(38,0)/
+    HUGEINT, VARCHAR-bridged closed form, det_round(6) (the corr
+    idiom).
+
+    Scale shape: the customer-sharded edge build is the corpus stage;
+    degrees aggregate at vertex cardinality; moments at single-row."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    edges = G.undirected_edges_min_support(
+        pairs, "cust", "supp", min_support=3
+    )
+    sym = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(
+        F.col("u").alias("v"), F.col("d").alias("dy")
+    )
+    xy = sym.join(du, "u").join(dv, "v")
+    dec = "DECIMAL(38,0)"
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(dx AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST(dy AS {dec}))").alias("sy"),
+        F.expr(f"SUM(CAST(dx AS {dec}) * dx)").alias("sxx"),
+        F.expr(f"SUM(CAST(dy AS {dec}) * dy)").alias("syy"),
+        F.expr(f"SUM(CAST(dx AS {dec}) * dy)").alias("sxy"),
+    )
+    br = m.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_endpoints"),
+        F.expr("CAST(n AS DOUBLE)").alias("dn"),
+        *[
+            F.expr(f"CAST(CAST({c} AS STRING) AS DOUBLE)").alias(
+                "d" + c
+            )
+            for c in ("sx", "sy", "sxx", "syy", "sxy")
+        ],
+    )
+    num = F.col("dn") * F.col("dsxy") - F.col("dsx") * F.col("dsy")
+    den = F.sqrt(
+        (F.col("dn") * F.col("dsxx") - F.col("dsx") * F.col("dsx"))
+        * (F.col("dn") * F.col("dsyy") - F.col("dsy") * F.col("dsy"))
+    )
+    return br.select(
+        "n_endpoints",
+        DET.det_round(num / F.nullif(den, F.lit(0.0)), 6).alias(
+            "assortativity"
+        ),
+    )
+
+
+ORACLE_ASSORTATIVITY = f"""
+    WITH pairs AS (SELECT DISTINCT o.o_custkey AS g, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT a.s AS a, b.s AS b
+        FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    sym AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym
+        GROUP BY u),
+    xy AS (SELECT du.d AS dx, dv.d AS dy
+        FROM sym JOIN deg du ON sym.u = du.u
+                 JOIN deg dv ON sym.v = dv.u),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(dx AS HUGEINT)) AS sx,
+            SUM(CAST(dy AS HUGEINT)) AS sy,
+            SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+            SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+            SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+        FROM xy),
+    br AS (SELECT n AS n_endpoints, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+        FROM m)
+    SELECT n_endpoints,
+        {DET.det_round_sql(
+            '(dn * dsxy - dsx * dsy) / NULLIF('
+            'sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)),'
+            ' 0.0)', 6
+        )} AS assortativity
+    FROM br
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -12209,6 +12441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hill_tail_index": q_hill_tail_index,
     "lateness_histogram": q_lateness_histogram,
     "media_ahash": q_media_ahash,
+    "ahash_dedup_eval": q_ahash_dedup_eval,
+    "graph_assortativity": q_graph_assortativity,
 }
 
 ORACLES: dict[str, str] = {
@@ -12406,6 +12640,8 @@ ORACLES: dict[str, str] = {
     "hill_tail_index": ORACLE_HILL,
     "lateness_histogram": ORACLE_LATENESS,
     "media_ahash": ORACLE_MEDIA_AHASH,
+    "ahash_dedup_eval": ORACLE_AHASH_DEDUP,
+    "graph_assortativity": ORACLE_ASSORTATIVITY,
 }
 
 

@@ -955,3 +955,20 @@ def test_media_ahash_single_python_stage_no_join(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_ahash_dedup_python_stages_equi_join(spark):
+    """aHash dedup eval: two mapInPandas variants, an id equi-join of
+    hash projections, no cartesian."""
+    plan = _plan(spark, "ahash_dedup_eval")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_assortativity_vertex_degrees_single_row_moments(spark):
+    """Assortativity: degree agg partial-combines at vertex
+    cardinality; endpoint join is equi; moments single-row."""
+    plan = _plan(spark, "graph_assortativity")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
