@@ -12163,9 +12163,13 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # localCheckpoint: the customer-sharded edge build feeds four
+    # references (two sym orientations, each consumed by degrees AND
+    # endpoint joins); without pinning it can re-execute per consumer
+    # (the supplier_triangles precedent — same edge set, same trade)
     edges = G.undirected_edges_min_support(
         pairs, "cust", "supp", min_support=3
-    )
+    ).localCheckpoint()
     sym = edges.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionAll(
