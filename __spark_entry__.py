@@ -29,6 +29,7 @@ from kafka_firehose_nozzle_spark.functions import detmath as DET
 from kafka_firehose_nozzle_spark.functions.routing import route_topic_expr
 from kafka_firehose_nozzle_spark.operators import dedup as D
 from kafka_firehose_nozzle_spark.operators import graph as G
+from kafka_firehose_nozzle_spark.operators import ranking as RK
 from kafka_firehose_nozzle_spark.operators import history as H
 from kafka_firehose_nozzle_spark.operators import layout as LAY
 from kafka_firehose_nozzle_spark.operators import sampling as SA
@@ -12250,6 +12251,306 @@ ORACLE_ASSORTATIVITY = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 6r (round 6, continued): boilerplate shingle curation, positional
+# phrase search, Bradley-Terry preference ranking
+# --------------------------------------------------------------------------
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection, the CCNet-style curation pass:
+    a bigram shingle is boilerplate within a source when it appears in
+    >= max(3, ceil(10%)) of that source's documents (headers, nav
+    chrome, license blurbs repeat across a crawl domain; body text
+    doesn't).  Reports, per source, the boilerplate vocabulary size
+    and how much of an average document it covers — the "how much of
+    this feed is template" number a pretraining-mix owner reads.
+
+    All-integer outputs (counts + exact ppm via integer division) —
+    hash-safe across engines.
+
+    Scale shape: gram explode is token volume (the standard gram
+    class here); the df aggregation partial-combines to (source,
+    gram) cardinality; the flag join is equi on (source, gram) —
+    boilerplate rows join back against gram instances without any
+    broadcast assumption (the boiler side is data-dependent, so it
+    stays a shuffle join and AQE may demote it to broadcast when
+    small).  Docs with <2 tokens carry no shingles and drop out on
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        TX.tokens(TX.normalize_text(F.col("text"))).alias("toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2, TX.ngram_strings(F.col("toks"), 2)
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src_docs")
+    )
+    gdf = grams.groupBy("source", "gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = (
+        gdf.join(F.broadcast(src), "source")
+        .filter(
+            F.col("df")
+            >= F.greatest(F.lit(3), F.expr("(n_src_docs + 9) div 10"))
+        )
+        .select("source", "gram")
+    )
+    flagged = grams.join(
+        boiler.withColumn("is_b", F.lit(1)), ["source", "gram"], "left"
+    )
+    perdoc = flagged.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("is_b"), F.lit(0))).alias("n_boiler"),
+    )
+    agg = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("gram_occurrences"),
+        F.sum("n_boiler").alias("boiler_occurrences"),
+        F.expr(
+            "sum(n_boiler * 1000000 div n_grams) div count(*)"
+        ).alias("mean_cov_ppm"),
+    )
+    bs = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_boiler_grams")
+    )
+    return (
+        agg.join(bs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_boiler_grams"), F.lit(0)).alias(
+                "n_boiler_grams"
+            ),
+            "gram_occurrences",
+            "boiler_occurrences",
+            "mean_cov_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+            unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+          FROM t WHERE len(toks) >= 2),
+    src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_docs
+            FROM documents GROUP BY source),
+    gdf AS (SELECT source, gram,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM g GROUP BY source, gram),
+    boiler AS (SELECT gdf.source, gram
+        FROM gdf JOIN src ON gdf.source = src.source
+        WHERE df >= GREATEST(3, (n_src_docs + 9) // 10)),
+    flag AS (SELECT g.source, g.doc_id,
+            CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END AS is_b
+        FROM g LEFT JOIN boiler b
+          ON g.source = b.source AND g.gram = b.gram),
+    perdoc AS (SELECT source, doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_grams,
+            CAST(SUM(is_b) AS BIGINT) AS n_boiler
+        FROM flag GROUP BY source, doc_id),
+    agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_grams) AS BIGINT) AS gram_occurrences,
+            CAST(SUM(n_boiler) AS BIGINT) AS boiler_occurrences,
+            CAST(SUM(n_boiler * 1000000 // n_grams) AS BIGINT)
+                // COUNT(*) AS mean_cov_ppm
+        FROM perdoc GROUP BY source),
+    bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_boiler_grams
+        FROM boiler GROUP BY source)
+    SELECT agg.source, n_docs,
+        CAST(COALESCE(bs.n_boiler_grams, 0) AS BIGINT)
+            AS n_boiler_grams,
+        gram_occurrences, boiler_occurrences,
+        CAST(mean_cov_ppm AS BIGINT) AS mean_cov_ppm
+    FROM agg LEFT JOIN bs ON agg.source = bs.source
+    ORDER BY agg.source
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query ("table value" as ADJACENT tokens) via
+    the positional-inverted-index join: per-term posting lists with
+    positions, intersected on (doc_id, pos+1 = pos) — the classic IR
+    phrase primitive that bag-of-words containment can't answer.
+
+    Scale shape: the token filters cut the exploded postings to
+    single-term lists BEFORE the join (filter-then-join, not
+    join-then-filter); the adjacency condition is folded into the
+    equi-join key (doc_id, p1+1) so Catalyst plans a hash/sort-merge
+    join, never a broadcast-nested-loop on the range predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("pos", "token"),
+    )
+    t1 = pos.filter(F.col("token") == "table").select(
+        "doc_id",
+        F.col("pos").alias("p1"),
+        (F.col("pos") + 1).alias("pnext"),
+    )
+    t2 = pos.filter(F.col("token") == "value").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("p2")
+    )
+    m = t1.join(
+        t2,
+        (t1["doc_id"] == t2["doc_id2"]) & (t1["pnext"] == t2["p2"]),
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("p1").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PHRASE_SEARCH = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS token
+            FROM t, unnest(range(len(toks))) AS u(i)),
+    t1 AS (SELECT doc_id, pos AS p1 FROM pos WHERE token = 'table'),
+    t2 AS (SELECT doc_id, pos AS p2 FROM pos WHERE token = 'value')
+    SELECT t1.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_matches,
+        CAST(MIN(p1) AS BIGINT) AS first_pos
+    FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.p2 = t1.p1 + 1
+    GROUP BY t1.doc_id ORDER BY t1.doc_id
+"""
+
+
+def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over part brands, the
+    reward-model-data primitive: every within-order pair of lineitems
+    with different brands and strictly different quantities is one
+    duel (higher quantity wins); three exact-integer MM iterations
+    with add-one smoothing produce globally comparable micro-unit
+    strengths.  See operators/ranking.py for the fixed-point contract
+    the oracle replays term for term.
+
+    Scale shape: duel generation is the corpus stage — an equi
+    self-join on l_orderkey (<=21 pairs per 7-line order) partial-
+    aggregating to brand-pair cardinality; the MM solve runs on that
+    bounded matrix (brands are a dim attribute, ~25 values at every
+    TPC-H scale), a bounded collect by construction — the same class
+    as the BPE top-1 / IVF-centroid collects."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        "l_quantity",
+    )
+    duels = RK.duel_matrix(
+        lb, ["l_orderkey"], "brand", "l_quantity", "l_linenumber"
+    )
+    rows = duels.collect()  # bounded: brand-pair cardinality
+    brands = sorted(
+        r["p_brand"] for r in part.select("p_brand").distinct().collect()
+    )
+    obs = {(r["winner"], r["loser"]): int(r["w"]) for r in rows}
+    strength = RK.bradley_terry_micro(brands, obs, iters=3)
+    out = []
+    for x in brands:
+        wins = sum(obs.get((x, y), 0) for y in brands)
+        comps = wins + sum(obs.get((y, x), 0) for y in brands)
+        out.append((x, strength[x], wins, comps))
+    res = spark.createDataFrame(
+        out,
+        "brand STRING, strength_micro LONG, wins LONG, comparisons LONG",
+    )
+    return res.orderBy(F.desc("strength_micro"), "brand")
+
+
+ORACLE_BRADLEY_TERRY = """
+    WITH brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+    lb AS (SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+            p.p_brand AS brand, l.l_quantity AS q
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    duels AS (SELECT
+            CASE WHEN a.q > b.q THEN a.brand ELSE b.brand END AS winner,
+            CASE WHEN a.q > b.q THEN b.brand ELSE a.brand END AS loser,
+            CAST(COUNT(*) AS BIGINT) AS w
+        FROM lb a JOIN lb b ON a.ok = b.ok AND a.ln < b.ln
+        WHERE a.brand <> b.brand AND a.q <> b.q
+        GROUP BY 1, 2),
+    w AS (SELECT x.brand AS x, y.brand AS y,
+            CAST(1 + COALESCE(d.w, 0) AS HUGEINT) AS wxy
+        FROM brands x JOIN brands y ON x.brand <> y.brand
+        LEFT JOIN duels d ON d.winner = x.brand AND d.loser = y.brand),
+    n AS (SELECT a.x, a.y, a.wxy + b.wxy AS nxy
+        FROM w a JOIN w b ON a.x = b.y AND a.y = b.x),
+    wt AS (SELECT x, SUM(wxy) AS bw FROM w GROUP BY x),
+    nb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM brands),
+    s0 AS (SELECT brand, CAST(1000000 AS HUGEINT) AS s FROM brands),
+    d1 AS (SELECT n.x,
+            SUM(nxy * 1000000000000 // (sx.s + sy.s)) AS den
+        FROM n JOIN s0 sx ON n.x = sx.brand
+               JOIN s0 sy ON n.y = sy.brand GROUP BY n.x),
+    r1 AS (SELECT wt.x AS brand, bw * 1000000000000 // den AS s
+        FROM wt JOIN d1 ON wt.x = d1.x),
+    s1 AS (SELECT brand,
+            s * (SELECT b * 1000000 FROM nb)
+              // (SELECT SUM(s) FROM r1) AS s
+        FROM r1),
+    d2 AS (SELECT n.x,
+            SUM(nxy * 1000000000000 // (sx.s + sy.s)) AS den
+        FROM n JOIN s1 sx ON n.x = sx.brand
+               JOIN s1 sy ON n.y = sy.brand GROUP BY n.x),
+    r2 AS (SELECT wt.x AS brand, bw * 1000000000000 // den AS s
+        FROM wt JOIN d2 ON wt.x = d2.x),
+    s2 AS (SELECT brand,
+            s * (SELECT b * 1000000 FROM nb)
+              // (SELECT SUM(s) FROM r2) AS s
+        FROM r2),
+    d3 AS (SELECT n.x,
+            SUM(nxy * 1000000000000 // (sx.s + sy.s)) AS den
+        FROM n JOIN s2 sx ON n.x = sx.brand
+               JOIN s2 sy ON n.y = sy.brand GROUP BY n.x),
+    r3 AS (SELECT wt.x AS brand, bw * 1000000000000 // den AS s
+        FROM wt JOIN d3 ON wt.x = d3.x),
+    s3 AS (SELECT brand,
+            s * (SELECT b * 1000000 FROM nb)
+              // (SELECT SUM(s) FROM r3) AS s
+        FROM r3),
+    obs_w AS (SELECT winner AS brand, CAST(SUM(w) AS BIGINT) AS wins
+        FROM duels GROUP BY winner),
+    obs_l AS (SELECT loser AS brand, CAST(SUM(w) AS BIGINT) AS losses
+        FROM duels GROUP BY loser),
+    obs AS (SELECT b.brand,
+            CAST(COALESCE(ow.wins, 0) AS BIGINT) AS wins,
+            CAST(COALESCE(ow.wins, 0) + COALESCE(ol.losses, 0)
+                AS BIGINT) AS comparisons
+        FROM brands b
+        LEFT JOIN obs_w ow ON b.brand = ow.brand
+        LEFT JOIN obs_l ol ON b.brand = ol.brand)
+    SELECT s3.brand, CAST(s3.s AS BIGINT) AS strength_micro,
+        obs.wins, obs.comparisons
+    FROM s3 JOIN obs ON s3.brand = obs.brand
+    ORDER BY strength_micro DESC, s3.brand
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -12447,6 +12748,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_ahash": q_media_ahash,
     "ahash_dedup_eval": q_ahash_dedup_eval,
     "graph_assortativity": q_graph_assortativity,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "phrase_search": q_phrase_search,
+    "bradley_terry_brands": q_bradley_terry_brands,
 }
 
 ORACLES: dict[str, str] = {
@@ -12646,6 +12950,9 @@ ORACLES: dict[str, str] = {
     "media_ahash": ORACLE_MEDIA_AHASH,
     "ahash_dedup_eval": ORACLE_AHASH_DEDUP,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
+    "boilerplate_shingles": ORACLE_BOILERPLATE,
+    "phrase_search": ORACLE_PHRASE_SEARCH,
+    "bradley_terry_brands": ORACLE_BRADLEY_TERRY,
 }
 
 

@@ -2071,3 +2071,53 @@ def test_image_ahash_quarantine_and_grid(spark):
     assert rows[1]["ahash16"] == expected
     assert rows[2]["ahash16"] is None  # smaller than grid
     assert rows[3]["ahash16"] is None  # not a PNG
+
+
+# ---------------------------------------------------------------------------
+# wave 6r: Bradley-Terry MM solver (pure-integer fixed point)
+# ---------------------------------------------------------------------------
+
+
+def test_bradley_terry_orders_by_win_rate():
+    """A dominant item must rank above a middling one above a losing
+    one; strengths renormalize to mean ~1e6 each iteration."""
+    from kafka_firehose_nozzle_spark.operators.ranking import (
+        MICRO,
+        bradley_terry_micro,
+    )
+
+    obs = {
+        ("a", "b"): 30,
+        ("b", "a"): 5,
+        ("a", "c"): 25,
+        ("c", "a"): 2,
+        ("b", "c"): 20,
+        ("c", "b"): 10,
+    }
+    s = bradley_terry_micro(["a", "b", "c"], obs, iters=3)
+    assert s["a"] > s["b"] > s["c"]
+    # renormalization keeps the total at B * MICRO (floor-div slack < B)
+    assert abs(sum(s.values()) - 3 * MICRO) < 3
+
+
+def test_bradley_terry_smoothing_handles_unseen_items():
+    """An item with zero observed duels gets a finite middling
+    strength (add-one smoothing), never a div-by-zero or zero lock."""
+    from kafka_firehose_nozzle_spark.operators.ranking import (
+        bradley_terry_micro,
+    )
+
+    s = bradley_terry_micro(["a", "b", "ghost"], {("a", "b"): 50}, iters=3)
+    assert s["ghost"] > 0
+    assert s["a"] > s["ghost"]
+
+
+def test_bradley_terry_symmetric_duels_tie():
+    from kafka_firehose_nozzle_spark.operators.ranking import (
+        bradley_terry_micro,
+    )
+
+    s = bradley_terry_micro(
+        ["a", "b"], {("a", "b"): 7, ("b", "a"): 7}, iters=3
+    )
+    assert s["a"] == s["b"]

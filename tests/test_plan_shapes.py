@@ -972,3 +972,54 @@ def test_assortativity_vertex_degrees_single_row_moments(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_boilerplate_filter_then_flag_equi_join(spark):
+    """Boilerplate shingles: df agg partial-combines; the boiler flag
+    join is equi on (source, gram) — no cartesian, no Python."""
+    plan = _plan(spark, "boilerplate_shingles")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_phrase_search_adjacency_is_equi_join(spark):
+    """Phrase search: the pos+1 adjacency is folded into the join key,
+    so the posting intersection is a hash/sort-merge equi join — a
+    range predicate would plan BroadcastNestedLoopJoin."""
+    plan = _plan(spark, "phrase_search")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_bradley_terry_duels_equi_self_join(spark):
+    """Bradley-Terry: the corpus stage (duel generation) self-joins
+    lineitem on the ORDER key only — equi, never cartesian — and
+    partial-aggregates to brand-pair cardinality before the bounded
+    collect."""
+    from kafka_firehose_nozzle_spark.operators import ranking as RK
+    from pyspark.sql import functions as F
+
+    li = entry._t(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = entry._t(spark, SF, "part").select("p_partkey", "p_brand")
+    lb = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        "l_quantity",
+    )
+    duels = RK.duel_matrix(
+        lb, ["l_orderkey"], "brand", "l_quantity", "l_linenumber"
+    )
+    plan = duels._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
