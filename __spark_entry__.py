@@ -12551,6 +12551,280 @@ ORACLE_BRADLEY_TERRY = """
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 6s (round 6, continued): Poisson bootstrap, split-conformal
+# calibration, selection-parity fairness audit
+# --------------------------------------------------------------------------
+
+# Poisson(1) CDF in exact ppm (floor), the deterministic-bootstrap draw
+# table shared by the Spark query and the DuckDB oracle: a 60-bit md5
+# draw mod 1e6 inverted through this ladder gives each (doc, replicate)
+# its resample multiplicity.  Tail capped at 8 (P(>8) < 1.2e-6).
+_POISSON1_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405,
+                     999916, 999989)
+_PB_REPLICATES = 32
+
+
+def _poisson_weight_case(u_col: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_col} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_CDF_PPM)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def q_poisson_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean document length — THE bootstrap that
+    works at 100 TB: classic resampling needs n draws with replacement
+    (a global shuffle per replicate), the Poisson(1) approximation
+    gives every row an independent multiplicity, so all B replicates
+    ride ONE scan as a replicate-spine explode + grouped weighted sum
+    (Chamandy et al., "Estimating uncertainty for massive data
+    streams", public Google TR).  Draws are md5-deterministic, the
+    multiplicity ladder is the shared exact-ppm CDF table, and each
+    replicate mean is an exact integer micro-division — the 32-row
+    output IS the sampling distribution (sort it for CI bounds).
+
+    Scale shape: 32x row blowup in one projection (token-volume
+    class), partial-aggregated per replicate; no shuffle wider than
+    32 groups."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PB_REPLICATES - 1))
+        ).alias("b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#pb"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.expr(_poisson_weight_case("u_ppm"))
+    return (
+        ex.withColumn("u_ppm", h % F.lit(1000000))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).alias("wsum"),
+        )
+        .select(
+            "b",
+            "n_eff",
+            F.expr("wsum * 1000000 div n_eff").alias("mean_micro"),
+        )
+        .orderBy("b")
+    )
+
+
+ORACLE_POISSON_BOOTSTRAP = f"""
+    WITH ex AS (SELECT doc_id, n_chars, r.b AS b
+        FROM documents,
+             unnest(generate_series(0, {_PB_REPLICATES - 1})) AS r(b)),
+    d AS (SELECT b, n_chars,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pb'
+                || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000 AS u_ppm
+        FROM ex),
+    wtab AS (SELECT b, n_chars,
+            {_poisson_weight_case('u_ppm')} AS w
+        FROM d)
+    SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        CAST(SUM(w * n_chars) AS BIGINT) * 1000000
+            // CAST(SUM(w) AS BIGINT) AS mean_micro
+    FROM wtab GROUP BY b ORDER BY b
+"""
+
+
+def q_conformal_length_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of a per-source length predictor:
+    even doc_ids calibrate, odd doc_ids test.  The predictor is the
+    calibration mean length per source (exact integer micro);
+    nonconformity is |length - prediction|; q_hat is the
+    ceil((n_cal+1)*0.9)-th smallest calibration residual (the standard
+    split-conformal order statistic, Vovk/Angelopoulos, public), and
+    the test half reports achieved coverage in exact ppm — the
+    distribution-free ~90% guarantee, audited.
+
+    Scale shape: residual ranking is a PARTITIONED window (by source),
+    never a global sort; everything else is two grouped aggregates
+    and a broadcast-size per-source stat join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cal = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    stats = cal.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr("sum(n_chars) * 1000000 div count(*)").alias("pred_micro"),
+    )
+    from pyspark.sql import Window
+
+    res = cal.join(F.broadcast(stats), "source").select(
+        "source",
+        "doc_id",
+        "n_cal",
+        F.abs(
+            F.col("n_chars") * F.lit(1000000) - F.col("pred_micro")
+        ).alias("r"),
+    )
+    wnd = Window.partitionBy("source").orderBy("r", "doc_id")
+    ranked = res.withColumn("rn", F.row_number().over(wnd))
+    qhat = ranked.filter(
+        F.col("rn")
+        == F.least(
+            F.col("n_cal"), F.expr("((n_cal + 1) * 9 + 9) div 10")
+        )
+    ).select("source", "n_cal", F.col("r").alias("q_hat_micro"))
+    cov = (
+        test.join(F.broadcast(stats.select("source", "pred_micro")), "source")
+        .join(F.broadcast(qhat), "source")
+        .groupBy("source", "n_cal", "q_hat_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("n_chars") * F.lit(1000000)
+                        - F.col("pred_micro")
+                    )
+                    <= F.col("q_hat_micro"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "source",
+        "n_cal",
+        "n_test",
+        "q_hat_micro",
+        F.expr("n_covered * 1000000 div n_test").alias("coverage_ppm"),
+    ).orderBy("source")
+
+
+ORACLE_CONFORMAL = """
+    WITH cal AS (SELECT source, doc_id, n_chars FROM documents
+        WHERE doc_id % 2 = 0),
+    tst AS (SELECT source, doc_id, n_chars FROM documents
+        WHERE doc_id % 2 = 1),
+    stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal,
+            CAST(SUM(n_chars) AS BIGINT) * 1000000 // COUNT(*)
+                AS pred_micro
+        FROM cal GROUP BY source),
+    res AS (SELECT cal.source, cal.doc_id, s.n_cal,
+            ABS(cal.n_chars * 1000000 - s.pred_micro) AS r,
+            ROW_NUMBER() OVER (PARTITION BY cal.source
+                ORDER BY ABS(cal.n_chars * 1000000 - s.pred_micro),
+                    cal.doc_id) AS rn
+        FROM cal JOIN stats s ON cal.source = s.source),
+    qhat AS (SELECT source, n_cal, r AS q_hat_micro FROM res
+        WHERE rn = LEAST(n_cal, ((n_cal + 1) * 9 + 9) // 10)),
+    cov AS (SELECT t.source, q.n_cal, q.q_hat_micro,
+            CAST(COUNT(*) AS BIGINT) AS n_test,
+            CAST(SUM(CASE WHEN ABS(t.n_chars * 1000000 - s.pred_micro)
+                    <= q.q_hat_micro THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_covered
+        FROM tst t JOIN stats s ON t.source = s.source
+             JOIN qhat q ON t.source = q.source
+        GROUP BY t.source, q.n_cal, q.q_hat_micro)
+    SELECT source, n_cal, n_test, q_hat_micro,
+        n_covered * 1000000 // n_test AS coverage_ppm
+    FROM cov ORDER BY source
+"""
+
+
+def q_selection_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness audit of the length-based selection filter (demographic
+    parity across sources): selected = doc longer than the corpus mean
+    (exact cross-multiplication — n_chars * n_total > total_chars, no
+    float mean ever forms); per source, the selection rate, its signed
+    gap to the overall rate, and the disparate-impact ratio vs the
+    overall rate, all exact ppm.  The governance screen a curation
+    filter needs before it silently drops a feed.
+
+    Scale shape: one corpus aggregate broadcast back (two scalars),
+    one grouped count — two scans, no shuffle wider than source
+    cardinality."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    per = (
+        docs.join(F.broadcast(tot))
+        .groupBy("source", "n_total", "total_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_chars") * F.col("n_total")
+                    > F.col("total_chars"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_sel"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # the empty-frame window runs over the per-SOURCE aggregate (a
+    # handful of rows — source is a bounded dim attribute), never the
+    # corpus; this is the bounded-spine exception to the no-global-
+    # window rule, same as the other source-cardinality rollups here
+    withall = per.withColumn(
+        "overall_sel", F.sum("n_sel").over(Window.partitionBy())
+    )
+    return withall.select(
+        "source",
+        "n_docs",
+        "n_sel",
+        F.expr("n_sel * 1000000 div n_docs").alias("rate_ppm"),
+        F.expr(
+            "n_sel * 1000000 div n_docs"
+            " - overall_sel * 1000000 div n_total"
+        ).alias("gap_ppm"),
+        F.expr(
+            "(n_sel * 1000000 div n_docs) * 1000000"
+            " div (overall_sel * 1000000 div n_total)"
+        ).alias("impact_ratio_ppm"),
+    ).orderBy("source")
+
+
+ORACLE_SELECTION_PARITY = """
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents),
+    per AS (SELECT source, n_total,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN n_chars * n_total > total_chars
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+        FROM documents CROSS JOIN tot
+        GROUP BY source, n_total, total_chars),
+    wa AS (SELECT source, n_docs, n_sel, n_total,
+            CAST(SUM(n_sel) OVER () AS BIGINT) AS overall_sel
+        FROM per)
+    SELECT source, n_docs, n_sel,
+        n_sel * 1000000 // n_docs AS rate_ppm,
+        n_sel * 1000000 // n_docs
+            - overall_sel * 1000000 // n_total AS gap_ppm,
+        (n_sel * 1000000 // n_docs) * 1000000
+            // (overall_sel * 1000000 // n_total) AS impact_ratio_ppm
+    FROM wa ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -12751,6 +13025,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_shingles": q_boilerplate_shingles,
     "phrase_search": q_phrase_search,
     "bradley_terry_brands": q_bradley_terry_brands,
+    "poisson_bootstrap_mean": q_poisson_bootstrap_mean,
+    "conformal_length_bounds": q_conformal_length_bounds,
+    "selection_parity_audit": q_selection_parity_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -12953,6 +13230,9 @@ ORACLES: dict[str, str] = {
     "boilerplate_shingles": ORACLE_BOILERPLATE,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "bradley_terry_brands": ORACLE_BRADLEY_TERRY,
+    "poisson_bootstrap_mean": ORACLE_POISSON_BOOTSTRAP,
+    "conformal_length_bounds": ORACLE_CONFORMAL,
+    "selection_parity_audit": ORACLE_SELECTION_PARITY,
 }
 
 

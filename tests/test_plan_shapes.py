@@ -1023,3 +1023,37 @@ def test_bradley_terry_duels_equi_self_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_poisson_bootstrap_one_scan_grouped(spark):
+    """Poisson bootstrap: one generate+explode projection, grouped
+    partial sums to 32 replicate rows — no Python, no join."""
+    plan = _plan(spark, "poisson_bootstrap_mean")
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_conformal_residual_window_is_partitioned(spark):
+    """Conformal: the residual ranking window is partitioned by
+    source (the plan's Window node carries a partition spec), and
+    the stat joins are broadcast."""
+    plan = _plan(spark, "conformal_length_bounds")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    import re
+
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "windowspecdefinition(source" in m.group(0), m.group(0)
+
+
+def test_selection_parity_bounded_spine_window(spark):
+    """Parity audit: the only single-partition exchange feeds the
+    source-cardinality rollup, never corpus rows — the plan's
+    SinglePartition sits ABOVE a HashAggregate over source."""
+    plan = _plan(spark, "selection_parity_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    if "SinglePartition" in plan:
+        agg_pos = plan.find("HashAggregate")
+        assert agg_pos != -1
