@@ -12825,6 +12825,348 @@ ORACLE_SELECTION_PARITY = """
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 6t (round 6, continued): k-core decomposition, autocorrelation
+# function, windowed PPMI co-occurrence
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=3) of the part co-order graph (parts
+    linked when >= 2 orders contain both — the market-basket graph,
+    which unlike the near-complete supplier co-purchase graph is
+    genuinely sparse: avg degree ~4 at sf0.01): iteratively peel
+    vertices with degree < k until fixpoint — the dense-subgraph
+    backbone extraction that degree filtering alone can't do
+    (removing a low-degree vertex can demote its neighbors).  Fixed
+    {rounds} peel rounds with early exit at the fixpoint; a fixpoint
+    test asserts convergence within the budget
+    (tests/test_operators.py), and extra rounds are no-ops so the
+    oracle (same unrolled rounds) matches regardless.
+
+    Scale shape: per round, one vertex-cardinality agg and two equi
+    joins on shrinking edge sets; localCheckpoint truncates the
+    iteration lineage (the star-contraction precedent) — never a
+    driver collect of graph data."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = G.undirected_edges_min_support(
+        li.distinct(), "l_orderkey", "l_partkey", min_support=2
+    )
+    core = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    # early exit at the fixpoint: once a round removes no edges, every
+    # later round is a no-op — identical results to the oracle's full
+    # unroll (its extra rounds are no-ops too), at a fraction of the
+    # materializations.  The count rides the eager localCheckpoint each
+    # round already pays.
+    n_edges = core.count()
+    for _ in range(_KCORE_ROUNDS):
+        deg = core.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        core = (
+            core.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_next = core.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        core.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("part"), "core_degree")
+        .orderBy("part")
+    )
+
+
+q_kcore_parts.__doc__ = q_kcore_parts.__doc__.format(
+    rounds=_KCORE_ROUNDS
+)
+
+
+def _kcore_oracle_rounds(k: int, rounds: int) -> str:
+    # every e{i} is MATERIALIZED: each round references its predecessor
+    # three times (degree agg + two semi filters), so default CTE
+    # inlining would expand the chain 3^rounds-fold — enough repeated
+    # parquet scans to exhaust the fd limit
+    ctes = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT u, COUNT(*) AS d FROM e{p} GROUP BY u),
+    k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE d >= {k}),
+    e{i} AS MATERIALIZED (SELECT e{p}.u, e{p}.v FROM e{p}
+        JOIN k{i} a ON e{p}.u = a.u
+        JOIN k{i} b ON e{p}.v = b.u)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+ORACLE_KCORE = f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS s FROM lineitem),
+    edges AS MATERIALIZED (SELECT a.s AS a, b.s AS b
+        FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b, a FROM edges),
+    {_kcore_oracle_rounds(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{_KCORE_ROUNDS} GROUP BY u ORDER BY part
+"""
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily order revenue at lags 1..7 —
+    the weekly-seasonality detector feeding forecast / anomaly
+    thresholds (companion to seasonal_decompose_daily, which ASSUMES
+    a period; this measures it).  Pearson r over (day t, day t-L)
+    pairs on the ZERO-FILLED dense day spine; revenue in exact 4dp
+    fixed point (the DECIMAL(12,4) price idiom), all six moments in
+    DECIMAL(38,0)/HUGEINT, VARCHAR-bridged closed form, det6.
+
+    Scale shape: the corpus stage is one day-cardinality aggregate;
+    the spine (~2.4k rows, bounded by the DATE DOMAIN, never corpus
+    size) explodes x7 lags and equi-joins itself on (day - lag) —
+    dimension-sized work; moments partial-combine to 7 rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS LONG)"
+        ).alias("cents4"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents4").alias("v"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).head()
+    spine = (
+        spark.range(bounds["d0"], bounds["d1"] + 1)
+        .select(F.col("id").alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    lagged = spine.select(
+        "day",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).withColumn("prev_day", F.col("day") - F.col("lag"))
+    prev = spine.select(
+        F.col("day").alias("prev_day"), F.col("v").alias("pv")
+    )
+    xy = lagged.join(prev, "prev_day")
+    dec = "DECIMAL(38,0)"
+    m = xy.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(v AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST(pv AS {dec}))").alias("sy"),
+        F.expr(f"SUM(CAST(v AS {dec}) * v)").alias("sxx"),
+        F.expr(f"SUM(CAST(pv AS {dec}) * pv)").alias("syy"),
+        F.expr(f"SUM(CAST(v AS {dec}) * pv)").alias("sxy"),
+    )
+    br = m.select(
+        "lag",
+        F.expr("CAST(n AS BIGINT)").alias("n_pairs"),
+        F.expr("CAST(n AS DOUBLE)").alias("dn"),
+        *[
+            F.expr(f"CAST(CAST({c} AS STRING) AS DOUBLE)").alias("d" + c)
+            for c in ("sx", "sy", "sxx", "syy", "sxy")
+        ],
+    )
+    num = F.col("dn") * F.col("dsxy") - F.col("dsx") * F.col("dsy")
+    den = F.sqrt(
+        (F.col("dn") * F.col("dsxx") - F.col("dsx") * F.col("dsx"))
+        * (F.col("dn") * F.col("dsyy") - F.col("dsy") * F.col("dsy"))
+    )
+    return br.select(
+        "lag",
+        "n_pairs",
+        DET.det_round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    ).orderBy("lag")
+
+
+ORACLE_ACF = f"""
+    WITH o AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+                AS cents4
+        FROM orders),
+    daily AS (SELECT day, CAST(SUM(cents4) AS BIGINT) AS v
+        FROM o GROUP BY day),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    spine AS (SELECT g.day AS day, COALESCE(daily.v, 0) AS v
+        FROM (SELECT unnest(generate_series(
+                (SELECT d0 FROM bounds), (SELECT d1 FROM bounds)))
+                AS day) g
+        LEFT JOIN daily ON g.day = daily.day),
+    lagged AS (SELECT s.day, s.v, l.lag AS lag, s.day - l.lag AS prev_day
+        FROM spine s, unnest(generate_series(1, 7)) AS l(lag)),
+    xy AS (SELECT lagged.lag, lagged.v AS v, p.v AS pv
+        FROM lagged JOIN spine p ON lagged.prev_day = p.day),
+    m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(v AS HUGEINT)) AS sx,
+            SUM(CAST(pv AS HUGEINT)) AS sy,
+            SUM(CAST(v AS HUGEINT) * v) AS sxx,
+            SUM(CAST(pv AS HUGEINT) * pv) AS syy,
+            SUM(CAST(v AS HUGEINT) * pv) AS sxy
+        FROM xy GROUP BY lag),
+    br AS (SELECT lag, n AS n_pairs, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy
+        FROM m)
+    SELECT lag, n_pairs,
+        {DET.det_round_sql(
+            '(dn * dsxy - dsx * dsy) / NULLIF('
+            'sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)),'
+            ' 0.0)', 6
+        )} AS acf
+    FROM br ORDER BY lag
+"""
+
+
+def q_ppmi_window_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PPMI co-occurrence (the word-embedding prep matrix —
+    Levy & Goldberg showed SGNS factorizes exactly this): unordered
+    token pairs within a +-2 window, min count 5, scored
+    PPMI = max(0, ln cxy + 2 ln n_uni - ln n_pairs - ln cx - ln cy)
+    in log space with the pmi_bigrams operation-order contract
+    (identical left-to-right fold on both engines, det_round(6)).
+    Top 25 by score, pair-string tie-break.
+
+    Scale shape: window pairs come from ZIPPED SHIFTED SLICES (two
+    array ops per doc — never a positional self-join of the corpus);
+    pair counts partial-combine at pair cardinality; margins join at
+    word cardinality; TakeOrdered finish."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
+    )
+
+    def upairs(d: int):
+        m = F.size("toks") - d
+        a = F.slice(F.col("toks"), 1, m)
+        b = F.slice(F.col("toks"), 1 + d, m)
+        pair = F.zip_with(
+            a,
+            b,
+            lambda x, y: F.concat_ws(
+                " ", F.least(x, y), F.greatest(x, y)
+            ),
+        )
+        return F.when(F.size("toks") >= d + 1, pair).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    stats = toks.agg(
+        F.sum(F.size("toks")).alias("nu"),
+        F.sum(
+            F.greatest(F.size("toks") - 1, F.lit(0))
+            + F.greatest(F.size("toks") - 2, F.lit(0))
+        ).alias("np"),
+    ).head()
+    n_uni, n_pairs = stats["nu"], stats["np"]
+    pairs = (
+        toks.select(
+            F.explode(F.concat(upairs(1), upairs(2))).alias("pr")
+        )
+        .groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    parts = pairs.select(
+        "pr",
+        "cxy",
+        F.split(F.col("pr"), " ").getItem(0).alias("x"),
+        F.split(F.col("pr"), " ").getItem(1).alias("y"),
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        parts.join(ux, "x")
+        .join(uy, "y")
+        .select(
+            "pr",
+            "cxy",
+            "cx",
+            "cy",
+            DET.det_round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(F.col("cxy").cast("double"))
+                    + F.lit(2.0) * F.log(F.lit(float(n_uni)))
+                    - F.log(F.lit(float(n_pairs)))
+                    - F.log(F.col("cx").cast("double"))
+                    - F.log(F.col("cy").cast("double")),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )
+    return scored.orderBy(F.desc("ppmi"), "pr").limit(25)
+
+
+ORACLE_PPMI_COOC = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    scal AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS nu,
+            CAST(SUM(GREATEST(len(toks) - 1, 0)
+                + GREATEST(len(toks) - 2, 0)) AS BIGINT) AS np
+        FROM t),
+    pr AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+            i -> CASE WHEN toks[i] <= toks[i + 1]
+                 THEN toks[i] || ' ' || toks[i + 1]
+                 ELSE toks[i + 1] || ' ' || toks[i] END)) AS pr
+        FROM t WHERE len(toks) >= 2
+        UNION ALL
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+            i -> CASE WHEN toks[i] <= toks[i + 2]
+                 THEN toks[i] || ' ' || toks[i + 2]
+                 ELSE toks[i + 2] || ' ' || toks[i] END)) AS pr
+        FROM t WHERE len(toks) >= 3),
+    cp AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS cxy FROM pr
+        GROUP BY pr HAVING COUNT(*) >= 5),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    parts AS (SELECT pr, cxy,
+            string_split(pr, ' ')[1] AS x,
+            string_split(pr, ' ')[2] AS y
+        FROM cp),
+    scored AS (SELECT pr, cxy, ux.c AS cx, uy.c AS cy,
+            {DET.det_round_sql(
+                'GREATEST(0.0, ln(CAST(cxy AS DOUBLE))'
+                ' + 2.0 * ln(CAST((SELECT nu FROM scal) AS DOUBLE))'
+                ' - ln(CAST((SELECT np FROM scal) AS DOUBLE))'
+                ' - ln(CAST(ux.c AS DOUBLE))'
+                ' - ln(CAST(uy.c AS DOUBLE)))', 6
+            )} AS ppmi
+        FROM parts JOIN uni ux ON parts.x = ux.w
+                   JOIN uni uy ON parts.y = uy.w)
+    SELECT pr, cxy, cx, cy, ppmi FROM scored
+    ORDER BY ppmi DESC, pr LIMIT 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -13028,6 +13370,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "poisson_bootstrap_mean": q_poisson_bootstrap_mean,
     "conformal_length_bounds": q_conformal_length_bounds,
     "selection_parity_audit": q_selection_parity_audit,
+    "kcore_parts": q_kcore_parts,
+    "acf_daily_revenue": q_acf_daily_revenue,
+    "ppmi_window_cooc": q_ppmi_window_cooc,
 }
 
 ORACLES: dict[str, str] = {
@@ -13233,6 +13578,9 @@ ORACLES: dict[str, str] = {
     "poisson_bootstrap_mean": ORACLE_POISSON_BOOTSTRAP,
     "conformal_length_bounds": ORACLE_CONFORMAL,
     "selection_parity_audit": ORACLE_SELECTION_PARITY,
+    "kcore_parts": ORACLE_KCORE,
+    "acf_daily_revenue": ORACLE_ACF,
+    "ppmi_window_cooc": ORACLE_PPMI_COOC,
 }
 
 

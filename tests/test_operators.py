@@ -2121,3 +2121,19 @@ def test_bradley_terry_symmetric_duels_tie():
         ["a", "b"], {("a", "b"): 7, ("b", "a"): 7}, iters=3
     )
     assert s["a"] == s["b"]
+
+
+def test_kcore_converges_within_round_budget(spark):
+    """The fixed peel budget must reach the fixpoint: one extra round
+    removes nothing (so 'k-core' is the true converged core, not a
+    truncated peel)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    core = entry.queries()["kcore_parts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    # every surviving vertex already has degree >= k, so a further
+    # peel is a no-op exactly when min(core_degree) >= k
+    mind = core.agg(F.min("core_degree").alias("m")).head()["m"]
+    assert mind is None or mind >= entry._KCORE_K

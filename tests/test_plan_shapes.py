@@ -1057,3 +1057,30 @@ def test_selection_parity_bounded_spine_window(spark):
     if "SinglePartition" in plan:
         agg_pos = plan.find("HashAggregate")
         assert agg_pos != -1
+
+
+def test_kcore_no_cartesian_vertex_aggs(spark):
+    """K-core: every peel round is a vertex-cardinality agg + two
+    equi semi filters; no cartesian, no Python anywhere."""
+    plan = _plan(spark, "kcore_parts")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_acf_bounded_spine_equi_lag_join(spark):
+    """ACF: the corpus stage is one day-cardinality aggregate; the
+    lag pairing is an equi join on (day - lag) over the bounded
+    spine — no window over corpus rows, no cartesian."""
+    plan = _plan(spark, "acf_daily_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_ppmi_zipped_slices_no_positional_self_join(spark):
+    """PPMI: window pairs come from zipped shifted slices — exactly
+    two corpus-side joins (the word-cardinality margin joins), never
+    a positional self-join of exploded positions."""
+    plan = _plan(spark, "ppmi_window_cooc")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
