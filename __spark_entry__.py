@@ -13167,6 +13167,329 @@ ORACLE_PPMI_COOC = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 6u (round 6, continued): RAKE keyword extraction, greedy set-cover
+# data selection, label-propagation communities
+# --------------------------------------------------------------------------
+
+_RAKE_STOPS = "('the', 'a', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on')"
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-delimited token runs; word score =
+    degree/frequency over phrase co-membership (deg = sum of
+    (phrase_len - 1) across a word's phrases); phrase score = sum of
+    its words' scores.  Scores in exact integer ppm (deg * 1e6 div
+    freq, summed) so both engines agree bit-for-bit; top 15 phrases
+    by (score, phrase).
+
+    Scale shape: segment ids come from a PARTITIONED cumulative
+    window (by doc); phrase assembly is a per-(doc, segment) ordered
+    aggregation; word stats partial-combine at word cardinality; the
+    phrase-word score join explodes DISTINCT phrases only."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            TX.tokens(TX.normalize_text(F.col("text")))
+        ).alias("pos", "token"),
+    ).withColumn("is_stop", F.expr(f"token IN {_RAKE_STOPS}"))
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = pos.withColumn(
+        "seg", F.sum(F.col("is_stop").cast("long")).over(wnd)
+    ).filter(~F.col("is_stop"))
+    phrases = seg.groupBy("doc_id", "seg").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", "token"))
+                ),
+                lambda s: s["token"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"),
+        (F.col("plen") - 1).alias("deg1"),
+    )
+    wstat = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("deg1").alias("deg"),
+    )
+    pdist = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    pw = pdist.select(
+        "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        pw.join(wstat, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.sum(F.expr("deg * 1000000 div freq")).alias("score_ppm")
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_ppm"), "phrase"
+    ).limit(15)
+
+
+ORACLE_RAKE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS token,
+            toks[u.i + 1] IN {_RAKE_STOPS} AS is_stop
+        FROM t, unnest(range(len(toks))) AS u(i)),
+    seg AS (SELECT doc_id, pos, token,
+            SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS seg
+        FROM pos),
+    ph AS (SELECT doc_id, seg,
+            string_agg(token, ' ' ORDER BY pos) AS phrase,
+            CAST(COUNT(*) AS BIGINT) AS plen
+        FROM seg WHERE token NOT IN {_RAKE_STOPS}
+        GROUP BY doc_id, seg),
+    words AS (SELECT unnest(string_split(phrase, ' ')) AS w,
+            plen - 1 AS deg1
+        FROM ph),
+    wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+            CAST(SUM(deg1) AS BIGINT) AS deg
+        FROM words GROUP BY w),
+    pdist AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM ph GROUP BY phrase),
+    pw AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+        FROM pdist)
+    SELECT phrase, n_occ,
+        CAST(SUM(deg * 1000000 // freq) AS BIGINT) AS score_ppm
+    FROM pw JOIN wstat ON pw.w = wstat.w
+    GROUP BY phrase, n_occ
+    ORDER BY score_ppm DESC, phrase LIMIT 15
+"""
+
+_COVER_STEPS = 8
+
+
+def q_greedy_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection (the facility-location
+    step instruction-diversity pipelines run): pick, {steps} times,
+    the document covering the most NOT-YET-COVERED distinct bigrams
+    (tie -> smallest doc_id).  The classic (1 - 1/e) greedy; each
+    step reports the marginal gain and the running total.
+
+    Scale shape: per step, one anti-join against the covered-gram
+    set (itself a DataFrame derived from the <= {steps} chosen
+    doc_ids — no gram data ever sits on the driver) and one
+    doc-cardinality count agg; the only driver traffic is the 1-row
+    argmax per step."""
+    docs = _t(spark, sf_dir, "documents")
+    dg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(
+                        TX.tokens(TX.normalize_text(F.col("text")))
+                    )
+                    >= 2,
+                    TX.ngram_strings(
+                        TX.tokens(TX.normalize_text(F.col("text"))), 2
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    chosen: list[tuple[int, int, int, int]] = []
+    chosen_ids: list[int] = []
+    total = 0
+    for step in range(1, _COVER_STEPS + 1):
+        if chosen_ids:
+            cdf = spark.createDataFrame(
+                [(i,) for i in chosen_ids], "doc_id LONG"
+            )
+            covered = (
+                dg.join(cdf, "doc_id").select("gram").distinct()
+            )
+            unc = dg.join(covered, "gram", "left_anti")
+        else:
+            unc = dg
+        top = (
+            unc.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .head()
+        )
+        if top is None:
+            break
+        total += top["gain"]
+        chosen.append((step, top["doc_id"], top["gain"], total))
+        chosen_ids.append(top["doc_id"])
+    return spark.createDataFrame(
+        chosen,
+        "step LONG, doc_id LONG, gain LONG, total_covered LONG",
+    ).orderBy("step")
+
+
+def _cover_oracle_steps(steps: int) -> str:
+    ctes = []
+    for i in range(1, steps + 1):
+        prev_picks = ", ".join(f"(SELECT doc_id FROM p{j})" for j in range(1, i))
+        if i == 1:
+            unc = "dg"
+        else:
+            cov = f"""cov{i} AS MATERIALIZED (
+        SELECT DISTINCT gram FROM dg
+        WHERE doc_id IN ({prev_picks})),
+    """
+            unc = f"(SELECT dg.* FROM dg LEFT JOIN cov{i} c ON dg.gram = c.gram WHERE c.gram IS NULL)"
+            ctes.append(cov.rstrip().rstrip(","))
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM {unc} u GROUP BY doc_id
+        ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+    picks = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, doc_id, gain FROM p{i}"
+        for i in range(1, steps + 1)
+    )
+    return ",\n    ".join(ctes), picks
+
+
+_COVER_CTES, _COVER_PICKS = _cover_oracle_steps(_COVER_STEPS)
+
+ORACLE_GREEDY_COVER = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dg AS MATERIALIZED (SELECT DISTINCT doc_id,
+            unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM t WHERE len(toks) >= 2),
+    {_COVER_CTES},
+    picks AS ({_COVER_PICKS})
+    SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
+        CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT)
+            AS total_covered
+    FROM picks ORDER BY step
+"""
+
+q_greedy_cover_docs.__doc__ = q_greedy_cover_docs.__doc__.format(
+    steps=_COVER_STEPS
+)
+
+_LPA_ROUNDS = 4
+
+
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the part co-order graph
+    (support >= 2, the kcore_parts substrate): {rounds} synchronous
+    rounds of mode-of-neighbor-labels with deterministic tie-break
+    (highest count, then smallest label) starting from
+    label = own id; isolated semantics: a vertex keeps its label if
+    it has no neighbors (every vertex here has >= 1 edge by
+    construction).  Output: the 20 largest communities.  Fixed round
+    count on BOTH engines — no convergence test needed for parity
+    (LPA can oscillate; the unrolled oracle replays the same rounds).
+
+    Scale shape: per round, an edge-labels equi join + a
+    (vertex, label) count agg + a vertex-partitioned argmax window;
+    localCheckpoint truncates lineage per round."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = G.undirected_edges_min_support(
+        li.distinct(), "l_orderkey", "l_partkey", min_support=2
+    )
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    labels = sym.select("u").distinct().select(
+        "u", F.col("u").alias("lbl")
+    )
+    wnd = Window.partitionBy("u").orderBy(
+        F.desc("c"), F.col("nlbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nl = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("lbl").alias("nlbl")
+                ),
+                "v",
+            )
+            .groupBy("u", "nlbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            nl.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") == 1)
+            .select("u", F.col("nlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "lbl")
+        .limit(20)
+        .select(F.col("lbl").alias("community"), "n_members")
+    )
+
+
+q_label_prop_communities.__doc__ = q_label_prop_communities.__doc__.format(
+    rounds=_LPA_ROUNDS
+)
+
+
+def _lpa_oracle_rounds(rounds: int) -> str:
+    ctes = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""nl{i} AS MATERIALIZED (
+        SELECT sym.u, l.lbl AS nlbl, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sym JOIN lbl{p} l ON sym.v = l.u
+        GROUP BY sym.u, l.lbl),
+    lbl{i} AS MATERIALIZED (
+        SELECT u, nlbl AS lbl FROM (
+            SELECT u, nlbl, ROW_NUMBER() OVER (
+                PARTITION BY u ORDER BY c DESC, nlbl) AS rn
+            FROM nl{i})
+        WHERE rn = 1)"""
+        )
+    return ",\n    ".join(ctes)
+
+
+ORACLE_LABEL_PROP = f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS s FROM lineitem),
+    edges AS MATERIALIZED (SELECT a.s AS a, b.s AS b
+        FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sym AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
+           UNION ALL SELECT b, a FROM edges),
+    lbl0 AS MATERIALIZED (
+        SELECT DISTINCT u, u AS lbl FROM sym),
+    {_lpa_oracle_rounds(_LPA_ROUNDS)}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lbl{_LPA_ROUNDS} GROUP BY lbl
+    ORDER BY n_members DESC, lbl LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -13373,6 +13696,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_parts": q_kcore_parts,
     "acf_daily_revenue": q_acf_daily_revenue,
     "ppmi_window_cooc": q_ppmi_window_cooc,
+    "rake_keywords": q_rake_keywords,
+    "greedy_cover_docs": q_greedy_cover_docs,
+    "label_prop_communities": q_label_prop_communities,
 }
 
 ORACLES: dict[str, str] = {
@@ -13581,6 +13907,9 @@ ORACLES: dict[str, str] = {
     "kcore_parts": ORACLE_KCORE,
     "acf_daily_revenue": ORACLE_ACF,
     "ppmi_window_cooc": ORACLE_PPMI_COOC,
+    "rake_keywords": ORACLE_RAKE,
+    "greedy_cover_docs": ORACLE_GREEDY_COVER,
+    "label_prop_communities": ORACLE_LABEL_PROP,
 }
 
 

@@ -1084,3 +1084,23 @@ def test_ppmi_zipped_slices_no_positional_self_join(spark):
     plan = _plan(spark, "ppmi_window_cooc")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_rake_partitioned_segment_window(spark):
+    """RAKE: the segment-id cumulative window is partitioned by doc;
+    the score join explodes distinct phrases only; no cartesian."""
+    plan = _plan(spark, "rake_keywords")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
+        assert "doc_id" in m.group(0), m.group(0)
+
+
+def test_label_prop_vertex_partitioned_argmax(spark):
+    """LPA: per-round argmax windows are partitioned by vertex; edge
+    joins are equi; no cartesian."""
+    plan = _plan(spark, "label_prop_communities")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
