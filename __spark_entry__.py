@@ -13490,6 +13490,265 @@ ORACLE_LABEL_PROP = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 6v (round 6, continued): k-fold balance audit, time-decay scoring,
+# negative-sampling table, mixture interleave schedule
+# --------------------------------------------------------------------------
+
+
+def q_kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation hygiene: md5-deterministic 5-fold assignment
+    over documents, then a per-fold chi-square statistic against the
+    corpus language distribution — the stratification check that
+    catches an unlucky fold before it skews eval.  Chi-square in
+    exact integer micro via cross-multiplication:
+    term = (o*N - nf*nl)^2 * 1e6 // (nf*nl*N), per-term floor in
+    DECIMAL(38,0)/HUGEINT (order-independent integer sum, overflow-
+    proof at any corpus size).
+
+    Scale shape: one corpus scan to (fold, lang) cardinality; every
+    later join is over <= folds x langs rows."""
+    docs = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit("#cv"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    fl = (
+        docs.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    f = fl.groupBy("fold").agg(F.sum("o").alias("nf"))
+    lang = fl.groupBy("lang").agg(F.sum("o").alias("nl"))
+    tot = fl.agg(F.sum("o").alias("nn"))
+    dec = "DECIMAL(38,0)"
+    terms = (
+        fl.join(F.broadcast(f), "fold")
+        .join(F.broadcast(lang), "lang")
+        .join(F.broadcast(tot))
+        .select(
+            "fold",
+            "nf",
+            F.expr(
+                f"CAST((CAST(o AS {dec}) * nn - CAST(nf AS {dec}) * nl)"
+                f" * (CAST(o AS {dec}) * nn - CAST(nf AS {dec}) * nl)"
+                f" * 1000000 div (CAST(nf AS {dec}) * nl * nn) AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("fold", "nf")
+        .agg(F.sum("term").alias("chi2_micro"))
+        .select(
+            "fold", F.col("nf").alias("n_docs"), "chi2_micro"
+        )
+        .orderBy("fold")
+    )
+
+
+ORACLE_KFOLD = """
+    WITH d AS (SELECT lang,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#cv'),
+                1, 15)) AS BIGINT) % 5 AS fold
+        FROM documents),
+    fl AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM d GROUP BY fold, lang),
+    f AS (SELECT fold, CAST(SUM(o) AS BIGINT) AS nf FROM fl
+        GROUP BY fold),
+    lg AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS nl FROM fl
+        GROUP BY lang),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM fl),
+    terms AS (SELECT fl.fold, f.nf,
+            CAST((CAST(o AS HUGEINT) * nn - CAST(nf AS HUGEINT) * nl)
+                * (CAST(o AS HUGEINT) * nn - CAST(nf AS HUGEINT) * nl)
+                * 1000000 // (CAST(nf AS HUGEINT) * nl * nn) AS BIGINT)
+                AS term
+        FROM fl JOIN f ON fl.fold = f.fold
+             JOIN lg ON fl.lang = lg.lang
+             CROSS JOIN tot)
+    SELECT fold, nf AS n_docs, CAST(SUM(term) AS BIGINT) AS chi2_micro
+    FROM terms GROUP BY fold, nf ORDER BY fold
+"""
+
+
+def q_time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay purchase scoring (the feature-store
+    recency feature): each purchase's value is halved per 30 days of
+    age relative to the corpus max timestamp — decay applied as an
+    EXACT integer shift (v4 div 2^k, k = age_days div 30, capped) so
+    every engine agrees bit-for-bit; top 20 users by decayed value.
+
+    Scale shape: the max-ts scalar is one aggregate broadcast back;
+    the scoring is a narrow projection; per-user sum partial-
+    combines; TakeOrdered finish."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(F.max("ts").alias("mx"))
+    scored = ev.join(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT)"
+        ).alias("v4"),
+        F.expr(
+            "LEAST(datediff(CAST(mx AS DATE), CAST(ts AS DATE))"
+            " div 30, 20)"
+        ).alias("k"),
+    )
+    return (
+        scored.select(
+            "user_id",
+            F.expr("v4 div shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))").alias(
+                "dv4"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("dv4").alias("decayed_value4"),
+        )
+        .orderBy(F.desc("decayed_value4"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_TIME_DECAY = """
+    WITH ev AS (SELECT user_id, ts,
+            CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v4
+        FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(ts) AS mx FROM ev),
+    scored AS (SELECT user_id, v4,
+            LEAST(date_diff('day', CAST(ts AS DATE),
+                CAST((SELECT mx FROM mx) AS DATE)) // 30, 20) AS k
+        FROM ev)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(SUM(v4 // (CAST(1 AS BIGINT) << CAST(k AS INT)))
+            AS BIGINT) AS decayed_value4
+    FROM scored GROUP BY user_id
+    ORDER BY decayed_value4 DESC, user_id LIMIT 20
+"""
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table: unigram counts raised to the
+    3/4 power (Mikolov et al. 2013 — flattens the head so frequent
+    words aren't oversampled), normalized to exact ppm shares.  The
+    fractional power is exp(0.75 ln c) quantized HALF-UP to int64
+    nano-units BEFORE the normalizing sum (the km_survival nano-nat
+    idiom: per-term quantization makes the cross-row sum order-
+    independent and engine-exact); shares are integer divisions of
+    those nanos.
+
+    Scale shape: one token-cardinality aggregate; the weight math is
+    per-row; the normalizer is a single-row sum over word cardinality
+    joined back broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = uni.select(
+        "w",
+        "c",
+        F.expr(
+            "CAST(FLOOR(exp(0.75 * ln(CAST(c AS DOUBLE)))"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("w_nano"),
+    )
+    tot = wn.agg(F.sum("w_nano").alias("tot"))
+    return (
+        wn.join(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            "w_nano",
+            F.expr(
+                "CAST(CAST(w_nano AS DECIMAL(38,0)) * 1000000"
+                " div tot AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.desc("c"), "w")
+    )
+
+
+ORACLE_NEG_SAMPLING = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    wn AS (SELECT w, c,
+            CAST(FLOOR(exp(0.75 * ln(CAST(c AS DOUBLE)))
+                * 1000000000.0 + 0.5) AS BIGINT) AS w_nano
+        FROM uni),
+    tot AS (SELECT CAST(SUM(w_nano) AS BIGINT) AS tot FROM wn)
+    SELECT w, c, w_nano,
+        CAST(CAST(w_nano AS HUGEINT) * 1000000
+            // (SELECT tot FROM tot) AS BIGINT) AS share_ppm
+    FROM wn ORDER BY c DESC, w
+"""
+
+
+def q_mixture_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing interleave: every source's documents
+    are spread evenly over the global training order by the
+    low-discrepancy position (2*rank - 1) / (2*n_src) — the exact
+    round-robin-proportional schedule a mixture loader replays on any
+    worker without coordination.  Positions in exact 1e12 fixed point
+    (integer cross-multiplication, no float compare); first 50 slots.
+
+    Scale shape: per-source ranks come from a SOURCE-PARTITIONED
+    window; the global order is a TakeOrdered(50), never a global
+    sort."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    wnd = Window.partitionBy("source").orderBy("doc_id")
+    ranked = (
+        docs.join(F.broadcast(ns), "source")
+        .withColumn("rank", F.row_number().over(wnd))
+        .select(
+            "source",
+            "doc_id",
+            "rank",
+            F.expr(
+                "(2 * CAST(rank AS BIGINT) - 1) * 1000000000000"
+                " div (2 * n_src)"
+            ).alias("position_p12"),
+        )
+    )
+    return ranked.orderBy("position_p12", "source", "doc_id").limit(50)
+
+
+ORACLE_MIXTURE_INTERLEAVE = """
+    WITH ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM documents GROUP BY source),
+    ranked AS (SELECT d.source, d.doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                ORDER BY d.doc_id) AS BIGINT) AS rank,
+            ns.n_src
+        FROM documents d JOIN ns ON d.source = ns.source)
+    SELECT source, doc_id, rank,
+        (2 * rank - 1) * 1000000000000 // (2 * n_src) AS position_p12
+    FROM ranked
+    ORDER BY position_p12, source, doc_id LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -13699,6 +13958,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "greedy_cover_docs": q_greedy_cover_docs,
     "label_prop_communities": q_label_prop_communities,
+    "kfold_balance_audit": q_kfold_balance_audit,
+    "time_decay_user_value": q_time_decay_user_value,
+    "negative_sampling_table": q_negative_sampling_table,
+    "mixture_interleave_schedule": q_mixture_interleave_schedule,
 }
 
 ORACLES: dict[str, str] = {
@@ -13910,6 +14173,10 @@ ORACLES: dict[str, str] = {
     "rake_keywords": ORACLE_RAKE,
     "greedy_cover_docs": ORACLE_GREEDY_COVER,
     "label_prop_communities": ORACLE_LABEL_PROP,
+    "kfold_balance_audit": ORACLE_KFOLD,
+    "time_decay_user_value": ORACLE_TIME_DECAY,
+    "negative_sampling_table": ORACLE_NEG_SAMPLING,
+    "mixture_interleave_schedule": ORACLE_MIXTURE_INTERLEAVE,
 }
 
 

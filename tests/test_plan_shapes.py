@@ -1104,3 +1104,39 @@ def test_label_prop_vertex_partitioned_argmax(spark):
     plan = _plan(spark, "label_prop_communities")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_kfold_dim_joins_broadcast(spark):
+    """K-fold audit: corpus collapses to (fold, lang) in one agg;
+    the stat joins are broadcast over <= folds x langs rows."""
+    plan = _plan(spark, "kfold_balance_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_time_decay_scalar_broadcast_takeordered(spark):
+    """Time decay: max-ts is a broadcast scalar; finish is
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, "time_decay_user_value")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_sampling_word_cardinality(spark):
+    """Negative-sampling table: one token-cardinality agg; the
+    normalizer joins back broadcast; no Python."""
+    plan = _plan(spark, "negative_sampling_table")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_mixture_interleave_partitioned_rank_takeordered(spark):
+    """Interleave schedule: ranks from a source-partitioned window;
+    global order via TakeOrdered(50)."""
+    plan = _plan(spark, "mixture_interleave_schedule")
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
+        assert "source" in m.group(0), m.group(0)
