@@ -892,6 +892,48 @@ SHARED_SQL: dict[str, str] = {
                (SELECT COUNT(*) FROM c) AS n_view_click,
                (SELECT COUNT(*) FROM p) AS n_view_click_purchase
     """,
+    # session entry/exit matrix + bounce share: which event types open
+    # and close 30-min-gap sessions (the landing/exit-page analog), in
+    # exact ppm of all sessions.  first/last via full-frame windows —
+    # identical semantics on both engines; all windows user-partitioned.
+    "session_entry_exit": """
+        WITH d AS (
+            SELECT user_id, event_id, ts, event_type,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+            FROM events
+        ), s AS (
+            SELECT user_id, event_id, ts, event_type,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sess_ix
+            FROM d
+        ), fe AS (
+            SELECT user_id, sess_ix,
+                FIRST_VALUE(event_type) OVER w AS entry_type,
+                LAST_VALUE(event_type) OVER w AS exit_type,
+                COUNT(*) OVER w AS n_events
+            FROM s
+            WINDOW w AS (PARTITION BY user_id, sess_ix
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        ), ses AS (
+            SELECT user_id, sess_ix, entry_type, exit_type,
+                MAX(n_events) AS n_ev
+            FROM fe GROUP BY user_id, sess_ix, entry_type, exit_type
+        ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ses)
+        SELECT entry_type, exit_type,
+            CAST(COUNT(*) AS BIGINT) AS n_sessions,
+            CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bounce,
+            CAST(FLOOR(CAST(COUNT(*) AS BIGINT) * 1000000.0
+                / (SELECT n_total FROM tot)) AS BIGINT) AS share_ppm
+        FROM ses GROUP BY entry_type, exit_type
+        ORDER BY entry_type, exit_type
+    """,
     # sessionization: 30-minute-gap sessions per user (lag + cumsum)
     "sessionize_events": """
         WITH d AS (
@@ -13749,6 +13791,201 @@ ORACLE_MIXTURE_INTERLEAVE = """
 """
 
 
+# --------------------------------------------------------------------------
+# Wave 6w (round 6, continued): Burrows' Delta stylometry, item-item
+# collaborative-filtering cosine (+ session_entry_exit in SHARED_SQL)
+# --------------------------------------------------------------------------
+
+
+def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources (the
+    authorship-attribution classic, Burrows 2002): per-source relative
+    word frequencies in exact ppm over the DENSE source x word grid
+    (absent words count as 0 — skipping them understates distance),
+    per-word population std via exact integer moments + VARCHAR
+    bridge, and Delta(s,t) = mean_w |f_sw - f_tw| / sigma_w with each
+    term HALF-UP-quantized to int64 nanos BEFORE the word sum (the
+    order-independence idiom); sigma=0 words excluded from term and
+    denominator alike.
+
+    Scale shape: the corpus collapses to (source, word) cardinality
+    in one agg; the dense grid, moments, and the source-pair join all
+    live at dim cardinality (sources x words) — broadcast class."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    words = cnt.select("w").distinct()
+    grid = (
+        totals.crossJoin(F.broadcast(words))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "COALESCE(c, 0) * 1000000 div t"
+            ).alias("f"),
+        )
+    )
+    mom = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f").alias("s1"),
+        F.expr("SUM(CAST(f AS DECIMAL(38,0)) * f)").alias("s2"),
+    )
+    sig = mom.select(
+        "w",
+        F.expr(
+            "CAST(CAST(CAST(n AS DECIMAL(38,0)) * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1 AS STRING) AS DOUBLE)"
+        ).alias("dvar_num"),
+        F.col("n").cast("double").alias("dn"),
+    ).select(
+        "w",
+        (F.sqrt(F.col("dvar_num")) / F.col("dn")).alias("sigma"),
+    )
+    a = grid.select(
+        F.col("source").alias("sa"), "w", F.col("f").alias("fa")
+    )
+    b = grid.select(
+        F.col("source").alias("sb"), "w", F.col("f").alias("fb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(sig), "w")
+    )
+    terms = pairs.select(
+        "sa",
+        "sb",
+        F.when(
+            F.col("sigma") > 0.0,
+            F.expr(
+                "CAST(FLOOR(ABS(fa - fb) / sigma"
+                " * 1000000000.0 + 0.5) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("term_nano"),
+    )
+    return (
+        terms.groupBy("sa", "sb")
+        .agg(
+            F.count("term_nano").alias("n_words"),
+            F.expr(
+                "CAST(SUM(term_nano) div COUNT(term_nano) AS BIGINT)"
+            ).alias("delta_nano"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+ORACLE_BURROWS_DELTA = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(toks) AS w FROM t)
+        GROUP BY source, w),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tt FROM cnt
+        GROUP BY source),
+    words AS (SELECT DISTINCT w FROM cnt),
+    grid AS (SELECT totals.source, words.w,
+            COALESCE(cnt.c, 0) * 1000000 // totals.tt AS f
+        FROM totals CROSS JOIN words
+        LEFT JOIN cnt ON cnt.source = totals.source
+                     AND cnt.w = words.w),
+    mom AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(f) AS BIGINT) AS s1,
+            SUM(CAST(f AS HUGEINT) * f) AS s2
+        FROM grid GROUP BY w),
+    sig AS (SELECT w,
+            sqrt(CAST(CAST(CAST(n AS HUGEINT) * s2
+                - CAST(s1 AS HUGEINT) * s1 AS VARCHAR) AS DOUBLE))
+                / CAST(n AS DOUBLE) AS sigma
+        FROM mom),
+    pairs AS (SELECT a.source AS sa, b.source AS sb, a.w,
+            a.f AS fa, b.f AS fb, sig.sigma
+        FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+        JOIN sig ON a.w = sig.w),
+    terms AS (SELECT sa, sb,
+            CASE WHEN sigma > 0.0
+                 THEN CAST(FLOOR(ABS(fa - fb) / sigma
+                     * 1000000000.0 + 0.5) AS BIGINT)
+                 ELSE NULL END AS term_nano
+        FROM pairs)
+    SELECT sa, sb, CAST(COUNT(term_nano) AS BIGINT) AS n_words,
+        CAST(CAST(SUM(term_nano) AS HUGEINT)
+            // COUNT(term_nano) AS BIGINT) AS delta_nano
+    FROM terms GROUP BY sa, sb ORDER BY sa, sb
+"""
+
+
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the part co-order
+    bipartite projection: cosine similarity n_uv / sqrt(d_u * d_v)
+    (co-order count normalized by order-degree) — the normalization
+    that separates 'genuinely bought together' from 'both popular'.
+    The double is EXACT-IEEE deterministic (int->double exact below
+    2^53, sqrt and divide correctly rounded — no det_round needed);
+    ranking uses the exact integer key n^2 * 1e12 // (d_u * d_v) so
+    ties cannot reorder across engines.  Top 20.
+
+    Scale shape: same bucketed co-order self-join as kcore_parts
+    (equi on order, pairs bounded per order), degree join at item
+    cardinality, TakeOrdered finish."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pp = li.distinct()
+    deg = pp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    edges = G.undirected_edges_min_support(
+        pp, "l_orderkey", "l_partkey", min_support=2, keep_support=True
+    ).withColumnRenamed("support", "n_co")
+    da = deg.select(F.col("l_partkey").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("b"), F.col("d").alias("db"))
+    j = edges.join(da, "a").join(db, "b")
+    return (
+        j.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("n_co"),
+            F.expr(
+                "CAST(CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000000000"
+                " div (CAST(da AS DECIMAL(38,0)) * db) AS BIGINT)"
+            ).alias("key_p12"),
+            F.expr(
+                "CAST(n_co AS DOUBLE)"
+                " / sqrt(CAST(da * db AS DOUBLE))"
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("key_p12"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ORACLE_ITEM_COSINE = """
+    WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        FROM lineitem),
+    deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM pp GROUP BY p),
+    edges AS (SELECT a.p AS a, b.p AS b,
+            CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM pp a JOIN pp b ON a.g = b.g AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT e.a AS part_a, e.b AS part_b, e.n_co,
+        CAST(CAST(e.n_co AS HUGEINT) * e.n_co * 1000000000000
+            // (CAST(da.d AS HUGEINT) * db.d) AS BIGINT) AS key_p12,
+        CAST(e.n_co AS DOUBLE)
+            / sqrt(CAST(da.d * db.d AS DOUBLE)) AS cosine
+    FROM edges e JOIN deg da ON e.a = da.p
+                 JOIN deg db ON e.b = db.p
+    ORDER BY key_p12 DESC, part_a, part_b LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -13962,6 +14199,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_decay_user_value": q_time_decay_user_value,
     "negative_sampling_table": q_negative_sampling_table,
     "mixture_interleave_schedule": q_mixture_interleave_schedule,
+    "burrows_delta_sources": q_burrows_delta_sources,
+    "item_item_cosine": q_item_item_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -14177,6 +14416,8 @@ ORACLES: dict[str, str] = {
     "time_decay_user_value": ORACLE_TIME_DECAY,
     "negative_sampling_table": ORACLE_NEG_SAMPLING,
     "mixture_interleave_schedule": ORACLE_MIXTURE_INTERLEAVE,
+    "burrows_delta_sources": ORACLE_BURROWS_DELTA,
+    "item_item_cosine": ORACLE_ITEM_COSINE,
 }
 
 

@@ -115,6 +115,7 @@ def undirected_edges_min_support(
     group_col: str,
     node_col: str,
     min_support: int = 3,
+    keep_support: bool = False,
 ) -> DataFrame:
     """Co-occurrence edges: nodes sharing >= min_support groups.
 
@@ -132,14 +133,16 @@ def undirected_edges_min_support(
     b = pairs.select(
         F.col(group_col).alias("g"), F.col(node_col).alias("b")
     )
-    return (
+    out = (
         a.join(b, "g")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
-        .select("a", "b")
     )
+    # keep_support: co-occurrence weight for similarity/CF consumers
+    # (item_item_cosine); plain graph consumers keep the slim 2-col shape
+    return out if keep_support else out.select("a", "b")
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -1140,3 +1140,19 @@ def test_mixture_interleave_partitioned_rank_takeordered(spark):
 
     for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
         assert "source" in m.group(0), m.group(0)
+
+
+def test_burrows_delta_dim_cardinality_joins(spark):
+    """Burrows' Delta: corpus collapses to (source, word) in one agg;
+    grid/moment/pair joins live at dim cardinality; no Python."""
+    plan = _plan(spark, "burrows_delta_sources")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_item_item_cosine_equi_join_takeordered(spark):
+    """Item-item CF: co-order self-join is equi on the order key;
+    degree joins equi; TakeOrdered finish."""
+    plan = _plan(spark, "item_item_cosine")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
