@@ -12382,7 +12382,7 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BOILERPLATE = f"""
+ORACLE_BOILERPLATE_SHINGLES = f"""
     WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
     g AS (SELECT doc_id, source,
             unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -14400,7 +14400,7 @@ ORACLES: dict[str, str] = {
     "media_ahash": ORACLE_MEDIA_AHASH,
     "ahash_dedup_eval": ORACLE_AHASH_DEDUP,
     "graph_assortativity": ORACLE_ASSORTATIVITY,
-    "boilerplate_shingles": ORACLE_BOILERPLATE,
+    "boilerplate_shingles": ORACLE_BOILERPLATE_SHINGLES,
     "phrase_search": ORACLE_PHRASE_SEARCH,
     "bradley_terry_brands": ORACLE_BRADLEY_TERRY,
     "poisson_bootstrap_mean": ORACLE_POISSON_BOOTSTRAP,

@@ -93,3 +93,30 @@ def test_registry_names_unique_across_sources():
 
     overlap = keys("SHARED_SQL") & keys("QUERIES")
     assert not overlap, f"names defined in both SHARED_SQL and QUERIES: {overlap}"
+
+
+def test_no_duplicate_module_level_constant_bindings():
+    """Round 6: wave 6r defined a second ``ORACLE_BOILERPLATE``, silently
+    rebinding boilerplate_topk's oracle to boilerplate_shingles' SQL —
+    rows/schema/hash all diverged, caught only by the full-registry
+    sweep.  Python rebinds without a whisper, so reject ANY module-level
+    constant (ORACLE_*/SHARED_*/QUERIES-feeding name) assigned twice."""
+    tree = ast.parse(ENTRY.read_text())
+    seen = collections.Counter()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            names = [node.target.id]
+        else:
+            continue
+        for n in names:
+            if n.isupper():
+                seen[n] += 1
+    dups = sorted(n for n, c in seen.items() if c > 1)
+    assert not dups, (
+        f"module-level constants bound more than once (the later binding "
+        f"silently wins): {dups}"
+    )
