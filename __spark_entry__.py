@@ -13986,6 +13986,431 @@ ORACLE_ITEM_COSINE = """
 """
 
 
+# ---------------------------------------------------------------- wave 6x
+
+
+def q_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst below-trend revenue stretch per market segment: build the
+    detrended cumulative series D_i = n*S_i - i*S_n over the DENSE
+    daily spine (the CUSUM series of changepoint_daily), then the
+    classic max-drawdown scan — running peak minus current, maximized,
+    earliest trough on ties, and the peak day that stretch fell from.
+    Where changepoint_daily finds the single break, this measures the
+    DEPTH of the worst sustained slump (peak-to-trough, in cents below
+    trend: dd div n).  All arithmetic is exact DECIMAL(38,0)/HUGEINT;
+    missing days count zero revenue, exactly as in burstiness_fano.
+
+    Scale shape: fact join + agg to (segment, day) cardinality, a
+    calendar-bounded dense spine (segments x days — thousands of rows
+    at ANY corpus size), per-segment prefix windows, and a 5-row
+    trough join.  Spine bounds are one scalar action (the
+    changepoint-bounds idiom)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_mktsegment",
+            F.col("o_orderdate").cast("date").alias("day"),
+            # o_totalprice is parquet DOUBLE: bare CAST(x*100 AS BIGINT)
+            # truncates in Spark but rounds in DuckDB — quantize with
+            # the shared IEEE floor(x*100+0.5) instead
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("c_mktsegment", "day")
+        .agg(
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("rev")
+        )
+    )
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).head()
+    spine = spark.sql(
+        f"SELECT explode(sequence(DATE'{b['lo']}', DATE'{b['hi']}',"
+        " interval 1 day)) AS day"
+    )
+    dense = (
+        daily.select("c_mktsegment")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["c_mktsegment", "day"], "left")
+        .select(
+            "c_mktsegment",
+            "day",
+            F.coalesce(F.col("rev"), F.lit(0).cast("decimal(38,0)")).alias(
+                "rev"
+            ),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("day")
+    wall = Window.partitionBy("c_mktsegment")
+    cum = dense.select(
+        "c_mktsegment",
+        "day",
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("s"),
+        F.row_number().over(w).alias("i"),
+        F.sum("rev").over(wall).alias("sn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dev = cum.select(
+        "c_mktsegment",
+        "day",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * s - CAST(i AS DECIMAL(38,0)) * sn"
+        ).alias("dev"),
+    )
+    dd = dev.select(
+        "c_mktsegment",
+        "day",
+        "n",
+        "dev",
+        (
+            F.max("dev").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("dev")
+        ).alias("dd"),
+        F.max("dev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("peak"),
+    )
+    trough = (
+        dd.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    F.desc("dd"), "day"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("day").alias("trough_day"),
+            "n",
+            F.col("peak").alias("peakval"),
+            F.col("dd").alias("ddmax"),
+        )
+    )
+    j = dd.select("c_mktsegment", "day", "dev").join(
+        F.broadcast(trough), "c_mktsegment"
+    )
+    return (
+        j.filter(
+            (F.col("day") <= F.col("trough_day"))
+            & (F.col("dev") == F.col("peakval"))
+        )
+        .groupBy("c_mktsegment", "n", "trough_day", "ddmax")
+        .agg(F.min("day").alias("peak_day"))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("bigint").alias("n_days"),
+            # TIMESTAMP emission (the order_calendar idiom): Spark DATE
+            # lands in pandas as object, DuckDB's as datetime64 — the
+            # value hash can't see they're the same day
+            F.col("peak_day").cast("timestamp").alias("peak_day"),
+            F.col("trough_day").cast("timestamp").alias("trough_day"),
+            F.expr("CAST(ddmax div n AS BIGINT)").alias("drawdown_cents"),
+        )
+    )
+
+
+ORACLE_REVENUE_DRAWDOWN = """
+    WITH daily AS (SELECT c_mktsegment AS seg,
+            CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS HUGEINT) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (SELECT seg, d.day
+        FROM (SELECT DISTINCT seg FROM daily) s
+        CROSS JOIN (SELECT UNNEST(generate_series(lo, hi,
+            INTERVAL 1 DAY))::DATE AS day FROM bounds) d),
+    dense AS (SELECT sp.seg, sp.day, COALESCE(rev, 0) AS rev
+        FROM spine sp LEFT JOIN daily
+            ON daily.seg = sp.seg AND daily.day = sp.day),
+    cum AS (SELECT seg, day,
+            CAST(SUM(rev) OVER w AS HUGEINT) AS s,
+            CAST(ROW_NUMBER() OVER w AS HUGEINT) AS i,
+            CAST(SUM(rev) OVER (PARTITION BY seg) AS HUGEINT) AS sn,
+            CAST(COUNT(*) OVER (PARTITION BY seg) AS HUGEINT) AS n
+        FROM dense
+        WINDOW w AS (PARTITION BY seg ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    dev AS (SELECT seg, day, n, n * s - i * sn AS dev FROM cum),
+    dd AS (SELECT seg, day, n, dev,
+            MAX(dev) OVER wp AS peak,
+            MAX(dev) OVER wp - dev AS dd
+        FROM dev
+        WINDOW wp AS (PARTITION BY seg ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    trough AS (SELECT seg, day AS trough_day, n, peak AS peakval,
+            dd AS ddmax,
+            ROW_NUMBER() OVER (PARTITION BY seg
+                ORDER BY dd DESC, day) AS rn
+        FROM dd)
+    SELECT t.seg AS c_mktsegment, CAST(t.n AS BIGINT) AS n_days,
+        CAST(MIN(p.day) AS TIMESTAMP) AS peak_day,
+        CAST(t.trough_day AS TIMESTAMP) AS trough_day,
+        CAST(t.ddmax // t.n AS BIGINT) AS drawdown_cents
+    FROM (SELECT * FROM trough WHERE rn = 1) t
+    JOIN dd p ON p.seg = t.seg AND p.day <= t.trough_day
+        AND p.dev = t.peakval
+    GROUP BY t.seg, t.n, t.trough_day, t.ddmax
+"""
+
+
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlations among (quantity, extendedprice,
+    discount) — the monotonic-association screen Pearson
+    (lineitem_corr_matrix) misses when the relationship is nonlinear.
+    Average ranks with exact tie handling, kept integral as r2 =
+    2*avg_rank (= 2*cum - cnt + 1 from per-value counts); all ten
+    moment sums run in exact DECIMAL(38,0) (r2 <= 2n, products <= 4n^2
+    — inside DECIMAL(38) past n = 1e11), bridge to double through
+    VARCHAR (the dispersion idiom), one closed-form Pearson-on-ranks
+    per pair, det_round(6).
+
+    Scale shape: NO global row sort — ranks come from per-VALUE counts
+    (groupBy at distinct-value cardinality) cumulated by the two-pass
+    distributed prefix sum (operators/packing.py), then equi-joined
+    back; quantity/discount rank maps broadcast, the price map joins
+    at value cardinality.  One 10-moment partial-combined aggregate
+    finishes."""
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select("l_quantity", "l_extendedprice", "l_discount")
+    ranked = base
+    for col, tag in (
+        ("l_quantity", "q"),
+        ("l_extendedprice", "p"),
+        ("l_discount", "d"),
+    ):
+        grp = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = with_global_running_sum(grp, col, "cnt", "_cum")
+        r2 = cum.select(
+            col,
+            (2 * F.col("_cum") - F.col("cnt") + 1).alias(f"r2{tag}"),
+        )
+        ranked = ranked.join(r2, col)
+    dec = "DECIMAL(38,0)"
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(f"SUM(CAST(r2{a} AS {dec}))").alias(f"s{a}")
+            for a in "qpd"
+        ],
+        *[
+            F.expr(f"SUM(CAST(r2{a} AS {dec}) * r2{b})").alias(
+                f"s{a}{b}"
+            )
+            for a, b in ("qq", "pp", "dd", "qp", "qd", "pd")
+        ],
+    )
+    br = m.select(
+        F.col("n").alias("n_rows"),
+        F.expr("CAST(n AS DOUBLE)").alias("dn"),
+        *[
+            F.expr(f"CAST(CAST(s{c} AS STRING) AS DOUBLE)").alias(
+                f"d{c}"
+            )
+            for c in ("q", "p", "d", "qq", "pp", "dd", "qp", "qd", "pd")
+        ],
+    )
+
+    def rho(sab, sa, sb, saa, sbb):
+        num = F.col("dn") * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (F.col("dn") * F.col(saa) - F.col(sa) * F.col(sa))
+            * (F.col("dn") * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return DET.det_round(num / den, 6)
+
+    return br.select(
+        "n_rows",
+        rho("dqp", "dq", "dp", "dqq", "dpp").alias("rho_qty_price"),
+        rho("dqd", "dq", "dd", "dqq", "ddd").alias("rho_qty_disc"),
+        rho("dpd", "dp", "dd", "dpp", "ddd").alias("rho_price_disc"),
+    )
+
+
+ORACLE_SPEARMAN = f"""
+    WITH r AS (SELECT
+            2*RANK() OVER (ORDER BY l_quantity)
+                + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS r2q,
+            2*RANK() OVER (ORDER BY l_extendedprice)
+                + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS r2p,
+            2*RANK() OVER (ORDER BY l_discount)
+                + COUNT(*) OVER (PARTITION BY l_discount) - 1 AS r2d
+        FROM lineitem),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(r2q AS HUGEINT)) AS sq,
+            SUM(CAST(r2p AS HUGEINT)) AS sp,
+            SUM(CAST(r2d AS HUGEINT)) AS sd,
+            SUM(CAST(r2q AS HUGEINT) * r2q) AS sqq,
+            SUM(CAST(r2p AS HUGEINT) * r2p) AS spp,
+            SUM(CAST(r2d AS HUGEINT) * r2d) AS sdd,
+            SUM(CAST(r2q AS HUGEINT) * r2p) AS sqp,
+            SUM(CAST(r2q AS HUGEINT) * r2d) AS sqd,
+            SUM(CAST(r2p AS HUGEINT) * r2d) AS spd
+        FROM r),
+    br AS (SELECT n AS n_rows, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(sq AS VARCHAR(64)) AS DOUBLE) AS dq,
+            CAST(CAST(sp AS VARCHAR(64)) AS DOUBLE) AS dp,
+            CAST(CAST(sd AS VARCHAR(64)) AS DOUBLE) AS dd,
+            CAST(CAST(sqq AS VARCHAR(64)) AS DOUBLE) AS dqq,
+            CAST(CAST(spp AS VARCHAR(64)) AS DOUBLE) AS dpp,
+            CAST(CAST(sdd AS VARCHAR(64)) AS DOUBLE) AS ddd,
+            CAST(CAST(sqp AS VARCHAR(64)) AS DOUBLE) AS dqp,
+            CAST(CAST(sqd AS VARCHAR(64)) AS DOUBLE) AS dqd,
+            CAST(CAST(spd AS VARCHAR(64)) AS DOUBLE) AS dpd
+        FROM m)
+    SELECT n_rows,
+        {DET.det_round_sql(
+            "(dn * dqp - dq * dp) / SQRT((dn * dqq - dq * dq)"
+            " * (dn * dpp - dp * dp))", 6)} AS rho_qty_price,
+        {DET.det_round_sql(
+            "(dn * dqd - dq * dd) / SQRT((dn * dqq - dq * dq)"
+            " * (dn * ddd - dd * dd))", 6)} AS rho_qty_disc,
+        {DET.det_round_sql(
+            "(dn * dpd - dp * dd) / SQRT((dn * dpp - dp * dp)"
+            " * (dn * ddd - dd * dd))", 6)} AS rho_price_disc
+    FROM br
+"""
+
+
+def q_huber_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of mean extended price via 3 fixed IRLS
+    rounds — the outlier-resistant location estimate (a handful of
+    corrupt billion-unit rows would drag the plain mean arbitrarily;
+    Huber caps their influence at the threshold c).  Fully exact
+    integer pipeline so DuckDB replays it term for term: micro-unit
+    prices; c = 1.345 * mean-absolute-deviation (the textbook 95%%-
+    efficiency constant, scaled on an exact integer dispersion);
+    weights w = min(1, c/|x - m|) quantized to ppm integers BEFORE the
+    weighted sums, which run in DECIMAL(38,0) (w*x <= 1e17/row — safe
+    past 1e20 rows).  Every div is positive-over-positive, so Spark's
+    truncation and DuckDB's floor agree.
+
+    Scale shape: 5 sequential whole-table aggregates (n+mean, MAD, 3
+    IRLS rounds), each a partial-combined single-row agg chained by
+    1-row broadcast crossJoins — the plan is one lazy DAG, the driver
+    never sees data, and iteration count is FIXED (not data-dependent)
+    so the job graph is static."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        # parquet DOUBLE: micro-quantize on the shared IEEE expression,
+        # never bare CAST (Spark truncates, DuckDB rounds)
+        F.expr(
+            "CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("x")
+    )
+    a0 = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+    )
+    s0 = a0.select("n", F.expr("CAST(sx div n AS BIGINT)").alias("m0"))
+    a1 = (
+        li.crossJoin(F.broadcast(s0))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("m0").alias("m0"),
+            F.sum(F.expr("CAST(abs(x - m0) AS DECIMAL(38,0))")).alias(
+                "sad"
+            ),
+        )
+        .select(
+            "n",
+            "m0",
+            F.expr(
+                "CAST(((sad div n) * 1345) div 1000 AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    prev = a1.withColumn("m", F.col("m0"))
+    w_expr = (
+        "CASE WHEN x = m THEN CAST(1000000 AS DECIMAL(38,0))"
+        " ELSE LEAST(CAST(1000000 AS DECIMAL(38,0)),"
+        " CAST(c AS DECIMAL(38,0)) * 1000000 div abs(x - m)) END"
+    )
+    for _ in range(3):
+        prev = (
+            li.crossJoin(F.broadcast(prev))
+            .select("x", "n", "m0", "c", F.expr(w_expr).alias("w"))
+            .agg(
+                F.max("n").alias("n"),
+                F.max("m0").alias("m0"),
+                F.max("c").alias("c"),
+                F.expr(
+                    "CAST(SUM(w * x) div SUM(w) AS BIGINT)"
+                ).alias("m"),
+                F.sum("w").alias("sw"),
+            )
+        )
+    return prev.select(
+        "n",
+        F.col("m0").alias("mean_micro"),
+        F.col("c").alias("c_micro"),
+        F.col("m").alias("huber_micro"),
+        F.expr("CAST(sw div n AS BIGINT)").alias("eff_weight_ppm"),
+    )
+
+
+ORACLE_HUBER = """
+    WITH x AS (SELECT
+            CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS x
+        FROM lineitem),
+    a0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx FROM x),
+    s0 AS (SELECT n, CAST(sx // n AS BIGINT) AS m0 FROM a0),
+    a1 AS (SELECT n, m0,
+            CAST(((SUM(CAST(ABS(x - m0) AS HUGEINT)) // n) * 1345)
+                 // 1000 AS BIGINT) AS c
+        FROM x CROSS JOIN s0 GROUP BY n, m0),
+    w1 AS (SELECT n, m0, c,
+            CASE WHEN x = m0 THEN CAST(1000000 AS HUGEINT)
+                 ELSE LEAST(CAST(1000000 AS HUGEINT),
+                     CAST(c AS HUGEINT) * 1000000 // ABS(x - m0)) END
+                AS w, x
+        FROM x CROSS JOIN a1),
+    it1 AS (SELECT n, m0, c,
+            CAST(SUM(w * x) // SUM(w) AS BIGINT) AS m
+        FROM w1 GROUP BY n, m0, c),
+    w2 AS (SELECT n, m0, c, m,
+            CASE WHEN x = m THEN CAST(1000000 AS HUGEINT)
+                 ELSE LEAST(CAST(1000000 AS HUGEINT),
+                     CAST(c AS HUGEINT) * 1000000 // ABS(x - m)) END
+                AS w, x
+        FROM x CROSS JOIN it1),
+    it2 AS (SELECT n, m0, c,
+            CAST(SUM(w * x) // SUM(w) AS BIGINT) AS m
+        FROM w2 GROUP BY n, m0, c),
+    w3 AS (SELECT n, m0, c, m,
+            CASE WHEN x = m THEN CAST(1000000 AS HUGEINT)
+                 ELSE LEAST(CAST(1000000 AS HUGEINT),
+                     CAST(c AS HUGEINT) * 1000000 // ABS(x - m)) END
+                AS w, x
+        FROM x CROSS JOIN it2),
+    it3 AS (SELECT n, m0, c,
+            CAST(SUM(w * x) // SUM(w) AS BIGINT) AS m,
+            CAST(SUM(w) AS HUGEINT) AS sw
+        FROM w3 GROUP BY n, m0, c)
+    SELECT n, m0 AS mean_micro, c AS c_micro, m AS huber_micro,
+        CAST(sw // n AS BIGINT) AS eff_weight_ppm
+    FROM it3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -14200,6 +14625,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_sampling_table": q_negative_sampling_table,
     "mixture_interleave_schedule": q_mixture_interleave_schedule,
     "burrows_delta_sources": q_burrows_delta_sources,
+    "revenue_drawdown": q_revenue_drawdown,
+    "spearman_lineitem": q_spearman_lineitem,
+    "huber_mean_price": q_huber_mean_price,
     "item_item_cosine": q_item_item_cosine,
 }
 
@@ -14417,6 +14845,9 @@ ORACLES: dict[str, str] = {
     "negative_sampling_table": ORACLE_NEG_SAMPLING,
     "mixture_interleave_schedule": ORACLE_MIXTURE_INTERLEAVE,
     "burrows_delta_sources": ORACLE_BURROWS_DELTA,
+    "revenue_drawdown": ORACLE_REVENUE_DRAWDOWN,
+    "spearman_lineitem": ORACLE_SPEARMAN,
+    "huber_mean_price": ORACLE_HUBER,
     "item_item_cosine": ORACLE_ITEM_COSINE,
 }
 

@@ -1156,3 +1156,39 @@ def test_item_item_cosine_equi_join_takeordered(spark):
     plan = _plan(spark, "item_item_cosine")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_revenue_drawdown_partitioned_windows_no_cartesian(spark):
+    """Drawdown: prefix windows partitioned by segment; the only
+    nested-loop is the intentional segments x calendar-spine broadcast
+    cross join (bounded by the calendar at any corpus size)."""
+    plan = _plan(spark, "revenue_drawdown")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
+        assert "c_mktsegment" in m.group(0), m.group(0)
+
+
+def test_spearman_ranks_via_distributed_prefix_sum(spark):
+    """Spearman: ranks come from the two-pass prefix sum over DISTINCT
+    values (its rangepartitioning hides behind the localCheckpoint —
+    same visibility caveat as test_abc_uses_distributed_prefix_sum),
+    so assert what the visible plan CAN show: no global row sort, no
+    cartesian, no Python, and a partial-combined moment aggregate."""
+    plan = _plan(spark, "spearman_lineitem")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    # the fact table must never be globally sorted for ranks
+    assert "Sort [l_" not in plan
+
+
+def test_huber_broadcast_scalar_chain(spark):
+    """Huber IRLS: every scalar handoff is a 1-row broadcast nested
+    loop; the corpus is never collected and never cartesian-joined."""
+    plan = _plan(spark, "huber_mean_price")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 4
