@@ -14411,6 +14411,324 @@ ORACLE_HUBER = """
 """
 
 
+# ---------------------------------------------------------------- wave 6y
+
+# ln(2) as an exact double literal — F.log(F.lit(2.0)) would trust both
+# engines' ln() to round the constant identically; a literal removes
+# the bet entirely
+_LN2 = "0.6931471805599453"
+
+
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the distributional-shift matrix a data-mixing run
+    consults before blending corpora (symmetric, bounded by ln 2,
+    defined even where vocabularies don't overlap — the reasons it
+    beats KL here).  Emitted as js2_nano = 2*JS in half-up-quantized
+    nano-nats: each common-word term quantizes to int64 BEFORE the
+    cross-word sum (the markov_entropy_rate idiom — integer addition
+    commutes where a double sum would be partition-order-dependent),
+    and the disjoint-vocabulary tail mass enters in closed form as
+    (1 - overlap) * ln 2 — no full-outer join needed, since a word
+    absent from the other source contributes exactly p*ln2.  Log
+    arguments are exact DECIMAL(38,0) integer products bridged to
+    double through VARCHAR (the dispersion idiom), det_round(9).
+
+    Scale shape: corpus collapses to (source, word) counts in one
+    partial agg; the word self-join produces at most C(sources,2)
+    rows per word (sources are a dim attribute); totals broadcast;
+    the final matrix is pair-cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            "source",
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.groupBy("source").agg(F.sum("c").alias("n"))
+    a = uni.select(
+        F.col("source").alias("sa"), "w", F.col("c").alias("ca")
+    )
+    b = uni.select(
+        F.col("source").alias("sb"), "w", F.col("c").alias("cb")
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    j = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+    )
+
+    def _bridge(prod: str) -> str:
+        # exact integer product -> VARCHAR -> double (correctly-rounded
+        # string parse on both engines; avoids int128->double casts)
+        return f"CAST(CAST({prod} AS STRING) AS DOUBLE)"
+
+    num_a = _bridge("CAST(2 AS DECIMAL(38,0)) * ca * nb")
+    num_b = _bridge("CAST(2 AS DECIMAL(38,0)) * cb * na")
+    den = _bridge(
+        "CAST(ca AS DECIMAL(38,0)) * nb + CAST(cb AS DECIMAL(38,0)) * na"
+    )
+    # ONE ln per term of the exact-integer ratio — subtracting two
+    # separately det-rounded lns doubles the rounding radius to the
+    # nano-boundary flip zone (9 of 190 pairs diverged at authoring
+    # time); ln of the IEEE-exact ratio leaves ~1e-7 nano of margin
+    terms = j.select(
+        "sa",
+        "sb",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        F.expr(
+            "CAST(FLOOR((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+            f" * ln({num_a} / {den}) * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("tna"),
+        F.expr(
+            "CAST(FLOOR((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+            f" * ln({num_b} / {den}) * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("tnb"),
+    )
+    agg = terms.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.col("tna") + F.col("tnb")).alias("common_nano"),
+        F.sum("ca").alias("sca"),
+        F.sum("cb").alias("scb"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    tail = (
+        "CAST(FLOOR((CAST(n{s} - sc{s} AS DOUBLE)"
+        f" / CAST(n{{s}} AS DOUBLE)) * {_LN2}"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    return agg.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_common",
+        F.expr(
+            "common_nano + "
+            + tail.format(s="a")
+            + " + "
+            + tail.format(s="b")
+        ).alias("js2_nano"),
+    )
+
+
+def _int_bridge_sql(prod: str) -> str:
+    return f"CAST(CAST({prod} AS VARCHAR) AS DOUBLE)"
+
+
+ORACLE_JS_DIVERGENCE = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    u AS (SELECT source, unnest(toks) AS w FROM t),
+    uni AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM u GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+            FROM uni GROUP BY 1),
+    j AS (SELECT a.source AS sa, b.source AS sb, a.c AS ca, b.c AS cb,
+            ta.n AS na, tb.n AS nb
+        FROM uni a JOIN uni b ON a.w = b.w AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source),
+    terms AS (SELECT sa, sb, ca, cb, na, nb,
+            CAST(FLOOR((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                * LN({_int_bridge_sql("2 * CAST(ca AS HUGEINT) * nb")}
+                     / {_int_bridge_sql(
+                         "CAST(ca AS HUGEINT) * nb"
+                         " + CAST(cb AS HUGEINT) * na"
+                     )})
+                * 1000000000.0 + 0.5) AS BIGINT) AS tna,
+            CAST(FLOOR((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                * LN({_int_bridge_sql("2 * CAST(cb AS HUGEINT) * na")}
+                     / {_int_bridge_sql(
+                         "CAST(ca AS HUGEINT) * nb"
+                         " + CAST(cb AS HUGEINT) * na"
+                     )})
+                * 1000000000.0 + 0.5) AS BIGINT) AS tnb
+        FROM j),
+    agg AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_common,
+            CAST(SUM(tna + tnb) AS BIGINT) AS common_nano,
+            CAST(SUM(ca) AS BIGINT) AS sca,
+            CAST(SUM(cb) AS BIGINT) AS scb,
+            MAX(na) AS na, MAX(nb) AS nb
+        FROM terms GROUP BY 1, 2)
+    SELECT sa AS source_a, sb AS source_b, n_common,
+        common_nano
+        + CAST(FLOOR((CAST(na - sca AS DOUBLE) / CAST(na AS DOUBLE))
+            * {_LN2} * 1000000000.0 + 0.5) AS BIGINT)
+        + CAST(FLOOR((CAST(nb - scb AS DOUBLE) / CAST(nb AS DOUBLE))
+            * {_LN2} * 1000000000.0 + 0.5) AS BIGINT)
+        AS js2_nano
+    FROM agg
+"""
+
+
+def q_flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source: 206.835 - 1.015(W/S) -
+    84.6(Syl/W), the readability screen cheap enough to run over a
+    whole pretraining corpus (quality classifiers are models;
+    readability is arithmetic).  Syllables are the standard
+    vowel-group heuristic (runs of [aeiouy], min 1 per word);
+    sentences are [.!?]+ runs, min 1.  The per-doc score is EXACT
+    integer milli-points — 206835 - (1015*W) div S - (84600*Syl)
+    div W, all divisions positive — and the per-source mean uses the
+    sign-safe half-up idiom (scores can go negative on dense text,
+    so neither engine's negative-div convention may be load-bearing).
+
+    Scale shape: per-row expression work (no UDFs — regexp + list
+    higher-order functions), one partial agg to source cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1),
+                F.size(
+                    F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))
+                ),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+    per = docs.select(
+        "source",
+        syl.alias("syl"),
+        F.size(toks).cast("long").alias("w_cnt"),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit("[.!?]+"), F.lit(0)
+                )
+            ),
+        )
+        .cast("long")
+        .alias("s_cnt"),
+    ).filter(F.col("w_cnt") >= 1)
+    scored = per.select(
+        "source",
+        F.expr(
+            "206835 - (1015 * CAST(w_cnt AS BIGINT)) div s_cnt"
+            " - (84600 * CAST(syl AS BIGINT)) div w_cnt"
+        ).alias("score_milli"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_milli").alias("s"),
+        F.min("score_milli").alias("min_milli"),
+        F.max("score_milli").alias("max_milli"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CASE WHEN s >= 0 THEN (s div n_docs)"
+            " + ((s % n_docs) * 2 + n_docs) div (2 * n_docs)"
+            " ELSE -(((-s) div n_docs)"
+            " + (((-s) % n_docs) * 2 + n_docs) div (2 * n_docs)) END"
+        ).alias("mean_milli"),
+        "min_milli",
+        "max_milli",
+    )
+
+
+ORACLE_FLESCH = f"""
+    WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+    per AS (SELECT source,
+            CAST(list_sum(list_transform(toks, w ->
+                GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                AS BIGINT) AS syl,
+            CAST(len(toks) AS BIGINT) AS w_cnt,
+            CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                AS BIGINT) AS s_cnt
+        FROM t WHERE len(toks) >= 1),
+    scored AS (SELECT source,
+            206835 - (1015 * w_cnt) // s_cnt
+                   - (84600 * syl) // w_cnt AS score_milli
+        FROM per),
+    g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(score_milli) AS BIGINT) AS s,
+            CAST(MIN(score_milli) AS BIGINT) AS min_milli,
+            CAST(MAX(score_milli) AS BIGINT) AS max_milli
+        FROM scored GROUP BY 1)
+    SELECT source, n_docs,
+        CAST(CASE WHEN s >= 0 THEN (s // n_docs)
+                + ((s % n_docs) * 2 + n_docs) // (2 * n_docs)
+            ELSE -(((-s) // n_docs)
+                + (((-s) % n_docs) * 2 + n_docs) // (2 * n_docs)) END
+            AS BIGINT) AS mean_milli,
+        min_milli, max_milli
+    FROM g
+"""
+
+
+def q_simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of the word distribution per source: D =
+    1 - sum c(c-1) / (n(n-1)), the probability two tokens drawn
+    without replacement differ — the concentration complement to
+    lang_entropy_by_source (entropy weights the tail, Simpson the
+    head; a boilerplate-heavy source scores low here first).  Exact
+    ppm: the collision sum runs in DECIMAL(38,0)/HUGEINT and the
+    share is one integer division — no doubles anywhere.
+
+    Scale shape: one partial agg to (source, word), one rollup to
+    source cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            "source",
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = uni.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")
+        ).alias("coll"),
+    )
+    return g.filter(F.col("n_tokens") >= 2).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST(1000000 - (coll * 1000000)"
+            " div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+            " AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+ORACLE_SIMPSON = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    u AS (SELECT source, unnest(toks) AS w FROM t),
+    uni AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM u GROUP BY 1, 2),
+    g AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_types,
+            CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS coll
+        FROM uni GROUP BY 1)
+    SELECT source, n_tokens, n_types,
+        CAST(1000000 - (coll * 1000000)
+            // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+            AS BIGINT) AS simpson_ppm
+    FROM g WHERE n_tokens >= 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -14628,6 +14946,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_drawdown": q_revenue_drawdown,
     "spearman_lineitem": q_spearman_lineitem,
     "huber_mean_price": q_huber_mean_price,
+    "js_divergence_sources": q_js_divergence_sources,
+    "flesch_by_source": q_flesch_by_source,
+    "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
 }
 
@@ -14848,6 +15169,9 @@ ORACLES: dict[str, str] = {
     "revenue_drawdown": ORACLE_REVENUE_DRAWDOWN,
     "spearman_lineitem": ORACLE_SPEARMAN,
     "huber_mean_price": ORACLE_HUBER,
+    "js_divergence_sources": ORACLE_JS_DIVERGENCE,
+    "flesch_by_source": ORACLE_FLESCH,
+    "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
 }
 

@@ -1192,3 +1192,27 @@ def test_huber_broadcast_scalar_chain(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 4
+
+
+def test_js_divergence_equi_word_join_broadcast_totals(spark):
+    """JS divergence: the word self-join is equi on the word (pair
+    fan-out bounded by source dim cardinality); totals broadcast."""
+    plan = _plan(spark, "js_divergence_sources")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flesch_per_row_exprs_single_agg(spark):
+    """Flesch: syllable/sentence math is per-row expression work (no
+    UDFs), then one partial-combined agg to source cardinality."""
+    plan = _plan(spark, "flesch_by_source")
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_simpson_partial_agg_no_python(spark):
+    plan = _plan(spark, "simpson_diversity_sources")
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
