@@ -14729,6 +14729,341 @@ ORACLE_SIMPSON = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 6z
+
+
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities, top 50 — the
+    smoothing every serious n-gram LM uses (continuation counts fix
+    the 'San Francisco' problem: 'francisco' is frequent but follows
+    almost nothing, so its unigram backoff must be small).  With the
+    textbook discount D = 0.75 every term is rational, so the whole
+    model is ONE exact integer formula per bigram:
+
+        p = ((4*c12 - 3)*T + 3*N1(w1)*Nc(w2)) / (4*c1*T)   [c12 >= 1]
+
+    (N1 = distinct continuations of w1, Nc = distinct left-contexts
+    of w2, T = distinct bigram types; common denominator 4*c1*T),
+    emitted as exact nano-units via DECIMAL(38,0)/HUGEINT — numerator
+    stays under 1e38 past 1e11 tokens x 1e12 types.  Complements
+    bigram_lm_scores (add-one): same count tables, the smoothing the
+    reference model family would actually ship.
+
+    Scale shape: one bigram partial agg (token -> bigram-type
+    cardinality), two vocab-cardinality stat aggs joined back equi,
+    one broadcast scalar (T), TakeOrdered(50) finish."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    m = F.size(F.col("toks")) - 1
+    pairs_arr = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, m),
+            F.slice(F.col("toks"), 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+    pairs = (
+        docs.select(toks.alias("toks"))
+        .select(F.explode_outer(pairs_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    left = pairs.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1")
+    )
+    right = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    types = pairs.agg(F.count(F.lit(1)).alias("t"))
+    j = (
+        pairs.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c12",
+            "n1",
+            "nc",
+            F.expr(
+                "CAST(((CAST(4 AS DECIMAL(38,0)) * c12 - 3) * t"
+                " + CAST(3 AS DECIMAL(38,0)) * n1 * nc) * 1000000000"
+                " div (CAST(4 AS DECIMAL(38,0)) * c1 * t) AS BIGINT)"
+            ).alias("p_kn_nano"),
+        )
+        .orderBy(F.desc("p_kn_nano"), "w1", "w2")
+        .limit(50)
+    )
+
+
+ORACLE_KNESER_NEY = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    occ AS (SELECT unnest(list_transform(range(len(toks) - 1), i ->
+                struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS p
+        FROM t WHERE len(toks) >= 2),
+    pairs AS (SELECT p.w1 AS w1, p.w2 AS w2,
+            CAST(COUNT(*) AS BIGINT) AS c12
+        FROM occ GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+            CAST(COUNT(*) AS BIGINT) AS n1
+        FROM pairs GROUP BY 1),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM pairs GROUP BY 1),
+    ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pairs)
+    SELECT pairs.w1, pairs.w2, c12, n1, nc,
+        CAST(((CAST(4 AS HUGEINT) * c12 - 3) * t
+              + CAST(3 AS HUGEINT) * n1 * nc) * 1000000000
+             // (CAST(4 AS HUGEINT) * c1 * t) AS BIGINT) AS p_kn_nano
+    FROM pairs JOIN lft ON pairs.w1 = lft.w1
+               JOIN rgt ON pairs.w2 = rgt.w2
+               CROSS JOIN ty
+    ORDER BY p_kn_nano DESC, pairs.w1, pairs.w2 LIMIT 50
+"""
+
+
+def q_gains_curve_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains (lift) curve: rank users by view count
+    descending, cut into deciles, and measure how fast purchasers
+    concentrate in the top — the canonical pre-deployment eval of any
+    targeting score, here applied to the 'views predict purchase'
+    heuristic.  Lift is exact ppm: (cum_pos * n_users * 1e6) div
+    (cum_users * tot_pos) in DECIMAL(38,0).
+
+    Scale shape: user-cardinality agg, then the global rank comes
+    from the two-pass distributed prefix sum over a UNIQUE
+    fixed-width string key (views DESC, user_id ASC — the abc
+    lexicographic encoding, with a constant 1e18 ceiling instead of a
+    data-dependent max so NO scalar action is needed); decile rollup
+    is 10 rows, where the unpartitioned cum window is driver-scale by
+    construction."""
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "view").alias("views"),
+        F.count_if(F.col("event_type") == "purchase").alias("purch"),
+    )
+    keyed = users.select(
+        F.concat(
+            F.lpad(
+                (F.lit(1000000000000000000) - F.col("views")).cast(
+                    "string"
+                ),
+                19,
+                "0",
+            ),
+            F.lpad(F.col("user_id").cast("string"), 19, "0"),
+        ).alias("k"),
+        (F.col("purch") > 0).cast("bigint").alias("pos"),
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    ranked = with_global_running_sum(keyed, "k", "one", "rank")
+    tot = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(F.col("purch") > 0).alias("tot_pos"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("((rank - 1) * 10) div n_users").alias("decile"),
+            "pos",
+            "n_users",
+            "tot_pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_decile"),
+            F.sum("pos").alias("n_pos"),
+            F.max("n_users").alias("n_users"),
+            F.max("tot_pos").alias("tot_pos"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dec.select(
+            "decile",
+            "n_in_decile",
+            "n_pos",
+            F.sum("n_in_decile").over(w).alias("cum_users"),
+            F.sum("n_pos").over(w).alias("cum_pos"),
+            "n_users",
+            "tot_pos",
+        )
+        .select(
+            "decile",
+            "n_in_decile",
+            "n_pos",
+            "cum_users",
+            "cum_pos",
+            "n_users",
+            "tot_pos",
+            F.expr(
+                "CAST(CAST(cum_pos AS DECIMAL(38,0)) * n_users"
+                " * 1000000 div (CAST(cum_users AS DECIMAL(38,0))"
+                " * tot_pos) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_GAINS_CURVE = """
+    WITH users AS (SELECT user_id,
+            CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+                AS views,
+            CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                AS purch
+        FROM events GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+            CAST(COUNT(*) FILTER (WHERE purch > 0) AS BIGINT) AS tot_pos
+        FROM users),
+    ranked AS (SELECT CASE WHEN purch > 0 THEN 1 ELSE 0 END AS pos,
+            ROW_NUMBER() OVER (ORDER BY views DESC, user_id) AS rank
+        FROM users),
+    dec AS (SELECT ((rank - 1) * 10) // n_users AS decile,
+            CAST(COUNT(*) AS BIGINT) AS n_in_decile,
+            CAST(SUM(pos) AS BIGINT) AS n_pos,
+            MAX(n_users) AS n_users, MAX(tot_pos) AS tot_pos
+        FROM ranked CROSS JOIN tot GROUP BY 1)
+    SELECT decile, n_in_decile, n_pos,
+        CAST(SUM(n_in_decile) OVER w AS BIGINT) AS cum_users,
+        CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+        n_users, tot_pos,
+        CAST(CAST(SUM(n_pos) OVER w AS HUGEINT) * n_users * 1000000
+             // (CAST(SUM(n_in_decile) OVER w AS HUGEINT) * tot_pos)
+             AS BIGINT) AS lift_ppm
+    FROM dec
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+"""
+
+
+def q_propensity_strata_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-stratified treatment-effect estimate (ATT): treated =
+    AUTOMOBILE-segment customers, control = BUILDING, stratified on
+    account balance (fixed $1000 strata — data-independent bucket
+    edges, so no scalar action and no quantile job), outcome = order
+    count.  Within each stratum that has BOTH groups, the mean-outcome
+    difference is weighted by the stratum's treated share — the
+    subclassification estimator (Rosenbaum & Rubin 1984), the
+    scale-correct alternative to 1:1 nearest matching (whose global
+    score sort does not distribute).  Per-stratum means are exact
+    positive integer micro-divisions; the final weighted sum can be
+    negative, so the closing division uses the sign-safe mirrored
+    idiom (neither engine's negative-div convention is load-bearing).
+
+    Scale shape: one customer-cardinality outcome join (orders agg to
+    customer first), one (stratum, group) agg — dozens of rows — and
+    a single-row rollup."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    base = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .select(
+            (F.col("c_mktsegment") == "AUTOMOBILE")
+            .cast("int")
+            .alias("treated"),
+            F.expr(
+                "(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)"
+                " + 100000) div 100000"
+            ).alias("stratum"),
+            F.coalesce(F.col("n_orders"), F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    g = base.groupBy("stratum").agg(
+        F.sum(F.expr("CASE WHEN treated = 1 THEN 1 ELSE 0 END")).alias(
+            "n_t"
+        ),
+        F.sum(F.expr("CASE WHEN treated = 0 THEN 1 ELSE 0 END")).alias(
+            "n_c"
+        ),
+        F.sum(F.expr("CASE WHEN treated = 1 THEN y ELSE 0 END")).alias(
+            "sy_t"
+        ),
+        F.sum(F.expr("CASE WHEN treated = 0 THEN y ELSE 0 END")).alias(
+            "sy_c"
+        ),
+    )
+    used = g.filter((F.col("n_t") > 0) & (F.col("n_c") > 0)).select(
+        "n_t",
+        "n_c",
+        F.expr(
+            "n_t * ((sy_t * 1000000) div n_t - (sy_c * 1000000) div n_c)"
+        ).alias("contrib"),
+    )
+    r = used.agg(
+        F.sum("n_t").alias("n_treated"),
+        F.sum("n_c").alias("n_control"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("contrib").alias("s"),
+    )
+    return r.select(
+        "n_treated",
+        "n_control",
+        "n_strata",
+        F.expr(
+            "CASE WHEN s >= 0 THEN s div n_treated"
+            " ELSE -((-s) div n_treated) END"
+        ).alias("att_micro"),
+    )
+
+
+ORACLE_PROPENSITY_ATT = """
+    WITH o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1),
+    base AS (SELECT
+            CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                AS treated,
+            (CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) + 100000)
+                // 100000 AS stratum,
+            CAST(COALESCE(n_orders, 0) AS BIGINT) AS y
+        FROM customer LEFT JOIN o ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+    g AS (SELECT stratum,
+            CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_t,
+            CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_c,
+            CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+                AS sy_t,
+            CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+                AS sy_c
+        FROM base GROUP BY 1),
+    used AS (SELECT n_t, n_c,
+            n_t * ((sy_t * 1000000) // n_t - (sy_c * 1000000) // n_c)
+                AS contrib
+        FROM g WHERE n_t > 0 AND n_c > 0),
+    r AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_treated,
+            CAST(SUM(n_c) AS BIGINT) AS n_control,
+            CAST(COUNT(*) AS BIGINT) AS n_strata,
+            CAST(SUM(contrib) AS BIGINT) AS s
+        FROM used)
+    SELECT n_treated, n_control, n_strata,
+        CAST(CASE WHEN s >= 0 THEN s // n_treated
+             ELSE -((-s) // n_treated) END AS BIGINT) AS att_micro
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -14947,6 +15282,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_lineitem": q_spearman_lineitem,
     "huber_mean_price": q_huber_mean_price,
     "js_divergence_sources": q_js_divergence_sources,
+    "kneser_ney_bigrams": q_kneser_ney_bigrams,
+    "gains_curve_purchases": q_gains_curve_purchases,
+    "propensity_strata_att": q_propensity_strata_att,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -15170,6 +15508,9 @@ ORACLES: dict[str, str] = {
     "spearman_lineitem": ORACLE_SPEARMAN,
     "huber_mean_price": ORACLE_HUBER,
     "js_divergence_sources": ORACLE_JS_DIVERGENCE,
+    "kneser_ney_bigrams": ORACLE_KNESER_NEY,
+    "gains_curve_purchases": ORACLE_GAINS_CURVE,
+    "propensity_strata_att": ORACLE_PROPENSITY_ATT,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

@@ -1216,3 +1216,30 @@ def test_simpson_partial_agg_no_python(spark):
     assert "EvalPython" not in plan
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_vocab_joins_takeordered(spark):
+    """KN bigrams: stat joins run at vocab/bigram-type cardinality
+    (equi), T is a 1-row broadcast, finish is TakeOrdered(50)."""
+    plan = _plan(spark, "kneser_ney_bigrams")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gains_curve_rank_via_prefix_sum(spark):
+    """Gains curve: the global rank must come from the two-pass prefix
+    sum (localCheckpoint hides its rangepartitioning — the abc caveat);
+    the only windows in the visible plan are the 10-row decile cums."""
+    plan = _plan(spark, "gains_curve_purchases")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the fact/user tables must never hit a global row-sort for ranks
+    assert "Sort [views" not in plan
+
+
+def test_propensity_att_two_aggs_no_python(spark):
+    plan = _plan(spark, "propensity_strata_att")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
