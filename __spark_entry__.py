@@ -15064,6 +15064,226 @@ ORACLE_PROPENSITY_ATT = """
 """
 
 
+# ---------------------------------------------------------------- wave 7a
+
+
+def q_wav_rms_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM decode: 16-bit mono WAV payloads with deterministic
+    sample content are parsed back byte-for-byte (RIFF chunk walk,
+    little-endian int16) and reduced to n_samples + the EXACT int64
+    sum of squares; RMS lands in micro-units via the shared IEEE
+    sqrt expression.  The oracle restates the samples arithmetically
+    (sample i of doc d = ((d*31 + i*7919) % 65536) - 32768), so any
+    offset, width, endianness, or chunk-walk defect in the decoder
+    hash-mismatches — the audio twin of png_pixel_stats.
+
+    Scale shape: one Arrow-batched mapInPandas over payloads (bodies
+    are KB-scale by design), zero shuffle; RMS math is per-row SQL."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        synthetic_pcm_payloads,
+        wav_pcm_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = wav_pcm_stats(synthetic_pcm_payloads(docs))
+    return stats.select(
+        "media_id",
+        "n_samples",
+        "sumsq",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(sumsq AS DOUBLE)"
+            " / CAST(n_samples AS DOUBLE)) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("rms_micro"),
+    ).orderBy("media_id")
+
+
+ORACLE_WAV_RMS = """
+    WITH s AS (SELECT doc_id AS media_id,
+            64 + doc_id % 193 AS n_samples,
+            u.i AS i,
+            ((doc_id * 31 + u.i * 7919) % 65536) - 32768 AS smp
+        FROM documents,
+            UNNEST(generate_series(0, 63 + doc_id % 193)) AS u(i)),
+    g AS (SELECT media_id, MAX(n_samples) AS n_samples,
+            CAST(SUM(CAST(smp AS BIGINT) * smp) AS BIGINT) AS sumsq
+        FROM s GROUP BY 1)
+    SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples, sumsq,
+        CAST(FLOOR(SQRT(CAST(sumsq AS DOUBLE)
+            / CAST(n_samples AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS rms_micro
+    FROM g ORDER BY media_id
+"""
+
+
+def q_sigma_band_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-chart audit of daily revenue: classify every day into
+    sigma bands (<=1, 1-2, 2-3, >3 sigma from the all-days mean) with
+    EXACT integer comparisons — (n*x - S)^2 vs k^2*(n*Q - S^2)
+    multiplies the empirical rule out to a common n^2 denominator, so
+    no sqrt, no double, no boundary ambiguity.  Revenue at integer-
+    dollar resolution keeps every square inside DECIMAL(38)/HUGEINT
+    past TPC-H sf 1e5.  The 68/95/99.7 sanity check a monitoring
+    pipeline runs before alerting on 'anomalous' days.
+
+    Scale shape: fact agg to day cardinality, one 3-moment single-row
+    agg broadcast back, a 4-row band rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.expr(
+                "CAST(floor(o_totalprice + 0.5) AS BIGINT)"
+            ).alias("usd"),
+        )
+        .groupBy("day")
+        .agg(F.sum(F.expr("CAST(usd AS DECIMAL(38,0))")).alias("x"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("q"),
+    )
+    banded = daily.crossJoin(F.broadcast(m)).select(
+        F.expr(
+            "CASE WHEN (n*x - s)*(n*x - s) <= (n*q - s*s) THEN 0"
+            " WHEN (n*x - s)*(n*x - s) <= 4*(n*q - s*s) THEN 1"
+            " WHEN (n*x - s)*(n*x - s) <= 9*(n*q - s*s) THEN 2"
+            " ELSE 3 END"
+        ).alias("band"),
+        "n",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.max("n").alias("n"))
+        .select(
+            "band",
+            "n_days",
+            F.expr(
+                "CAST(n_days * 1000000 div n AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_SIGMA_BANDS = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                 AS HUGEINT) AS x
+        FROM orders GROUP BY 1),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(x) AS HUGEINT) AS s,
+            CAST(SUM(x * x) AS HUGEINT) AS q
+        FROM daily),
+    banded AS (SELECT
+            CASE WHEN (n*x - s)*(n*x - s) <= (n*q - s*s) THEN 0
+                 WHEN (n*x - s)*(n*x - s) <= 4*(n*q - s*s) THEN 1
+                 WHEN (n*x - s)*(n*x - s) <= 9*(n*q - s*s) THEN 2
+                 ELSE 3 END AS band, n
+        FROM daily CROSS JOIN m)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(COUNT(*) * 1000000 // MAX(n) AS BIGINT) AS share_ppm
+    FROM banded GROUP BY band ORDER BY band
+"""
+
+
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking profile: token-level Rabin-style
+    boundaries (a chunk ends where the token's md5-derived 40-bit
+    value is divisible by 64 — expected chunk ~64 tokens, boundaries
+    survive insertions/deletions unlike fixed-stride windows), rolled
+    up per source: chunks, exact milli mean chunk length, corpus max.
+    The chunk-size health report for CDC-based dedup/storage (a
+    source whose mean drifts far from 64 has pathological token
+    distribution — same md5-int idiom as winnow_fingerprints).
+
+    Scale shape: per-row list expressions (boundaries + chunk lengths
+    never leave the row), one agg to source cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    staged = docs.select("source", toks.alias("toks")).filter(
+        F.size(F.col("toks")) >= 1
+    )
+    bounds = F.filter(
+        F.sequence(F.lit(1), F.size(F.col("toks"))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.element_at(F.col("toks"), i)), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        % 64
+        == 0,
+    )
+    st = staged.select(
+        "source",
+        F.size(F.col("toks")).cast("long").alias("n_toks"),
+        bounds.alias("b"),
+    )
+    lens = F.filter(
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), F.col("b")),
+            F.concat(F.col("b"), F.array(F.col("n_toks").cast("int"))),
+            lambda s, e: e - s,
+        ),
+        lambda x: x > 0,
+    )
+    per = st.select(
+        "source",
+        "n_toks",
+        F.size(lens).cast("long").alias("n_chunks"),
+        F.array_max(lens).cast("long").alias("max_chunk"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.max("max_chunk").alias("max_chunk"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chunks",
+            F.expr(
+                "CAST(n_tokens * 1000 div n_chunks AS BIGINT)"
+            ).alias("mean_chunk_milli"),
+            "max_chunk",
+        )
+    )
+
+
+ORACLE_CDC_CHUNKS = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    st AS (SELECT source, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+            list_filter(generate_series(1, len(toks)), i ->
+                ('0x' || substr(md5(toks[i]), 1, 10))::BIGINT % 64 = 0)
+                AS b
+        FROM t WHERE len(toks) >= 1),
+    per AS (SELECT source, n_toks,
+            CAST(len(list_filter(
+                list_transform(generate_series(1, len(b) + 1), k ->
+                    list_append(b, CAST(n_toks AS BIGINT))[k]
+                    - list_prepend(0, b)[k]),
+                x -> x > 0)) AS BIGINT) AS n_chunks,
+            CAST(list_max(list_filter(
+                list_transform(generate_series(1, len(b) + 1), k ->
+                    list_append(b, CAST(n_toks AS BIGINT))[k]
+                    - list_prepend(0, b)[k]),
+                x -> x > 0)) AS BIGINT) AS max_chunk
+        FROM st)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        CAST(SUM(n_toks) * 1000 // SUM(n_chunks) AS BIGINT)
+            AS mean_chunk_milli,
+        CAST(MAX(max_chunk) AS BIGINT) AS max_chunk
+    FROM per GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -15285,6 +15505,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kneser_ney_bigrams": q_kneser_ney_bigrams,
     "gains_curve_purchases": q_gains_curve_purchases,
     "propensity_strata_att": q_propensity_strata_att,
+    "wav_rms_energy": q_wav_rms_energy,
+    "sigma_band_days": q_sigma_band_days,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -15511,6 +15734,9 @@ ORACLES: dict[str, str] = {
     "kneser_ney_bigrams": ORACLE_KNESER_NEY,
     "gains_curve_purchases": ORACLE_GAINS_CURVE,
     "propensity_strata_att": ORACLE_PROPENSITY_ATT,
+    "wav_rms_energy": ORACLE_WAV_RMS,
+    "sigma_band_days": ORACLE_SIGMA_BANDS,
+    "cdc_chunk_stats": ORACLE_CDC_CHUNKS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

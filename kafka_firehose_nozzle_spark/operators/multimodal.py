@@ -901,3 +901,114 @@ def synthetic_av_payloads(docs: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def synthetic_pcm_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV payloads with REAL int16 PCM content (unlike
+    :func:`synthetic_av_payloads`, whose data chunk is zeros): sample
+    i of doc d is ((d*31 + i*7919) % 65536) - 32768, little-endian,
+    n = 64 + d % 193 samples, mono 16 kHz.  A decoder that misreads
+    the chunk walk, sample width, or endianness produces a different
+    sum of squares and hash-mismatches against the oracle's closed
+    form — the byte-level check for the PCM read path."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 64 + mid % 193
+                data = b"".join(
+                    (((mid * 31 + i * 7919) % 65536) - 32768).to_bytes(
+                        2, "little", signed=True
+                    )
+                    for i in range(n)
+                )
+                fmt = (
+                    (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + (16000).to_bytes(4, "little")
+                    + (32000).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little")
+                    + (16).to_bytes(2, "little")
+                )
+                chunks = (
+                    b"fmt "
+                    + (16).to_bytes(4, "little")
+                    + fmt
+                    + b"data"
+                    + len(data).to_bytes(4, "little")
+                    + data
+                )
+                payloads.append(
+                    b"RIFF"
+                    + (4 + len(chunks)).to_bytes(4, "little")
+                    + b"WAVE"
+                    + chunks
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        build,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """Decode 16-bit mono PCM from WAV payloads and aggregate the
+    samples per payload: (media_id, n_samples, sumsq) with sumsq the
+    EXACT int64 sum of squared samples (|s| <= 32768 so a payload
+    would need >8.5e9 samples to overflow — a 148-hour mono take).
+    RIFF chunk walk as in :func:`parse_av_header`; numpy reads the
+    data chunk as little-endian int16.  One Arrow-batched mapInPandas
+    over payloads, zero shuffle; downstream RMS math stays in SQL
+    expressions so both engines share the IEEE formula."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sq = [], []
+            for raw in pdf["payload"]:
+                b = bytes(raw)
+                data = None
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    i = 12
+                    while i + 8 <= len(b):
+                        cc = b[i : i + 4]
+                        size = int.from_bytes(b[i + 4 : i + 8], "little")
+                        if cc == b"data":
+                            data = b[i + 8 : i + 8 + size]
+                            break
+                        i += 8 + size + (size & 1)
+                if data is None:
+                    ns.append(None)
+                    sq.append(None)
+                    continue
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                ns.append(len(s))
+                sq.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "sumsq": pd.array(sq, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("n_samples", T.LongType(), True),
+                T.StructField("sumsq", T.LongType(), True),
+            ]
+        ),
+    )

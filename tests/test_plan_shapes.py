@@ -1243,3 +1243,26 @@ def test_propensity_att_two_aggs_no_python(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_wav_rms_single_python_stage_no_shuffle(spark):
+    """PCM stats: exactly the two intended Arrow stages (synthesize +
+    decode); RMS math is JVM-side SQL; no hash shuffle of payloads."""
+    plan = _plan(spark, "wav_rms_energy")
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_sigma_bands_day_agg_broadcast_moments(spark):
+    plan = _plan(spark, "sigma_band_days")
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_per_row_lists_single_agg(spark):
+    """CDC chunking: boundaries and chunk lengths never leave the row
+    (list expressions); one agg to source cardinality; one md5 chain."""
+    plan = _plan(spark, "cdc_chunk_stats")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
