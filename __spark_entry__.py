@@ -15284,6 +15284,198 @@ ORACLE_CDC_CHUNKS = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 7b
+
+
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy eval of the PQ compressed index: recall@10 of the ADC
+    top-10 (pq_ann_topk) against the exact brute-force cosine top-10
+    (ann_cosine_topk) for the same query vector — the number that
+    decides whether 16x IO compression is worth it.  Completes the
+    eval family: lsh_recall_eval grades the dedup blocker,
+    hll_error_audit the sketches, THIS grades the vector index.
+
+    Scale shape: both rankings are bounded TakeOrdered(10) plans over
+    the scan; the overlap is a 10-row left-semi join; three 1-row
+    broadcast aggregates."""
+    pq10 = q_pq_ann_topk(spark, sf_dir).select("vec_id")
+    ex10 = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    hits = ex10.join(pq10, "vec_id", "left_semi")
+    r = (
+        ex10.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            F.broadcast(pq10.agg(F.count(F.lit(1)).alias("n_pq")))
+        )
+        .crossJoin(
+            F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_overlap")))
+        )
+    )
+    return r.select(
+        "n_exact",
+        "n_pq",
+        "n_overlap",
+        F.expr("n_overlap * 1000000 div n_exact").alias("recall_ppm"),
+    )
+
+
+ORACLE_PQ_RECALL = f"""
+    SELECT n_exact, n_pq, n_overlap,
+        n_overlap * 1000000 // n_exact AS recall_ppm
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ({ORACLE_ANN}) a)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_pq
+                FROM ({ORACLE_PQ_ANN}) p)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM ({ORACLE_ANN}) a JOIN ({ORACLE_PQ_ANN}) p
+                ON a.vec_id = p.vec_id)
+"""
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest per event type: the seasonal-naive baseline
+    (predict today = same weekday last week) over the DENSE daily
+    spine, scored with exact integer error metrics — MAE in milli-
+    events, WAPE in ppm (the division-safe MAPE replacement: zero-
+    count days are legal on a dense spine), and signed bias.  Any
+    fancier forecaster has to beat THIS row before it ships; the
+    spine's missing-days-are-zeros convention matches
+    changepoint_daily/burstiness_fano.
+
+    Scale shape: fact agg to (type, day), calendar-bounded spine,
+    per-type lag-7 window, one rollup to type cardinality."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    b = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).head()
+    spine = spark.sql(
+        f"SELECT explode(sequence(DATE'{b['lo']}', DATE'{b['hi']}',"
+        " interval 1 day)) AS day"
+    )
+    dense = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("y"), F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = (
+        dense.withColumn("yhat", F.lag("y", 7).over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            "event_type",
+            "y",
+            "yhat",
+            F.abs(F.col("y") - F.col("yhat")).alias("ae"),
+        )
+    )
+    g = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_eval"),
+        F.sum("ae").alias("sae"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") - F.col("yhat")).alias("bias_events"),
+    )
+    return g.filter(F.col("sy") > 0).select(
+        "event_type",
+        "n_days_eval",
+        F.expr("sae * 1000 div n_days_eval").alias("mae_milli"),
+        F.expr("sae * 1000000 div sy").alias("wape_ppm"),
+        "bias_events",
+    )
+
+
+ORACLE_SEASONAL_NAIVE = """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (SELECT event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM daily) s
+        CROSS JOIN (SELECT UNNEST(generate_series(lo, hi,
+            INTERVAL 1 DAY))::DATE AS day FROM bounds) d),
+    dense AS (SELECT sp.event_type, sp.day,
+            CAST(COALESCE(y, 0) AS BIGINT) AS y
+        FROM spine sp LEFT JOIN daily
+            ON daily.event_type = sp.event_type
+            AND daily.day = sp.day),
+    scored AS (SELECT event_type, y,
+            LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day)
+                AS yhat
+        FROM dense),
+    g AS (SELECT event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+            CAST(SUM(ABS(y - yhat)) AS BIGINT) AS sae,
+            CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(y - yhat) AS BIGINT) AS bias_events
+        FROM scored WHERE yhat IS NOT NULL GROUP BY 1)
+    SELECT event_type, n_days_eval,
+        sae * 1000 // n_days_eval AS mae_milli,
+        sae * 1000000 // sy AS wape_ppm,
+        bias_events
+    FROM g WHERE sy > 0
+"""
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion k_anonymity_audit doesn't
+    cover: a quasi-identifier group can be k-anonymous yet leak its
+    sensitive attribute if every member shares one value.  Quasi-ID =
+    (market segment, nation), sensitive = order priority; per
+    diversity level l (distinct priorities seen in the group), report
+    group count, row coverage, and the smallest group — the l=1 row
+    IS the disclosure list.
+
+    Scale shape: one order->customer equi-join, one agg to quasi-group
+    cardinality, one <=5-row rollup."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    rows = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "c_nationkey", "o_orderpriority")
+    g = rows.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderpriority").alias("l"),
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("n_rows").alias("min_group_rows"),
+        )
+        .orderBy("l")
+    )
+
+
+ORACLE_L_DIVERSITY = """
+    WITH rows_ AS (SELECT c_mktsegment, c_nationkey, o_orderpriority
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT c_mktsegment, c_nationkey,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l
+        FROM rows_ GROUP BY 1, 2)
+    SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        CAST(MIN(n_rows) AS BIGINT) AS min_group_rows
+    FROM g GROUP BY l ORDER BY l
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -15508,6 +15700,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wav_rms_energy": q_wav_rms_energy,
     "sigma_band_days": q_sigma_band_days,
     "cdc_chunk_stats": q_cdc_chunk_stats,
+    "pq_recall_eval": q_pq_recall_eval,
+    "seasonal_naive_backtest": q_seasonal_naive_backtest,
+    "l_diversity_audit": q_l_diversity_audit,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -15737,6 +15932,9 @@ ORACLES: dict[str, str] = {
     "wav_rms_energy": ORACLE_WAV_RMS,
     "sigma_band_days": ORACLE_SIGMA_BANDS,
     "cdc_chunk_stats": ORACLE_CDC_CHUNKS,
+    "pq_recall_eval": ORACLE_PQ_RECALL,
+    "seasonal_naive_backtest": ORACLE_SEASONAL_NAIVE,
+    "l_diversity_audit": ORACLE_L_DIVERSITY,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

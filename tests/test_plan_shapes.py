@@ -1266,3 +1266,28 @@ def test_cdc_chunks_per_row_lists_single_agg(spark):
     plan = _plan(spark, "cdc_chunk_stats")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_recall_bounded_rankings_semi_join(spark):
+    """PQ recall: both rankings are bounded TakeOrdered plans; the
+    overlap is a 10-row join; no cartesian over the corpus."""
+    plan = _plan(spark, "pq_recall_eval")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_naive_type_partitioned_lag(spark):
+    """Backtest: the lag-7 window must be partitioned by event_type."""
+    import re
+
+    plan = _plan(spark, "seasonal_naive_backtest")
+    assert "EvalPython" not in plan
+    for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
+        assert "event_type" in m.group(0), m.group(0)
+
+
+def test_l_diversity_two_aggs_no_python(spark):
+    plan = _plan(spark, "l_diversity_audit")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
