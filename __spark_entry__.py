@@ -15476,6 +15476,205 @@ ORACLE_L_DIVERSITY = """
 """
 
 
+# ---------------------------------------------------------------- wave 7c
+
+
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering report over orders — the locality
+    upgrade over zorder_layout: Morton order makes 2^k-long diagonal
+    jumps where the Hilbert curve moves one cell at a time, so
+    per-bucket min/max spans (= parquet row-group stats after a
+    layout write) stay narrower for the SAME bucket count.  Same
+    minmax scaling as zorder_layout (5 bits/dim here), then the
+    staged xy2d iteration (operators/layout.py::hilbert_stages —
+    validated cell-exact against the textbook algorithm), bucketed
+    by the top 6 of 10 curve bits.  Read next to zorder_layout's
+    report to see the span win.
+
+    Scale shape: one 1-row bounds aggregate broadcast back, 5 staged
+    integer projections (pure codegen, no shuffle), one bucket agg."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+            "d"
+        ),
+    )
+    bounds = o.agg(
+        F.min("c").alias("c_lo"),
+        F.max("c").alias("c_hi"),
+        F.min("d").alias("d_lo"),
+        F.max("d").alias("d_hi"),
+    )
+    scaled = o.crossJoin(F.broadcast(bounds)).select(
+        "c",
+        "d",
+        LAY._floor_div(
+            (F.col("c") - F.col("c_lo")).cast("bigint") * F.lit(31),
+            F.greatest(
+                F.col("c_hi") - F.col("c_lo"), F.lit(1)
+            ).cast("bigint"),
+        ).alias("sx"),
+        LAY._floor_div(
+            (F.col("d") - F.col("d_lo")).cast("bigint") * F.lit(31),
+            F.greatest(
+                F.col("d_hi") - F.col("d_lo"), F.lit(1)
+            ).cast("bigint"),
+        ).alias("sy"),
+    )
+    h = LAY.hilbert_stages(scaled, "sx", "sy", out="hkey", bits=5)
+    return (
+        h.select("c", "d", F.shiftright(F.col("hkey"), 4).alias("hbucket"))
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").alias("c_min"),
+            F.max("c").alias("c_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )
+
+
+def _hilbert_oracle() -> str:
+    scale_c = (
+        "((c - c_lo) * 31) // (CASE WHEN c_hi - c_lo > 1 "
+        "THEN c_hi - c_lo ELSE 1 END)"
+    )
+    scale_d = (
+        "((d - d_lo) * 31) // (CASE WHEN d_hi - d_lo > 1 "
+        "THEN d_hi - d_lo ELSE 1 END)"
+    )
+    ctes = LAY.hilbert_oracle_ctes("sx", "sy", bits=5)
+    return f"""
+    WITH o AS (SELECT o_custkey AS c,
+                      datediff('day', DATE '1992-01-01', o_orderdate) AS d
+               FROM orders),
+    b AS (SELECT MIN(c) AS c_lo, MAX(c) AS c_hi,
+                 MIN(d) AS d_lo, MAX(d) AS d_hi FROM o),
+    h_in AS (SELECT c, d, {scale_c} AS sx, {scale_d} AS sy
+             FROM o CROSS JOIN b),
+    {ctes}
+    SELECT hkey >> 4 AS hbucket, COUNT(*) AS n_orders,
+           MIN(c) AS c_min, MAX(c) AS c_max,
+           MIN(d) AS d_min, MAX(d) AS d_max
+    FROM h_out GROUP BY 1
+"""
+
+
+ORACLE_HILBERT = _hilbert_oracle()
+
+
+def q_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-part return
+    rates: raw x/n for a 3-observation part is noise; shrinking toward
+    the corpus prior with method-of-moments strength K = m(1-m)/v - 1
+    gives the rate you'd actually rank parts by.  Everything is exact
+    integer arithmetic: per-part micro rates, the prior mean and
+    between-part variance as micro(-squared) integers, K clamped to
+    >= 1 milli (overdispersion would make it negative — then shrinkage
+    is ill-posed and the clamp degrades gracefully toward raw rates),
+    shrunk rate = (1000x + alpha_milli) / (1000n + K_milli) in exact
+    micro.  Top 20 parts by how far shrinkage moved them — the rows a
+    raw ranking gets most wrong.
+
+    Scale shape: one fact agg to part cardinality, one 1-row moment
+    agg broadcast back, TakeOrdered(20)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_returnflag") == "R").alias("x"),
+    )
+    rated = per.select(
+        "l_partkey",
+        "n",
+        "x",
+        F.expr("x * 1000000 div n").alias("r_micro"),
+    )
+    prior = rated.agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum("r_micro").alias("sr"),
+        F.sum(
+            F.expr("CAST(r_micro AS DECIMAL(38,0)) * r_micro")
+        ).alias("srr"),
+    ).select(
+        "p_cnt",
+        F.expr("sr div p_cnt").alias("m_micro"),
+        # between-part variance in micro^2: E[r^2] - (E[r])^2, exact
+        F.expr(
+            "CAST(srr div p_cnt"
+            " - (sr div p_cnt) * (sr div p_cnt) AS BIGINT)"
+        ).alias("v_micro2"),
+    )
+    k = prior.select(
+        "m_micro",
+        "v_micro2",
+        F.expr(
+            "greatest(CAST(CAST(m_micro AS DECIMAL(38,0))"
+            " * (1000000 - m_micro) * 1000 div v_micro2"
+            " - 1000 AS BIGINT), CAST(1 AS BIGINT))"
+        ).alias("k_milli"),
+    ).select(
+        "m_micro",
+        "v_micro2",
+        "k_milli",
+        F.expr("k_milli * m_micro div 1000000").alias("alpha_milli"),
+    )
+    j = rated.crossJoin(F.broadcast(k))
+    return (
+        j.select(
+            "l_partkey",
+            "n",
+            "x",
+            "r_micro",
+            F.expr(
+                "CAST((CAST(x AS DECIMAL(38,0)) * 1000 + alpha_milli)"
+                " * 1000000 div (CAST(n AS DECIMAL(38,0)) * 1000"
+                " + k_milli) AS BIGINT)"
+            ).alias("shrunk_micro"),
+        )
+        .withColumn(
+            "gap_micro", F.abs(F.col("shrunk_micro") - F.col("r_micro"))
+        )
+        .orderBy(F.desc("gap_micro"), "l_partkey")
+        .limit(20)
+    )
+
+
+ORACLE_SHRUNK_RATES = """
+    WITH per AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                AS x
+        FROM lineitem GROUP BY 1),
+    rated AS (SELECT l_partkey, n, x,
+            x * 1000000 // n AS r_micro FROM per),
+    prior AS (SELECT CAST(COUNT(*) AS BIGINT) AS p_cnt,
+            CAST(SUM(r_micro) AS BIGINT) AS sr,
+            CAST(SUM(CAST(r_micro AS HUGEINT) * r_micro) AS HUGEINT)
+                AS srr
+        FROM rated),
+    pm AS (SELECT p_cnt, sr // p_cnt AS m_micro,
+            CAST(srr // p_cnt
+                 - (sr // p_cnt) * (sr // p_cnt) AS BIGINT) AS v_micro2
+        FROM prior),
+    kk AS (SELECT m_micro, v_micro2,
+            GREATEST(CAST(CAST(m_micro AS HUGEINT)
+                * (1000000 - m_micro) * 1000 // v_micro2
+                - 1000 AS BIGINT), CAST(1 AS BIGINT)) AS k_milli
+        FROM pm),
+    ka AS (SELECT m_micro, v_micro2, k_milli,
+            k_milli * m_micro // 1000000 AS alpha_milli FROM kk)
+    SELECT l_partkey, n, x, r_micro,
+        CAST((CAST(x AS HUGEINT) * 1000 + alpha_milli) * 1000000
+             // (CAST(n AS HUGEINT) * 1000 + k_milli) AS BIGINT)
+            AS shrunk_micro,
+        ABS(CAST((CAST(x AS HUGEINT) * 1000 + alpha_milli) * 1000000
+             // (CAST(n AS HUGEINT) * 1000 + k_milli) AS BIGINT)
+            - r_micro) AS gap_micro
+    FROM rated CROSS JOIN ka
+    ORDER BY gap_micro DESC, l_partkey LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -15703,6 +15902,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recall_eval": q_pq_recall_eval,
     "seasonal_naive_backtest": q_seasonal_naive_backtest,
     "l_diversity_audit": q_l_diversity_audit,
+    "hilbert_layout": q_hilbert_layout,
+    "shrunk_return_rates": q_shrunk_return_rates,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -15935,6 +16136,8 @@ ORACLES: dict[str, str] = {
     "pq_recall_eval": ORACLE_PQ_RECALL,
     "seasonal_naive_backtest": ORACLE_SEASONAL_NAIVE,
     "l_diversity_audit": ORACLE_L_DIVERSITY,
+    "hilbert_layout": ORACLE_HILBERT,
+    "shrunk_return_rates": ORACLE_SHRUNK_RATES,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

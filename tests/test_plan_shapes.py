@@ -1291,3 +1291,32 @@ def test_l_diversity_two_aggs_no_python(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_hilbert_staged_projections_no_shuffle(spark):
+    """Hilbert: the xy2d iteration is pure staged integer projections —
+    the only exchange allowed is the bucket aggregation's."""
+    plan = _plan(spark, "hilbert_layout")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_hilbert_spans_narrower_than_zorder(spark):
+    """The reason Hilbert exists: for the same 64-bucket layout the
+    summed per-bucket span (c_max - c_min) must not exceed Z-order's.
+    Run both reports at sf0.001 and compare total spans."""
+    import __spark_entry__ as entry
+
+    z = entry.queries()["zorder_layout"](spark, SF).collect()
+    h = entry.queries()["hilbert_layout"](spark, SF).collect()
+    zspan = sum(r["c_max"] - r["c_min"] for r in z) / len(z)
+    hspan = sum(r["c_max"] - r["c_min"] for r in h) / len(h)
+    assert hspan <= zspan * 1.05, (hspan, zspan)
+
+
+def test_shrunk_rates_takeordered_broadcast_prior(spark):
+    plan = _plan(spark, "shrunk_return_rates")
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
