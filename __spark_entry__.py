@@ -15675,6 +15675,276 @@ ORACLE_SHRUNK_RATES = """
 """
 
 
+# ---------------------------------------------------------------- wave 7d
+
+
+def q_pruning_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit — the number the layout
+    family exists for: simulate 1000-row files under three write
+    orders (natural o_orderkey, single-column date sort, 10-bit
+    Z-order) and count how many files a 2%-band predicate on EACH
+    dimension must read given per-file min/max stats (exactly what
+    parquet row-group pruning sees).  Natural order reads ~everything
+    for both; date-sort prunes dates but not customers; Z-order
+    prunes BOTH — the report that justifies paying the layout
+    shuffle at write time.
+
+    Scale shape: per layout, one distributed prefix-sum rank over a
+    unique encoded key (never a single-task window), a file-
+    cardinality min/max agg, and a file-cardinality read/skip rollup;
+    bounds are one scalar action (the changepoint-bounds idiom)."""
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("c"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias(
+            "d"
+        ),
+    )
+    b = o.agg(
+        F.min("c").alias("c_lo"),
+        F.max("c").alias("c_hi"),
+        F.min("d").alias("d_lo"),
+        F.max("d").alias("d_hi"),
+    ).head()
+    c_lo, c_hi, d_lo, d_hi = b["c_lo"], b["c_hi"], b["d_lo"], b["d_hi"]
+    cspan, dspan = max(c_hi - c_lo, 1), max(d_hi - d_lo, 1)
+    dp_lo, dp_hi = d_lo + dspan * 40 // 100, d_lo + dspan * 42 // 100
+    cp_lo, cp_hi = c_lo + cspan * 40 // 100, c_lo + cspan * 42 // 100
+    zkey = LAY.scaled_zorder2(
+        F.col("c"), F.lit(c_lo), F.lit(c_hi),
+        F.col("d"), F.lit(d_lo), F.lit(d_hi),
+        bits=10,
+    )
+
+    def report(keyed, label):
+        ranked = with_global_running_sum(keyed, "k", "one", "rank")
+        files = (
+            ranked.select(
+                F.expr("(rank - 1) div 1000").alias("f"), "c", "d"
+            )
+            .groupBy("f")
+            .agg(
+                F.min("c").alias("c_min"),
+                F.max("c").alias("c_max"),
+                F.min("d").alias("d_min"),
+                F.max("d").alias("d_max"),
+            )
+        )
+        return files.agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.count_if(
+                ~((F.col("d_max") < dp_lo) | (F.col("d_min") > dp_hi))
+            ).alias("read_date_pred"),
+            F.count_if(
+                ~((F.col("c_max") < cp_lo) | (F.col("c_min") > cp_hi))
+            ).alias("read_cust_pred"),
+        )
+
+    enc = lambda col: F.concat(  # noqa: E731
+        F.lpad(col.cast("string"), 19, "0"),
+        F.lpad(F.col("okey").cast("string"), 19, "0"),
+    )
+    nat = o.select(
+        F.lpad(F.col("okey").cast("string"), 19, "0").alias("k"),
+        "c",
+        "d",
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    dat = o.select(
+        enc(F.col("d")).alias("k"), "c", "d",
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    zrd = o.select(
+        enc(zkey).alias("k"), "c", "d",
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    return (
+        report(nat, "natural")
+        .unionByName(report(dat, "date_sort"))
+        .unionByName(report(zrd, "zorder"))
+        .orderBy("layout")
+    )
+
+
+def _pruning_oracle() -> str:
+    scale_c = ("((c - c_lo) * 1023) // (CASE WHEN c_hi - c_lo > 1 "
+               "THEN c_hi - c_lo ELSE 1 END)")
+    scale_d = ("((d - d_lo) * 1023) // (CASE WHEN d_hi - d_lo > 1 "
+               "THEN d_hi - d_lo ELSE 1 END)")
+    zk = LAY.zorder_key2_sql(f"({scale_c})", f"({scale_d})", bits=10)
+
+    def chain(order_expr: str, label: str) -> str:
+        return f"""
+    (SELECT '{label}' AS layout,
+        CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(COUNT(*) FILTER (WHERE NOT (d_max < dp_lo OR d_min > dp_hi))
+             AS BIGINT) AS read_date_pred,
+        CAST(COUNT(*) FILTER (WHERE NOT (c_max < cp_lo OR c_min > cp_hi))
+             AS BIGINT) AS read_cust_pred
+     FROM (SELECT (rn - 1) // 1000 AS f,
+                MIN(c) AS c_min, MAX(c) AS c_max,
+                MIN(d) AS d_min, MAX(d) AS d_max,
+                MAX(dp_lo) AS dp_lo, MAX(dp_hi) AS dp_hi,
+                MAX(cp_lo) AS cp_lo, MAX(cp_hi) AS cp_hi
+           FROM (SELECT c, d, dp_lo, dp_hi, cp_lo, cp_hi,
+                     ROW_NUMBER() OVER (ORDER BY {order_expr}, okey)
+                         AS rn
+                 FROM ob) GROUP BY 1))"""
+
+    return f"""
+    WITH o AS (SELECT o_orderkey AS okey, o_custkey AS c,
+            datediff('day', DATE '1992-01-01', o_orderdate) AS d
+        FROM orders),
+    b AS (SELECT MIN(c) AS c_lo, MAX(c) AS c_hi,
+            MIN(d) AS d_lo, MAX(d) AS d_hi,
+            GREATEST(MAX(c) - MIN(c), 1) AS cspan,
+            GREATEST(MAX(d) - MIN(d), 1) AS dspan
+        FROM o),
+    ob AS (SELECT o.*, c_lo, c_hi, d_lo, d_hi,
+            d_lo + dspan * 40 // 100 AS dp_lo,
+            d_lo + dspan * 42 // 100 AS dp_hi,
+            c_lo + cspan * 40 // 100 AS cp_lo,
+            c_lo + cspan * 42 // 100 AS cp_hi
+        FROM o CROSS JOIN b)
+    SELECT * FROM (
+        {chain("okey", "natural")}
+        UNION ALL {chain("d", "date_sort")}
+        UNION ALL {chain(zk, "zorder")}
+    ) ORDER BY layout
+"""
+
+
+ORACLE_PRUNING_AUDIT = _pruning_oracle()
+
+
+def q_chi2_keywords_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinguishing keywords per source by chi-square on document
+    frequency: for each (source, word) 2x2 table (a = docs in source
+    with the word, b/c/d the complements), chi2 = N(ad-bc)^2 /
+    ((a+b)(c+d)(a+c)(b+d)) — the classic feature-selection statistic
+    (tfidf_top_terms ranks within a doc; THIS ranks what separates a
+    source from the rest of the corpus).  The five factors are exact
+    DECIMAL(38,0) integers bridged to double through VARCHAR (the
+    dispersion idiom — N(ad-bc)^2 can pass 1e38, so the DIVISION is
+    the only double op), det_round(3); top 3 words per source.
+
+    Scale shape: doc-distinct (source, word) agg, word-df and
+    source-size broadcasts, a per-source rank window at vocab
+    cardinality (partition = source), 3 rows out per source."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    TX.tokens(TX.normalize_text(F.col("text")))
+                )
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    dfw = sw.groupBy("w").agg(F.sum("a").alias("df_w"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    j = (
+        sw.join(F.broadcast(srcs), "source")
+        .join(dfw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("n_s") - F.col("a")).alias("b"),
+            (F.col("df_w") - F.col("a")).alias("c"),
+            (
+                F.col("n_docs") - F.col("n_s") - F.col("df_w")
+                + F.col("a")
+            ).alias("d"),
+            "n_docs",
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    bridge = (
+        lambda e: f"CAST(CAST(CAST({e} AS {dec}) AS STRING) AS DOUBLE)"
+    )  # noqa: E731
+    num = bridge(
+        f"CAST(n_docs AS {dec})"
+        f" * (CAST(a AS {dec}) * d - CAST(b AS {dec}) * c)"
+        f" * (CAST(a AS {dec}) * d - CAST(b AS {dec}) * c)"
+    )
+    den = (
+        f"({bridge('CAST(a AS ' + dec + ') + b')}"
+        f" * {bridge('CAST(c AS ' + dec + ') + d')}"
+        f" * {bridge('CAST(a AS ' + dec + ') + c')}"
+        f" * {bridge('CAST(b AS ' + dec + ') + d')})"
+    )
+    scored = j.select(
+        "source",
+        "w",
+        "a",
+        # FLOOR returns BIGINT in Spark and "1000.0" parses as DECIMAL
+        # in SQL text — cast back to DOUBLE so the emitted type matches
+        # DuckDB's double FLOOR
+        F.expr(
+            f"(CAST(FLOOR(({num} / {den}) * 1000.0 + 0.5) AS DOUBLE)"
+            " / CAST(1000.0 AS DOUBLE))"
+        ).alias("chi2"),
+    )
+    wn = Window.partitionBy("source").orderBy(
+        F.desc("chi2"), "w"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wn))
+        .filter(F.col("rnk") <= 3)
+        .select("source", F.col("rnk").cast("bigint").alias("rnk"), "w", "a", "chi2")
+        .orderBy("source", "rnk")
+    )
+
+
+ORACLE_CHI2_KEYWORDS = f"""
+    WITH t AS (SELECT doc_id, source,
+            list_distinct({_TOKS}) AS toks FROM documents),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+        FROM (SELECT doc_id, source, unnest(toks) AS w FROM t)
+        GROUP BY 1, 2),
+    srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY 1),
+    dfw AS (SELECT w, CAST(SUM(a) AS BIGINT) AS df_w FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    j AS (SELECT sw.source, sw.w, a, n_s - a AS b, df_w - a AS c,
+            n_docs - n_s - df_w + a AS d, n_docs
+        FROM sw JOIN srcs ON sw.source = srcs.source
+        JOIN dfw ON sw.w = dfw.w CROSS JOIN tot),
+    scored AS (SELECT source, w, a,
+            (FLOOR((
+                CAST(CAST(CAST(n_docs AS HUGEINT)
+                    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                    AS VARCHAR) AS DOUBLE)
+                / (CAST(CAST(CAST(a AS HUGEINT) + b AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(CAST(c AS HUGEINT) + d AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(CAST(a AS HUGEINT) + c AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(CAST(b AS HUGEINT) + d AS VARCHAR) AS DOUBLE))
+            ) * 1000.0 + 0.5) / 1000.0) AS chi2
+        FROM j),
+    rk AS (SELECT source, w, a, chi2,
+            ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY chi2 DESC, w) AS rnk
+        FROM scored)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, w, a, chi2
+    FROM rk WHERE rnk <= 3 ORDER BY source, rnk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -15904,6 +16174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l_diversity_audit": q_l_diversity_audit,
     "hilbert_layout": q_hilbert_layout,
     "shrunk_return_rates": q_shrunk_return_rates,
+    "pruning_skip_audit": q_pruning_skip_audit,
+    "chi2_keywords_by_source": q_chi2_keywords_by_source,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -16138,6 +16410,8 @@ ORACLES: dict[str, str] = {
     "l_diversity_audit": ORACLE_L_DIVERSITY,
     "hilbert_layout": ORACLE_HILBERT,
     "shrunk_return_rates": ORACLE_SHRUNK_RATES,
+    "pruning_skip_audit": ORACLE_PRUNING_AUDIT,
+    "chi2_keywords_by_source": ORACLE_CHI2_KEYWORDS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

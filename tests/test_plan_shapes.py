@@ -1320,3 +1320,34 @@ def test_shrunk_rates_takeordered_broadcast_prior(spark):
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pruning_audit_story_holds(spark):
+    """The audit's reason to exist: natural order prunes nothing,
+    date-sort prunes only the date predicate, Z-order prunes BOTH.
+    sf0.01 (15 simulated files) — sf0.001 has only 2 files, too few
+    for the pruning ratios to register."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r["layout"]: r
+        for r in entry.queries()["pruning_skip_audit"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    nat, dat, z = rows["natural"], rows["date_sort"], rows["zorder"]
+    assert nat["read_date_pred"] == nat["n_files"]
+    assert dat["read_date_pred"] <= nat["n_files"] // 4
+    assert dat["read_cust_pred"] == dat["n_files"]
+    assert z["read_date_pred"] < nat["n_files"]
+    assert z["read_cust_pred"] < nat["n_files"]
+
+
+def test_chi2_keywords_broadcast_stats_source_window(spark):
+    import re
+
+    plan = _plan(spark, "chi2_keywords_by_source")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
+        assert "source" in m.group(0), m.group(0)
