@@ -15945,6 +15945,242 @@ ORACLE_CHI2_KEYWORDS = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 7e
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third rung of the anonymization ladder
+    (k_anonymity_audit: group size; l_diversity_audit: value variety;
+    THIS: value DISTRIBUTION): per quasi-group (segment, nation), the
+    Earth Mover's Distance between the group's order-priority
+    distribution and the corpus-wide one.  Priorities are ordered
+    (1-URGENT..5-LOW), so EMD = mean |cumulative-share difference| —
+    exact ppm integers: per rank, |cum_g * n_all - cum_all * n_g|
+    accumulates in DECIMAL(38,0) and one closing division normalizes.
+    Top 10 most-skewed groups — each is a quasi-identifier whose
+    order-mix leaks.
+
+    Scale shape: one agg to (group, priority) — group cardinality x 5
+    — dense 5-rank spine per group, broadcast global distribution,
+    cumulative windows partitioned by group, TakeOrdered(10)."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    rows = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_mktsegment", "c_nationkey", "o_orderpriority"
+    )
+    gp = rows.groupBy(
+        "c_mktsegment", "c_nationkey", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # dense 5-priority spine per group so missing ranks carry zeros
+    pri = rows.select("o_orderpriority").distinct()
+    groups = gp.select("c_mktsegment", "c_nationkey").distinct()
+    dense = (
+        groups.crossJoin(F.broadcast(pri))
+        .join(
+            gp, ["c_mktsegment", "c_nationkey", "o_orderpriority"], "left"
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "o_orderpriority",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    glob = rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    tot = rows.agg(F.count(F.lit(1)).alias("n_all")).head()["n_all"]
+    wg = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        "o_orderpriority"
+    )
+    wa = Window.orderBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob_cum = glob.select(
+        "o_orderpriority", F.sum("ca").over(wa).alias("cum_all")
+    )
+    j = (
+        dense.withColumn(
+            "cum_g",
+            F.sum("c").over(
+                wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "n_g",
+            F.sum("c").over(
+                Window.partitionBy("c_mktsegment", "c_nationkey")
+            ),
+        )
+        .join(F.broadcast(glob_cum), "o_orderpriority")
+    )
+    per = j.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.max("n_g").alias("n_rows"),
+        F.sum(
+            F.expr(
+                f"abs(CAST(cum_g AS DECIMAL(38,0)) * {tot}"
+                " - CAST(cum_all AS DECIMAL(38,0)) * n_g)"
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )
+    return (
+        per.select(
+            "c_mktsegment",
+            "c_nationkey",
+            "n_rows",
+            F.expr(
+                "CAST(s * 1000000 div (CAST(n_ranks AS DECIMAL(38,0))"
+                f" * n_rows * {tot}) AS BIGINT)"
+            ).alias("t_ppm"),
+        )
+        .orderBy(F.desc("t_ppm"), "c_mktsegment", "c_nationkey")
+        .limit(10)
+    )
+
+
+ORACLE_T_CLOSENESS = """
+    WITH rows_ AS (SELECT c_mktsegment, c_nationkey, o_orderpriority
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    gp AS (SELECT c_mktsegment, c_nationkey, o_orderpriority,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM rows_ GROUP BY 1, 2, 3),
+    pri AS (SELECT DISTINCT o_orderpriority FROM rows_),
+    groups_ AS (SELECT DISTINCT c_mktsegment, c_nationkey FROM gp),
+    dense AS (SELECT g.c_mktsegment, g.c_nationkey, p.o_orderpriority,
+            CAST(COALESCE(gp.c, 0) AS BIGINT) AS c
+        FROM groups_ g CROSS JOIN pri p
+        LEFT JOIN gp ON gp.c_mktsegment = g.c_mktsegment
+            AND gp.c_nationkey = g.c_nationkey
+            AND gp.o_orderpriority = p.o_orderpriority),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM rows_),
+    gcum AS (SELECT o_orderpriority,
+            CAST(SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                ORDER BY o_orderpriority
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_all
+        FROM rows_ GROUP BY 1),
+    cum AS (SELECT d.c_mktsegment, d.c_nationkey, d.o_orderpriority,
+            CAST(SUM(c) OVER (PARTITION BY d.c_mktsegment, d.c_nationkey
+                ORDER BY d.o_orderpriority
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_g,
+            CAST(SUM(c) OVER (PARTITION BY d.c_mktsegment,
+                d.c_nationkey) AS BIGINT) AS n_g,
+            g.cum_all
+        FROM dense d JOIN gcum g
+            ON d.o_orderpriority = g.o_orderpriority),
+    per AS (SELECT c_mktsegment, c_nationkey,
+            MAX(n_g) AS n_rows,
+            CAST(SUM(ABS(CAST(cum_g AS HUGEINT) * (SELECT n_all FROM tot)
+                - CAST(cum_all AS HUGEINT) * n_g)) AS HUGEINT) AS s,
+            CAST(COUNT(*) AS BIGINT) AS n_ranks
+        FROM cum GROUP BY 1, 2)
+    SELECT c_mktsegment, c_nationkey, n_rows,
+        CAST(s * 1000000 // (CAST(n_ranks AS HUGEINT) * n_rows
+            * (SELECT n_all FROM tot)) AS BIGINT) AS t_ppm
+    FROM per
+    ORDER BY t_ppm DESC, c_mktsegment, c_nationkey LIMIT 10
+"""
+
+
+def q_simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen on the discount->quantity relation:
+    exact-integer regression-slope NUMERATORS (n*Sxy - Sx*Sy, the
+    sign-carrying part — denominators are positive and can't flip a
+    sign) per returnflag group AND pooled; a group whose sign
+    disagrees with the pooled sign is a confounding alarm — the
+    aggregate trend would mislead anyone acting per group.  Micro-
+    quantized values, DECIMAL(38,0) moments, zero doubles.
+
+    Scale shape: ONE fact pass aggregating per-group moments (pooled
+    moments are the group sums — no second scan), all comparisons on
+    a groups-cardinality frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = "CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT)"
+    y = "CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST({x} AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST({y} AS {dec}))").alias("sy"),
+        F.expr(f"SUM(CAST({x} AS {dec}) * {y})").alias("sxy"),
+    )
+    # pooled moments are window sums OVER the groups-cardinality frame
+    # (3 rows) — reusing `g` in a crossJoin branch would re-scan the
+    # fact table; the unpartitioned window here is groups-sized, not
+    # corpus-sized (plan-guarded: exactly one parquet scan)
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    pooled = g.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        F.sum("n").over(wall).alias("pn"),
+        F.sum("sx").over(wall).alias("psx"),
+        F.sum("sy").over(wall).alias("psy"),
+        F.sum("sxy").over(wall).alias("psxy"),
+    )
+    return (
+        pooled.select(
+            "l_returnflag",
+            "n",
+            F.expr(
+                "CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)"
+                " AS BIGINT)"
+            ).alias("group_sign"),
+            F.expr(
+                "CAST(sign(CAST(pn AS DECIMAL(38,0)) * psxy - psx * psy)"
+                " AS BIGINT)"
+            ).alias("pooled_sign"),
+        )
+        .withColumn(
+            "disagrees",
+            (F.col("group_sign") * F.col("pooled_sign") < 0).cast(
+                "int"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SIMPSONS = """
+    WITH g AS (SELECT l_returnflag,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(CAST(FLOOR(l_discount * 1000000.0 + 0.5)
+                AS BIGINT) AS HUGEINT)) AS HUGEINT) AS sx,
+            CAST(SUM(CAST(CAST(FLOOR(l_quantity * 1000000.0 + 0.5)
+                AS BIGINT) AS HUGEINT)) AS HUGEINT) AS sy,
+            CAST(SUM(CAST(CAST(FLOOR(l_discount * 1000000.0 + 0.5)
+                AS BIGINT) AS HUGEINT)
+                * CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+                AS HUGEINT) AS sxy
+        FROM lineitem GROUP BY 1),
+    pooled AS (SELECT CAST(SIGN(CAST(SUM(n) AS HUGEINT) * SUM(sxy)
+            - SUM(sx) * SUM(sy)) AS BIGINT) AS pooled_sign
+        FROM g)
+    SELECT l_returnflag, n,
+        CAST(SIGN(CAST(n AS HUGEINT) * sxy - sx * sy) AS BIGINT)
+            AS group_sign,
+        pooled_sign,
+        CAST(CASE WHEN SIGN(CAST(n AS HUGEINT) * sxy - sx * sy)
+                * pooled_sign < 0 THEN 1 ELSE 0 END AS INT)
+            AS disagrees
+    FROM g CROSS JOIN pooled ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -16176,6 +16412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shrunk_return_rates": q_shrunk_return_rates,
     "pruning_skip_audit": q_pruning_skip_audit,
     "chi2_keywords_by_source": q_chi2_keywords_by_source,
+    "t_closeness_audit": q_t_closeness_audit,
+    "simpsons_paradox_screen": q_simpsons_paradox_screen,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -16412,6 +16650,8 @@ ORACLES: dict[str, str] = {
     "shrunk_return_rates": ORACLE_SHRUNK_RATES,
     "pruning_skip_audit": ORACLE_PRUNING_AUDIT,
     "chi2_keywords_by_source": ORACLE_CHI2_KEYWORDS,
+    "t_closeness_audit": ORACLE_T_CLOSENESS,
+    "simpsons_paradox_screen": ORACLE_SIMPSONS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

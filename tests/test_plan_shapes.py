@@ -1351,3 +1351,21 @@ def test_chi2_keywords_broadcast_stats_source_window(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"windowspecdefinition\([^\n]*", plan):
         assert "source" in m.group(0), m.group(0)
+
+
+def test_t_closeness_group_partitioned_windows(spark):
+    """t-closeness: every corpus-scale cumulative window must be
+    partitioned by the quasi-group (the global-distribution cum runs
+    on a 5-row frame, where an unpartitioned window is fine)."""
+    plan = _plan(spark, "t_closeness_audit")
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simpsons_single_fact_pass(spark):
+    """Paradox screen: pooled moments are the group sums — exactly one
+    hash-shuffle over the fact table, no second scan aggregate."""
+    plan = _plan(spark, "simpsons_paradox_screen")
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
