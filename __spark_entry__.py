@@ -16181,6 +16181,207 @@ ORACLE_SIMPSONS = """
 """
 
 
+# ---------------------------------------------------------------- wave 7f
+
+
+def q_lm_holdout_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM bake-off: train bigram models on EVEN doc_ids,
+    score the bigram events of ODD doc_ids, and report cross-entropy
+    + perplexity for add-one vs interpolated Kneser-Ney — the eval
+    that justifies kneser_ney_bigrams' extra machinery (KN should win
+    on held-out text; if it doesn't, the corpus is telling you its
+    bigrams don't repeat).  Every probability is an exact integer
+    ratio — add-one: (c12+1)/(c1+V); KN seen-context:
+    (max(4c12-3,0)(T+V) + 3 n1 (nc+1)) / (4 c1 (T+V)) with add-one-
+    smoothed continuation (nc+1)/(T+V), which also serves unseen
+    contexts — so both engines take ONE ln of the same bridged ratio
+    per event class (the js_divergence lesson), half-up nano-
+    quantized, integer-summed with test multiplicities.
+
+    Scale shape: train aggs at bigram/vocab cardinality; test
+    bigrams aggregated to distinct types with multiplicity BEFORE
+    joining (events never fan out); three left equi-joins; constants
+    ride a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    m = F.size(F.col("toks")) - 1
+    pairs_arr = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(F.col("toks"), 1, m),
+            F.slice(F.col("toks"), 2, m),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+
+    def bigrams_of(pred):
+        return (
+            docs.filter(pred)
+            .select(toks.alias("toks"))
+            .select(F.explode_outer(pairs_arr).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    train = bigrams_of(F.col("doc_id") % 2 == 0).withColumnRenamed(
+        "cnt", "c12"
+    )
+    test = bigrams_of(F.col("doc_id") % 2 == 1).withColumnRenamed(
+        "cnt", "mult"
+    )
+    left = train.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1")
+    )
+    right = train.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    types = train.agg(F.count(F.lit(1)).alias("t"))
+    consts = vocab.crossJoin(types)
+    j = (
+        test.join(train, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "mult",
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("nc"), F.lit(0)).alias("nc"),
+            "v",
+            "t",
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    br = lambda e: f"CAST(CAST({e} AS STRING) AS DOUBLE)"  # noqa: E731
+    # -ln p, half-up nano, weighted by test multiplicity
+    ao_num = f"CAST(c12 AS {dec}) + 1"
+    ao_den = f"CAST(c1 AS {dec}) + v"
+    kn_num = (
+        f"CASE WHEN c1 > 0 THEN"
+        f" greatest(CAST(4 AS {dec}) * c12 - 3, CAST(0 AS {dec}))"
+        f" * (t + v) + CAST(3 AS {dec}) * n1 * (nc + 1)"
+        f" ELSE CAST(nc AS {dec}) + 1 END"
+    )
+    kn_den = (
+        f"CASE WHEN c1 > 0 THEN CAST(4 AS {dec}) * c1 * (t + v)"
+        f" ELSE CAST(t AS {dec}) + v END"
+    )
+    scored = j.select(
+        "mult",
+        (F.col("c12") == 0).cast("bigint").alias("unseen"),
+        F.expr(
+            f"CAST(FLOOR(-ln({br(ao_num)} / {br(ao_den)})"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("ao_nano"),
+        F.expr(
+            f"CAST(FLOOR(-ln({br(kn_num)} / {br(kn_den)})"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("kn_nano"),
+    )
+    g = scored.agg(
+        F.sum("mult").alias("n_events"),
+        F.sum(F.col("unseen") * F.col("mult")).alias("n_unseen"),
+        F.sum(F.col("ao_nano") * F.col("mult")).alias("s_ao"),
+        F.sum(F.col("kn_nano") * F.col("mult")).alias("s_kn"),
+    )
+    out = g.select(
+        F.lit("add_one").alias("model"),
+        "n_events",
+        "n_unseen",
+        F.expr("s_ao div n_events").alias("xent_nano"),
+    ).unionByName(
+        g.select(
+            F.lit("kneser_ney").alias("model"),
+            "n_events",
+            "n_unseen",
+            F.expr("s_kn div n_events").alias("xent_nano"),
+        )
+    )
+    return out.select(
+        "model",
+        "n_events",
+        "n_unseen",
+        "xent_nano",
+        F.expr(
+            "CAST(FLOOR(exp(CAST(xent_nano AS DOUBLE) / 1000000000.0)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("ppl_micro"),
+    ).orderBy("model")
+
+
+ORACLE_LM_HOLDOUT = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    trb AS (SELECT p.w1 AS w1, p.w2 AS w2,
+            CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT unnest(list_transform(range(len(toks) - 1), i ->
+                struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS p
+              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 2)
+        GROUP BY 1, 2),
+    teb AS (SELECT p.w1 AS w1, p.w2 AS w2,
+            CAST(COUNT(*) AS BIGINT) AS mult
+        FROM (SELECT unnest(list_transform(range(len(toks) - 1), i ->
+                struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS p
+              FROM d WHERE doc_id % 2 = 1 AND len(toks) >= 2)
+        GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+            CAST(COUNT(*) AS BIGINT) AS n1 FROM trb GROUP BY 1),
+    rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM trb GROUP BY 1),
+    consts AS (SELECT
+        (SELECT CAST(COUNT(DISTINCT w) AS BIGINT)
+         FROM (SELECT unnest(toks) AS w FROM d WHERE doc_id % 2 = 0))
+            AS v,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM trb) AS t),
+    j AS (SELECT mult,
+            COALESCE(trb.c12, 0) AS c12, COALESCE(c1, 0) AS c1,
+            COALESCE(n1, 0) AS n1, COALESCE(nc, 0) AS nc, v, t
+        FROM teb LEFT JOIN trb
+            ON teb.w1 = trb.w1 AND teb.w2 = trb.w2
+        LEFT JOIN lft ON teb.w1 = lft.w1
+        LEFT JOIN rgt ON teb.w2 = rgt.w2
+        CROSS JOIN consts),
+    scored AS (SELECT mult,
+            CASE WHEN c12 = 0 THEN 1 ELSE 0 END AS unseen,
+            CAST(FLOOR(-LN(
+                CAST(CAST(CAST(c12 AS HUGEINT) + 1 AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(CAST(c1 AS HUGEINT) + v AS VARCHAR) AS DOUBLE))
+                * 1000000000.0 + 0.5) AS BIGINT) AS ao_nano,
+            CAST(FLOOR(-LN(
+                CAST(CAST(CASE WHEN c1 > 0 THEN
+                    GREATEST(CAST(4 AS HUGEINT) * c12 - 3,
+                             CAST(0 AS HUGEINT)) * (t + v)
+                    + CAST(3 AS HUGEINT) * n1 * (nc + 1)
+                    ELSE CAST(nc AS HUGEINT) + 1 END AS VARCHAR)
+                    AS DOUBLE)
+                / CAST(CAST(CASE WHEN c1 > 0 THEN
+                    CAST(4 AS HUGEINT) * c1 * (t + v)
+                    ELSE CAST(t AS HUGEINT) + v END AS VARCHAR)
+                    AS DOUBLE))
+                * 1000000000.0 + 0.5) AS BIGINT) AS kn_nano
+        FROM j),
+    g AS (SELECT CAST(SUM(mult) AS BIGINT) AS n_events,
+            CAST(SUM(unseen * mult) AS BIGINT) AS n_unseen,
+            CAST(SUM(ao_nano * mult) AS BIGINT) AS s_ao,
+            CAST(SUM(kn_nano * mult) AS BIGINT) AS s_kn
+        FROM scored),
+    u AS (SELECT 'add_one' AS model, n_events, n_unseen,
+            s_ao // n_events AS xent_nano FROM g
+        UNION ALL
+        SELECT 'kneser_ney', n_events, n_unseen,
+            s_kn // n_events FROM g)
+    SELECT model, n_events, n_unseen, xent_nano,
+        CAST(FLOOR(EXP(CAST(xent_nano AS DOUBLE) / 1000000000.0)
+            * 1000000.0 + 0.5) AS BIGINT) AS ppl_micro
+    FROM u ORDER BY model
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -16414,6 +16615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi2_keywords_by_source": q_chi2_keywords_by_source,
     "t_closeness_audit": q_t_closeness_audit,
     "simpsons_paradox_screen": q_simpsons_paradox_screen,
+    "lm_holdout_compare": q_lm_holdout_compare,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -16652,6 +16854,7 @@ ORACLES: dict[str, str] = {
     "chi2_keywords_by_source": ORACLE_CHI2_KEYWORDS,
     "t_closeness_audit": ORACLE_T_CLOSENESS,
     "simpsons_paradox_screen": ORACLE_SIMPSONS,
+    "lm_holdout_compare": ORACLE_LM_HOLDOUT,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

@@ -1369,3 +1369,11 @@ def test_simpsons_single_fact_pass(spark):
     assert "EvalPython" not in plan
     assert "partial_sum" in plan
     assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
+
+
+def test_lm_holdout_joins_at_type_cardinality(spark):
+    """LM bake-off: test bigrams aggregate to types BEFORE the joins
+    (events never fan out); all joins equi; constants broadcast."""
+    plan = _plan(spark, "lm_holdout_compare")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
