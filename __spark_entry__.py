@@ -16382,6 +16382,298 @@ ORACLE_LM_HOLDOUT = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 7g
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation: split a 10,000-row sampling
+    budget across market segments proportional to n_h * sigma_h (high-
+    variance strata earn more samples — the design that minimizes the
+    stratified estimator's variance for fixed budget).  n_h*sigma_h =
+    sqrt(n_h*Q_h - S_h^2) from exact integer moments (bridged once to
+    double for the sqrt, milli-quantized); the integer split uses the
+    LARGEST-REMAINDER method so allocations are exact integers that
+    sum to the budget on both engines — no float apportionment.
+
+    Scale shape: one fact agg to stratum cardinality; everything
+    after runs on 5 rows."""
+    from pyspark.sql import Window
+
+    budget = 10000
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    rows = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("x"),
+    )
+    dec = "DECIMAL(38,0)"
+    g = rows.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.expr(f"SUM(CAST(x AS {dec}))").alias("s"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("q"),
+    )
+    w = g.select(
+        "c_mktsegment",
+        "n_h",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(CAST(CAST(n_h AS DECIMAL(38,0)) * q"
+            " - s * s AS STRING) AS DOUBLE)) * 0.001 + 0.5) AS BIGINT)"
+        ).alias("w_h"),
+    )
+    wall = Window.partitionBy()
+    quota = w.select(
+        "c_mktsegment",
+        "n_h",
+        "w_h",
+        F.sum("w_h").over(wall).alias("w_tot"),
+    ).select(
+        "c_mktsegment",
+        "n_h",
+        "w_h",
+        F.expr(f"({budget} * w_h) div w_tot").alias("base"),
+        F.expr(f"({budget} * w_h) % w_tot").alias("rem"),
+        "w_tot",
+    )
+    wr = Window.orderBy(F.desc("rem"), "c_mktsegment")
+    return (
+        quota.select(
+            "c_mktsegment",
+            "n_h",
+            F.col("w_h").alias("nh_sigma_milli"),
+            "base",
+            F.row_number().over(wr).alias("rrank"),
+            F.sum("base").over(wall).alias("base_tot"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_h",
+            "nh_sigma_milli",
+            F.expr(
+                f"base + CASE WHEN rrank <= {budget} - base_tot"
+                " THEN 1 ELSE 0 END"
+            ).alias("alloc_n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_NEYMAN = """
+    WITH rows_ AS (SELECT c_mktsegment,
+            CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_h,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        FROM rows_ GROUP BY 1),
+    w AS (SELECT c_mktsegment, n_h,
+            CAST(FLOOR(SQRT(CAST(CAST(CAST(n_h AS HUGEINT) * q - s * s
+                AS VARCHAR) AS DOUBLE)) * 0.001 + 0.5) AS BIGINT) AS w_h
+        FROM g),
+    quota AS (SELECT c_mktsegment, n_h, w_h,
+            CAST(SUM(w_h) OVER () AS BIGINT) AS w_tot
+        FROM w),
+    split AS (SELECT c_mktsegment, n_h, w_h,
+            (10000 * w_h) // w_tot AS base,
+            (10000 * w_h) % w_tot AS rem
+        FROM quota),
+    rk AS (SELECT *,
+            ROW_NUMBER() OVER (ORDER BY rem DESC, c_mktsegment)
+                AS rrank,
+            CAST(SUM(base) OVER () AS BIGINT) AS base_tot
+        FROM split)
+    SELECT c_mktsegment, n_h, w_h AS nh_sigma_milli,
+        CAST(base + CASE WHEN rrank <= 10000 - base_tot
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc_n
+    FROM rk ORDER BY c_mktsegment
+"""
+
+
+def q_ratio_metric_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for a RATIO metric — revenue per order by
+    segment, where both numerator and denominator vary per customer
+    (conversion_wilson_ci handles proportions; real product metrics
+    are ratios of sums, and naive per-row CIs are wrong because the
+    unit of randomization is the customer).  Var(R) ~ (sxx + R^2*syy
+    - 2R*sxy) / (n * ybar^2) on customer-level (spend, order-count)
+    pairs; all five moments are exact DECIMAL(38,0) sums bridged via
+    VARCHAR, and the closed form runs as the identical IEEE
+    expression, det_round(6) on micro units; half-width uses the
+    1.96 normal literal.
+
+    Scale shape: orders agg to customer, one agg to segment
+    cardinality, per-row closed form on 5 rows."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(floor(o_totalprice * 100.0 + 0.5)"
+                " AS BIGINT))"
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    rows = per_cust.join(
+        cust, per_cust["o_custkey"] == cust["c_custkey"]
+    )
+    dec = "DECIMAL(38,0)"
+    g = rows.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}))").alias("sx"),
+        F.expr(f"SUM(CAST(y AS {dec}))").alias("sy"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("sxx"),
+        F.expr(f"SUM(CAST(y AS {dec}) * y)").alias("syy"),
+        F.expr(f"SUM(CAST(x AS {dec}) * y)").alias("sxy"),
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    dx, dy = br("sx"), br("sy")
+    dxx, dyy, dxy = br("sxx"), br("syy"), br("sxy")
+    r = f"({dx} / {dy})"
+    ybar = f"({dy} / {dn})"
+    sxx_c = f"(({dxx}) - ({dx}) * ({dx}) / {dn}) / ({dn} - 1.0)"
+    syy_c = f"(({dyy}) - ({dy}) * ({dy}) / {dn}) / ({dn} - 1.0)"
+    sxy_c = f"(({dxy}) - ({dx}) * ({dy}) / {dn}) / ({dn} - 1.0)"
+    var_r = (
+        f"(({sxx_c}) + ({r}) * ({r}) * ({syy_c})"
+        f" - 2.0 * ({r}) * ({sxy_c})) / ({dn} * ({ybar}) * ({ybar}))"
+    )
+    return g.select(
+        "c_mktsegment",
+        "n",
+        F.expr(
+            f"(CAST(FLOOR({r} * 1000000.0 + 0.5) AS DOUBLE)"
+            " / CAST(1000000.0 AS DOUBLE))"
+        ).alias("rev_per_order_cents"),
+        F.expr(
+            f"(CAST(FLOOR(1.96 * SQRT({var_r}) * 1000000.0 + 0.5)"
+            " AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
+        ).alias("ci_halfwidth_cents"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_RATIO_CI = """
+    WITH per_cust AS (SELECT o_custkey,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS x,
+            CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+    rows_ AS (SELECT c_mktsegment, x, y
+        FROM per_cust JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+            CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM rows_ GROUP BY 1),
+    b AS (SELECT c_mktsegment, n, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+            CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dy,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+        FROM g)
+    SELECT c_mktsegment, n,
+        (FLOOR((dx / dy) * 1000000.0 + 0.5) / 1000000.0)
+            AS rev_per_order_cents,
+        (FLOOR(1.96 * SQRT(
+            ((dxx - dx * dx / dn) / (dn - 1.0)
+             + (dx / dy) * (dx / dy) * ((dyy - dy * dy / dn) / (dn - 1.0))
+             - 2.0 * (dx / dy) * ((dxy - dx * dy / dn) / (dn - 1.0)))
+            / (dn * (dy / dn) * (dy / dn))) * 1000000.0 + 0.5)
+         / 1000000.0) AS ci_halfwidth_cents
+    FROM b ORDER BY c_mktsegment
+"""
+
+
+def q_fd_g3_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency mining (TANE's g3 error): for
+    each candidate A -> B, the fraction of rows that must be removed
+    for the FD to hold exactly — 1 - sum_a max_b count(a,b) / n, in
+    exact ppm.  Four candidates spanning clean and dirty cases: a
+    profiling pass that DISCOVERS near-keys and near-determinants the
+    schema doesn't declare (constraint_audit checks declared
+    invariants; this hunts undeclared ones).
+
+    Scale shape: per candidate, one agg to (A, B) cardinality, a max
+    per A, one 1-row rollup; candidates union at report size."""
+
+    def g3(df, a, b, name):
+        ab = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("c"))
+        mx = ab.groupBy(a).agg(F.max("c").alias("mc"))
+        tot = df.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            mx.agg(
+                F.sum("mc").alias("keep"),
+                F.count(F.lit(1)).alias("n_groups"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("fd"),
+                F.col("n").alias("n_rows"),
+                "n_groups",
+                F.expr(
+                    "CAST((n - keep) * 1000000 div n AS BIGINT)"
+                ).alias("g3_ppm"),
+            )
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        g3(ev, "user_id", "event_type", "user_to_type")
+        .unionByName(g3(ev, "event_type", "user_id", "type_to_user"))
+        .unionByName(
+            g3(orders, "o_custkey", "o_orderpriority", "cust_to_priority")
+        )
+        .unionByName(
+            g3(orders, "o_orderpriority", "o_orderstatus",
+               "priority_to_status")
+        )
+        .orderBy("fd")
+    )
+
+
+def _g3_sql(table: str, a: str, b: str, name: str) -> str:
+    return f"""
+    (SELECT '{name}' AS fd,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(((SELECT CAST(COUNT(*) AS BIGINT) FROM {table})
+              - SUM(mc)) * 1000000
+             // (SELECT CAST(COUNT(*) AS BIGINT) FROM {table})
+             AS BIGINT) AS g3_ppm
+     FROM (SELECT {a}, CAST(MAX(c) AS BIGINT) AS mc
+           FROM (SELECT {a}, {b}, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM {table} GROUP BY 1, 2)
+           GROUP BY 1))"""
+
+
+ORACLE_FD_G3 = f"""
+    SELECT * FROM (
+        {_g3_sql("events", "user_id", "event_type", "user_to_type")}
+        UNION ALL
+        {_g3_sql("events", "event_type", "user_id", "type_to_user")}
+        UNION ALL
+        {_g3_sql("orders", "o_custkey", "o_orderpriority",
+                 "cust_to_priority")}
+        UNION ALL
+        {_g3_sql("orders", "o_orderpriority", "o_orderstatus",
+                 "priority_to_status")}
+    ) ORDER BY fd
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -16616,6 +16908,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_closeness_audit": q_t_closeness_audit,
     "simpsons_paradox_screen": q_simpsons_paradox_screen,
     "lm_holdout_compare": q_lm_holdout_compare,
+    "neyman_allocation": q_neyman_allocation,
+    "ratio_metric_ci": q_ratio_metric_ci,
+    "fd_g3_errors": q_fd_g3_errors,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -16855,6 +17150,9 @@ ORACLES: dict[str, str] = {
     "t_closeness_audit": ORACLE_T_CLOSENESS,
     "simpsons_paradox_screen": ORACLE_SIMPSONS,
     "lm_holdout_compare": ORACLE_LM_HOLDOUT,
+    "neyman_allocation": ORACLE_NEYMAN,
+    "ratio_metric_ci": ORACLE_RATIO_CI,
+    "fd_g3_errors": ORACLE_FD_G3,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

@@ -1377,3 +1377,24 @@ def test_lm_holdout_joins_at_type_cardinality(spark):
     plan = _plan(spark, "lm_holdout_compare")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    """Largest-remainder apportionment must hit the budget exactly."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["neyman_allocation"](spark, SF).collect()
+    assert sum(r["alloc_n"] for r in rows) == 10000
+
+
+def test_ratio_ci_single_fact_agg_no_python(spark):
+    plan = _plan(spark, "ratio_metric_ci")
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fd_g3_group_aggs_no_python(spark):
+    plan = _plan(spark, "fd_g3_errors")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
