@@ -16674,6 +16674,199 @@ ORACLE_FD_G3 = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 7h
+
+
+def q_hash_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random walks on the part co-order graph —
+    the DeepWalk/node2vec precursor made engine-replayable: from every
+    node, walk 3 steps where step k leaves node v through neighbor
+    index md5(v '_' k) mod degree(v) (the md5-int idiom; a real RNG
+    would be unverifiable across engines, and hash-walks have the
+    same mixing behavior for embedding/sampling purposes).  Top 20
+    most-visited endpoints with visit counts — high-visit nodes are
+    the graph's hubs as a WALK measure, which weights connectivity
+    differently than raw degree (kcore_parts) or triangles.
+
+    Scale shape: adjacency ranked once per direction (window
+    partitioned by source node at edge cardinality); each step is
+    one broadcast-degree lookup + one equi-join on (node, index);
+    TakeOrdered(20) finish."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pp = li.distinct()
+    und = G.undirected_edges_min_support(
+        pp, "l_orderkey", "l_partkey", min_support=2
+    )
+    adj = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    wn = Window.partitionBy("src").orderBy("dst")
+    ranked = adj.select(
+        "src", "dst", (F.row_number().over(wn) - 1).alias("idx")
+    )
+    deg = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    walk = deg.select(F.col("src").alias("v0"), F.col("src").alias("cur"))
+    for k in range(1, 4):
+        hidx = F.expr(
+            f"pmod(conv(substring(md5(concat(CAST(cur AS STRING),"
+            f" '_', '{k}')), 1, 10), 16, 10), deg)"
+        ).cast("bigint")
+        walk = (
+            walk.join(deg.withColumnRenamed("src", "cur"), "cur")
+            .select("v0", "cur", hidx.alias("idx"))
+            .join(
+                ranked.select(
+                    F.col("src").alias("cur"), "idx", "dst"
+                ),
+                ["cur", "idx"],
+            )
+            .select("v0", F.col("dst").alias("cur"))
+        )
+    return (
+        walk.groupBy(F.col("cur").alias("endpoint"))
+        .agg(F.count(F.lit(1)).alias("visits"))
+        .orderBy(F.desc("visits"), "endpoint")
+        .limit(20)
+    )
+
+
+def _hash_walk_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for k in range(1, 4):
+        hidx = (
+            f"('0x' || substr(md5(CAST(cur AS VARCHAR) || '_' || '{k}'),"
+            f" 1, 10))::BIGINT % deg"
+        )
+        steps.append(
+            f"w{k} AS (SELECT v0, r.dst AS cur"
+            f" FROM (SELECT v0, {prev}.cur, {hidx} AS idx"
+            f"       FROM {prev} JOIN deg ON deg.src = {prev}.cur) s"
+            f" JOIN ranked r ON r.src = s.cur AND r.idx = s.idx)"
+        )
+        prev = f"w{k}"
+    return f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        FROM lineitem),
+    und AS (SELECT a.p AS a, b.p AS b
+        FROM pp a JOIN pp b ON a.g = b.g AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und),
+    ranked AS (SELECT src, dst,
+            ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                AS idx
+        FROM adj),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM ranked GROUP BY 1),
+    w0 AS (SELECT src AS v0, src AS cur FROM deg),
+    {",".join(steps)}
+    SELECT cur AS endpoint, CAST(COUNT(*) AS BIGINT) AS visits
+    FROM {prev} GROUP BY 1 ORDER BY visits DESC, endpoint LIMIT 20
+"""
+
+
+ORACLE_HASH_WALK = _hash_walk_oracle()
+
+
+def q_markov_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout accuracy of the Markov next-event predictor: train
+    transition counts on EVEN user_ids, predict each ODD user's next
+    event as the argmax transition from the current state (ties to
+    the lexicographically first destination — deterministic), and
+    report top-1 accuracy per source state in exact ppm.  The eval
+    that turns markov_transitions from a description into a model —
+    and the holdout discipline (train/test by user hash) matches
+    lm_holdout_compare.
+
+    Scale shape: train agg at state-pair cardinality, argmax via a
+    src-partitioned rank window (state cardinality), test pairs join
+    the 1-per-state prediction table broadcast."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def pairs_of(pred):
+        return (
+            ev.filter(pred)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+        )
+
+    train = (
+        pairs_of(F.col("user_id") % 2 == 0)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("c"), "dst")
+    pred = (
+        train.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    test = pairs_of(F.col("user_id") % 2 == 1).select("src", "dst")
+    scored = test.join(F.broadcast(pred), "src", "left").select(
+        "src",
+        (F.col("dst") == F.col("predicted")).cast("bigint").alias(
+            "hit"
+        ),
+    )
+    return (
+        scored.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("hit").alias("n_hits"),
+        )
+        .select(
+            "src",
+            "n_events",
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_events").alias(
+                "top1_acc_ppm"
+            ),
+        )
+        .orderBy("src")
+    )
+
+
+ORACLE_MARKOV_TOP1 = """
+    WITH seq AS (SELECT user_id, event_type AS src,
+            LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS dst
+        FROM events),
+    train AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE dst IS NOT NULL AND user_id % 2 = 0
+        GROUP BY 1, 2),
+    pred AS (SELECT src, dst AS predicted FROM (
+            SELECT src, dst,
+                ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY c DESC, dst) AS rn
+            FROM train) WHERE rn = 1),
+    test AS (SELECT src, dst FROM seq
+        WHERE dst IS NOT NULL AND user_id % 2 = 1),
+    scored AS (SELECT test.src,
+            CASE WHEN test.dst = pred.predicted THEN 1 ELSE 0 END
+                AS hit
+        FROM test LEFT JOIN pred ON test.src = pred.src)
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(hit) AS BIGINT) AS n_hits,
+        CAST(SUM(hit) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+            AS top1_acc_ppm
+    FROM scored GROUP BY 1 ORDER BY src
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -16911,6 +17104,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neyman_allocation": q_neyman_allocation,
     "ratio_metric_ci": q_ratio_metric_ci,
     "fd_g3_errors": q_fd_g3_errors,
+    "hash_walk_visits": q_hash_walk_visits,
+    "markov_top1_accuracy": q_markov_top1_accuracy,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -17153,6 +17348,8 @@ ORACLES: dict[str, str] = {
     "neyman_allocation": ORACLE_NEYMAN,
     "ratio_metric_ci": ORACLE_RATIO_CI,
     "fd_g3_errors": ORACLE_FD_G3,
+    "hash_walk_visits": ORACLE_HASH_WALK,
+    "markov_top1_accuracy": ORACLE_MARKOV_TOP1,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

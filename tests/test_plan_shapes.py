@@ -1398,3 +1398,20 @@ def test_fd_g3_group_aggs_no_python(spark):
     plan = _plan(spark, "fd_g3_errors")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_walk_equi_steps_takeordered(spark):
+    """Hash walks: every step is an equi-join on (node, index) — no
+    cartesian, no Python; TakeOrdered(20) finish."""
+    plan = _plan(spark, "hash_walk_visits")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_markov_top1_broadcast_predictions(spark):
+    """Accuracy eval: the 1-per-state prediction table broadcasts to
+    the test pairs; windows are user/src-partitioned."""
+    plan = _plan(spark, "markov_top1_accuracy")
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
