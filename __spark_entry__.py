@@ -16867,6 +16867,215 @@ ORACLE_MARKOV_TOP1 = """
 """
 
 
+# ---------------------------------------------------------------- wave 7i
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the quality-score-
+    predicts-English classifier (same setup as classifier_auc):
+    Brier = Reliability - Resolution + Uncertainty, the diagnosis that
+    says WHY a probabilistic score is bad — miscalibrated (REL), or
+    just uninformative (low RES).  The score takes quarter values
+    q/4, so 16*N*Brier is an exact integer; REL and RES quantize
+    per-BIN to micro via exact integer division (positive terms, so
+    both engines floor identically) before the bounded 5-row sum.
+
+    Scale shape: one partial agg to the 5-row score histogram;
+    everything else is 5-row arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    # quality_score returns k/4; q = 4*score is integer 0..4
+    scored = docs.select(
+        (TX.quality_score(F.col("text")) * 4).cast("bigint").alias("q"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    hist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("s_k")
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    dec = "DECIMAL(38,0)"
+    tot = hist.select(
+        "q",
+        "n_k",
+        "s_k",
+        F.sum("n_k").over(wall).alias("n"),
+        F.sum("s_k").over(wall).alias("s"),
+    )
+    terms = tot.select(
+        "n",
+        "s",
+        F.expr(
+            f"CAST(n_k AS {dec}) * q * q - 8 * (CAST(q AS {dec}) * s_k)"
+            f" + 16 * CAST(s_k AS {dec})"
+        ).alias("b16"),
+        F.expr(
+            f"(CAST(q AS {dec}) * n_k - 4 * CAST(s_k AS {dec}))"
+            f" * (CAST(q AS {dec}) * n_k - 4 * CAST(s_k AS {dec}))"
+            f" * 1000000 div (16 * CAST(n_k AS {dec}) * n)"
+        ).alias("rel_k"),
+        # two-step floor division: X^2 alone reaches 1e36 at 1e9 docs,
+        # so *1e6 first would pass DECIMAL(38); divide by (n_k*N) before
+        # scaling (same two-step on the oracle side — engines agree)
+        F.expr(
+            f"((CAST(s_k AS {dec}) * n - CAST(s AS {dec}) * n_k)"
+            f" * (CAST(s_k AS {dec}) * n - CAST(s AS {dec}) * n_k)"
+            f" div (CAST(n_k AS {dec}) * n)) * 1000000"
+            f" div (CAST(n AS {dec}) * n)"
+        ).alias("res_k"),
+    )
+    return terms.groupBy("n", "s").agg(
+        F.expr(
+            f"CAST(SUM(b16) * 1000000 div (16 * CAST(MAX(n) AS {dec}))"
+            " AS BIGINT)"
+        ).alias("brier_micro"),
+        F.expr("CAST(SUM(rel_k) AS BIGINT)").alias("rel_micro"),
+        F.expr("CAST(SUM(res_k) AS BIGINT)").alias("res_micro"),
+    ).select(
+        F.col("n").alias("n_docs"),
+        F.col("s").alias("n_pos"),
+        "brier_micro",
+        "rel_micro",
+        "res_micro",
+        F.expr(
+            f"CAST(CAST(s AS {dec}) * (n - s) * 1000000"
+            f" div (CAST(n AS {dec}) * n) AS BIGINT)"
+        ).alias("unc_micro"),
+    )
+
+
+ORACLE_BRIER = """
+    WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents),
+    m AS (SELECT doc_id, y,
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    scored AS (SELECT y, CAST(
+        (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END) +
+        (CASE WHEN n_tok > 0
+              AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+              THEN 1 ELSE 0 END) +
+        (CASE WHEN n_chars = 0
+              OR CAST(n_chars - n_nopunct AS DOUBLE) / n_chars <= 0.2
+              THEN 1 ELSE 0 END) +
+        (CASE WHEN n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+              AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+              THEN 1 ELSE 0 END) AS BIGINT) AS q
+    FROM m),
+    hist AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_k,
+            CAST(SUM(y) AS BIGINT) AS s_k
+        FROM scored GROUP BY 1),
+    tot AS (SELECT q, n_k, s_k,
+            CAST(SUM(n_k) OVER () AS BIGINT) AS n,
+            CAST(SUM(s_k) OVER () AS BIGINT) AS s
+        FROM hist),
+    terms AS (SELECT n, s,
+            CAST(n_k AS HUGEINT) * q * q - 8 * (CAST(q AS HUGEINT) * s_k)
+                + 16 * CAST(s_k AS HUGEINT) AS b16,
+            (CAST(q AS HUGEINT) * n_k - 4 * CAST(s_k AS HUGEINT))
+                * (CAST(q AS HUGEINT) * n_k - 4 * CAST(s_k AS HUGEINT))
+                * 1000000 // (16 * CAST(n_k AS HUGEINT) * n) AS rel_k,
+            ((CAST(s_k AS HUGEINT) * n - CAST(s AS HUGEINT) * n_k)
+                * (CAST(s_k AS HUGEINT) * n - CAST(s AS HUGEINT) * n_k)
+                // (CAST(n_k AS HUGEINT) * n)) * 1000000
+                // (CAST(n AS HUGEINT) * n) AS res_k
+        FROM tot)
+    SELECT n AS n_docs, s AS n_pos,
+        CAST(SUM(b16) * 1000000 // (16 * CAST(MAX(n) AS HUGEINT))
+             AS BIGINT) AS brier_micro,
+        CAST(SUM(rel_k) AS BIGINT) AS rel_micro,
+        CAST(SUM(res_k) AS BIGINT) AS res_micro,
+        CAST(CAST(MAX(s) AS HUGEINT) * (MAX(n) - MAX(s)) * 1000000
+             // (CAST(MAX(n) AS HUGEINT) * MAX(n)) AS BIGINT)
+            AS unc_micro
+    FROM terms GROUP BY n, s
+"""
+
+
+def q_mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per market segment: the A/B-test
+    planning number — with this segment's order-value variance and
+    size, the smallest revenue-per-order lift (in cents, and in ppm
+    of the mean) a 50/50 split can detect at alpha=0.05 two-sided,
+    power=0.80: MDE = (1.96 + 0.84) * sqrt(2 * s^2 / (n/2)).
+    Variance comes from exact DECIMAL moments bridged via VARCHAR;
+    the closed form is the identical IEEE expression, half-up
+    micro-quantized.  Run BEFORE an experiment; conversion_wilson_ci
+    and ratio_metric_ci grade it after.
+
+    Scale shape: one fact agg to segment cardinality, per-row closed
+    form on 5 rows."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("x"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    g = rows.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}))").alias("s"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("q"),
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    var = (
+        f"(({br('q')}) - ({br('s')}) * ({br('s')}) / {dn})"
+        f" / ({dn} - 1.0)"
+    )
+    mde = f"(2.8 * SQRT(2.0 * ({var}) / ({dn} / 2.0)))"
+    return g.select(
+        "c_mktsegment",
+        "n",
+        F.expr(
+            f"(CAST(FLOOR({mde} * 1000000.0 + 0.5) AS DOUBLE)"
+            " / CAST(1000000.0 AS DOUBLE))"
+        ).alias("mde_cents"),
+        F.expr(
+            f"CAST(FLOOR({mde} * {dn} / ({br('s')}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("mde_ppm_of_mean"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_MDE = """
+    WITH rows_ AS (SELECT c_mktsegment,
+            CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        FROM rows_ GROUP BY 1),
+    b AS (SELECT c_mktsegment, n, CAST(n AS DOUBLE) AS dn,
+            CAST(CAST(s AS VARCHAR) AS DOUBLE) AS ds,
+            CAST(CAST(q AS VARCHAR) AS DOUBLE) AS dq
+        FROM g)
+    SELECT c_mktsegment, n,
+        (FLOOR((2.8 * SQRT(2.0 * ((dq - ds * ds / dn) / (dn - 1.0))
+            / (dn / 2.0))) * 1000000.0 + 0.5) / 1000000.0) AS mde_cents,
+        CAST(FLOOR((2.8 * SQRT(2.0 * ((dq - ds * ds / dn) / (dn - 1.0))
+            / (dn / 2.0))) * dn / ds * 1000000.0 + 0.5) AS BIGINT)
+            AS mde_ppm_of_mean
+    FROM b ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -17106,6 +17315,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fd_g3_errors": q_fd_g3_errors,
     "hash_walk_visits": q_hash_walk_visits,
     "markov_top1_accuracy": q_markov_top1_accuracy,
+    "brier_decomposition": q_brier_decomposition,
+    "mde_power_analysis": q_mde_power_analysis,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -17350,6 +17561,8 @@ ORACLES: dict[str, str] = {
     "fd_g3_errors": ORACLE_FD_G3,
     "hash_walk_visits": ORACLE_HASH_WALK,
     "markov_top1_accuracy": ORACLE_MARKOV_TOP1,
+    "brier_decomposition": ORACLE_BRIER,
+    "mde_power_analysis": ORACLE_MDE,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

@@ -1415,3 +1415,20 @@ def test_markov_top1_broadcast_predictions(spark):
     plan = _plan(spark, "markov_top1_accuracy")
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_brier_decomposition_identity_holds(spark):
+    """Murphy identity: Brier = REL - RES + UNC, within the per-bin
+    micro quantization (5 bins -> <= 5 micro of slack per component)."""
+    import __spark_entry__ as entry
+
+    r = entry.queries()["brier_decomposition"](spark, SF).head()
+    lhs = r["brier_micro"]
+    rhs = r["rel_micro"] - r["res_micro"] + r["unc_micro"]
+    assert abs(lhs - rhs) <= 15, (lhs, rhs)
+
+
+def test_mde_single_agg_no_python(spark):
+    plan = _plan(spark, "mde_power_analysis")
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
