@@ -15599,10 +15599,13 @@ def q_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_cnt",
         F.expr("sr div p_cnt").alias("m_micro"),
-        # between-part variance in micro^2: E[r^2] - (E[r])^2, exact
+        # between-part variance in micro^2: E[r^2] - (E[r])^2, exact;
+        # clamped >= 1 so a degenerate all-equal-rates corpus yields
+        # maximal K (full shrinkage) instead of Spark-null/DuckDB-error
         F.expr(
-            "CAST(srr div p_cnt"
-            " - (sr div p_cnt) * (sr div p_cnt) AS BIGINT)"
+            "greatest(CAST(srr div p_cnt"
+            " - (sr div p_cnt) * (sr div p_cnt) AS BIGINT),"
+            " CAST(1 AS BIGINT))"
         ).alias("v_micro2"),
     )
     k = prior.select(
@@ -15653,8 +15656,9 @@ ORACLE_SHRUNK_RATES = """
                 AS srr
         FROM rated),
     pm AS (SELECT p_cnt, sr // p_cnt AS m_micro,
-            CAST(srr // p_cnt
-                 - (sr // p_cnt) * (sr // p_cnt) AS BIGINT) AS v_micro2
+            GREATEST(CAST(srr // p_cnt
+                 - (sr // p_cnt) * (sr // p_cnt) AS BIGINT),
+                 CAST(1 AS BIGINT)) AS v_micro2
         FROM prior),
     kk AS (SELECT m_micro, v_micro2,
             GREATEST(CAST(CAST(m_micro AS HUGEINT)
