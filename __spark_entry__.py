@@ -17080,6 +17080,225 @@ ORACLE_MDE = """
 """
 
 
+# ---------------------------------------------------------------- wave 7j
+
+_MEDREG_GRID = list(range(80000, 122000, 2000))  # cents per unit
+
+
+def q_median_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (L1) regression of extended price on quantity through the
+    origin, by exhaustive grid: for 21 candidate slopes (cents/unit)
+    evaluate the absolute-loss sum EXACTLY in DECIMAL(38,0) and rank —
+    the outlier-robust price-per-unit estimate (theil_sen_trend is the
+    pairwise-slope flavor; this is the loss-minimization flavor, and
+    the full loss curve it emits shows HOW flat the optimum is).  All
+    21 losses accumulate in ONE scan as conditional aggregate
+    expressions — no grid crossJoin, no 21x row fan-out.
+
+    Scale shape: single partial-combined 21-expression aggregate, then
+    21-row unpivot + rank."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("x"),
+    )
+    aggs = [
+        F.expr(
+            f"SUM(CAST(abs(y - {b} * x) AS DECIMAL(38,0)))"
+        ).alias(f"l_{b}")
+        for b in _MEDREG_GRID
+    ]
+    g = li.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), l_{b}" for b in _MEDREG_GRID
+    )
+    unp = g.select(
+        "n",
+        F.expr(
+            f"stack({len(_MEDREG_GRID)}, {stack})"
+            " AS (slope_cents, loss)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("loss", "slope_cents")
+    return unp.select(
+        "slope_cents",
+        F.expr("CAST(loss div n AS BIGINT)").alias("mean_abs_err_cents"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("slope_cents")
+
+
+def _medreg_oracle() -> str:
+    sums = ",\n            ".join(
+        f"CAST(SUM(CAST(ABS(y - {b} * x) AS HUGEINT)) AS HUGEINT)"
+        f" AS l_{b}"
+        for b in _MEDREG_GRID
+    )
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS slope_cents,"
+        f" CAST(l_{b} // n AS BIGINT) AS mean_abs_err_cents,"
+        f" l_{b} AS loss FROM g"
+        for b in _MEDREG_GRID
+    )
+    return f"""
+    WITH li AS (SELECT
+            CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+            CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x
+        FROM lineitem),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            {sums}
+        FROM li),
+    u AS ({rows})
+    SELECT slope_cents, mean_abs_err_cents,
+        CAST(ROW_NUMBER() OVER (ORDER BY loss, slope_cents) AS BIGINT)
+            AS rank
+    FROM u ORDER BY slope_cents
+"""
+
+
+ORACLE_MEDIAN_REGRESSION = _medreg_oracle()
+
+
+def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance explained (eta-squared) by calendar factors on daily
+    revenue: one-way between-group sum of squares for day-of-week and
+    for month, each against the same total SS — the screen that says
+    whether weekday seasonality or monthly seasonality is worth
+    modeling at all (seasonal_decompose_daily then extracts it).
+    Exact integers: SS_total as sum of (N*x - S)^2 / N^2-scaled terms
+    and each group's (S_g*N - S*n_g)^2 term micro-quantized with the
+    brier_decomposition two-step division (inside DECIMAL(38) at any
+    corpus size); eta2 is one exact ppm division.
+
+    Scale shape: fact agg to day cardinality (bounded by calendar),
+    two tiny factor rollups, 2 rows out."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.expr(
+                "CAST(floor(o_totalprice + 0.5) AS BIGINT)"
+            ).alias("usd"),
+        )
+        .groupBy("day")
+        .agg(F.sum("usd").alias("x"))
+        .select(
+            "day",
+            "x",
+            F.dayofweek("day").alias("dow"),
+            F.month("day").alias("mon"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    base = daily.select(
+        "x",
+        "dow",
+        "mon",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    )
+    # SS_total * N^2 — exact; term (N*x - S)^2 <= (2500 * 1e15)^2 at
+    # 100 TB: two-step micro division keeps it inside DECIMAL(38)
+    sst = base.select(
+        F.expr(
+            f"((CAST(n AS {dec}) * x - s) * (CAST(n AS {dec}) * x - s)"
+            f" div (CAST(n AS {dec}) * n)) "
+        ).alias("t"),
+        "n",
+    ).agg(F.max("n").alias("n"), F.sum("t").alias("ss_tot"))
+
+    def ss_between(col, label):
+        grp = base.groupBy(col).agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("x").alias("s_g"),
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+        )
+        per = grp.select(
+            F.expr(
+                f"((CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g)"
+                f" * (CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g)"
+                f" div (CAST(n_g AS {dec}) * n)) div (CAST(n AS {dec}))"
+            ).alias("t")
+        )
+        return per.agg(
+            F.lit(label).alias("factor"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("t").alias("ss_between"),
+        )
+
+    both = ss_between("dow", "day_of_week").unionByName(
+        ss_between("mon", "month")
+    )
+    return (
+        both.crossJoin(F.broadcast(sst))
+        .select(
+            "factor",
+            "n_groups",
+            F.expr("CAST(ss_between AS BIGINT)").alias("ss_between_usd2"),
+            F.expr("CAST(ss_tot AS BIGINT)").alias("ss_total_usd2"),
+            # Spark `div` returns LONG, so rescale through DECIMAL —
+            # ss * 1e6 passes int64 already at sf0.1
+            F.expr(
+                "CAST(CAST(ss_between AS DECIMAL(38,0)) * 1000000"
+                " div ss_tot AS BIGINT)"
+            ).alias("eta2_ppm"),
+        )
+        .orderBy("factor")
+    )
+
+
+ORACLE_ETA_SQUARED = """
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+    base AS (SELECT x, dayofweek(day) + 1 AS dow, month(day) AS mon,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n,
+            CAST(SUM(x) OVER () AS BIGINT) AS s
+        FROM daily),
+    sst AS (SELECT MAX(n) AS n,
+            CAST(SUM((CAST(n AS HUGEINT) * x - s)
+                * (CAST(n AS HUGEINT) * x - s)
+                // (CAST(n AS HUGEINT) * n)) AS HUGEINT) AS ss_tot
+        FROM base),
+    dowg AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+            CAST(SUM(x) AS BIGINT) AS s_g,
+            MAX(n) AS n, MAX(s) AS s
+        FROM base GROUP BY 1),
+    mong AS (SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_g,
+            CAST(SUM(x) AS BIGINT) AS s_g,
+            MAX(n) AS n, MAX(s) AS s
+        FROM base GROUP BY 1),
+    u AS (SELECT 'day_of_week' AS factor,
+            CAST(COUNT(*) AS BIGINT) AS n_groups,
+            CAST(SUM(((CAST(s_g AS HUGEINT) * n - CAST(s AS HUGEINT)
+                * n_g) * (CAST(s_g AS HUGEINT) * n
+                - CAST(s AS HUGEINT) * n_g)
+                // (CAST(n_g AS HUGEINT) * n)) // CAST(n AS HUGEINT))
+                AS HUGEINT) AS ss_between
+        FROM dowg
+        UNION ALL
+        SELECT 'month', CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(((CAST(s_g AS HUGEINT) * n - CAST(s AS HUGEINT)
+                * n_g) * (CAST(s_g AS HUGEINT) * n
+                - CAST(s AS HUGEINT) * n_g)
+                // (CAST(n_g AS HUGEINT) * n)) // CAST(n AS HUGEINT))
+                AS HUGEINT)
+        FROM mong)
+    SELECT factor, n_groups,
+        CAST(ss_between AS BIGINT) AS ss_between_usd2,
+        CAST(ss_tot AS BIGINT) AS ss_total_usd2,
+        CAST(ss_between * 1000000 // ss_tot AS BIGINT) AS eta2_ppm
+    FROM u CROSS JOIN sst ORDER BY factor
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -17321,6 +17540,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_top1_accuracy": q_markov_top1_accuracy,
     "brier_decomposition": q_brier_decomposition,
     "mde_power_analysis": q_mde_power_analysis,
+    "median_regression_grid": q_median_regression_grid,
+    "eta_squared_factors": q_eta_squared_factors,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -17567,6 +17788,8 @@ ORACLES: dict[str, str] = {
     "markov_top1_accuracy": ORACLE_MARKOV_TOP1,
     "brier_decomposition": ORACLE_BRIER,
     "mde_power_analysis": ORACLE_MDE,
+    "median_regression_grid": ORACLE_MEDIAN_REGRESSION,
+    "eta_squared_factors": ORACLE_ETA_SQUARED,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

@@ -1432,3 +1432,18 @@ def test_mde_single_agg_no_python(spark):
     plan = _plan(spark, "mde_power_analysis")
     assert "EvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_median_regression_single_scan_21_aggs(spark):
+    """Grid L1 regression: all 21 candidate losses in ONE scan (no
+    grid crossJoin fan-out) — exactly one parquet scan in the plan."""
+    plan = _plan(spark, "median_regression_grid")
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_eta_squared_day_cardinality_aggs(spark):
+    plan = _plan(spark, "eta_squared_factors")
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan
