@@ -17299,6 +17299,231 @@ ORACLE_ETA_SQUARED = """
 """
 
 
+# ---------------------------------------------------------------- wave 7k
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily order revenue — the
+    distribution-free companion to theil_sen_trend (which estimates the
+    slope; this tests whether a monotone trend EXISTS, robust to
+    outliers and any monotone transform of revenue).  S = sum over day
+    pairs i<j of sign(x_j - x_i), exact integer; Var(S) carries the
+    standard tie correction (sum over tied-value groups of
+    t(t-1)(2t+5)), also exact — we emit 18*Var to stay integral; the
+    z statistic applies the +-1 continuity correction and is the
+    identical IEEE sqrt/divide on both engines (det6).
+
+    Scale shape: corpus work is ONE day-cardinality aggregate; the
+    pair join runs on the ~2.4k-row daily series (bounded by the DATE
+    DOMAIN, not corpus size — the acf_daily_revenue precedent), so
+    ~3M sign evaluations regardless of SF; ties roll up at distinct-
+    value cardinality; one row out."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS LONG)"
+        ).alias("cents4"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents4").alias("v"))
+    a = daily.select(F.col("day").alias("di"), F.col("v").alias("xi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("v").alias("xj"))
+    pairs = a.join(F.broadcast(b), F.col("di") < F.col("dj"))
+    s = pairs.agg(
+        F.expr(
+            "SUM(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1"
+            " ELSE 0 END)"
+        ).alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term"),
+        )
+    )
+    r = s.crossJoin(F.broadcast(ties)).select(
+        F.expr("CAST(n AS BIGINT)").alias("n_days"),
+        F.expr("CAST(s_stat AS BIGINT)").alias("s_stat"),
+        F.expr(
+            "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)"
+        ).alias("var_s_x18"),
+    )
+    zc = F.expr(
+        "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+        " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+        " ELSE CAST(0 AS DOUBLE) END"
+        " / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)"
+    )
+    return r.select(
+        "n_days",
+        "s_stat",
+        "var_s_x18",
+        DET.det_round(zc, 6).alias("z_score"),
+        F.expr(
+            "CASE WHEN s_stat > 0 THEN 'increasing'"
+            " WHEN s_stat < 0 THEN 'decreasing'"
+            " ELSE 'no_trend' END"
+        ).alias("direction"),
+    )
+
+
+ORACLE_MANN_KENDALL = f"""
+    WITH o AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+                AS cents4
+        FROM orders),
+    daily AS (SELECT day, CAST(SUM(cents4) AS BIGINT) AS v
+        FROM o GROUP BY day),
+    s AS (SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day),
+    tg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY v),
+    ties AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+            CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM tg),
+    r AS (SELECT n AS n_days, s_stat,
+            CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)
+                AS var_s_x18
+        FROM s CROSS JOIN ties)
+    SELECT n_days, s_stat, var_s_x18,
+        {DET.det_round_sql(
+            "(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+            " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+            " ELSE CAST(0 AS DOUBLE) END)"
+            " / SQRT(CAST(var_s_x18 AS DOUBLE) / 18.0)", 6
+        )} AS z_score,
+        CASE WHEN s_stat > 0 THEN 'increasing'
+             WHEN s_stat < 0 THEN 'decreasing'
+             ELSE 'no_trend' END AS direction
+    FROM r
+"""
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is daily revenue's above/below-median
+    sequence random, or does it clump (momentum / regime persistence)?
+    Days equal to the median drop (standard treatment); the median is
+    the lower median by deterministic (value, day) rank so both
+    engines pick the identical pivot.  Run count, n_above, n_below
+    are exact integers; expected runs is emitted in exact micro-units
+    (2*n1*n2*1e6 div n + 1e6); z is the shared IEEE closed form
+    (det6).
+
+    Scale shape: one day-cardinality aggregate, then rank + lag
+    windows over the ~2.4k-row daily series — bounded by the DATE
+    DOMAIN, so the single-partition window is dimension-sized at any
+    SF (acf precedent); one row out."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS LONG)"
+        ).alias("cents4"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents4").alias("v"))
+    wv = Window.orderBy("v", "day")
+    wall = Window.partitionBy()
+    ranked = daily.select(
+        "day",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_all"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_all + 1) div 2")
+    ).select(F.col("v").alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("v") != F.col("med"))
+        .select(
+            "day", F.expr("CAST(v > med AS INT)").alias("above")
+        )
+    )
+    wd = Window.orderBy("day")
+    seq = signed.select(
+        "above", F.lag("above").over(wd).alias("prev")
+    )
+    r = seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("above").alias("n1"),
+        F.count_if(F.col("above") == 0).alias("n2"),
+        F.count_if(
+            F.col("prev").isNull() | (F.col("above") != F.col("prev"))
+        ).alias("runs"),
+    )
+    two = "CAST(2 AS BIGINT) * n1 * n2"
+    z = F.expr(
+        f"(CAST(runs AS DOUBLE) - (CAST({two} AS DOUBLE)"
+        " / CAST(n AS DOUBLE) + 1.0))"
+        f" / sqrt(CAST({two} AS DOUBLE) * ({two} - n)"
+        " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+    )
+    return r.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_days_used"),
+        F.expr("CAST(n1 AS BIGINT)").alias("n_above"),
+        F.expr("CAST(n2 AS BIGINT)").alias("n_below"),
+        F.expr("CAST(runs AS BIGINT)").alias("runs"),
+        F.expr(
+            f"CAST(({two}) * 1000000 div n + 1000000 AS BIGINT)"
+        ).alias("expected_runs_micro"),
+        DET.det_round(z, 6).alias("z_score"),
+    )
+
+
+_RUNS_TWO = "CAST(2 AS BIGINT) * n1 * n2"
+
+ORACLE_RUNS_TEST = f"""
+    WITH o AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+                AS cents4
+        FROM orders),
+    daily AS (SELECT day, CAST(SUM(cents4) AS BIGINT) AS v
+        FROM o GROUP BY day),
+    ranked AS (SELECT day, v,
+            ROW_NUMBER() OVER (ORDER BY v, day) AS rn,
+            COUNT(*) OVER () AS n_all
+        FROM daily),
+    med AS (SELECT v AS med FROM ranked
+        WHERE rn = (n_all + 1) // 2),
+    signed AS (SELECT day, CAST(v > med AS INT) AS above
+        FROM daily CROSS JOIN med WHERE v <> med),
+    seq AS (SELECT above,
+            LAG(above) OVER (ORDER BY day) AS prev
+        FROM signed),
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(above) AS BIGINT) AS n1,
+            CAST(COUNT(CASE WHEN above = 0 THEN 1 END) AS BIGINT)
+                AS n2,
+            CAST(COUNT(CASE WHEN prev IS NULL OR above <> prev
+                THEN 1 END) AS BIGINT) AS runs
+        FROM seq)
+    SELECT n AS n_days_used, n1 AS n_above, n2 AS n_below, runs,
+        CAST(({_RUNS_TWO}) * 1000000 // n + 1000000 AS BIGINT)
+            AS expected_runs_micro,
+        {DET.det_round_sql(
+            "(CAST(runs AS DOUBLE) - (CAST(" + _RUNS_TWO + " AS DOUBLE)"
+            " / CAST(n AS DOUBLE) + 1.0))"
+            " / SQRT(CAST(" + _RUNS_TWO + " AS DOUBLE)"
+            " * (" + _RUNS_TWO + " - n)"
+            " / (CAST(n AS DOUBLE) * n * (n - 1)))", 6
+        )} AS z_score
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -17542,6 +17767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mde_power_analysis": q_mde_power_analysis,
     "median_regression_grid": q_median_regression_grid,
     "eta_squared_factors": q_eta_squared_factors,
+    "mann_kendall_trend": q_mann_kendall_trend,
+    "runs_test_daily": q_runs_test_daily,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -17790,6 +18017,8 @@ ORACLES: dict[str, str] = {
     "mde_power_analysis": ORACLE_MDE,
     "median_regression_grid": ORACLE_MEDIAN_REGRESSION,
     "eta_squared_factors": ORACLE_ETA_SQUARED,
+    "mann_kendall_trend": ORACLE_MANN_KENDALL,
+    "runs_test_daily": ORACLE_RUNS_TEST,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
