@@ -17326,7 +17326,12 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS LONG)"
         ).alias("cents4"),
     )
-    daily = o.groupBy("day").agg(F.sum("cents4").alias("v"))
+    # one corpus aggregate, materialized once: the ~2.4k-row daily
+    # series is referenced three times below (both pair sides + ties),
+    # and the broadcast side could not reuse the shuffle exchange —
+    # localCheckpoint truncates the lineage so orders is scanned ONCE
+    # (roundtrip_route_topics barrier precedent; day-bounded, tiny)
+    daily = o.groupBy("day").agg(F.sum("cents4").alias("v")).localCheckpoint()
     a = daily.select(F.col("day").alias("di"), F.col("v").alias("xi"))
     b = daily.select(F.col("day").alias("dj"), F.col("v").alias("xj"))
     pairs = a.join(F.broadcast(b), F.col("di") < F.col("dj"))
@@ -17431,7 +17436,8 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS LONG)"
         ).alias("cents4"),
     )
-    daily = o.groupBy("day").agg(F.sum("cents4").alias("v"))
+    # materialize the day-bounded series once (see mann_kendall note)
+    daily = o.groupBy("day").agg(F.sum("cents4").alias("v")).localCheckpoint()
     wv = Window.orderBy("v", "day")
     wall = Window.partitionBy()
     ranked = daily.select(
@@ -17521,6 +17527,200 @@ ORACLE_RUNS_TEST = f"""
             " / (CAST(n AS DOUBLE) * n * (n - 1)))", 6
         )} AS z_score
     FROM r
+"""
+
+
+# ---------------------------------------------------------------- wave 7l
+
+_RIDGE_LAMBDA_PCTS = [0, 1, 2, 5, 10, 25]
+
+
+def q_ridge_lambda_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter sweep as pure aggregation: 5-fold cross-validated
+    ridge regression (through the origin) of extended price on
+    quantity, for 6 shrinkage levels — 30 train/validate cells from
+    ONE corpus scan, because both the ridge slope and the validation
+    MSE are closed forms over per-fold sufficient statistics
+    (n, Sxx, Sxy, Syy): slope = Sxy/(Sxx + lambda) on the
+    leave-fold-out sums, SSE = Syy - 2b*Sxy + b^2*Sxx on the held-out
+    fold.  No model object, no per-row scoring pass, no second scan.
+    Folds are the md5 60-bit deterministic assignment (ab_test /
+    train_val_test precedent), lambda is expressed as a PERCENT of the
+    training Sxx so the grid is scale-invariant (the same sweep means
+    the same thing at sf0.001 and at 100 TB).  slope_ppm is an exact
+    integer floor division; the MSE identity runs in DECIMAL(38,0)
+    (terms bounded ~5e37 at 100 TB — inside both DECIMAL(38) and
+    HUGEINT; documented margin) and lands as exact cents^2.
+
+    Scale shape: one partial-combined 5-row fold aggregate; everything
+    after is arithmetic on 5 rows exploded x6 — the 100 TB shape of a
+    hyperparameter sweep."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("x"),
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat("
+            "CAST(l_orderkey AS STRING), '#',"
+            " CAST(l_linenumber AS STRING), '#ridge')), 1, 15), 16, 10)"
+            " AS BIGINT), 5)"
+        ).alias("fold_id"),
+    )
+    dec = "DECIMAL(38,0)"
+    folds = li.groupBy("fold_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("sxx"),
+        F.expr(f"SUM(CAST(x AS {dec}) * y)").alias("sxy"),
+        F.expr(f"SUM(CAST(y AS {dec}) * y)").alias("syy"),
+    )
+    tot = folds.agg(
+        F.expr("SUM(sxx)").alias("txx"), F.expr("SUM(sxy)").alias("txy")
+    )
+    lam = ", ".join(str(p) for p in _RIDGE_LAMBDA_PCTS)
+    cells = (
+        folds.crossJoin(F.broadcast(tot))
+        .select(
+            "fold_id",
+            "n",
+            "sxx",
+            "sxy",
+            "syy",
+            F.expr("txx - sxx").alias("trxx"),
+            F.expr("txy - sxy").alias("trxy"),
+            F.explode(F.expr(f"array({lam})")).alias("lam_pct"),
+        )
+        .select(
+            "lam_pct",
+            "fold_id",
+            F.expr("CAST(n AS BIGINT)").alias("n_val"),
+            F.expr(
+                "CAST(trxy * 1000000 div"
+                " (trxx + (trxx * lam_pct div 100)) AS BIGINT)"
+            ).alias("slope_ppm"),
+            "sxx",
+            "sxy",
+            "syy",
+            "n",
+        )
+    )
+    sse = (
+        "CAST(syy * 1000000000000"
+        f" - CAST(2000000 AS {dec}) * slope_ppm * sxy"
+        f" + CAST(slope_ppm AS {dec}) * slope_ppm * sxx AS {dec})"
+    )
+    return cells.select(
+        "lam_pct",
+        "fold_id",
+        "n_val",
+        "slope_ppm",
+        F.expr(
+            f"CAST({sse} div (CAST(n AS {dec}) * 1000000000000)"
+            " AS BIGINT)"
+        ).alias("val_mse_cents2"),
+    ).orderBy("lam_pct", "fold_id")
+
+
+def _ridge_oracle() -> str:
+    lams = ", ".join(f"({p})" for p in _RIDGE_LAMBDA_PCTS)
+    return f"""
+    WITH li AS (SELECT
+            CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+            CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+            ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                || CAST(l_linenumber AS VARCHAR) || '#ridge'), 1, 15))
+                ::BIGINT % 5 AS fold_id
+        FROM lineitem),
+    folds AS (SELECT fold_id, CAST(COUNT(*) AS BIGINT) AS n,
+            SUM(CAST(x AS HUGEINT) * x) AS sxx,
+            SUM(CAST(x AS HUGEINT) * y) AS sxy,
+            SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM li GROUP BY fold_id),
+    tot AS (SELECT SUM(sxx) AS txx, SUM(sxy) AS txy FROM folds),
+    grid AS (SELECT * FROM (VALUES {lams}) AS g(lam_pct)),
+    cells AS (SELECT g.lam_pct, f.fold_id, f.n, f.sxx, f.sxy, f.syy,
+            CAST((t.txy - f.sxy) * 1000000 // ((t.txx - f.sxx)
+                + ((t.txx - f.sxx) * g.lam_pct // 100)) AS BIGINT)
+                AS slope_ppm
+        FROM folds f CROSS JOIN tot t CROSS JOIN grid g)
+    SELECT lam_pct, fold_id, n AS n_val, slope_ppm,
+        CAST((syy * 1000000000000
+            - CAST(2000000 AS HUGEINT) * slope_ppm * sxy
+            + CAST(slope_ppm AS HUGEINT) * slope_ppm * sxx)
+            // (CAST(n AS HUGEINT) * 1000000000000) AS BIGINT)
+            AS val_mse_cents2
+    FROM cells ORDER BY lam_pct, fold_id
+"""
+
+
+ORACLE_RIDGE_CV = _ridge_oracle()
+
+
+def q_shannon_code_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal-code-length audit of the corpus vocabulary: each word
+    type's Shannon code length l = ceil(log2(n/c)) computed EXACTLY in
+    integers (smallest l with c*2^l >= n, via l = bit_length(
+    ceil(n/c) - 1) = length(bin(.)) — no float log anywhere), then the
+    per-length profile: how many types / tokens / coded bits sit at
+    each code length.  This is the storage-cost / compressibility
+    readout (total coded bits is the entropy-coding size bound within
+    one bit per token) and, by Kraft, sum over types of 2^-l is
+    guaranteed <= 1 — the emitted per-length rows let the oracle
+    verify the whole distribution, not just a summary.
+
+    Scale shape: token explode -> ONE vocab-cardinality aggregate
+    (partial-combined); the per-length profile is a second tiny
+    rollup at <= 64 rows; bit_length is string-length-of-bin, a
+    codegen expression on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    coded = vocab.crossJoin(F.broadcast(tot)).select(
+        "c",
+        F.expr(
+            "CASE WHEN (n + c - 1) div c - 1 = 0 THEN 0"
+            " ELSE length(bin((n + c - 1) div c - 1)) END"
+        ).alias("code_len"),
+    )
+    return (
+        coded.groupBy("code_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("n_tokens"),
+        )
+        .select(
+            F.expr("CAST(code_len AS BIGINT)").alias("code_len"),
+            F.expr("CAST(n_types AS BIGINT)").alias("n_types"),
+            F.expr("CAST(n_tokens AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                "CAST(n_tokens * code_len AS BIGINT)"
+            ).alias("coded_bits"),
+        )
+        .orderBy("code_len")
+    )
+
+
+ORACLE_SHANNON_CODE = """
+    WITH toks AS (SELECT w FROM (SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS w FROM documents)),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+    coded AS (SELECT c,
+            CASE WHEN (n + c - 1) // c - 1 = 0 THEN 0
+                 ELSE length(bin((n + c - 1) // c - 1)) END AS code_len
+        FROM vocab CROSS JOIN tot)
+    SELECT CAST(code_len AS BIGINT) AS code_len,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(c) * code_len AS BIGINT) AS coded_bits
+    FROM coded GROUP BY code_len ORDER BY code_len
 """
 
 
@@ -17769,6 +17969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eta_squared_factors": q_eta_squared_factors,
     "mann_kendall_trend": q_mann_kendall_trend,
     "runs_test_daily": q_runs_test_daily,
+    "ridge_lambda_cv": q_ridge_lambda_cv,
+    "shannon_code_lengths": q_shannon_code_lengths,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -18019,6 +18221,8 @@ ORACLES: dict[str, str] = {
     "eta_squared_factors": ORACLE_ETA_SQUARED,
     "mann_kendall_trend": ORACLE_MANN_KENDALL,
     "runs_test_daily": ORACLE_RUNS_TEST,
+    "ridge_lambda_cv": ORACLE_RIDGE_CV,
+    "shannon_code_lengths": ORACLE_SHANNON_CODE,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
