@@ -17724,6 +17724,179 @@ ORACLE_SHANNON_CODE = """
 """
 
 
+# ---------------------------------------------------------------- wave 7m
+
+_HRW_SHARDS = 16
+
+
+def q_hrw_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding audit: every doc is
+    assigned to argmax over shards of md5(doc_id ':' shard) — the
+    consistent-placement scheme whose selling point is MINIMAL
+    MOVEMENT: adding shard 16 must move exactly the docs whose new
+    17-way winner IS the new shard, and nothing else.  The query
+    emits, per original shard: doc count (balance), docs that move to
+    the new shard on expansion, and docs that move anywhere else —
+    the last column is the protocol invariant and must be ZERO, so
+    the oracle re-proves the minimal-movement theorem on every run.
+    (shuffle_shards covers mod-N sharding, where expansion remaps
+    ~15/16 of all keys; this is the scheme that doesn't.)
+
+    Scale shape: per-row argmax over 16/17 md5 expressions (pure
+    codegen, no shuffle, no explode), ONE doc-cardinality aggregate
+    to 16 rows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def arr(n):
+        return "array({})".format(
+            ", ".join(
+                f"md5(concat(CAST(doc_id AS STRING), ':', '{s}'))"
+                for s in range(n)
+            )
+        )
+
+    a16, a17 = arr(_HRW_SHARDS), arr(_HRW_SHARDS + 1)
+    assigned = docs.select(
+        F.expr(
+            f"array_position({a16}, array_max({a16})) - 1"
+        ).alias("shard"),
+        F.expr(
+            f"array_position({a17}, array_max({a17})) - 1"
+        ).alias("shard_plus1"),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(
+                F.col("shard_plus1") == _HRW_SHARDS
+            ).alias("n_moved_to_new"),
+            F.count_if(
+                (F.col("shard_plus1") != F.col("shard"))
+                & (F.col("shard_plus1") != _HRW_SHARDS)
+            ).alias("n_moved_elsewhere"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_HRW_BALANCE = f"""
+    WITH a AS (SELECT
+            list_transform(range(0, {_HRW_SHARDS}), s ->
+                md5(CAST(doc_id AS VARCHAR) || ':' || s)) AS l16,
+            list_transform(range(0, {_HRW_SHARDS + 1}), s ->
+                md5(CAST(doc_id AS VARCHAR) || ':' || s)) AS l17
+        FROM documents),
+    s AS (SELECT
+            list_position(l16, list_aggregate(l16, 'max')) - 1 AS shard,
+            list_position(l17, list_aggregate(l17, 'max')) - 1
+                AS shard_plus1
+        FROM a)
+    SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(CASE WHEN shard_plus1 = {_HRW_SHARDS} THEN 1 END)
+             AS BIGINT) AS n_moved_to_new,
+        CAST(COUNT(CASE WHEN shard_plus1 <> shard
+                        AND shard_plus1 <> {_HRW_SHARDS} THEN 1 END)
+             AS BIGINT) AS n_moved_elsewhere
+    FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets by the A-priori principle: prune to items
+    whose order-support >= 2 FIRST (lossless — a triple seen twice
+    needs every member seen twice; support is anti-monotone), then
+    enumerate p1<p2<p3 co-order triples via two self-equi-joins on
+    the order key, keep support >= 2, and score each surviving triple
+    with lift vs item independence (support * N^2 / (s1*s2*s3), exact
+    ppm in DECIMAL(38,0)).  Extends basket_lift_pairs one lattice
+    level up — the step where naive enumeration dies and pruning is
+    the whole algorithm.
+
+    Scale shape: triple fan-out is C(k,3) per order, bounded by the
+    per-order basket size (~7 in this schema), so volume stays linear
+    in orders at any SF; joins are hash equi-joins on the order key;
+    item supports ride a broadcast; TakeOrdered(20)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("p")
+    )
+    pp = li.distinct()
+    sup = pp.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    freq = sup.filter(F.col("s") >= 2)
+    fpp = pp.join(F.broadcast(freq.select("p")), "p", "left_semi")
+    a = fpp.select("g", F.col("p").alias("p1"))
+    b = fpp.select("g", F.col("p").alias("p2"))
+    c = fpp.select("g", F.col("p").alias("p3"))
+    triples = (
+        a.join(b, "g")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(c, "g")
+        .filter(F.col("p2") < F.col("p3"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    n_orders = pp.select("g").distinct().count()
+    dec = "DECIMAL(38,0)"
+    scored = (
+        triples.join(
+            F.broadcast(freq.select(F.col("p").alias("p1"),
+                                    F.col("s").alias("s1"))), "p1"
+        )
+        .join(
+            F.broadcast(freq.select(F.col("p").alias("p2"),
+                                    F.col("s").alias("s2"))), "p2"
+        )
+        .join(
+            F.broadcast(freq.select(F.col("p").alias("p3"),
+                                    F.col("s").alias("s3"))), "p3"
+        )
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "support",
+            F.expr(
+                f"CAST(CAST(support AS {dec}) * {n_orders}"
+                f" * {n_orders} * 1000000"
+                f" div (CAST(s1 AS {dec}) * s2 * s3) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("support"), F.desc("lift_ppm"), "p1", "p2", "p3"
+    ).limit(20)
+
+
+ORACLE_APRIORI_TRIPLES = """
+    WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        FROM lineitem),
+    sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s
+        FROM pp GROUP BY 1),
+    freq AS (SELECT p, s FROM sup WHERE s >= 2),
+    fpp AS (SELECT g, pp.p FROM pp JOIN freq ON pp.p = freq.p),
+    n AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_orders FROM pp),
+    tri AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+            CAST(COUNT(*) AS BIGINT) AS support
+        FROM fpp a JOIN fpp b ON a.g = b.g AND a.p < b.p
+        -- equality anchored on the ADJACENT relation (b.g, not a.g):
+        -- with a.g the optimizer may reorder to a b x c inequality-only
+        -- join (observed: 52 GB / hung at sf0.01 before this fix)
+        JOIN fpp c ON b.g = c.g AND b.p < c.p
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+    SELECT p1, p2, p3, support,
+        CAST(CAST(support AS HUGEINT) * n_orders * n_orders * 1000000
+             // (CAST(f1.s AS HUGEINT) * f2.s * f3.s) AS BIGINT)
+            AS lift_ppm
+    FROM tri CROSS JOIN n
+    JOIN freq f1 ON tri.p1 = f1.p
+    JOIN freq f2 ON tri.p2 = f2.p
+    JOIN freq f3 ON tri.p3 = f3.p
+    ORDER BY support DESC, lift_ppm DESC, p1, p2, p3 LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -17971,6 +18144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "runs_test_daily": q_runs_test_daily,
     "ridge_lambda_cv": q_ridge_lambda_cv,
     "shannon_code_lengths": q_shannon_code_lengths,
+    "hrw_shard_balance": q_hrw_shard_balance,
+    "apriori_triples": q_apriori_triples,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -18223,6 +18398,8 @@ ORACLES: dict[str, str] = {
     "runs_test_daily": ORACLE_RUNS_TEST,
     "ridge_lambda_cv": ORACLE_RIDGE_CV,
     "shannon_code_lengths": ORACLE_SHANNON_CODE,
+    "hrw_shard_balance": ORACLE_HRW_BALANCE,
+    "apriori_triples": ORACLE_APRIORI_TRIPLES,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
