@@ -17897,6 +17897,191 @@ ORACLE_APRIORI_TRIPLES = """
 """
 
 
+# ---------------------------------------------------------------- wave 7n
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the customer->part purchase bipartite graph: hubs are
+    customers whose baskets concentrate on authoritative parts,
+    authorities are parts bought by strong hubs — the mutually-
+    recursive centrality pagerank doesn't give you (PageRank flows
+    along edges; HITS separates the two roles, which is what a
+    bipartite purchase graph actually has).  2 exact-integer
+    iterations via operators/graph.py::hits_int (ppm-of-max
+    normalization — rank-preserving, engine-exact); top 10 per role.
+
+    Scale shape: per half-iteration one vertex-cardinality join + one
+    partial-combined SUM + a 1-row max broadcast; TakeOrdered(10)
+    per role."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    hubs, auths = G.hits_int(e, iterations=2)
+    top_h = (
+        hubs.select(
+            F.lit("hub").alias("role"),
+            F.col("h").cast("bigint").alias("node_id"),
+            F.col("hs").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "node_id")
+        .limit(10)
+    )
+    top_a = (
+        auths.select(
+            F.lit("authority").alias("role"),
+            F.col("a").cast("bigint").alias("node_id"),
+            F.col("sc").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "node_id")
+        .limit(10)
+    )
+    out = top_a.unionByName(top_h)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("role").orderBy(
+        F.desc("score_ppm"), "node_id"
+    )
+    return out.select(
+        "role",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "node_id",
+        "score_ppm",
+    ).orderBy("role", "rank")
+
+
+def _hits_oracle() -> str:
+    # unrolled 2-iteration HITS, ppm-of-max normalization each half-step
+    steps = []
+    prev_h = "h0"
+    for i in (1, 2):
+        steps.append(
+            f"a{i}r AS (SELECT a, SUM(CAST(hs AS HUGEINT)) AS raw"
+            f" FROM e JOIN {prev_h} USING (h) GROUP BY a)"
+        )
+        steps.append(
+            f"a{i} AS (SELECT a, CAST(raw * 1000000"
+            f" // (SELECT MAX(raw) FROM a{i}r) AS BIGINT) AS sc"
+            f" FROM a{i}r)"
+        )
+        steps.append(
+            f"h{i}r AS (SELECT h, SUM(CAST(sc AS HUGEINT)) AS raw"
+            f" FROM e JOIN a{i} USING (a) GROUP BY h)"
+        )
+        steps.append(
+            f"h{i} AS (SELECT h, CAST(raw * 1000000"
+            f" // (SELECT MAX(raw) FROM h{i}r) AS BIGINT) AS hs"
+            f" FROM h{i}r)"
+        )
+        prev_h = f"h{i}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (SELECT DISTINCT o_custkey AS h, l_partkey AS a
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h0 AS (SELECT h, CAST(1000000 AS BIGINT) AS hs
+        FROM (SELECT DISTINCT h FROM e)),
+    {joined},
+    ta AS (SELECT 'authority' AS role, CAST(a AS BIGINT) AS node_id,
+            sc AS score_ppm
+        FROM a2 ORDER BY sc DESC, a LIMIT 10),
+    th AS (SELECT 'hub' AS role, CAST(h AS BIGINT) AS node_id,
+            hs AS score_ppm
+        FROM h2 ORDER BY hs DESC, h LIMIT 10),
+    u AS (SELECT * FROM ta UNION ALL SELECT * FROM th)
+    SELECT role,
+        CAST(ROW_NUMBER() OVER (PARTITION BY role
+            ORDER BY score_ppm DESC, node_id) AS BIGINT) AS rank,
+        node_id, score_ppm
+    FROM u ORDER BY role, rank
+"""
+
+
+ORACLE_HITS = _hits_oracle()
+
+
+def q_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-order graph by the resource-
+    allocation index: for a non-adjacent pair (x, y), RA = sum over
+    common neighbors z of 1/deg(z) — the published Zhou-Lu-Zhang
+    refinement of Adamic-Adar that penalizes promiscuous middlemen
+    harder.  Engine-exact by quantizing EACH term before the sum
+    (w(z) = 1e9 div deg(z), so the fold is an integer sum — a float
+    1/deg sum would hash differently per partitioning); existing
+    edges are removed with an anti-join.  Top 20 predicted links —
+    the candidate list a recommender would re-rank.
+
+    Scale shape: the wedge join is adjacency x adjacency on the
+    middle vertex — sum of deg(z)^2 rows, kept tractable by the
+    min_support=2 edge pruning (same bound item_item_cosine and
+    hash_walk_visits live with); degree weights ride a vertex-
+    cardinality join; TakeOrdered(20)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pp = li.distinct()
+    und = G.undirected_edges_min_support(
+        pp, "l_orderkey", "l_partkey", min_support=2
+    )
+    adj = und.select(
+        F.col("a").alias("z"), F.col("b").alias("x")
+    ).unionByName(und.select(F.col("b").alias("z"), F.col("a").alias("x")))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    w = deg.select("z", F.expr("1000000000 div deg").alias("w_nano"))
+    left = adj.select("z", F.col("x").alias("px"))
+    right = adj.select("z", F.col("x").alias("py"))
+    wedges = (
+        left.join(right, "z")
+        .filter(F.col("px") < F.col("py"))
+        .join(w, "z")
+        .groupBy("px", "py")
+        .agg(
+            F.sum("w_nano").alias("ra_nano"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    cand = wedges.join(
+        und.select(F.col("a").alias("px"), F.col("b").alias("py")),
+        ["px", "py"],
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("px").alias("part_a"),
+            F.col("py").alias("part_b"),
+            "ra_nano",
+            "n_common",
+        )
+        .orderBy(F.desc("ra_nano"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ORACLE_RA_LINKS = """
+    WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        FROM lineitem),
+    und AS (SELECT a.p AS a, b.p AS b
+        FROM pp a JOIN pp b ON a.g = b.g AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (SELECT a AS z, b AS x FROM und
+        UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM adj GROUP BY 1),
+    w AS (SELECT z, 1000000000 // deg AS w_nano FROM deg),
+    wedges AS (SELECT l.x AS px, r.x AS py,
+            CAST(SUM(w_nano) AS BIGINT) AS ra_nano,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM adj l JOIN adj r ON l.z = r.z AND l.x < r.x
+        JOIN w ON w.z = l.z
+        GROUP BY 1, 2),
+    cand AS (SELECT * FROM wedges
+        WHERE NOT EXISTS (SELECT 1 FROM und
+            WHERE und.a = wedges.px AND und.b = wedges.py))
+    SELECT px AS part_a, py AS part_b, ra_nano, n_common
+    FROM cand ORDER BY ra_nano DESC, part_a, part_b LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -18146,6 +18331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shannon_code_lengths": q_shannon_code_lengths,
     "hrw_shard_balance": q_hrw_shard_balance,
     "apriori_triples": q_apriori_triples,
+    "hits_scores": q_hits_scores,
+    "ra_link_prediction": q_ra_link_prediction,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -18400,6 +18587,8 @@ ORACLES: dict[str, str] = {
     "shannon_code_lengths": ORACLE_SHANNON_CODE,
     "hrw_shard_balance": ORACLE_HRW_BALANCE,
     "apriori_triples": ORACLE_APRIORI_TRIPLES,
+    "hits_scores": ORACLE_HITS,
+    "ra_link_prediction": ORACLE_RA_LINKS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,

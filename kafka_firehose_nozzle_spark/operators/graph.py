@@ -196,3 +196,59 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def hits_int(
+    edges: DataFrame,
+    iterations: int = 2,
+    hub_col: str = "src",
+    auth_col: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs/authorities in exact integer arithmetic — the
+    bipartite companion to pagerank_int (same contract: bit-identical
+    across engines/partitionings, unrolled-CTE replayable).
+
+    Float HITS normalizes by an L2 norm each iteration — a cross-
+    partition float fold, unreproducible.  Here scores live in ppm of
+    the iteration max: raw(a) = SUM over incident hubs of hs (exact
+    DECIMAL(38,0) — bounded by 1e6 * max degree, inside DECIMAL(38)
+    past 1e12-degree hubs), then score = raw * 1e6 div max(raw).
+    Max-normalization preserves HITS's ranking fixed point (any
+    positive rescale does) while keeping every value an integer.
+
+    Scale shape per half-iteration: one vertex-cardinality hash join
+    (scores onto edges), one partial-combined SUM to the other side's
+    vertex cardinality, one 1-row max broadcast back.  Iteration count
+    fixed and small, lineage bounded — the pagerank_int shape."""
+    dec = "DECIMAL(38,0)"
+    e = edges.select(
+        F.col(hub_col).alias("h"), F.col(auth_col).alias("a")
+    ).distinct()
+    hubs = (
+        e.select("h")
+        .distinct()
+        .select("h", F.lit(1000000).cast("long").alias("hs"))
+    )
+    auths = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hubs, "h")
+            .groupBy("a")
+            .agg(F.expr(f"SUM(CAST(hs AS {dec}))").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auths = araw.crossJoin(F.broadcast(amax)).select(
+            "a",
+            F.expr("CAST(raw * 1000000 div mx AS BIGINT)").alias("sc"),
+        )
+        hraw = (
+            e.join(auths, "a")
+            .groupBy("h")
+            .agg(F.expr(f"SUM(CAST(sc AS {dec}))").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hubs = hraw.crossJoin(F.broadcast(hmax)).select(
+            "h",
+            F.expr("CAST(raw * 1000000 div mx AS BIGINT)").alias("hs"),
+        )
+    return hubs, auths
