@@ -18082,6 +18082,219 @@ ORACLE_RA_LINKS = """
 """
 
 
+# ---------------------------------------------------------------- wave 7o
+
+
+def q_cusum_monitor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM monitor on daily revenue — the ONLINE drift
+    detector (changepoint_daily is the offline at-most-one-changepoint
+    scan; this is the control-chart recursion a monitoring pipeline
+    evaluates every day): S_i = max(0, S_{i-1} + x_i - mu - k), alarm
+    when S_i > h, with the standard k = 0.5 sigma slack and h = 4 sigma
+    threshold.  The recursion LOOKS sequential but has the exact
+    prefix-sum identity S_i = P_i - min(0, min_{j<=i} P_j), so it runs
+    as two windows — no iteration, no UDF.  mu is the exact integer
+    mean; sigma enters once through the shared IEEE sqrt, floored to
+    integer dollars (det) so the recursion itself is pure integer.
+
+    Scale shape: one corpus agg to the ~2.4k-row calendar-bounded
+    daily series; two single-partition windows over it (day-bounded,
+    the acf precedent); one row out."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").alias("usd"),
+    )
+    daily = o.groupBy("day").agg(F.sum("usd").alias("x")).localCheckpoint()
+    dec = "DECIMAL(38,0)"
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}))").alias("s"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("q"),
+    ).select(
+        "n",
+        F.expr("CAST(s div n AS BIGINT)").alias("mu"),
+        F.expr(
+            "CAST(FLOOR(0.5 * SQRT(CAST(CAST(CAST(n AS DECIMAL(38,0))"
+            " * q - s * s AS STRING) AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("k_usd"),
+        F.expr(
+            "CAST(FLOOR(4.0 * SQRT(CAST(CAST(CAST(n AS DECIMAL(38,0))"
+            " * q - s * s AS STRING) AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias("h_usd"),
+    )
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stat = (
+        daily.crossJoin(F.broadcast(m))
+        .select(
+            "day",
+            "n",
+            "mu",
+            "k_usd",
+            "h_usd",
+            F.sum(F.expr("x - mu - k_usd")).over(wp).alias("p"),
+        )
+        .select(
+            "day",
+            "n",
+            "mu",
+            "k_usd",
+            "h_usd",
+            F.expr("p - least(min(p) OVER (ORDER BY day ROWS BETWEEN"
+                   " UNBOUNDED PRECEDING AND CURRENT ROW), 0)"
+                   ).alias("cusum"),
+        )
+    )
+    return stat.groupBy("n", "mu", "k_usd", "h_usd").agg(
+        F.count_if(F.col("cusum") > F.col("h_usd")).alias("n_alarm_days"),
+        F.max("cusum").alias("max_cusum_usd"),
+        F.min(
+            F.when(F.col("cusum") > F.col("h_usd"), F.col("day"))
+        ).cast("bigint").alias("first_alarm_day"),
+    ).select(
+        F.col("n").alias("n_days"),
+        F.col("mu").alias("mu_usd"),
+        "k_usd",
+        "h_usd",
+        "n_alarm_days",
+        "max_cusum_usd",
+        "first_alarm_day",
+    )
+
+
+ORACLE_CUSUM_MONITOR = """
+    WITH o AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS usd
+        FROM orders),
+    daily AS (SELECT day, CAST(SUM(usd) AS BIGINT) AS x
+        FROM o GROUP BY day),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        FROM daily),
+    m AS (SELECT n, CAST(s // n AS BIGINT) AS mu,
+            CAST(FLOOR(0.5 * SQRT(CAST(CAST(CAST(n AS HUGEINT) * q
+                - s * s AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE))
+                AS BIGINT) AS k_usd,
+            CAST(FLOOR(4.0 * SQRT(CAST(CAST(CAST(n AS HUGEINT) * q
+                - s * s AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE))
+                AS BIGINT) AS h_usd
+        FROM mm),
+    pre AS (SELECT day, n, mu, k_usd, h_usd,
+            CAST(SUM(x - mu - k_usd) OVER (ORDER BY day ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        FROM daily CROSS JOIN m),
+    stat AS (SELECT day, n, mu, k_usd, h_usd,
+            p - LEAST(MIN(p) OVER (ORDER BY day ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+        FROM pre)
+    SELECT n AS n_days, mu AS mu_usd, k_usd, h_usd,
+        CAST(COUNT(CASE WHEN cusum > h_usd THEN 1 END) AS BIGINT)
+            AS n_alarm_days,
+        CAST(MAX(cusum) AS BIGINT) AS max_cusum_usd,
+        CAST(MIN(CASE WHEN cusum > h_usd THEN day END) AS BIGINT)
+            AS first_alarm_day
+    FROM stat GROUP BY n, mu, k_usd, h_usd
+"""
+
+
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of part brand against return rate —
+    the feature-engineering staple done WITHOUT leakage: each fold's
+    encoding uses only the OTHER folds' rows (train/serve symmetry),
+    smoothed toward the global prior with m = 100 pseudo-observations
+    so rare brands don't memorize their own labels.  Folds are the
+    shared md5 60-bit deterministic split; the encoding is exact:
+    enc = ((s_b - s_bf) * 1e6 + m * prior_micro) div (n_b - n_bf + m),
+    with brand totals and the global prior coming from windows over
+    the 125-row (brand x fold) aggregate — sufficient statistics, the
+    ridge_lambda_cv playbook applied to categorical features.
+
+    Scale shape: ONE fact scan (lineitem |x| broadcast part) to a
+    (brand, fold) aggregate; windows over 125 rows; 125 rows out."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    rows = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_brand",
+        "y",
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat("
+            "CAST(l_orderkey AS STRING), '#',"
+            " CAST(l_linenumber AS STRING), '#tenc')), 1, 15), 16, 10)"
+            " AS BIGINT), 5)"
+        ).alias("fold_id"),
+    )
+    bf = rows.groupBy("p_brand", "fold_id").agg(
+        F.count(F.lit(1)).alias("n_bf"), F.sum("y").alias("s_bf")
+    )
+    wb = Window.partitionBy("p_brand")
+    wall = Window.partitionBy()
+    t = bf.select(
+        "p_brand",
+        "fold_id",
+        "n_bf",
+        "s_bf",
+        F.sum("n_bf").over(wb).alias("n_b"),
+        F.sum("s_bf").over(wb).alias("s_b"),
+        F.sum("n_bf").over(wall).alias("n_all"),
+        F.sum("s_bf").over(wall).alias("s_all"),
+    )
+    return t.select(
+        "p_brand",
+        "fold_id",
+        F.expr("CAST(n_b - n_bf AS BIGINT)").alias("n_train"),
+        F.expr(
+            "CAST(((CAST(s_b AS DECIMAL(38,0)) - s_bf) * 1000000"
+            " + 100 * (CAST(s_all AS DECIMAL(38,0)) * 1000000"
+            " div n_all))"
+            " div (CAST(n_b AS DECIMAL(38,0)) - n_bf + 100) AS BIGINT)"
+        ).alias("enc_micro"),
+    ).orderBy("p_brand", "fold_id")
+
+
+ORACLE_TARGET_ENCODING = """
+    WITH rows_ AS (SELECT p_brand,
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+            ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                || CAST(l_linenumber AS VARCHAR) || '#tenc'), 1, 15))
+                ::BIGINT % 5 AS fold_id
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+    bf AS (SELECT p_brand, fold_id, CAST(COUNT(*) AS BIGINT) AS n_bf,
+            CAST(SUM(y) AS BIGINT) AS s_bf
+        FROM rows_ GROUP BY 1, 2),
+    t AS (SELECT p_brand, fold_id, n_bf, s_bf,
+            CAST(SUM(n_bf) OVER (PARTITION BY p_brand) AS BIGINT) AS n_b,
+            CAST(SUM(s_bf) OVER (PARTITION BY p_brand) AS BIGINT) AS s_b,
+            CAST(SUM(n_bf) OVER () AS BIGINT) AS n_all,
+            CAST(SUM(s_bf) OVER () AS BIGINT) AS s_all
+        FROM bf)
+    SELECT p_brand, fold_id, n_b - n_bf AS n_train,
+        CAST(((CAST(s_b AS HUGEINT) - s_bf) * 1000000
+            + 100 * (CAST(s_all AS HUGEINT) * 1000000 // n_all))
+            // (CAST(n_b AS HUGEINT) - n_bf + 100) AS BIGINT)
+            AS enc_micro
+    FROM t ORDER BY p_brand, fold_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -18333,6 +18546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apriori_triples": q_apriori_triples,
     "hits_scores": q_hits_scores,
     "ra_link_prediction": q_ra_link_prediction,
+    "cusum_monitor_daily": q_cusum_monitor_daily,
+    "target_encoding_oof": q_target_encoding_oof,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -18589,6 +18804,8 @@ ORACLES: dict[str, str] = {
     "apriori_triples": ORACLE_APRIORI_TRIPLES,
     "hits_scores": ORACLE_HITS,
     "ra_link_prediction": ORACLE_RA_LINKS,
+    "cusum_monitor_daily": ORACLE_CUSUM_MONITOR,
+    "target_encoding_oof": ORACLE_TARGET_ENCODING,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
