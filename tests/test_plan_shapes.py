@@ -1447,3 +1447,67 @@ def test_eta_squared_day_cardinality_aggs(spark):
     plan = _plan(spark, "eta_squared_factors")
     assert "EvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_mann_kendall_pair_join_runs_on_checkpointed_series(spark):
+    """The day-pair join and tie rollup must run over the ONE
+    materialized daily series (localCheckpoint), never re-scanning
+    orders per branch: the final plan contains no parquet scan at all
+    — the corpus scan happened exactly once, at checkpoint build."""
+    plan = _plan(spark, "mann_kendall_trend")
+    assert "FileScan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runs_test_single_scan_via_checkpoint(spark):
+    plan = _plan(spark, "runs_test_daily")
+    assert "FileScan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_monitor_single_scan_via_checkpoint(spark):
+    plan = _plan(spark, "cusum_monitor_daily")
+    assert "FileScan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_apriori_triples_equi_joins_only(spark):
+    """Both lattice-growing self-joins must be hash equi-joins on the
+    order key — the DuckDB-side twin of this guard is the inline
+    join-anchoring comment in ORACLE_APRIORI_TRIPLES (the optimizer
+    turned a mis-anchored equality into an inequality-only join)."""
+    plan = _plan(spark, "apriori_triples")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_no_cartesian_scores_broadcast_max(spark):
+    plan = _plan(spark, "hits_scores")
+    assert "CartesianProduct" not in plan
+    # per half-iteration the 1-row max rides a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ra_link_prediction_wedge_is_equi_join(spark):
+    plan = _plan(spark, "ra_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_target_encoding_single_fact_aggregate(spark):
+    """One corpus-scale exchange only: the (brand, fold) aggregate.
+    Window totals run over the 125-row aggregate, so any additional
+    hashpartitioning exchange means the fact table is being shuffled
+    twice."""
+    plan = _plan(spark, "target_encoding_oof")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:1500]
+
+
+def test_ridge_cv_single_fold_aggregate_shape(spark):
+    """The sweep is sufficient-statistics only: no per-lambda or
+    per-fold rescan (no more than the fold aggregate's exchanges), and
+    the 30-cell arithmetic never joins back to the fact table."""
+    plan = _plan(spark, "ridge_lambda_cv")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 3
