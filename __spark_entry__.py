@@ -18295,6 +18295,225 @@ ORACLE_TARGET_ENCODING = """
 """
 
 
+# ---------------------------------------------------------------- wave 7p
+
+
+def q_dunning_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocations by Dunning's log-likelihood ratio (G^2) — the
+    published fix for PMI's rare-pair bias (pmi_bigrams ranks a
+    2-occurrence oddity above 'new york'; G^2 weighs evidence mass, so
+    frequent true collocations win).  Each bigram's 2x2 table uses
+    PROPER slot marginals from the unfiltered bigram table (c1 = count
+    as left word, c2 = as right word, N = all bigram events); each of
+    the four O*ln(O N / (r k)) terms is log-space (the pmi overflow
+    lesson — no integer product ever forms) and per-ROW (a fixed
+    expression tree, not a cross-row float fold), det_round(6).
+    Counts stay below 2^53 at any conceivable corpus so the int->
+    double casts are exact.
+
+    Scale shape: one bigram-cardinality aggregate; slot marginals are
+    two rollups of it; candidates (cxy >= 5) join the marginals on the
+    word; TakeOrdered(20)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    big = (
+        toks.select(
+            F.explode(TX.ngram_strings(F.col("toks"), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    parts = big.select(
+        "bg",
+        "cxy",
+        F.split(F.col("bg"), " ").getItem(0).alias("x"),
+        F.split(F.col("bg"), " ").getItem(1).alias("y"),
+    )
+    lm = parts.groupBy("x").agg(F.sum("cxy").alias("c1"))
+    rm = parts.groupBy("y").agg(F.sum("cxy").alias("c2"))
+    nn = parts.agg(F.sum("cxy").alias("nb"))
+    cand = (
+        parts.filter(F.col("cxy") >= 5)
+        .join(lm, "x")
+        .join(rm, "y")
+        .crossJoin(F.broadcast(nn))
+    )
+
+    def term(o, r, k):
+        return (
+            f"(CASE WHEN {o} > 0 THEN CAST({o} AS DOUBLE)"
+            f" * (ln(CAST({o} AS DOUBLE)) + ln(CAST(nb AS DOUBLE))"
+            f" - ln(CAST({r} AS DOUBLE)) - ln(CAST({k} AS DOUBLE)))"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+
+    g2 = (
+        "2.0 * ("
+        + term("cxy", "c1", "c2")
+        + " + " + term("(c1 - cxy)", "c1", "(nb - c2)")
+        + " + " + term("(c2 - cxy)", "(nb - c1)", "c2")
+        + " + " + term("(nb - c1 - c2 + cxy)", "(nb - c1)", "(nb - c2)")
+        + ")"
+    )
+    return (
+        cand.select(
+            "bg",
+            "cxy",
+            "c1",
+            "c2",
+            DET.det_round(F.expr(g2), 6).alias("llr_g2"),
+        )
+        .orderBy(F.desc("llr_g2"), "bg")
+        .limit(20)
+    )
+
+
+def _dunning_oracle() -> str:
+    def term(o, r, k):
+        return (
+            f"(CASE WHEN {o} > 0 THEN CAST({o} AS DOUBLE)"
+            f" * (LN(CAST({o} AS DOUBLE)) + LN(CAST(nb AS DOUBLE))"
+            f" - LN(CAST({r} AS DOUBLE)) - LN(CAST({k} AS DOUBLE)))"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+
+    g2 = (
+        "2.0 * ("
+        + term("cxy", "c1", "c2")
+        + " + " + term("(c1 - cxy)", "c1", "(nb - c2)")
+        + " + " + term("(c2 - cxy)", "(nb - c1)", "c2")
+        + " + " + term("(nb - c1 - c2 + cxy)", "(nb - c1)", "(nb - c2)")
+        + ")"
+    )
+    return f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    bt AS (SELECT toks FROM t WHERE len(toks) >= 2),
+    big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cxy FROM (
+            SELECT unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+            FROM bt) b
+        GROUP BY bg),
+    parts AS (SELECT bg, cxy,
+            string_split(bg, ' ')[1] AS x,
+            string_split(bg, ' ')[2] AS y
+        FROM big),
+    lm AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS c1
+        FROM parts GROUP BY 1),
+    rm AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS c2
+        FROM parts GROUP BY 1),
+    nn AS (SELECT CAST(SUM(cxy) AS BIGINT) AS nb FROM parts),
+    cand AS (SELECT bg, cxy, c1, c2, nb
+        FROM parts JOIN lm USING (x) JOIN rm USING (y) CROSS JOIN nn
+        WHERE cxy >= 5)
+    SELECT bg, cxy, c1, c2,
+        {DET.det_round_sql(g2, 6)} AS llr_g2
+    FROM cand ORDER BY llr_g2 DESC, bg LIMIT 20
+"""
+
+
+ORACLE_DUNNING = _dunning_oracle()
+
+
+def q_mcnemar_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED classifier predictions — the correct
+    way to ask 'is classifier A actually better than B on the same
+    docs?' (comparing two accuracies ignores pairing; McNemar uses
+    only the discordant cells).  A = the 4-flag quality score at
+    threshold 3/4 predicting English (the classifier_auc / brier
+    setup); B = a length-only baseline (50..5000 ws tokens).  b = A
+    right & B wrong, c = B right & A wrong; the Edwards-corrected
+    statistic (max(|b-c|-1,0))^2 / (b+c) lands in exact micro (all
+    integers; single floor division).
+
+    Scale shape: ONE doc scan, one 1-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            (TX.quality_score(F.col("text")) * 4).cast("bigint") >= 3
+        ).cast("int").alias("pa"),
+        TX.token_count(F.col("text")).between(50, 5000).cast("int").alias(
+            "pb"
+        ),
+    )
+    r = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("pa") == F.col("y")).alias("a_correct"),
+        F.count_if(F.col("pb") == F.col("y")).alias("b_correct"),
+        F.count_if(
+            (F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))
+        ).alias("b_disc"),
+        F.count_if(
+            (F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))
+        ).alias("c_disc"),
+    )
+    return r.select(
+        "n_docs",
+        F.expr("a_correct * 1000000 div n_docs").alias("a_acc_ppm"),
+        F.expr("b_correct * 1000000 div n_docs").alias("b_acc_ppm"),
+        "b_disc",
+        "c_disc",
+        F.expr(
+            "CASE WHEN b_disc + c_disc = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(greatest(abs(b_disc - c_disc) - 1, 0)"
+            " * greatest(abs(b_disc - c_disc) - 1, 0) * 1000000"
+            " div (b_disc + c_disc) AS BIGINT) END"
+        ).alias("mcnemar_chi2_micro"),
+    )
+
+
+ORACLE_MCNEMAR = """
+    WITH t AS (SELECT lang, text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    scored AS (SELECT y,
+        CASE WHEN (CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok > 0
+                        AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN n_chars = 0 OR CAST(n_chars - n_nopunct
+                        AS DOUBLE) / n_chars <= 0.2 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_tok > 0
+                        AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+                        AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+                        THEN 1 ELSE 0 END) >= 3
+             THEN 1 ELSE 0 END AS pa,
+        CASE WHEN n_tok BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS pb
+    FROM m),
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(CASE WHEN pa = y THEN 1 END) AS BIGINT) AS a_correct,
+        CAST(COUNT(CASE WHEN pb = y THEN 1 END) AS BIGINT) AS b_correct,
+        CAST(COUNT(CASE WHEN pa = y AND pb <> y THEN 1 END) AS BIGINT)
+            AS b_disc,
+        CAST(COUNT(CASE WHEN pa <> y AND pb = y THEN 1 END) AS BIGINT)
+            AS c_disc
+    FROM scored)
+    SELECT n_docs,
+        a_correct * 1000000 // n_docs AS a_acc_ppm,
+        b_correct * 1000000 // n_docs AS b_acc_ppm,
+        b_disc, c_disc,
+        CASE WHEN b_disc + c_disc = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(GREATEST(ABS(b_disc - c_disc) - 1, 0)
+                * GREATEST(ABS(b_disc - c_disc) - 1, 0) * 1000000
+                // (b_disc + c_disc) AS BIGINT) END
+            AS mcnemar_chi2_micro
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -18548,6 +18767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ra_link_prediction": q_ra_link_prediction,
     "cusum_monitor_daily": q_cusum_monitor_daily,
     "target_encoding_oof": q_target_encoding_oof,
+    "dunning_llr_bigrams": q_dunning_llr_bigrams,
+    "mcnemar_compare": q_mcnemar_compare,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -18806,6 +19027,8 @@ ORACLES: dict[str, str] = {
     "ra_link_prediction": ORACLE_RA_LINKS,
     "cusum_monitor_daily": ORACLE_CUSUM_MONITOR,
     "target_encoding_oof": ORACLE_TARGET_ENCODING,
+    "dunning_llr_bigrams": ORACLE_DUNNING,
+    "mcnemar_compare": ORACLE_MCNEMAR,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
