@@ -18514,6 +18514,158 @@ ORACLE_MCNEMAR = """
 """
 
 
+# ---------------------------------------------------------------- wave 7q
+
+
+def q_chao1_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimation from a 20% sample, audited
+    against the exact answer: take the deterministic md5 20% of EVENT
+    ROWS (so per-user abundances shrink — the regime where naive
+    sample-distinct undercounts), form the abundance histogram's f1
+    (singletons) and f2 (doubletons), and correct: Chao1 = d + f1^2 /
+    (2 f2) (bias-corrected form when f2 = 0).  Emits the naive sample
+    distinct, the Chao1 estimate (exact milli — single floor
+    division), the true distinct, and both errors in ppm — the audit
+    that says whether count-distinct-from-a-sample is safe on this
+    distribution (kmv/hll audits grade SKETCHES; this grades the
+    much cheaper sample-and-correct path).
+
+    Scale shape: the sample filter evaluates in the scan; one agg to
+    sampled-user cardinality; the abundance rollup is 1 row; exact
+    distinct is one more user-cardinality agg."""
+    # sample on a row-content hash (event_id is unique and stable);
+    # a row-number-based sample would be partitioning-dependent and
+    # not engine-replayable
+    ev2 = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    samp = ev2.filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING),"
+            " '#chao')), 1, 4), 16, 10) AS BIGINT) * 100 < 65536 * 20"
+        )
+    )
+    per = samp.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    hist = per.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.count_if(F.col("k") == 1).alias("f1"),
+        F.count_if(F.col("k") == 2).alias("f2"),
+    )
+    true = ev2.agg(F.count_distinct("user_id").alias("true_d"))
+    r = hist.crossJoin(F.broadcast(true))
+    est = (
+        "CASE WHEN f2 > 0 THEN d * 1000 + f1 * f1 * 1000 div (2 * f2)"
+        " ELSE d * 1000 + f1 * (f1 - 1) * 1000 div 2 END"
+    )
+    return r.select(
+        "d",
+        "f1",
+        "f2",
+        "true_d",
+        F.expr(f"CAST({est} AS BIGINT)").alias("chao1_milli"),
+        F.expr(
+            "CAST(abs(d * 1000 - true_d * 1000) * 1000 div true_d"
+            " AS BIGINT)"
+        ).alias("naive_err_ppm"),
+        F.expr(
+            f"CAST(abs(({est}) - true_d * 1000) * 1000 div true_d"
+            " AS BIGINT)"
+        ).alias("chao1_err_ppm"),
+    )
+
+
+ORACLE_CHAO1 = """
+    WITH samp AS (SELECT user_id FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+            || '#chao'), 1, 4))::BIGINT * 100 < 65536 * 20),
+    per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM samp GROUP BY 1),
+    hist AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+            CAST(COUNT(CASE WHEN k = 1 THEN 1 END) AS BIGINT) AS f1,
+            CAST(COUNT(CASE WHEN k = 2 THEN 1 END) AS BIGINT) AS f2
+        FROM per),
+    t AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_d
+        FROM events),
+    r AS (SELECT d, f1, f2, true_d,
+            CAST(CASE WHEN f2 > 0
+                THEN d * 1000 + f1 * f1 * 1000 // (2 * f2)
+                ELSE d * 1000 + f1 * (f1 - 1) * 1000 // 2 END
+                AS BIGINT) AS chao1_milli
+        FROM hist CROSS JOIN t)
+    SELECT d, f1, f2, true_d, chao1_milli,
+        CAST(ABS(d * 1000 - true_d * 1000) * 1000 // true_d AS BIGINT)
+            AS naive_err_ppm,
+        CAST(ABS(chao1_milli - true_d * 1000) * 1000 // true_d
+            AS BIGINT) AS chao1_err_ppm
+    FROM r
+"""
+
+
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman's Lincoln-Petersen) population
+    estimate: treat even-day activity as the first capture, odd-day as
+    the recapture, and estimate total users from the overlap —
+    N_hat = (n1+1)(n2+1)/(m+1) - 1, exact milli.  The ecology
+    estimator is ALSO the standard data-quality trick for estimating
+    how many entities two incomplete extracts are missing jointly;
+    the audit column compares against the true distinct count the
+    estimator never saw.
+
+    Scale shape: one agg to user cardinality (two boolean maxes per
+    user), one 1-row rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT) % 2"
+        ).alias("par"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.max(F.expr("CAST(par = 0 AS INT)")).alias("in1"),
+        F.max(F.expr("CAST(par = 1 AS INT)")).alias("in2"),
+    )
+    r = per.agg(
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.count_if((F.col("in1") == 1) & (F.col("in2") == 1)).alias("m"),
+        F.count(F.lit(1)).alias("true_d"),
+    )
+    est = "((n1 + 1) * (n2 + 1) * 1000 div (m + 1) - 1000)"
+    return r.select(
+        "n1",
+        "n2",
+        "m",
+        "true_d",
+        F.expr(f"CAST({est} AS BIGINT)").alias("chapman_milli"),
+        F.expr(
+            f"CAST(abs(({est}) - true_d * 1000) * 1000 div true_d"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE = """
+    WITH ev AS (SELECT user_id,
+            date_diff('day', TIMESTAMP '1970-01-01',
+                CAST(ts AS TIMESTAMP)) % 2 AS par
+        FROM events),
+    per AS (SELECT user_id,
+            MAX(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS in1,
+            MAX(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS in2
+        FROM ev GROUP BY 1),
+    r AS (SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+            CAST(SUM(in2) AS BIGINT) AS n2,
+            CAST(COUNT(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 END)
+                AS BIGINT) AS m,
+            CAST(COUNT(*) AS BIGINT) AS true_d
+        FROM per)
+    SELECT n1, n2, m, true_d,
+        CAST((n1 + 1) * (n2 + 1) * 1000 // (m + 1) - 1000 AS BIGINT)
+            AS chapman_milli,
+        CAST(ABS((n1 + 1) * (n2 + 1) * 1000 // (m + 1) - 1000
+            - true_d * 1000) * 1000 // true_d AS BIGINT) AS err_ppm
+    FROM r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -18769,6 +18921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "target_encoding_oof": q_target_encoding_oof,
     "dunning_llr_bigrams": q_dunning_llr_bigrams,
     "mcnemar_compare": q_mcnemar_compare,
+    "chao1_distinct_estimate": q_chao1_distinct_estimate,
+    "capture_recapture_users": q_capture_recapture_users,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -19029,6 +19183,8 @@ ORACLES: dict[str, str] = {
     "target_encoding_oof": ORACLE_TARGET_ENCODING,
     "dunning_llr_bigrams": ORACLE_DUNNING,
     "mcnemar_compare": ORACLE_MCNEMAR,
+    "chao1_distinct_estimate": ORACLE_CHAO1,
+    "capture_recapture_users": ORACLE_CAPTURE_RECAPTURE,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
