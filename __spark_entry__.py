@@ -18666,6 +18666,174 @@ ORACLE_CAPTURE_RECAPTURE = """
 """
 
 
+# ---------------------------------------------------------------- wave 7r
+
+
+def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis by block maxima: monthly maxima of daily
+    revenue, fitted to a Gumbel distribution by method of moments
+    (beta = s sqrt(6)/pi, mu = xbar - gamma beta), and the 100-period
+    return level mu - beta ln(-ln(1 - 1/100)) — 'the biggest revenue
+    day a century of months would see', the capacity-planning number.
+    hill_tail_index grades the tail of ONE distribution; block maxima
+    is the other canonical EVT route and needs only calendar-bounded
+    state.  Moments are exact DECIMAL integers; the fit is the shared
+    IEEE closed form with literal constants, det_round to milli-USD.
+
+    Scale shape: corpus agg to day cardinality, max-rollup to ~84
+    months, one 1-row moment agg."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day"),
+        F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").alias("usd"),
+    )
+    daily = o.groupBy("day").agg(F.sum("usd").alias("x"))
+    monthly = (
+        daily.select(
+            F.expr("year(day) * 12 + month(day)").alias("m"), "x"
+        )
+        .groupBy("m")
+        .agg(F.max("x").alias("mx"))
+    )
+    dec = "DECIMAL(38,0)"
+    g = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(mx AS {dec}))").alias("s"),
+        F.expr(f"SUM(CAST(mx AS {dec}) * mx)").alias("q"),
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    xbar = f"({br('s')} / {dn})"
+    sd = (
+        f"SQRT(({br('q')} - {br('s')} * {br('s')} / {dn})"
+        f" / ({dn} - 1.0))"
+    )
+    beta = f"({sd} * 0.7796968012336093)"  # sqrt(6)/pi
+    mu = f"({xbar} - 0.5772156649015329 * {beta})"
+    rl = f"({mu} - {beta} * LN(-LN(1.0 - 0.01)))"
+    return g.select(
+        F.col("n").alias("n_months"),
+        F.expr(
+            f"CAST(FLOOR({xbar} * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("mean_max_milli"),
+        F.expr(
+            f"CAST(FLOOR({beta} * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("beta_milli"),
+        F.expr(
+            f"CAST(FLOOR({mu} * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("mu_milli"),
+        F.expr(f"CAST(FLOOR({rl} + 0.5) AS BIGINT)").alias(
+            "return_level_100_usd"
+        ),
+    )
+
+
+def _gumbel_oracle() -> str:
+    br = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    xbar = f"({br('s')} / {dn})"
+    sd = (
+        f"SQRT(({br('q')} - {br('s')} * {br('s')} / {dn})"
+        f" / ({dn} - 1.0))"
+    )
+    beta = f"({sd} * 0.7796968012336093)"
+    mu = f"({xbar} - 0.5772156649015329 * {beta})"
+    rl = f"({mu} - {beta} * LN(-LN(1.0 - 0.01)))"
+    return f"""
+    WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+    monthly AS (SELECT year(day) * 12 + month(day) AS m,
+            CAST(MAX(x) AS BIGINT) AS mx
+        FROM daily GROUP BY 1),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(mx AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS q
+        FROM monthly)
+    SELECT n AS n_months,
+        CAST(FLOOR({xbar} * 1000.0 + 0.5) AS BIGINT) AS mean_max_milli,
+        CAST(FLOOR({beta} * 1000.0 + 0.5) AS BIGINT) AS beta_milli,
+        CAST(FLOOR({mu} * 1000.0 + 0.5) AS BIGINT) AS mu_milli,
+        CAST(FLOOR({rl} + 0.5) AS BIGINT) AS return_level_100_usd
+    FROM g
+"""
+
+
+ORACLE_GUMBEL = _gumbel_oracle()
+
+
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count re-estimation over the unigram vocabulary:
+    the frequency-of-frequencies table N_c and the Turing-adjusted
+    count c* = (c+1) N_{c+1} / N_c for c = 1..10 — the smoothing that
+    says how much probability mass the UNSEEN words deserve (N_1/N,
+    the leave-one-out argument Kneser-Ney discounts approximate; this
+    is the estimator they approximate).  Exact milli integers — one
+    floor division per row; the N_{c+1} lookup is a lead window over
+    the count-of-counts table.
+
+    Scale shape: token explode -> vocab agg -> count-of-counts agg
+    (cardinality = distinct abundance values, O(sqrt tokens)); lead
+    window over that bounded table; 10 rows out."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = uni.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    w = Window.orderBy("c")
+    led = fof.select(
+        "c",
+        "n_c",
+        F.lead("n_c").over(w).alias("n_next"),
+        F.lead("c").over(w).alias("c_next"),
+    )
+    return (
+        led.filter((F.col("c") >= 1) & (F.col("c") <= 10))
+        .select(
+            "c",
+            "n_c",
+            # N_{c+1} is zero unless the NEXT populated abundance is
+            # exactly c+1 (the fof table is sparse)
+            F.expr(
+                "CASE WHEN c_next = c + 1 THEN n_next"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("n_c_plus1"),
+            F.expr(
+                "CAST((c + 1) * (CASE WHEN c_next = c + 1 THEN n_next"
+                " ELSE CAST(0 AS BIGINT) END) * 1000 div n_c AS BIGINT)"
+            ).alias("gt_count_milli"),
+        )
+        .orderBy("c")
+    )
+
+
+ORACLE_GOOD_TURING = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(toks) AS w FROM t) u GROUP BY w),
+    fof AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM uni GROUP BY c),
+    led AS (SELECT c, n_c,
+            LEAD(n_c) OVER (ORDER BY c) AS n_next,
+            LEAD(c) OVER (ORDER BY c) AS c_next
+        FROM fof)
+    SELECT c, n_c,
+        CAST(CASE WHEN c_next = c + 1 THEN n_next ELSE 0 END AS BIGINT)
+            AS n_c_plus1,
+        CAST((c + 1) * (CASE WHEN c_next = c + 1 THEN n_next
+            ELSE 0 END) * 1000 // n_c AS BIGINT) AS gt_count_milli
+    FROM led WHERE c BETWEEN 1 AND 10 ORDER BY c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -18923,6 +19091,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcnemar_compare": q_mcnemar_compare,
     "chao1_distinct_estimate": q_chao1_distinct_estimate,
     "capture_recapture_users": q_capture_recapture_users,
+    "gumbel_block_maxima": q_gumbel_block_maxima,
+    "good_turing_counts": q_good_turing_counts,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -19185,6 +19355,8 @@ ORACLES: dict[str, str] = {
     "mcnemar_compare": ORACLE_MCNEMAR,
     "chao1_distinct_estimate": ORACLE_CHAO1,
     "capture_recapture_users": ORACLE_CAPTURE_RECAPTURE,
+    "gumbel_block_maxima": ORACLE_GUMBEL,
+    "good_turing_counts": ORACLE_GOOD_TURING,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
