@@ -18834,6 +18834,218 @@ ORACLE_GOOD_TURING = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 7s
+
+
+def q_utf8_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte/text health audit per source — the mojibake screen every
+    ingestion pipeline runs before tokenization: control characters
+    (the C0 set minus tab/newline/CR), U+FFFD replacement characters
+    (the fingerprint of a double-decode), and the non-ASCII character
+    ratio (exact ppm of characters).  A source whose repl count jumps
+    was re-encoded somewhere upstream; this corpus is clean by
+    construction, so like constraint_audit the report doubles as a
+    fixture regression guard.  Counts come from length-minus-stripped
+    (regex classes chosen inside the Java-regex/RE2 common subset).
+
+    Scale shape: per-row codegen expressions, one agg to source
+    cardinality."""
+    docs = _t(spark, sf_dir, "documents")
+    ctrl = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+    nonascii = r"[^\x00-\x7F]"
+    per = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", ctrl, ""))
+        ).alias("n_ctrl"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "�", ""))
+        ).alias("n_repl"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", nonascii, ""))
+        ).alias("n_nonascii"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_ctrl").alias("ctrl_chars"),
+            F.count_if(F.col("n_ctrl") > 0).alias("docs_with_ctrl"),
+            F.sum("n_repl").alias("repl_chars"),
+            F.sum("n_nonascii").alias("nonascii_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "ctrl_chars",
+            "docs_with_ctrl",
+            "repl_chars",
+            F.expr(
+                "CAST(nonascii_chars * 1000000 div n_chars AS BIGINT)"
+            ).alias("nonascii_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_UTF8_HEALTH = r"""
+    WITH per AS (SELECT source,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl,
+            length(text) - length(regexp_replace(text,
+                '\x{FFFD}', '', 'g')) AS n_repl,
+            length(text) - length(regexp_replace(text,
+                '[^\x00-\x7F]', '', 'g')) AS n_nonascii
+        FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars,
+        CAST(COUNT(CASE WHEN n_ctrl > 0 THEN 1 END) AS BIGINT)
+            AS docs_with_ctrl,
+        CAST(SUM(n_repl) AS BIGINT) AS repl_chars,
+        CAST(SUM(n_nonascii) * 1000000 // SUM(n_chars) AS BIGINT)
+            AS nonascii_ppm
+    FROM per GROUP BY source ORDER BY source
+"""
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-conversion — the
+    estimator-side twin of km_survival_daily (same risk sets, same
+    censoring), but H(t) = sum d_s/n_s needs NO logarithm: each step's
+    hazard is one exact integer division (nano units), so the running
+    sum — unlike KM's product — is exact end-to-end with zero float
+    ops.  Where KM answers 'what fraction survives to t', NA's slope
+    IS the instantaneous conversion intensity; flat spots are dead
+    zones in the funnel.
+
+    Scale shape: identical to km_survival_daily — two user-cardinality
+    aggs, a day-step table, bounded windows over it."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "view",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))"),
+            )
+        ).alias("t0"),
+        F.max(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        ).alias("t_last"),
+    ).filter(F.col("t0").isNotNull())
+    ev2 = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t_us"),
+    )
+    deaths = (
+        per_user.join(ev2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t_us") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t_death"))
+    )
+    u = per_user.join(deaths, "user_id", "left").select(
+        F.expr(
+            "CASE WHEN t_death IS NOT NULL"
+            " THEN (t_death - t0) div 86400000000"
+            " ELSE (t_last - t0) div 86400000000 END"
+        ).alias("end_day"),
+        F.col("t_death").isNotNull().alias("is_death"),
+    )
+    g = u.groupBy("end_day").agg(
+        F.count_if(F.col("is_death")).alias("n_deaths"),
+        F.count_if(~F.col("is_death")).alias("n_censored"),
+    )
+    w_prev = Window.orderBy("end_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("end_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = g.agg(
+        F.sum(F.expr("n_deaths + n_censored")).alias("n_total")
+    )
+    risk = g.crossJoin(F.broadcast(tot)).select(
+        "end_day",
+        "n_deaths",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.expr("n_deaths + n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    steps = risk.filter(F.col("n_deaths") > 0).select(
+        "end_day",
+        "n_risk",
+        "n_deaths",
+        F.expr(
+            "n_deaths * 1000000000 div n_risk"
+        ).alias("hazard_step_nano"),
+    )
+    return steps.select(
+        F.col("end_day").alias("day"),
+        "n_risk",
+        "n_deaths",
+        "hazard_step_nano",
+        F.sum("hazard_step_nano").over(w_cum).alias("cum_hazard_nano"),
+    ).orderBy("day")
+
+
+ORACLE_NELSON_AALEN = """
+    WITH pu AS (SELECT user_id,
+            MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                AS t0,
+            MAX(epoch_us(ts)) AS t_last
+        FROM events GROUP BY user_id),
+    pv AS (SELECT * FROM pu WHERE t0 IS NOT NULL),
+    de AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_death
+        FROM events e JOIN pv ON e.user_id = pv.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= pv.t0
+        GROUP BY e.user_id),
+    u AS (SELECT CASE WHEN t_death IS NOT NULL
+                 THEN (t_death - t0) // 86400000000
+                 ELSE (t_last - t0) // 86400000000 END AS end_day,
+            t_death IS NOT NULL AS is_death
+        FROM pv LEFT JOIN de ON pv.user_id = de.user_id),
+    g AS (SELECT end_day,
+            CAST(SUM(CASE WHEN is_death THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_deaths,
+            CAST(SUM(CASE WHEN is_death THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_censored
+        FROM u GROUP BY end_day),
+    tot AS (SELECT CAST(SUM(n_deaths + n_censored) AS BIGINT)
+            AS n_total FROM g),
+    risk AS (SELECT end_day, n_deaths,
+            n_total - COALESCE(CAST(SUM(n_deaths + n_censored)
+                OVER (ORDER BY end_day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                AS n_risk
+        FROM g CROSS JOIN tot),
+    steps AS (SELECT end_day, n_risk, n_deaths,
+            n_deaths * 1000000000 // n_risk AS hazard_step_nano
+        FROM risk WHERE n_deaths > 0)
+    SELECT end_day AS day, n_risk, n_deaths, hazard_step_nano,
+        CAST(SUM(hazard_step_nano) OVER (ORDER BY day ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_hazard_nano
+    FROM steps ORDER BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -19093,6 +19305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "capture_recapture_users": q_capture_recapture_users,
     "gumbel_block_maxima": q_gumbel_block_maxima,
     "good_turing_counts": q_good_turing_counts,
+    "utf8_health_audit": q_utf8_health_audit,
+    "nelson_aalen_hazard": q_nelson_aalen_hazard,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -19357,6 +19571,8 @@ ORACLES: dict[str, str] = {
     "capture_recapture_users": ORACLE_CAPTURE_RECAPTURE,
     "gumbel_block_maxima": ORACLE_GUMBEL,
     "good_turing_counts": ORACLE_GOOD_TURING,
+    "utf8_health_audit": ORACLE_UTF8_HEALTH,
+    "nelson_aalen_hazard": ORACLE_NELSON_AALEN,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
