@@ -19046,6 +19046,174 @@ ORACLE_NELSON_AALEN = """
 """
 
 
+# ---------------------------------------------------------------- wave 7t
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity
+    week, cumulative purchase value tracked across weeks-since-signup
+    0..8 — the payback-period readout (weekly_retention_cohorts counts
+    WHO comes back; this weighs what they're WORTH, which is what
+    acquisition spend is justified against).  Exact integer cents and
+    an exact per-user milli-cents column; the cumulative axis is a
+    per-cohort window over the (cohort, week) aggregate.
+
+    Scale shape: one user-cardinality first-week agg, one fact join
+    back (equi, user key), one (cohort x 9)-cardinality agg, cum
+    window partitioned by cohort; bounded rows out."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+            " div 604800000000 AS BIGINT)"
+        ).alias("wk"),
+        F.col("event_type"),
+        F.expr(
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sized = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("k"),
+            "cents",
+        )
+        .filter(F.col("k") <= 8)
+        .groupBy("cohort_wk", "k")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wc = Window.partitionBy("cohort_wk").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buys.select(
+        "cohort_wk",
+        "k",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).alias("cum_rev_cents"),
+    ).join(F.broadcast(sized), "cohort_wk")
+    return cum.select(
+        "cohort_wk",
+        "k",
+        "cohort_users",
+        "rev_cents",
+        "cum_rev_cents",
+        F.expr(
+            "CAST(cum_rev_cents * 1000 div cohort_users AS BIGINT)"
+        ).alias("ltv_per_user_milli"),
+    ).orderBy("cohort_wk", "k")
+
+
+ORACLE_COHORT_LTV = """
+    WITH ev AS (SELECT user_id,
+            epoch_us(ts) // 604800000000 AS wk,
+            event_type,
+            CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    first_ AS (SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_wk
+        FROM ev GROUP BY 1),
+    sized AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT)
+            AS cohort_users
+        FROM first_ GROUP BY 1),
+    buys AS (SELECT f.cohort_wk, ev.wk - f.cohort_wk AS k,
+            CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM ev JOIN first_ f ON ev.user_id = f.user_id
+        WHERE ev.event_type = 'purchase' AND ev.wk - f.cohort_wk <= 8
+        GROUP BY 1, 2),
+    cum AS (SELECT cohort_wk, k, rev_cents,
+            CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+        FROM buys)
+    SELECT cum.cohort_wk AS cohort_wk, k, cohort_users, rev_cents,
+        cum_rev_cents,
+        CAST(cum_rev_cents * 1000 // cohort_users AS BIGINT)
+            AS ltv_per_user_milli
+    FROM cum JOIN sized ON cum.cohort_wk = sized.cohort_wk
+    ORDER BY cum.cohort_wk, k
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per nation: the sum
+    of squared customer market shares — the antitrust-grade answer to
+    'is this market one whale or a crowd' that gini_spend_by_segment's
+    inequality lens doesn't give (HHI is what merger review uses, and
+    it's defined on SQUARED shares so a single exact division suffices:
+    HHI_ppm = (sum s_c^2) * 1e6 div S^2 — no per-customer share
+    quantization, no bias).  Also emits the top-1 share and the
+    effective number of customers (1e12 div hhi_ppm rescaled — the
+    'numbers equivalent' economists quote).
+
+    Scale shape: one orders->customer equi-join, one agg to customer
+    cardinality, one agg to nation cardinality (max + sum of squares
+    in DECIMAL(38,0)); exact to the last ppm."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+            ).alias("cents")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    dec = "DECIMAL(38,0)"
+    g = per_cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.expr(f"SUM(CAST(cents AS {dec}))").alias("s"),
+        F.expr(f"SUM(CAST(cents AS {dec}) * cents)").alias("ssq"),
+        F.max("cents").alias("mx"),
+    )
+    return g.select(
+        "c_nationkey",
+        "n_cust",
+        F.expr("CAST(s AS BIGINT)").alias("total_cents"),
+        F.expr(
+            "CAST(ssq * 1000000 div (s * s) AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "CAST(CAST(mx AS DECIMAL(38,0)) * 1000000 div s AS BIGINT)"
+        ).alias("top1_share_ppm"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * s div ssq AS BIGINT)"
+        ).alias("effective_n_cust"),
+    ).orderBy("c_nationkey")
+
+
+ORACLE_HHI = """
+    WITH per_cust AS (SELECT o_custkey,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    rows_ AS (SELECT c_nationkey, cents
+        FROM per_cust JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+            CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+                AS ssq,
+            CAST(MAX(cents) AS BIGINT) AS mx
+        FROM rows_ GROUP BY 1)
+    SELECT c_nationkey, n_cust,
+        CAST(s AS BIGINT) AS total_cents,
+        CAST(ssq * 1000000 // (s * s) AS BIGINT) AS hhi_ppm,
+        CAST(CAST(mx AS HUGEINT) * 1000000 // s AS BIGINT)
+            AS top1_share_ppm,
+        CAST(s * s // ssq AS BIGINT) AS effective_n_cust
+    FROM g ORDER BY c_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -19307,6 +19475,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "good_turing_counts": q_good_turing_counts,
     "utf8_health_audit": q_utf8_health_audit,
     "nelson_aalen_hazard": q_nelson_aalen_hazard,
+    "cohort_ltv_curve": q_cohort_ltv_curve,
+    "hhi_concentration": q_hhi_concentration,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -19573,6 +19743,8 @@ ORACLES: dict[str, str] = {
     "good_turing_counts": ORACLE_GOOD_TURING,
     "utf8_health_audit": ORACLE_UTF8_HEALTH,
     "nelson_aalen_hazard": ORACLE_NELSON_AALEN,
+    "cohort_ltv_curve": ORACLE_COHORT_LTV,
+    "hhi_concentration": ORACLE_HHI,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
