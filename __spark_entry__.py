@@ -19214,6 +19214,226 @@ ORACLE_HHI = """
 """
 
 
+# ---------------------------------------------------------------- wave 7u
+
+
+def _late_order_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 2x2 cells for exposure = URGENT priority, outcome =
+    order has a lineitem shipped more than 90 days after the order
+    date (this schema carries l_shipdate only — the q4-style lateness
+    signal available here).  One orders|x|lineitem equi-join rolled to
+    order cardinality, one customer equi-join, one nation agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o0 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias(
+            "urgent"
+        ),
+    )
+    late = (
+        o0.join(li, o0["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.expr(
+                    "CAST(CAST(l_shipdate AS DATE)"
+                    " > CAST(o_orderdate AS DATE) + INTERVAL 90 DAYS"
+                    " AS INT)"
+                )
+            ).alias("late"),
+            F.max("urgent").alias("urgent"),
+            F.max("o_custkey").alias("cust"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = late.join(cust, F.col("cust") == F.col("c_custkey"))
+    return o.groupBy("c_nationkey").agg(
+        F.count_if(
+            (F.col("urgent") == 1) & (F.col("late") == 1)
+        ).alias("a"),
+        F.count_if(
+            (F.col("urgent") == 1) & (F.col("late") == 0)
+        ).alias("b"),
+        F.count_if(
+            (F.col("urgent") == 0) & (F.col("late") == 1)
+        ).alias("c"),
+        F.count_if(
+            (F.col("urgent") == 0) & (F.col("late") == 0)
+        ).alias("d"),
+    )
+
+
+_CELLS_SQL = """
+    late AS (SELECT o_orderkey,
+            MAX(CASE WHEN CAST(l_shipdate AS DATE)
+                > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) AS late,
+            MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                END) AS urgent,
+            MAX(o_custkey) AS cust
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1),
+    o AS (SELECT c_nationkey, urgent, late
+        FROM late JOIN customer ON cust = c_custkey),
+    cells AS (SELECT c_nationkey,
+            CAST(COUNT(CASE WHEN urgent = 1 AND late = 1 THEN 1 END)
+                AS BIGINT) AS a,
+            CAST(COUNT(CASE WHEN urgent = 1 AND late = 0 THEN 1 END)
+                AS BIGINT) AS b,
+            CAST(COUNT(CASE WHEN urgent = 0 AND late = 1 THEN 1 END)
+                AS BIGINT) AS c,
+            CAST(COUNT(CASE WHEN urgent = 0 AND late = 0 THEN 1 END)
+                AS BIGINT) AS d
+        FROM o GROUP BY 1)
+"""
+
+
+def q_odds_ratio_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest-plot table of per-nation odds ratios: does URGENT
+    priority associate with late delivery, stratum by stratum — the
+    epidemiology effect-measure family (chi2 screens association
+    strength; the OR is the direction-and-magnitude estimate people
+    act on).  OR in exact micro (a*d*1e6 div (b*c)); the Woolf CI is
+    the shared IEEE closed form exp(ln OR +- 1.96 sqrt(1/a+1/b+1/c+
+    1/d)), micro-quantized.  Read with cmh_pooled_odds: strata whose
+    CI excludes the pooled value are the heterogeneity alarms.
+
+    Scale shape: lineitem semi-aggregate + two equi-joins, one
+    nation-cardinality agg, per-row closed form on 25 rows."""
+    cells = _late_order_cells(spark, sf_dir).filter(
+        (F.col("a") > 0) & (F.col("b") > 0)
+        & (F.col("c") > 0) & (F.col("d") > 0)
+    )
+    lnor = (
+        "(ln(CAST(a AS DOUBLE)) + ln(CAST(d AS DOUBLE))"
+        " - ln(CAST(b AS DOUBLE)) - ln(CAST(c AS DOUBLE)))"
+    )
+    se = (
+        "SQRT(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)"
+        " + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))"
+    )
+    return cells.select(
+        "c_nationkey",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * d * 1000000"
+            " div (CAST(b AS DECIMAL(38,0)) * c) AS BIGINT)"
+        ).alias("or_micro"),
+        F.expr(
+            f"CAST(FLOOR(EXP({lnor} - 1.96 * {se}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("or_lo_micro"),
+        F.expr(
+            f"CAST(FLOOR(EXP({lnor} + 1.96 * {se}) * 1000000.0 + 0.5)"
+            " AS BIGINT)"
+        ).alias("or_hi_micro"),
+    ).orderBy("c_nationkey")
+
+
+ORACLE_OR_FOREST = f"""
+    WITH {_CELLS_SQL}
+    SELECT c_nationkey, a, b, c, d,
+        CAST(CAST(a AS HUGEINT) * d * 1000000
+            // (CAST(b AS HUGEINT) * c) AS BIGINT) AS or_micro,
+        CAST(FLOOR(EXP((LN(CAST(a AS DOUBLE)) + LN(CAST(d AS DOUBLE))
+            - LN(CAST(b AS DOUBLE)) - LN(CAST(c AS DOUBLE)))
+            - 1.96 * SQRT(1.0 / CAST(a AS DOUBLE)
+            + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+            + 1.0 / CAST(d AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+            AS or_lo_micro,
+        CAST(FLOOR(EXP((LN(CAST(a AS DOUBLE)) + LN(CAST(d AS DOUBLE))
+            - LN(CAST(b AS DOUBLE)) - LN(CAST(c AS DOUBLE)))
+            + 1.96 * SQRT(1.0 / CAST(a AS DOUBLE)
+            + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+            + 1.0 / CAST(d AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+            AS or_hi_micro
+    FROM cells WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+    ORDER BY c_nationkey
+"""
+
+
+def q_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio across nation strata,
+    next to the CRUDE (collapsed) odds ratio — the pairing that
+    detects confounding-by-stratum: if pooling the 2x2s changes the
+    OR materially, nation mix was distorting the crude association
+    (the 2x2 cousin of simpsons_paradox_screen's slope version).
+    OR_MH = sum(a d / n) / sum(b c / n) with each stratum term
+    quantized to exact nano BEFORE the sum (integer fold, engine-
+    exact), one closing division.
+
+    Scale shape: the same nation-cardinality cell table; two 1-row
+    rollups."""
+    cells = _late_order_cells(spark, sf_dir)
+    dec = "DECIMAL(38,0)"
+    terms = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            f"CAST(a AS {dec}) * d * 1000000000 div (a + b + c + d)"
+        ).alias("t_num"),
+        F.expr(
+            f"CAST(b AS {dec}) * c * 1000000000 div (a + b + c + d)"
+        ).alias("t_den"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"),
+        F.sum("d").alias("sd"),
+        # the nano-quantized stratum terms are BIGINT (Spark `div`),
+        # but their SUM x 1e6 passes int64 already at sf1 (caught by
+        # the sf1 run: ARITHMETIC_OVERFLOW) — accumulate and divide
+        # in DECIMAL(38,0), the oracle's HUGEINT twin
+        F.expr(f"SUM(CAST(t_num AS {dec}))").alias("s_num"),
+        F.expr(f"SUM(CAST(t_den AS {dec}))").alias("s_den"),
+    )
+    return g.select(
+        "n_strata",
+        F.expr(
+            "CAST(s_num * 1000000 div s_den AS BIGINT)"
+        ).alias("cmh_or_micro"),
+        F.expr(
+            "CAST(CAST(sa AS DECIMAL(38,0)) * sd * 1000000"
+            " div (CAST(sb AS DECIMAL(38,0)) * sc) AS BIGINT)"
+        ).alias("crude_or_micro"),
+    )
+
+
+ORACLE_CMH = f"""
+    WITH {_CELLS_SQL},
+    terms AS (SELECT a, b, c, d,
+            CAST(a AS HUGEINT) * d * 1000000000 // (a + b + c + d)
+                AS t_num,
+            CAST(b AS HUGEINT) * c * 1000000000 // (a + b + c + d)
+                AS t_den
+        FROM cells),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+            CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+            CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd,
+            CAST(SUM(t_num) AS HUGEINT) AS s_num,
+            CAST(SUM(t_den) AS HUGEINT) AS s_den
+        FROM terms)
+    SELECT n_strata,
+        CAST(s_num * 1000000 // s_den AS BIGINT) AS cmh_or_micro,
+        CAST(CAST(sa AS HUGEINT) * sd * 1000000
+            // (CAST(sb AS HUGEINT) * sc) AS BIGINT) AS crude_or_micro
+    FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -19477,6 +19697,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nelson_aalen_hazard": q_nelson_aalen_hazard,
     "cohort_ltv_curve": q_cohort_ltv_curve,
     "hhi_concentration": q_hhi_concentration,
+    "odds_ratio_forest": q_odds_ratio_forest,
+    "cmh_pooled_odds": q_cmh_pooled_odds,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -19745,6 +19967,8 @@ ORACLES: dict[str, str] = {
     "nelson_aalen_hazard": ORACLE_NELSON_AALEN,
     "cohort_ltv_curve": ORACLE_COHORT_LTV,
     "hhi_concentration": ORACLE_HHI,
+    "odds_ratio_forest": ORACLE_OR_FOREST,
+    "cmh_pooled_odds": ORACLE_CMH,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
