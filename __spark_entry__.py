@@ -19434,6 +19434,196 @@ ORACLE_CMH = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 7v
+
+
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling of the
+    corpus by character mass: walk the cumulative-size axis with a
+    fixed stride W/m from a deterministic mid-stride anchor and take
+    every document the pointer lands in — the textbook PPS design
+    whose inclusion probability is exactly size*m/W (weighted_sample_
+    docs is the A-ES order-sampling flavor; systematic PPS is what
+    survey statistics and data-pruning pipelines actually run because
+    it needs ONE pass and no priority sort).  Hit counting uses only
+    POSITIVE floor divisions (both arguments shifted by +W) so Spark
+    `div` and DuckDB `//` agree everywhere; the cumulative axis comes
+    from the distributed prefix-sum operator (operators/packing.py) —
+    never a single-task window — while the oracle replays it with a
+    plain window.
+
+    Scale shape: two-pass prefix sum (range-partitioned stage +
+    per-partition offsets), per-row hit arithmetic, one agg to source
+    cardinality."""
+    from kafka_firehose_nozzle_spark.operators.packing import (
+        with_global_running_sum,
+    )
+
+    m = 500
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("w")
+    )
+    cum = with_global_running_sum(docs, "doc_id", "w", "cum")
+    tot = docs.agg(F.sum("w").alias("big_w"))
+    hits = cum.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(
+            f"(cum - (big_w div {m}) div 2 + big_w)"
+            f" div (big_w div {m})"
+            f" - (cum - w - (big_w div {m}) div 2 + big_w)"
+            f" div (big_w div {m})"
+        ).alias("n_hits"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("total_chars"),
+            F.count_if(F.col("n_hits") > 0).alias("n_sampled"),
+            F.sum(F.expr("w * CAST(n_hits > 0 AS INT)")).alias(
+                "sampled_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_sampled",
+            "sampled_chars",
+            F.expr(
+                "CAST(sampled_chars * 1000000 div total_chars"
+                " AS BIGINT)"
+            ).alias("mass_rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PPS_SAMPLE = """
+    WITH d AS (SELECT doc_id, source,
+            CAST(length(text) AS BIGINT) AS w
+        FROM documents),
+    c AS (SELECT doc_id, source, w,
+            CAST(SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+            CAST(SUM(w) OVER () AS BIGINT) AS big_w
+        FROM d),
+    hits AS (SELECT source, w,
+            (cum - (big_w // 500) // 2 + big_w) // (big_w // 500)
+            - (cum - w - (big_w // 500) // 2 + big_w) // (big_w // 500)
+                AS n_hits
+        FROM c)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(w) AS BIGINT) AS total_chars,
+        CAST(COUNT(CASE WHEN n_hits > 0 THEN 1 END) AS BIGINT)
+            AS n_sampled,
+        CAST(SUM(w * CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS sampled_chars,
+        CAST(SUM(w * CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1000000
+            // SUM(w) AS BIGINT) AS mass_rate_ppm
+    FROM hits GROUP BY source ORDER BY source
+"""
+
+
+def q_price_index_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices by ship year against
+    the 1992 base — the index-number machinery behind every 'revenue
+    grew 8%, but how much was PRICE?' decomposition.  Unit prices are
+    exact milli-cents (sum-of-extendedprice over sum-of-quantity per
+    part-year); Laspeyres weights by BASE-year quantities, Paasche by
+    the CURRENT year's, Fisher is the geometric mean (the one sqrt,
+    det-floored to ppm).  Basket = parts present in both the base and
+    comparison year.
+
+    Scale shape: one fact agg to (part, year); base-year slice joins
+    back on the part key; one rollup to year cardinality; all index
+    arithmetic in DECIMAL(38,0)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.expr("year(CAST(l_shipdate AS DATE))").alias("yr"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("qty"),
+    )
+    py = li.groupBy("pk", "yr").agg(
+        F.sum("cents").alias("sp"), F.sum("qty").alias("sq")
+    ).select(
+        "pk",
+        "yr",
+        "sq",
+        F.expr("sp * 1000 div sq").alias("p_milli"),
+    )
+    base = py.filter(F.col("yr") == 1992).select(
+        "pk",
+        F.col("sq").alias("q0"),
+        F.col("p_milli").alias("p0_milli"),
+    )
+    j = py.filter(F.col("yr") != 1992).join(base, "pk")
+    dec = "DECIMAL(38,0)"
+    g = j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.expr(f"SUM(CAST(p_milli AS {dec}) * q0)").alias("ltq"),
+        F.expr(f"SUM(CAST(p0_milli AS {dec}) * q0)").alias("lbq"),
+        F.expr(f"SUM(CAST(p_milli AS {dec}) * sq)").alias("ptq"),
+        F.expr(f"SUM(CAST(p0_milli AS {dec}) * sq)").alias("pbq"),
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    fisher = (
+        f"SQRT(({br('ltq')} / {br('lbq')})"
+        f" * ({br('ptq')} / {br('pbq')}))"
+    )
+    return g.select(
+        "yr",
+        "n_parts",
+        F.expr("CAST(ltq * 1000000 div lbq AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr("CAST(ptq * 1000000 div pbq AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.expr(
+            f"CAST(FLOOR({fisher} * 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("fisher_ppm"),
+    ).orderBy("yr")
+
+
+ORACLE_PRICE_INDEX = """
+    WITH li AS (SELECT l_partkey AS pk,
+            year(CAST(l_shipdate AS DATE)) AS yr,
+            CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                AS cents,
+            CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+        FROM lineitem),
+    py AS (SELECT pk, yr, CAST(SUM(qty) AS BIGINT) AS sq,
+            CAST(SUM(cents) AS BIGINT) * 1000
+                // CAST(SUM(qty) AS BIGINT) AS p_milli
+        FROM li GROUP BY 1, 2),
+    base AS (SELECT pk, sq AS q0, p_milli AS p0_milli
+        FROM py WHERE yr = 1992),
+    j AS (SELECT py.yr, py.sq, py.p_milli, base.q0, base.p0_milli
+        FROM py JOIN base ON py.pk = base.pk WHERE py.yr <> 1992),
+    g AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+            CAST(SUM(CAST(p_milli AS HUGEINT) * q0) AS HUGEINT) AS ltq,
+            CAST(SUM(CAST(p0_milli AS HUGEINT) * q0) AS HUGEINT)
+                AS lbq,
+            CAST(SUM(CAST(p_milli AS HUGEINT) * sq) AS HUGEINT) AS ptq,
+            CAST(SUM(CAST(p0_milli AS HUGEINT) * sq) AS HUGEINT)
+                AS pbq
+        FROM j GROUP BY 1)
+    SELECT yr, n_parts,
+        CAST(ltq * 1000000 // lbq AS BIGINT) AS laspeyres_ppm,
+        CAST(ptq * 1000000 // pbq AS BIGINT) AS paasche_ppm,
+        CAST(FLOOR(SQRT((CAST(CAST(ltq AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(lbq AS VARCHAR) AS DOUBLE))
+            * (CAST(CAST(ptq AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(pbq AS VARCHAR) AS DOUBLE))) * 1000000.0
+            + 0.5) AS BIGINT) AS fisher_ppm
+    FROM g ORDER BY yr
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -19699,6 +19889,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hhi_concentration": q_hhi_concentration,
     "odds_ratio_forest": q_odds_ratio_forest,
     "cmh_pooled_odds": q_cmh_pooled_odds,
+    "pps_systematic_sample": q_pps_systematic_sample,
+    "price_index_years": q_price_index_years,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -19969,6 +20161,8 @@ ORACLES: dict[str, str] = {
     "hhi_concentration": ORACLE_HHI,
     "odds_ratio_forest": ORACLE_OR_FOREST,
     "cmh_pooled_odds": ORACLE_CMH,
+    "pps_systematic_sample": ORACLE_PPS_SAMPLE,
+    "price_index_years": ORACLE_PRICE_INDEX,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
