@@ -19624,6 +19624,240 @@ ORACLE_PRICE_INDEX = """
 """
 
 
+# ---------------------------------------------------------------- wave 7w
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily revenue and daily order count — the
+    third nonparametric association measure (spearman_lineitem ranks
+    the fact table; mann_kendall tests ONE series for trend; tau-b
+    asks whether two daily series move together, robust to any
+    monotone transform and exact under ties).  Concordant/discordant/
+    tied pair counts are exact integers from the calendar-bounded pair
+    join (the mann_kendall localCheckpoint shape); tau-b's denominator
+    is the one shared IEEE sqrt, det6.
+
+    Scale shape: ONE corpus aggregate to the ~2.4k-row daily series
+    (checkpointed), a dimension-sized pair join, one row out."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS LONG)"
+        ).alias("cents4"),
+    )
+    daily = (
+        o.groupBy("day")
+        .agg(
+            F.sum("cents4").alias("x"), F.count(F.lit(1)).alias("y")
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(
+        F.col("day").alias("di"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    b = daily.select(
+        F.col("day").alias("dj"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("di") < F.col("dj"))
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count_if(
+            F.expr(
+                "(xi < xj AND yi < yj) OR (xi > xj AND yi > yj)"
+            )
+        ).alias("nc"),
+        F.count_if(
+            F.expr(
+                "(xi < xj AND yi > yj) OR (xi > xj AND yi < yj)"
+            )
+        ).alias("nd"),
+        F.count_if(F.expr("xi = xj AND yi <> yj")).alias("tx"),
+        F.count_if(F.expr("yi = yj AND xi <> xj")).alias("ty"),
+        F.count_if(F.expr("xi = xj AND yi = yj")).alias("txy"),
+    )
+    tau = (
+        "(CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))"
+        " / SQRT(CAST(n0 - tx - txy AS DOUBLE)"
+        " * CAST(n0 - ty - txy AS DOUBLE))"
+    )
+    return g.select(
+        "n0",
+        "nc",
+        "nd",
+        "tx",
+        "ty",
+        "txy",
+        DET.det_round(F.expr(tau), 6).alias("tau_b"),
+    )
+
+
+ORACLE_KENDALL_TAU = f"""
+    WITH o AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+                AS cents4
+        FROM orders),
+    daily AS (SELECT day, CAST(SUM(cents4) AS BIGINT) AS x,
+            CAST(COUNT(*) AS BIGINT) AS y
+        FROM o GROUP BY day),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+            CAST(COUNT(CASE WHEN (a.x < b.x AND a.y < b.y)
+                OR (a.x > b.x AND a.y > b.y) THEN 1 END) AS BIGINT)
+                AS nc,
+            CAST(COUNT(CASE WHEN (a.x < b.x AND a.y > b.y)
+                OR (a.x > b.x AND a.y < b.y) THEN 1 END) AS BIGINT)
+                AS nd,
+            CAST(COUNT(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 END)
+                AS BIGINT) AS tx,
+            CAST(COUNT(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 END)
+                AS BIGINT) AS ty,
+            CAST(COUNT(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 END)
+                AS BIGINT) AS txy
+        FROM daily a JOIN daily b ON a.day < b.day)
+    SELECT n0, nc, nd, tx, ty, txy,
+        {DET.det_round_sql(
+            "(CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))"
+            " / SQRT(CAST(n0 - tx - txy AS DOUBLE)"
+            " * CAST(n0 - ty - txy AS DOUBLE))", 6
+        )} AS tau_b
+    FROM g
+"""
+
+
+def q_bland_altman_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between two measurement methods —
+    whitespace tokens vs the BPE-ish count (token_counts emits both;
+    THIS says whether they agree well enough to interchange, the
+    method-comparison question correlation famously cannot answer):
+    mean difference (bias), 1.96-SD limits of agreement, and the
+    fraction of documents inside them.  The per-doc difference is a
+    SMALL INTEGER, so the whole analysis runs on its bounded value
+    histogram: moments AND the within-limits count come from ONE
+    corpus pass — the limits (det-floored to exact milli) are compared
+    against d*1000 as integer-vs-integer, no float per row.
+
+    Scale shape: one corpus agg to difference-value cardinality
+    (bounded by the token-count range), windows/arithmetic on that
+    bounded table, one row out."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (
+            TX.token_count(F.col("text")).cast("long")
+            - TX.bpe_ish_token_count(F.col("text")).cast("long")
+        ).alias("d")
+    )
+    hist = d.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    dec = "DECIMAL(38,0)"
+    wall = Window.partitionBy()
+    m = hist.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum(F.expr(f"CAST(cnt AS {dec}) * d")).over(wall).alias("s"),
+        F.sum(
+            F.expr(f"CAST(cnt AS {dec}) * d * d")
+        ).over(wall).alias("q"),
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    mean = f"({br('s')} / {dn})"
+    sd = (
+        f"SQRT(({br('q')} - {br('s')} * {br('s')} / {dn})"
+        f" / ({dn} - 1.0))"
+    )
+    lo = f"CAST(FLOOR(({mean} - 1.96 * {sd}) * 1000.0 + 0.5) AS BIGINT)"
+    hi = f"CAST(FLOOR(({mean} + 1.96 * {sd}) * 1000.0 + 0.5) AS BIGINT)"
+    scored = m.select(
+        "d",
+        "cnt",
+        "n",
+        F.expr(lo).alias("loa_lo_milli"),
+        F.expr(hi).alias("loa_hi_milli"),
+        F.expr(
+            f"CAST(FLOOR({mean} * 1000.0 + 0.5) AS BIGINT)"
+        ).alias("bias_milli"),
+    )
+    return scored.groupBy(
+        "n", "bias_milli", "loa_lo_milli", "loa_hi_milli"
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("d") * 1000 >= F.col("loa_lo_milli"))
+                & (F.col("d") * 1000 <= F.col("loa_hi_milli")),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
+        ).alias("n_within")
+    ).select(
+        F.col("n").alias("n_docs"),
+        "bias_milli",
+        "loa_lo_milli",
+        "loa_hi_milli",
+        "n_within",
+        F.expr("CAST(n_within * 1000000 div n AS BIGINT)").alias(
+            "within_ppm"
+        ),
+    )
+
+
+ORACLE_BLAND_ALTMAN = """
+    WITH t AS (SELECT
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> x <> '')) AS BIGINT)
+        - CAST(list_sum(list_transform(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> ''),
+            w -> CASE WHEN length(w) <= 4 THEN 1
+                 ELSE CAST(ceil(length(w) / 4.0) AS BIGINT) END))
+            AS BIGINT) AS d
+    FROM documents),
+    hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM t GROUP BY 1),
+    m AS (SELECT d, cnt,
+            CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+            CAST(SUM(CAST(cnt AS HUGEINT) * d) OVER () AS HUGEINT)
+                AS s,
+            CAST(SUM(CAST(cnt AS HUGEINT) * d * d) OVER () AS HUGEINT)
+                AS q
+        FROM hist),
+    sc AS (SELECT d, cnt, n,
+            CAST(FLOOR((CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                AS bias_milli,
+            CAST(FLOOR((CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)
+                - 1.96 * SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))
+                * 1000.0 + 0.5) AS BIGINT) AS loa_lo_milli,
+            CAST(FLOOR((CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)
+                + 1.96 * SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))
+                * 1000.0 + 0.5) AS BIGINT) AS loa_hi_milli
+        FROM m)
+    SELECT n AS n_docs, bias_milli, loa_lo_milli, loa_hi_milli,
+        CAST(SUM(CASE WHEN d * 1000 >= loa_lo_milli
+            AND d * 1000 <= loa_hi_milli THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_within,
+        CAST(SUM(CASE WHEN d * 1000 >= loa_lo_milli
+            AND d * 1000 <= loa_hi_milli THEN cnt ELSE 0 END)
+            * 1000000 // n AS BIGINT) AS within_ppm
+    FROM sc GROUP BY n, bias_milli, loa_lo_milli, loa_hi_milli
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -19891,6 +20125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cmh_pooled_odds": q_cmh_pooled_odds,
     "pps_systematic_sample": q_pps_systematic_sample,
     "price_index_years": q_price_index_years,
+    "kendall_tau_daily": q_kendall_tau_daily,
+    "bland_altman_tokens": q_bland_altman_tokens,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -20163,6 +20399,8 @@ ORACLES: dict[str, str] = {
     "cmh_pooled_odds": ORACLE_CMH,
     "pps_systematic_sample": ORACLE_PPS_SAMPLE,
     "price_index_years": ORACLE_PRICE_INDEX,
+    "kendall_tau_daily": ORACLE_KENDALL_TAU,
+    "bland_altman_tokens": ORACLE_BLAND_ALTMAN,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
