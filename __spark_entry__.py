@@ -19858,6 +19858,214 @@ ORACLE_BLAND_ALTMAN = """
 """
 
 
+# ---------------------------------------------------------------- wave 7x
+
+
+def q_sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT replayed over the daily conversion stream: H0
+    p=0.19 vs H1 p=0.21 (bracketing the design rate), alpha = beta =
+    0.05 — the SEQUENTIAL test that examines evidence day by day and
+    stops at the ln(19) boundaries, the statistical core of every
+    always-on experiment monitor (mde_power_analysis plans the fixed-
+    horizon test; SPRT is what you run when you won't wait for the
+    horizon).  The two per-observation log-likelihood increments are
+    CONSTANTS, det-quantized to nano ONCE — so each day's increment is
+    k*c1 + (n-k)*c2 in pure integers and the cumulative walk is exact;
+    first boundary crossing is a windowed min.
+
+    Scale shape: one corpus agg to the daily (trials, successes)
+    series; windows over the calendar-bounded walk; one row out."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP))"
+            " div 86400000000 AS BIGINT)"
+        ).alias("day"),
+        (F.col("event_type") == "purchase").cast("long").alias("k"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("k")
+    )
+    # pre-quantized nano constants (ln(0.21/0.19), ln(0.79/0.81),
+    # ln(19)): engine-side LN differs in the last ulp between JVM and
+    # DuckDB libm, and at NANO resolution that flips the floor — so the
+    # hyperparameters ship as integer literals, identical in both
+    # engines (caught by the sf0.001 oracle run: 1313099084 vs
+    # 1312900868 on max_llr before this change)
+    c1 = "100083459"
+    c2 = "-25001302"
+    bound = "2944438979"
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = daily.select(
+        "day",
+        F.expr(f"k * ({c1}) + (n - k) * ({c2})").alias("inc"),
+    ).select("day", F.sum("inc").over(wc).alias("llr"))
+    return walk.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("llr").alias("max_llr_nano"),
+        F.min("llr").alias("min_llr_nano"),
+        # F.last over an unordered aggregate is partitioning-dependent;
+        # max_by pins "the last day's walk value" deterministically
+        F.expr("max_by(llr, day)").alias("final_llr_nano"),
+        F.min(
+            F.when(F.expr(f"llr >= {bound} OR llr <= -({bound})"),
+                   F.col("day"))
+        ).alias("first_cross_day"),
+    ).select(
+        "n_days",
+        "max_llr_nano",
+        "min_llr_nano",
+        "final_llr_nano",
+        "first_cross_day",
+        F.expr(
+            f"CASE WHEN final_llr_nano >= {bound} THEN 'accept_h1'"
+            f" WHEN final_llr_nano <= -({bound}) THEN 'accept_h0'"
+            " ELSE 'undecided' END"
+        ).alias("verdict"),
+    )
+
+
+ORACLE_SPRT = """
+    WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+        FROM events),
+    daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(k) AS BIGINT) AS k
+        FROM ev GROUP BY 1),
+    walk AS (SELECT day,
+            CAST(SUM(k * 100083459 + (n - k) * (-25001302))
+                OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS llr
+        FROM daily),
+    b AS (SELECT CAST(2944438979 AS BIGINT) AS bound),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+            CAST(MAX(llr) AS BIGINT) AS max_llr_nano,
+            CAST(MIN(llr) AS BIGINT) AS min_llr_nano,
+            CAST(MAX(CASE WHEN rn = 1 THEN llr END) AS BIGINT)
+                AS final_llr_nano,
+            CAST(MIN(CASE WHEN llr >= bound OR llr <= -bound
+                THEN day END) AS BIGINT) AS first_cross_day,
+            MAX(bound) AS bound
+        FROM (SELECT day, llr,
+                ROW_NUMBER() OVER (ORDER BY day DESC) AS rn
+              FROM walk) CROSS JOIN b)
+    SELECT n_days, max_llr_nano, min_llr_nano, final_llr_nano,
+        first_cross_day,
+        CASE WHEN final_llr_nano >= bound THEN 'accept_h1'
+             WHEN final_llr_nano <= -bound THEN 'accept_h0'
+             ELSE 'undecided' END AS verdict
+    FROM g
+"""
+
+
+def q_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection for the quality->English classifier:
+    per candidate threshold t (predict positive when the 0..4 flag
+    score >= t), the exact confusion counts, TPR/FPR in ppm, and
+    Youden's J = TPR - FPR — the threshold a deployment actually has
+    to pick, which classifier_auc's ranking number deliberately
+    abstracts away.  All rows come from the 5-bin score histogram via
+    suffix sums — one corpus pass, 5 candidate rows out, argmax by J.
+
+    Scale shape: one agg to the 5-row score histogram; suffix-sum
+    windows over 5 rows."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (TX.quality_score(F.col("text")) * 4).cast("bigint").alias("q"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    hist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("s_k")
+    )
+    wall = Window.partitionBy()
+    wsuf = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = hist.select(
+        F.col("q").alias("threshold"),
+        F.sum("s_k").over(wsuf).alias("tp"),
+        (F.sum("n_k").over(wsuf) - F.sum("s_k").over(wsuf)).alias("fp"),
+        F.sum("s_k").over(wall).alias("pos"),
+        (F.sum("n_k").over(wall) - F.sum("s_k").over(wall)).alias("neg"),
+    )
+    j = t.select(
+        "threshold",
+        "tp",
+        "fp",
+        F.expr("tp * 1000000 div pos").alias("tpr_ppm"),
+        F.expr("fp * 1000000 div neg").alias("fpr_ppm"),
+        F.expr(
+            "tp * 1000000 div pos - fp * 1000000 div neg"
+        ).alias("youden_j_ppm"),
+    )
+    w = Window.orderBy(F.desc("youden_j_ppm"), F.desc("threshold"))
+    return j.select(
+        "threshold",
+        "tp",
+        "fp",
+        "tpr_ppm",
+        "fpr_ppm",
+        "youden_j_ppm",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("threshold")
+
+
+ORACLE_YOUDEN = """
+    WITH t AS (SELECT lang, text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    scored AS (SELECT y, CAST(
+        (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END) +
+        (CASE WHEN n_tok > 0
+              AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+              THEN 1 ELSE 0 END) +
+        (CASE WHEN n_chars = 0
+              OR CAST(n_chars - n_nopunct AS DOUBLE) / n_chars <= 0.2
+              THEN 1 ELSE 0 END) +
+        (CASE WHEN n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+              AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+              THEN 1 ELSE 0 END) AS BIGINT) AS q
+    FROM m),
+    hist AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_k,
+            CAST(SUM(y) AS BIGINT) AS s_k
+        FROM scored GROUP BY 1),
+    suf AS (SELECT q AS threshold,
+            CAST(SUM(s_k) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+            CAST(SUM(n_k) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW)
+              - SUM(s_k) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+            CAST(SUM(s_k) OVER () AS BIGINT) AS pos,
+            CAST(SUM(n_k) OVER () - SUM(s_k) OVER () AS BIGINT) AS neg
+        FROM hist),
+    j AS (SELECT threshold, tp, fp,
+            tp * 1000000 // pos AS tpr_ppm,
+            fp * 1000000 // neg AS fpr_ppm,
+            tp * 1000000 // pos - fp * 1000000 // neg AS youden_j_ppm
+        FROM suf)
+    SELECT threshold, tp, fp, tpr_ppm, fpr_ppm, youden_j_ppm,
+        CAST(ROW_NUMBER() OVER (ORDER BY youden_j_ppm DESC,
+            threshold DESC) AS BIGINT) AS rank
+    FROM j ORDER BY threshold
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -20127,6 +20335,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_index_years": q_price_index_years,
     "kendall_tau_daily": q_kendall_tau_daily,
     "bland_altman_tokens": q_bland_altman_tokens,
+    "sprt_conversion_monitor": q_sprt_conversion_monitor,
+    "youden_threshold": q_youden_threshold,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -20401,6 +20611,8 @@ ORACLES: dict[str, str] = {
     "price_index_years": ORACLE_PRICE_INDEX,
     "kendall_tau_daily": ORACLE_KENDALL_TAU,
     "bland_altman_tokens": ORACLE_BLAND_ALTMAN,
+    "sprt_conversion_monitor": ORACLE_SPRT,
+    "youden_threshold": ORACLE_YOUDEN,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
