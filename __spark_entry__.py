@@ -20066,6 +20066,215 @@ ORACLE_YOUDEN = """
 """
 
 
+# ---------------------------------------------------------------- wave 7y
+
+
+def q_elias_fano_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-compression planner for posting lists: per high-df term,
+    the EXACT Elias-Fano storage bound n*(2 + ceil(log2(U/n))) bits
+    against the raw 64-bit and bitmap (U bits) encodings — the math
+    that decides an inverted index's physical format (posting_lists
+    builds the lists; this prices them).  ceil(log2(U/n)) uses the
+    shannon_code_lengths integer bit-length idiom (length(bin(
+    ceil(U/n) - 1))) — no float log anywhere; compression ratio in
+    exact ppm.  Top 20 terms by document frequency.
+
+    Scale shape: one (term, doc) distinct aggregate, a term-
+    cardinality df rollup, a 1-row corpus max broadcast; bit math is
+    per-row integer expressions; TakeOrdered(20)."""
+    docs = _t(spark, sf_dir, "documents")
+    td = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            )
+        ).alias("term"),
+    )
+    dfreq = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    u = docs.agg(F.max("doc_id").cast("long").alias("u"))
+    scored = dfreq.crossJoin(F.broadcast(u)).select(
+        "term",
+        "df",
+        "u",
+        F.expr(
+            "CASE WHEN (u + df - 1) div df - 1 = 0 THEN 0"
+            " ELSE length(bin((u + df - 1) div df - 1)) END"
+        ).alias("low_bits"),
+    )
+    return (
+        scored.select(
+            "term",
+            "df",
+            F.expr("df * (2 + low_bits)").alias("ef_bits"),
+            F.expr("df * 64").alias("raw_bits"),
+            F.col("u").alias("bitmap_bits"),
+            F.expr(
+                "CAST(df * (2 + low_bits) * 1000000 div (df * 64)"
+                " AS BIGINT)"
+            ).alias("ef_vs_raw_ppm"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+ORACLE_ELIAS_FANO = f"""
+    WITH td AS (SELECT DISTINCT doc_id, w AS term
+        FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM td GROUP BY 1),
+    u AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS u FROM documents),
+    scored AS (SELECT term, df, u,
+            CASE WHEN (u + df - 1) // df - 1 = 0 THEN 0
+                 ELSE length(bin((u + df - 1) // df - 1)) END
+                AS low_bits
+        FROM dfreq CROSS JOIN u)
+    SELECT term, df,
+        CAST(df * (2 + low_bits) AS BIGINT) AS ef_bits,
+        CAST(df * 64 AS BIGINT) AS raw_bits,
+        u AS bitmap_bits,
+        CAST(df * (2 + low_bits) * 1000000 // (df * 64) AS BIGINT)
+            AS ef_vs_raw_ppm
+    FROM scored ORDER BY df DESC, term LIMIT 20
+"""
+
+
+def q_fleiss_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic raters (the 4-flag
+    quality classifier at >= 3, the 50..5000-token length gate, the
+    1% stopword-ratio gate), each labeling every document
+    positive/negative — the multi-rater generalization Cohen's kappa
+    (classifier_kappa) can't express.  With 3 raters and 2 categories
+    the per-doc agreement is a pure function of r = number of positive
+    votes (P_i = (r(r-1) + (3-r)(2-r)) / 6), so the WHOLE statistic
+    reduces to the 4-bin histogram of r: kappa = (P_bar - P_e) /
+    (1 - P_e) computed as one exact rational in DECIMAL, emitted in
+    micro.
+
+    Scale shape: one corpus agg to the 4-row vote histogram; exact
+    arithmetic on 4 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select(
+        (
+            ((TX.quality_score(F.col("text")) * 4).cast("bigint") >= 3)
+            .cast("long")
+            + TX.token_count(F.col("text")).between(50, 5000).cast(
+                "long"
+            )
+            + (
+                TX.stopword_ratio(F.col("text")) >= F.lit(0.01)
+            ).cast("long")
+        ).alias("r")
+    )
+    hist = r.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    dec = "DECIMAL(38,0)"
+    g = hist.agg(
+        F.sum("cnt").alias("n"),
+        F.expr(f"SUM(CAST(cnt AS {dec}) * r)").alias("votes"),
+        F.expr(
+            f"SUM(CAST(cnt AS {dec})"
+            " * (r * (r - 1) + (3 - r) * (2 - r)))"
+        ).alias("agree6"),
+    )
+    # P_bar = agree6 / (6n); P_e = (v^2 + (3n-v)^2) / (3n)^2
+    # kappa = (P_bar - P_e) / (1 - P_e)
+    #       = (agree6 * 3n^2 * 1.5 - ...) — clear denominators exactly:
+    # kappa = (agree6*(3n)^2 - 6n*(v^2+(3n-v)^2))
+    #       / (6n*(3n)^2 - 6n*(v^2+(3n-v)^2))
+    num = (
+        f"(agree6 * CAST(9 AS {dec}) * n * n"
+        f" - CAST(6 AS {dec}) * n * (votes * votes"
+        f" + (CAST(3 AS {dec}) * n - votes)"
+        f" * (CAST(3 AS {dec}) * n - votes)))"
+    )
+    den = (
+        f"(CAST(54 AS {dec}) * n * n * n"
+        f" - CAST(6 AS {dec}) * n * (votes * votes"
+        f" + (CAST(3 AS {dec}) * n - votes)"
+        f" * (CAST(3 AS {dec}) * n - votes)))"
+    )
+    return g.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(votes AS BIGINT)").alias("pos_votes"),
+        F.expr(
+            "CAST(agree6 * 1000000 div (CAST(6 AS DECIMAL(38,0)) * n)"
+            " AS BIGINT)"
+        ).alias("p_bar_micro"),
+        # sign-safe division (ORACLE_TRIMMED idiom): Spark `div`
+        # truncates toward zero, DuckDB `//` floors — run the division
+        # on |num| and reapply the sign so a negative kappa (observed
+        # agreement below chance) cannot diverge between engines;
+        # den = 0 (P_e = 1, all raters unanimous corpus-wide) yields 0
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * (abs({num}) * 1000000 div {den}) AS BIGINT) END"
+        ).alias("fleiss_kappa_micro"),
+    )
+
+
+ORACLE_FLEISS = """
+    WITH t AS (SELECT text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    votes AS (SELECT
+        (CASE WHEN (CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN n_tok > 0
+                    AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+                    THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars = 0 OR CAST(n_chars - n_nopunct
+                    AS DOUBLE) / n_chars <= 0.2 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_tok > 0
+                    AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+                    AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+                    THEN 1 ELSE 0 END) >= 3 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_tok BETWEEN 50 AND 5000 THEN 1 ELSE 0 END)
+        + (CASE WHEN n_tok > 0
+                AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+                THEN 1 ELSE 0 END) AS r
+    FROM m),
+    hist AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM votes GROUP BY 1),
+    g AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+            CAST(SUM(CAST(cnt AS HUGEINT) * r) AS HUGEINT) AS votes,
+            CAST(SUM(CAST(cnt AS HUGEINT)
+                * (r * (r - 1) + (3 - r) * (2 - r))) AS HUGEINT)
+                AS agree6
+        FROM hist)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+        CAST(votes AS BIGINT) AS pos_votes,
+        CAST(agree6 * 1000000 // (6 * n) AS BIGINT) AS p_bar_micro,
+        CASE WHEN (54 * n * n * n
+              - 6 * n * (votes * votes + (3 * n - votes)
+                * (3 * n - votes))) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((CASE WHEN (agree6 * 9 * n * n
+              - 6 * n * (votes * votes + (3 * n - votes)
+                * (3 * n - votes))) < 0 THEN -1 ELSE 1 END)
+             * (ABS(agree6 * 9 * n * n
+              - 6 * n * (votes * votes + (3 * n - votes)
+                * (3 * n - votes))) * 1000000
+             // (54 * n * n * n
+              - 6 * n * (votes * votes + (3 * n - votes)
+                * (3 * n - votes)))) AS BIGINT) END
+            AS fleiss_kappa_micro
+    FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -20337,6 +20546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bland_altman_tokens": q_bland_altman_tokens,
     "sprt_conversion_monitor": q_sprt_conversion_monitor,
     "youden_threshold": q_youden_threshold,
+    "elias_fano_audit": q_elias_fano_audit,
+    "fleiss_kappa_raters": q_fleiss_kappa_raters,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -20613,6 +20824,8 @@ ORACLES: dict[str, str] = {
     "bland_altman_tokens": ORACLE_BLAND_ALTMAN,
     "sprt_conversion_monitor": ORACLE_SPRT,
     "youden_threshold": ORACLE_YOUDEN,
+    "elias_fano_audit": ORACLE_ELIAS_FANO,
+    "fleiss_kappa_raters": ORACLE_FLEISS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
