@@ -20275,6 +20275,236 @@ ORACLE_FLEISS = """
 """
 
 
+# ---------------------------------------------------------------- wave 7z
+
+_RAND_PERMS = 60
+
+
+def q_randomization_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate randomization test for the BUILDING-vs-rest gap in
+    mean order value: 60 pseudo-random relabelings, each the b-th BIT
+    of ONE md5 per order (60 independent fair coin splits from a
+    single hash — no per-permutation hashing, no RNG), evaluated as 60
+    conditional aggregates in a single scan (the median_regression_
+    grid trick).  p = fraction of relabelings whose |mean gap| meets
+    or beats the observed one — distribution-free significance where
+    ab_test_zscores assumes normality.  Gap comparison cross-
+    multiplies to integers (|d1*n0a*n0b| vs |d0*nba*nbb| over common
+    denominators) — EXACT, no division at all.
+
+    Scale shape: ONE corpus scan with 121 conditional integer sums,
+    one 1-row finish; nothing else."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").cast("long").alias(
+                "g"
+            ),
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(o_orderkey"
+                " AS STRING), '#rand')), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    perm_aggs = []
+    for b in range(_RAND_PERMS):
+        bit = f"((h div {2 ** b}) % 2)"
+        perm_aggs.append(
+            F.expr(f"SUM(x * {bit})").alias(f"sx_{b}")
+        )
+        perm_aggs.append(
+            F.expr(f"SUM({bit})").alias(f"n_{b}")
+        )
+    g = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(x)").alias("sx"),
+        F.expr("SUM(x * g)").alias("sx1"),
+        F.expr("SUM(g)").alias("n1"),
+        *perm_aggs,
+    )
+    # gaps compared at exact MILLI-cent resolution (each side is a
+    # difference of two positive floor divisions — no division of a
+    # negative, no cross-multiplied product that could pass
+    # DECIMAL(38) at extreme corpus sizes)
+    dec = "DECIMAL(38,0)"
+    obs = (
+        f"abs(CAST(sx1 AS {dec}) * 1000 div n1"
+        f" - (CAST(sx AS {dec}) - sx1) * 1000 div (n - n1))"
+    )
+    flags = []
+    for b in range(_RAND_PERMS):
+        gb = (
+            f"abs(CAST(sx_{b} AS {dec}) * 1000 div n_{b}"
+            f" - (CAST(sx AS {dec}) - sx_{b}) * 1000 div (n - n_{b}))"
+        )
+        flags.append(f"CAST({gb} >= {obs} AS INT)")
+    n_extreme = " + ".join(flags)
+    return g.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_orders"),
+        F.expr("CAST(n1 AS BIGINT)").alias("n_building"),
+        F.expr(
+            "CAST(CAST(sx1 AS DECIMAL(38,0)) * 1000 div n1"
+            " - (CAST(sx AS DECIMAL(38,0)) - sx1) * 1000 div (n - n1)"
+            " AS BIGINT)"
+        ).alias("obs_gap_milli_cents"),
+        F.lit(_RAND_PERMS).cast("bigint").alias("n_perms"),
+        F.expr(f"CAST({n_extreme} AS BIGINT)").alias("n_extreme"),
+        F.expr(
+            f"CAST(({n_extreme}) * 1000 div {_RAND_PERMS} AS BIGINT)"
+        ).alias("p_milli"),
+    )
+
+
+def _randomization_oracle() -> str:
+    perm_sums = ",\n            ".join(
+        f"CAST(SUM(x * ((h // {2 ** b}) % 2)) AS BIGINT) AS sx_{b},"
+        f" CAST(SUM((h // {2 ** b}) % 2) AS BIGINT) AS n_{b}"
+        for b in range(_RAND_PERMS)
+    )
+    obs = (
+        "ABS(CAST(sx1 AS HUGEINT) * 1000 // n1"
+        " - (CAST(sx AS HUGEINT) - sx1) * 1000 // (n - n1))"
+    )
+    flags = " + ".join(
+        f"CAST(ABS(CAST(sx_{b} AS HUGEINT) * 1000 // n_{b}"
+        f" - (CAST(sx AS HUGEINT) - sx_{b}) * 1000 // (n - n_{b}))"
+        f" >= {obs} AS INT)"
+        for b in range(_RAND_PERMS)
+    )
+    return f"""
+    WITH rows_ AS (SELECT
+            CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+            CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
+            ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                || '#rand'), 1, 15))::BIGINT AS h
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx,
+            CAST(SUM(x * g) AS BIGINT) AS sx1,
+            CAST(SUM(g) AS BIGINT) AS n1,
+            {perm_sums}
+        FROM rows_)
+    SELECT n AS n_orders, n1 AS n_building,
+        CAST(CAST(sx1 AS HUGEINT) * 1000 // n1
+            - (CAST(sx AS HUGEINT) - sx1) * 1000 // (n - n1)
+            AS BIGINT) AS obs_gap_milli_cents,
+        CAST({_RAND_PERMS} AS BIGINT) AS n_perms,
+        CAST({flags} AS BIGINT) AS n_extreme,
+        CAST(({flags}) * 1000 // {_RAND_PERMS} AS BIGINT) AS p_milli
+    FROM g
+"""
+
+
+ORACLE_RANDOMIZATION = _randomization_oracle()
+
+
+def q_jackknife_nation_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife for the mean order value, groups =
+    customer nations: 25 leave-one-nation-out means computed purely
+    from per-nation sufficient statistics (no resampled scans), then
+    the jackknife variance (g-1)/g * sum (theta_i - theta_bar)^2 —
+    the clustered-uncertainty answer when observations within a
+    nation correlate and the iid bootstrap (poisson_bootstrap_mean)
+    understates the error.  Leave-one-out means are exact micro
+    integers; the variance accumulates their squared deviations in
+    DECIMAL(38,0), one closing division.
+
+    Scale shape: one fact agg to nation cardinality; everything after
+    is arithmetic on 25 rows."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    g = (
+        _t(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.expr(
+                "SUM(CAST(floor(o_totalprice * 100.0 + 0.5)"
+                " AS BIGINT))"
+            ).alias("s_g"),
+        )
+    )
+    wall = Window.partitionBy()
+    loo = g.select(
+        "c_nationkey",
+        F.count(F.lit(1)).over(wall).alias("k"),
+        # corpus-total cents x 1e6 passes int64 at sf1 (ANSI overflow,
+        # caught by the sf1 timing gate) — scale in DECIMAL(38,0)
+        F.expr(
+            "(CAST(SUM(s_g) OVER () AS DECIMAL(38,0)) - s_g) * 1000000"
+            " div (SUM(n_g) OVER () - n_g)"
+        ).alias("theta_micro"),
+    )
+    dec = "DECIMAL(38,0)"
+    m = loo.select(
+        "k",
+        "theta_micro",
+        F.expr("SUM(theta_micro) OVER ()").alias("st"),
+        F.expr(
+            f"SUM(CAST(theta_micro AS {dec}) * theta_micro) OVER ()"
+        ).alias("qt"),
+    )
+    return m.groupBy("k", "st", "qt").agg(
+        F.min("theta_micro").alias("theta_min_micro"),
+        F.max("theta_micro").alias("theta_max_micro"),
+    ).select(
+        F.col("k").alias("n_groups"),
+        F.expr("CAST(st div k AS BIGINT)").alias("theta_bar_micro"),
+        "theta_min_micro",
+        "theta_max_micro",
+        # var = (k-1)/k * sum (theta_i - bar)^2 = (k-1)(qt - st^2/k)/k;
+        # micro^2 variance passes int64 (caught at sf0.001: 4.98e21),
+        # so emit the STANDARD ERROR in micro-cents — exact integer
+        # numerator bridged once to double for the single sqrt
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(CAST("
+            f"(CAST(qt AS {dec}) * k - CAST(st AS {dec}) * st)"
+            f" * (k - 1) AS STRING) AS DOUBLE)"
+            " / (CAST(k AS DOUBLE) * k * k))) AS BIGINT)"
+        ).alias("jack_se_micro"),
+    )
+
+
+ORACLE_JACKKNIFE = """
+    WITH g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS s_g
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+    loo AS (SELECT c_nationkey,
+            CAST(COUNT(*) OVER () AS BIGINT) AS k,
+            CAST((SUM(s_g) OVER () - s_g) * 1000000
+                // (SUM(n_g) OVER () - n_g) AS BIGINT) AS theta_micro
+        FROM g),
+    m AS (SELECT k, theta_micro,
+            CAST(SUM(theta_micro) OVER () AS BIGINT) AS st,
+            CAST(SUM(CAST(theta_micro AS HUGEINT) * theta_micro)
+                OVER () AS HUGEINT) AS qt
+        FROM loo)
+    SELECT k AS n_groups,
+        CAST(st // k AS BIGINT) AS theta_bar_micro,
+        CAST(MIN(theta_micro) AS BIGINT) AS theta_min_micro,
+        CAST(MAX(theta_micro) AS BIGINT) AS theta_max_micro,
+        CAST(FLOOR(SQRT(CAST(CAST(
+            (CAST(MAX(qt) AS HUGEINT) * k - CAST(MAX(st) AS HUGEINT)
+            * MAX(st)) * (k - 1) AS VARCHAR) AS DOUBLE)
+            / (CAST(k AS DOUBLE) * k * k))) AS BIGINT)
+            AS jack_se_micro
+    FROM m GROUP BY k, st, qt
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -20548,6 +20778,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "youden_threshold": q_youden_threshold,
     "elias_fano_audit": q_elias_fano_audit,
     "fleiss_kappa_raters": q_fleiss_kappa_raters,
+    "randomization_test_diff": q_randomization_test_diff,
+    "jackknife_nation_mean": q_jackknife_nation_mean,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -20826,6 +21058,8 @@ ORACLES: dict[str, str] = {
     "youden_threshold": ORACLE_YOUDEN,
     "elias_fano_audit": ORACLE_ELIAS_FANO,
     "fleiss_kappa_raters": ORACLE_FLEISS,
+    "randomization_test_diff": ORACLE_RANDOMIZATION,
+    "jackknife_nation_mean": ORACLE_JACKKNIFE,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
