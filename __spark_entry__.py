@@ -20505,6 +20505,162 @@ ORACLE_JACKKNIFE = """
 """
 
 
+# ---------------------------------------------------------------- wave 8a
+
+
+def q_fd_histogram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis histogram planning for order values: exact
+    Q1/Q3 via the iterative-histogram selection operator (the 100 TB
+    exact-quantile path — driver sees <=1024-row histograms, never
+    data), then the FD bin width 2*IQR/cbrt(n) and the implied bin
+    count over the exact min/max range.  The binning-decision every
+    histogram/quantile-sketch consumer upstream of this engine makes
+    by rule of thumb, here made from exact order statistics.
+
+    Scale shape: exact_kth's predicate-pushed narrowing scans (bounded
+    driver state) twice, one 1-row min/max agg; closed form after."""
+    from kafka_firehose_nozzle_spark.operators.selection import exact_kth
+
+    o = _t(spark, sf_dir, "orders")
+    n_row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).head()
+    n, lo, hi = n_row["n"], n_row["lo"], n_row["hi"]
+    q1 = exact_kth(o, "o_totalprice", max((n + 1) // 4, 1))
+    q3 = exact_kth(o, "o_totalprice", min((3 * n + 3) // 4, n))
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(q1).cast("double").alias("q1"),
+        F.lit(q3).cast("double").alias("q3"),
+        DET.det_round(
+            F.lit(2.0) * (F.lit(q3) - F.lit(q1))
+            / F.expr(f"cbrt(CAST({n} AS DOUBLE))"),
+            6,
+        ).alias("fd_width"),
+        F.expr(
+            f"CAST(FLOOR((CAST({hi!r} AS DOUBLE) - CAST({lo!r} AS"
+            " DOUBLE)) / "
+            + DET.det_round_sql(
+                f"2.0 * (CAST({q3!r} AS DOUBLE) - CAST({q1!r} AS"
+                f" DOUBLE)) / cbrt(CAST({n} AS DOUBLE))", 6
+            )
+            + ") + 1 AS BIGINT)"
+        ).alias("n_bins"),
+    )
+
+
+ORACLE_FD_PLAN = f"""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x
+        FROM orders WHERE o_totalprice IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            MIN(x) AS lo, MAX(x) AS hi FROM v),
+    q AS (SELECT
+        (SELECT x FROM v ORDER BY x LIMIT 1
+            OFFSET GREATEST(((SELECT n FROM n) + 1) // 4, 1) - 1)
+            AS q1,
+        (SELECT x FROM v ORDER BY x LIMIT 1
+            OFFSET LEAST((3 * (SELECT n FROM n) + 3) // 4,
+                (SELECT n FROM n)) - 1) AS q3)
+    SELECT n.n AS n, q1, q3,
+        {DET.det_round_sql(
+            "2.0 * (q3 - q1) / cbrt(CAST(n.n AS DOUBLE))", 6)}
+            AS fd_width,
+        CAST(FLOOR((hi - lo) / {DET.det_round_sql(
+            "2.0 * (q3 - q1) / cbrt(CAST(n.n AS DOUBLE))", 6)})
+            + 1 AS BIGINT) AS n_bins
+    FROM n CROSS JOIN q
+"""
+
+
+def q_grubbs_daily_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic for the most extreme revenue day:
+    G = max|x - mean| / sd over the daily series — the single-outlier
+    test a reporting pipeline runs before trusting its worst day
+    (robust_outlier_events flags by MAD rule-of-thumb; Grubbs is the
+    parametric test with a distributional null).  The argmax day is
+    found on EXACT integers (max |n*x - S|, ties to the earliest
+    day), G itself is the one bridged IEEE closed form, det6.
+
+    Scale shape: corpus agg to the day-bounded series (checkpointed),
+    one 1-row moment agg broadcast back, exact-integer argmax."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").alias("usd"),
+    )
+    daily = o.groupBy("day").agg(F.sum("usd").alias("x")).localCheckpoint()
+    dec = "DECIMAL(38,0)"
+    mo = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}))").alias("s"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("q"),
+    )
+    dev = daily.crossJoin(F.broadcast(mo)).select(
+        "day",
+        "n",
+        "s",
+        "q",
+        F.expr(f"abs(CAST(n AS {dec}) * x - s)").alias("ad"),
+    )
+    # argmax day with deterministic ties (earliest): a second bounded
+    # pass over the checkpointed day series, filtered on the exact max
+    m = dev.agg(F.max("ad").alias("mad"))
+    arg = (
+        dev.crossJoin(F.broadcast(m.select(F.col("mad").alias("m2"))))
+        .filter(F.col("ad") == F.col("m2"))
+        .agg(F.min("day").alias("outlier_day"))
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    gstat = (
+        f"{br('mad')} / ({dn}"
+        f" * SQRT(({br('q')} - {br('s')} * {br('s')} / {dn})"
+        f" / ({dn} - 1.0)))"
+    )
+    base = dev.groupBy("n", "s", "q").agg(F.max("ad").alias("mad"))
+    return base.crossJoin(F.broadcast(arg)).select(
+        F.expr("CAST(n AS BIGINT)").alias("n_days"),
+        F.col("outlier_day").cast("bigint").alias("outlier_day"),
+        F.expr("CAST(mad div n AS BIGINT)").alias("max_absdev_usd"),
+        DET.det_round(F.expr(gstat), 6).alias("grubbs_g"),
+    )
+
+
+ORACLE_GRUBBS = f"""
+    WITH o AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS usd
+        FROM orders),
+    daily AS (SELECT day, CAST(SUM(usd) AS BIGINT) AS x
+        FROM o GROUP BY day),
+    mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        FROM daily),
+    dev AS (SELECT day, n, s, q,
+            ABS(CAST(n AS HUGEINT) * x - s) AS ad
+        FROM daily CROSS JOIN mo),
+    m AS (SELECT MAX(ad) AS mad FROM dev),
+    arg AS (SELECT CAST(MIN(day) AS BIGINT) AS outlier_day
+        FROM dev CROSS JOIN m WHERE ad = mad)
+    SELECT n AS n_days, outlier_day,
+        CAST(mad // n AS BIGINT) AS max_absdev_usd,
+        {DET.det_round_sql(
+            "CAST(CAST(mad AS VARCHAR) AS DOUBLE) / (CAST(n AS DOUBLE)"
+            " * SQRT((CAST(CAST(q AS VARCHAR) AS DOUBLE)"
+            " - CAST(CAST(s AS VARCHAR) AS DOUBLE)"
+            " * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) - 1.0)))", 6
+        )} AS grubbs_g
+    FROM dev CROSS JOIN m CROSS JOIN arg
+    GROUP BY n, s, q, outlier_day, mad
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -20780,6 +20936,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fleiss_kappa_raters": q_fleiss_kappa_raters,
     "randomization_test_diff": q_randomization_test_diff,
     "jackknife_nation_mean": q_jackknife_nation_mean,
+    "fd_histogram_plan": q_fd_histogram_plan,
+    "grubbs_daily_outlier": q_grubbs_daily_outlier,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -21060,6 +21218,8 @@ ORACLES: dict[str, str] = {
     "fleiss_kappa_raters": ORACLE_FLEISS,
     "randomization_test_diff": ORACLE_RANDOMIZATION,
     "jackknife_nation_mean": ORACLE_JACKKNIFE,
+    "fd_histogram_plan": ORACLE_FD_PLAN,
+    "grubbs_daily_outlier": ORACLE_GRUBBS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
