@@ -20661,6 +20661,185 @@ ORACLE_GRUBBS = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 8b
+
+
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level from the daily demand distribution:
+    with underage cost 4x overage, the optimal order-up-to level is
+    the 80th-percentile demand day (critical ratio cu/(cu+co)) — and
+    the query PROVES it on the data by pricing both that level and the
+    naive mean-demand level with the exact piecewise-linear cost
+    sum(co*max(Q-d,0) + cu*max(d-Q,0)): the quantile's cost column
+    must come out <= the mean's.  Demand = daily shipped quantity;
+    every quantity is an exact integer (rank by row_number on the
+    day-bounded series, costs as integer sums).
+
+    Scale shape: one fact agg to the ~2.4k-day series (checkpointed);
+    rank window + two cost aggregates over it; one row out."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("q"),
+    )
+    daily = li.groupBy("day").agg(F.sum("q").alias("d")).localCheckpoint()
+    w = Window.orderBy("d", "day")
+    wall = Window.partitionBy()
+    ranked = daily.select(
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("d").over(wall).alias("sd"),
+    )
+    qstar = ranked.filter(
+        F.col("rn") == F.expr("(4 * n + 4) div 5")
+    ).select(
+        F.col("d").alias("q_star"),
+        "n",
+        F.expr("sd div n").alias("q_mean"),
+    )
+    costed = daily.crossJoin(F.broadcast(qstar)).agg(
+        F.max("n").alias("n_days"),
+        F.max("q_star").alias("q_star"),
+        F.max("q_mean").alias("q_mean"),
+        F.sum(
+            F.expr(
+                "greatest(q_star - d, CAST(0 AS BIGINT))"
+                " + 4 * greatest(d - q_star, CAST(0 AS BIGINT))"
+            )
+        ).alias("cost_at_qstar"),
+        F.sum(
+            F.expr(
+                "greatest(q_mean - d, CAST(0 AS BIGINT))"
+                " + 4 * greatest(d - q_mean, CAST(0 AS BIGINT))"
+            )
+        ).alias("cost_at_mean"),
+    )
+    return costed.select(
+        "n_days",
+        "q_star",
+        "q_mean",
+        "cost_at_qstar",
+        "cost_at_mean",
+        (F.col("cost_at_qstar") <= F.col("cost_at_mean")).alias(
+            "quantile_wins"
+        ),
+    )
+
+
+ORACLE_NEWSVENDOR = """
+    WITH li AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(l_shipdate AS DATE)) AS day,
+            CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q
+        FROM lineitem),
+    daily AS (SELECT day, CAST(SUM(q) AS BIGINT) AS d
+        FROM li GROUP BY day),
+    ranked AS (SELECT d,
+            ROW_NUMBER() OVER (ORDER BY d, day) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n,
+            CAST(SUM(d) OVER () AS BIGINT) AS sd
+        FROM daily),
+    qs AS (SELECT d AS q_star, n, sd // n AS q_mean
+        FROM ranked WHERE rn = (4 * n + 4) // 5)
+    SELECT MAX(n) AS n_days,
+        CAST(MAX(q_star) AS BIGINT) AS q_star,
+        CAST(MAX(q_mean) AS BIGINT) AS q_mean,
+        CAST(SUM(GREATEST(q_star - d, 0)
+            + 4 * GREATEST(d - q_star, 0)) AS BIGINT) AS cost_at_qstar,
+        CAST(SUM(GREATEST(q_mean - d, 0)
+            + 4 * GREATEST(d - q_mean, 0)) AS BIGINT) AS cost_at_mean,
+        CAST(SUM(GREATEST(q_star - d, 0) + 4 * GREATEST(d - q_star, 0))
+            <= SUM(GREATEST(q_mean - d, 0)
+                + 4 * GREATEST(d - q_mean, 0)) AS BOOLEAN)
+            AS quantile_wins
+    FROM daily CROSS JOIN qs
+"""
+
+
+def q_cold_start_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start audit for a temporal train/test split (train =
+    orders before 1996-01-01, test = from then on): what share of
+    test-period lineitems reference a part or a customer the training
+    period never saw — the number that bounds any recommender or
+    demand model trained on history (split_leakage_audit checks the
+    split doesn't LEAK; this checks the split doesn't leave the model
+    blind).  Exact ppm counts via anti-join semantics expressed as
+    left joins on distinct key sets.
+
+    Scale shape: two distinct-key builds at part/customer cardinality
+    (broadcast), one pass over test lineitems, one row out."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(o_orderdate AS DATE) < DATE'1996-01-01'"
+        ).alias("is_train"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    rows = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("is_train", "l_partkey", "o_custkey")
+    train_parts = (
+        rows.filter("is_train").select("l_partkey").distinct()
+        .withColumn("seen_p", F.lit(1))
+    )
+    train_custs = (
+        rows.filter("is_train").select("o_custkey").distinct()
+        .withColumn("seen_c", F.lit(1))
+    )
+    test = (
+        rows.filter(~F.col("is_train"))
+        .join(F.broadcast(train_parts), "l_partkey", "left")
+        .join(F.broadcast(train_custs), "o_custkey", "left")
+    )
+    return test.agg(
+        F.count(F.lit(1)).alias("n_test_rows"),
+        F.count_if(F.col("seen_p").isNull()).alias("cold_part_rows"),
+        F.count_if(F.col("seen_c").isNull()).alias("cold_cust_rows"),
+    ).select(
+        "n_test_rows",
+        "cold_part_rows",
+        F.expr(
+            "CAST(cold_part_rows * 1000000 div n_test_rows AS BIGINT)"
+        ).alias("cold_part_ppm"),
+        "cold_cust_rows",
+        F.expr(
+            "CAST(cold_cust_rows * 1000000 div n_test_rows AS BIGINT)"
+        ).alias("cold_cust_ppm"),
+    )
+
+
+ORACLE_COLD_START = """
+    WITH rows_ AS (SELECT
+            CAST(o_orderdate AS DATE) < DATE '1996-01-01' AS is_train,
+            l_partkey, o_custkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    tp AS (SELECT DISTINCT l_partkey FROM rows_ WHERE is_train),
+    tc AS (SELECT DISTINCT o_custkey FROM rows_ WHERE is_train),
+    test AS (SELECT r.l_partkey, r.o_custkey,
+            tp.l_partkey IS NOT NULL AS seen_p,
+            tc.o_custkey IS NOT NULL AS seen_c
+        FROM rows_ r
+        LEFT JOIN tp ON r.l_partkey = tp.l_partkey
+        LEFT JOIN tc ON r.o_custkey = tc.o_custkey
+        WHERE NOT r.is_train)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_rows,
+        CAST(COUNT(CASE WHEN NOT seen_p THEN 1 END) AS BIGINT)
+            AS cold_part_rows,
+        CAST(COUNT(CASE WHEN NOT seen_p THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS cold_part_ppm,
+        CAST(COUNT(CASE WHEN NOT seen_c THEN 1 END) AS BIGINT)
+            AS cold_cust_rows,
+        CAST(COUNT(CASE WHEN NOT seen_c THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS cold_cust_ppm
+    FROM test
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -20938,6 +21117,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jackknife_nation_mean": q_jackknife_nation_mean,
     "fd_histogram_plan": q_fd_histogram_plan,
     "grubbs_daily_outlier": q_grubbs_daily_outlier,
+    "newsvendor_quantile": q_newsvendor_quantile,
+    "cold_start_coverage": q_cold_start_coverage,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -21220,6 +21401,8 @@ ORACLES: dict[str, str] = {
     "jackknife_nation_mean": ORACLE_JACKKNIFE,
     "fd_histogram_plan": ORACLE_FD_PLAN,
     "grubbs_daily_outlier": ORACLE_GRUBBS,
+    "newsvendor_quantile": ORACLE_NEWSVENDOR,
+    "cold_start_coverage": ORACLE_COLD_START,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
