@@ -20840,6 +20840,161 @@ ORACLE_COLD_START = """
 """
 
 
+# ---------------------------------------------------------------- wave 8c
+
+
+def q_revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue BRIDGE: the delta decomposed into a
+    volume effect ((n_t - n_prev) * AOV_prev) and a price/mix effect
+    (n_t * (AOV_t - AOV_prev)) — the metric-tree arithmetic every
+    revenue review runs, done with exact integer accounting: AOV is
+    exact micro-cents, both effects land back in cents by one floor
+    division each, and the emitted RESIDUAL column equals delta minus
+    the two effects EXACTLY (it absorbs only the micro-quantization,
+    so the bridge provably adds up — no silent rounding leak).
+
+    Scale shape: one fact agg to year cardinality; lag window +
+    arithmetic over ~7 rows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("year(CAST(o_orderdate AS DATE))").alias("yr"),
+        F.expr(
+            "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    g = o.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("r")
+    )
+    w = Window.orderBy("yr")
+    dec = "DECIMAL(38,0)"
+    j = g.select(
+        "yr",
+        "n",
+        "r",
+        F.expr(f"CAST(r AS {dec}) * 1000000 div n").alias("aov_micro"),
+        F.lag("n").over(w).alias("n_prev"),
+        F.lag("r").over(w).alias("r_prev"),
+        F.lag(
+            F.expr(f"CAST(r AS {dec}) * 1000000 div n")
+        ).over(w).alias("aov_prev_micro"),
+    ).filter(F.col("n_prev").isNotNull())
+    return j.select(
+        "yr",
+        "n",
+        F.expr("r - r_prev").alias("delta_cents"),
+        F.expr(
+            f"CAST((CAST(n AS {dec}) - n_prev) * aov_prev_micro"
+            " div 1000000 AS BIGINT)"
+        ).alias("volume_effect_cents"),
+        F.expr(
+            f"CAST(CAST(n AS {dec})"
+            " * (aov_micro - aov_prev_micro) div 1000000 AS BIGINT)"
+        ).alias("price_mix_effect_cents"),
+        F.expr(
+            "r - r_prev"
+            f" - CAST((CAST(n AS {dec}) - n_prev) * aov_prev_micro"
+            " div 1000000 AS BIGINT)"
+            f" - CAST(CAST(n AS {dec})"
+            " * (aov_micro - aov_prev_micro) div 1000000 AS BIGINT)"
+        ).alias("residual_cents"),
+    ).orderBy("yr")
+
+
+ORACLE_REVENUE_BRIDGE = """
+    WITH o AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+            CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders),
+    g AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(cents) AS BIGINT) AS r
+        FROM o GROUP BY 1),
+    j AS (SELECT yr, n, r,
+            CAST(r AS HUGEINT) * 1000000 // n AS aov_micro,
+            LAG(n) OVER (ORDER BY yr) AS n_prev,
+            LAG(r) OVER (ORDER BY yr) AS r_prev,
+            LAG(CAST(r AS HUGEINT) * 1000000 // n)
+                OVER (ORDER BY yr) AS aov_prev_micro
+        FROM g)
+    SELECT yr, n,
+        CAST(r - r_prev AS BIGINT) AS delta_cents,
+        CAST((CAST(n AS HUGEINT) - n_prev) * aov_prev_micro // 1000000
+            AS BIGINT) AS volume_effect_cents,
+        CAST(CAST(n AS HUGEINT) * (aov_micro - aov_prev_micro)
+            // 1000000 AS BIGINT) AS price_mix_effect_cents,
+        CAST(r - r_prev
+            - CAST((CAST(n AS HUGEINT) - n_prev) * aov_prev_micro
+                // 1000000 AS BIGINT)
+            - CAST(CAST(n AS HUGEINT) * (aov_micro - aov_prev_micro)
+                // 1000000 AS BIGINT) AS BIGINT) AS residual_cents
+    FROM j WHERE n_prev IS NOT NULL ORDER BY yr
+"""
+
+
+_DP_EPS_MILLI = [100, 500, 1000, 2000]
+
+
+def q_dp_noise_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy budget planner for per-nation customer
+    counts: for each epsilon in the grid, the Laplace scale b = 1/eps
+    a count release (sensitivity 1) would add, and the EXPECTED
+    relative error b/n in exact ppm per nation — the table that says
+    which epsilon makes which cohort unusable BEFORE any noisy release
+    ships (the planning companion to the k-anonymity/l-diversity/
+    t-closeness audit ladder; no noise is sampled — planning is
+    deterministic).  All integer: eps in milli, b in micro,
+    rel err = b_micro * 1e6 div (n * 1e6).
+
+    Scale shape: one agg to nation cardinality, explode x4 epsilons,
+    100 rows out."""
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    eps = ", ".join(str(e) for e in _DP_EPS_MILLI)
+    return (
+        g.select(
+            "c_nationkey",
+            "n_cust",
+            F.explode(F.expr(f"array({eps})")).alias("eps_milli"),
+        )
+        .select(
+            "c_nationkey",
+            "n_cust",
+            F.col("eps_milli").cast("bigint").alias("eps_milli"),
+            F.expr("1000000000 div eps_milli").alias(
+                "laplace_b_micro"
+            ),
+            F.expr(
+                "CAST((1000000000 div eps_milli) * 1000000"
+                " div (CAST(n_cust AS DECIMAL(38,0)) * 1000000)"
+                " AS BIGINT)"
+            ).alias("exp_rel_err_ppm"),
+        )
+        .orderBy("c_nationkey", "eps_milli")
+    )
+
+
+def _dp_oracle() -> str:
+    eps = ", ".join(f"({e})" for e in _DP_EPS_MILLI)
+    return f"""
+    WITH g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer GROUP BY 1),
+    e AS (SELECT * FROM (VALUES {eps}) AS t(eps_milli))
+    SELECT c_nationkey, n_cust,
+        CAST(eps_milli AS BIGINT) AS eps_milli,
+        CAST(CAST(1000000000 AS BIGINT) // eps_milli AS BIGINT)
+            AS laplace_b_micro,
+        CAST((CAST(1000000000 AS BIGINT) // eps_milli)
+            * CAST(1000000 AS HUGEINT)
+            // (CAST(n_cust AS HUGEINT) * 1000000) AS BIGINT)
+            AS exp_rel_err_ppm
+    FROM g CROSS JOIN e ORDER BY c_nationkey, eps_milli
+"""
+
+
+ORACLE_DP_PLAN = _dp_oracle()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -21119,6 +21274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grubbs_daily_outlier": q_grubbs_daily_outlier,
     "newsvendor_quantile": q_newsvendor_quantile,
     "cold_start_coverage": q_cold_start_coverage,
+    "revenue_bridge_yoy": q_revenue_bridge_yoy,
+    "dp_noise_plan": q_dp_noise_plan,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -21403,6 +21560,8 @@ ORACLES: dict[str, str] = {
     "grubbs_daily_outlier": ORACLE_GRUBBS,
     "newsvendor_quantile": ORACLE_NEWSVENDOR,
     "cold_start_coverage": ORACLE_COLD_START,
+    "revenue_bridge_yoy": ORACLE_REVENUE_BRIDGE,
+    "dp_noise_plan": ORACLE_DP_PLAN,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
