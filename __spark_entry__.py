@@ -20995,6 +20995,216 @@ def _dp_oracle() -> str:
 ORACLE_DP_PLAN = _dp_oracle()
 
 
+# ---------------------------------------------------------------- wave 8d
+
+
+def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law cross-check on the order pipeline: L = lambda * W,
+    with the three quantities measured by TWO INDEPENDENT computation
+    paths — W from per-order durations (orderdate to last shipment,
+    inclusive), L from a +1/-1 interval sweep with piecewise-constant
+    gap weighting (the peak_concurrency machinery).  Because both
+    paths ultimately integrate the same order-day area, the audit's
+    identity gap must be EXACTLY zero — any nonzero value means the
+    sweep (the reusable concurrency operator) and the direct sum
+    disagree, i.e. an off-by-one in interval closure.  Queueing-theory
+    sanity made a regression test.
+
+    Scale shape: one orders|x|lineitem rollup to order cardinality,
+    a delta-day aggregate + prefix-sum window at day cardinality,
+    1-row finish."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "datediff(CAST(l_shipdate AS DATE), DATE'1992-01-01')"
+        ).alias("sday"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("aday"),
+    )
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.max("aday").alias("a"), F.max("sday").alias("d"))
+    ).localCheckpoint()
+    direct = spans.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("d - a + 1")).alias("sum_dur"),
+        F.min("a").alias("t0"),
+        F.max("d").alias("t1"),
+    )
+    deltas = (
+        spans.select(F.col("a").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(
+                (F.col("d") + 1).alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("nd"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("day")
+    sweep = deltas.select(
+        "day",
+        F.sum("nd").over(w).alias("inflight"),
+        F.lead("day").over(wl).alias("nxt"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(inflight AS BIGINT)"
+                " * (coalesce(nxt, day + 1) - day)"
+            )
+        ).alias("area")
+    )
+    return direct.crossJoin(F.broadcast(sweep)).select(
+        "n_orders",
+        F.expr("t1 - t0 + 1").alias("n_obs_days"),
+        F.expr(
+            "n_orders * 1000 div (t1 - t0 + 1)"
+        ).alias("lambda_milli"),
+        F.expr("sum_dur * 1000 div n_orders").alias("w_milli"),
+        F.expr(
+            "sum_dur * 1000 div (t1 - t0 + 1)"
+        ).alias("l_littles_milli"),
+        F.expr(
+            "area * 1000 div (t1 - t0 + 1)"
+        ).alias("l_sweep_milli"),
+        F.expr("area - sum_dur").alias("identity_gap_order_days"),
+    )
+
+
+ORACLE_LITTLES_LAW = """
+    WITH spans AS (SELECT o_orderkey,
+            MAX(date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE))) AS a,
+            MAX(date_diff('day', DATE '1992-01-01',
+                CAST(l_shipdate AS DATE))) AS d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1),
+    direct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+            CAST(SUM(d - a + 1) AS BIGINT) AS sum_dur,
+            MIN(a) AS t0, MAX(d) AS t1
+        FROM spans),
+    deltas AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS nd
+        FROM (SELECT a AS day, 1 AS delta FROM spans
+              UNION ALL SELECT d + 1, -1 FROM spans)
+        GROUP BY 1),
+    sweep AS (SELECT CAST(SUM(inflight
+                * (COALESCE(nxt, day + 1) - day)) AS BIGINT) AS area
+        FROM (SELECT day,
+                SUM(nd) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS inflight,
+                LEAD(day) OVER (ORDER BY day) AS nxt
+              FROM deltas))
+    SELECT n_orders,
+        CAST(t1 - t0 + 1 AS BIGINT) AS n_obs_days,
+        CAST(n_orders * 1000 // (t1 - t0 + 1) AS BIGINT)
+            AS lambda_milli,
+        CAST(sum_dur * 1000 // n_orders AS BIGINT) AS w_milli,
+        CAST(sum_dur * 1000 // (t1 - t0 + 1) AS BIGINT)
+            AS l_littles_milli,
+        CAST(area * 1000 // (t1 - t0 + 1) AS BIGINT) AS l_sweep_milli,
+        CAST(area - sum_dur AS BIGINT) AS identity_gap_order_days
+    FROM direct CROSS JOIN sweep
+"""
+
+
+def q_bootstrap_median_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap sampling distribution of the MEDIAN daily
+    revenue: 32 deterministic Poisson(1)-weighted replicates of the
+    day series, each replicate's weighted median found by cumulative-
+    weight threshold (smallest value whose cum weight reaches
+    ceil(total/2)) — extends poisson_bootstrap_mean to a rank
+    statistic the sufficient-statistics trick can't reach.  The 32
+    rows ARE the sampling distribution; sort for CI bounds.  Same
+    md5 multiplicity ladder, windows ride the day-bounded series.
+
+    Scale shape: one corpus agg to days (checkpointed), 32x bounded
+    explode, per-replicate cum-weight windows over <=2.4k rows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)").alias("usd"),
+    )
+    daily = o.groupBy("day").agg(F.sum("usd").alias("x")).localCheckpoint()
+    ex = daily.select(
+        "day",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PB_REPLICATES - 1))
+        ).alias("b"),
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(day AS STRING), '#bmed',"
+        " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    wtd = ex.withColumn("u_ppm", h % F.lit(1000000)).withColumn(
+        "w", F.expr(_poisson_weight_case("u_ppm"))
+    )
+    wcum = Window.partitionBy("b").orderBy("x", "day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("b")
+    c = wtd.select(
+        "b",
+        "x",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wall).alias("totw"),
+    )
+    return (
+        c.filter(F.expr("cumw >= (totw + 1) div 2"))
+        .groupBy("b")
+        .agg(F.min("x").alias("median_usd"), F.max("totw").alias("totw"))
+        .select(
+            F.col("b").cast("bigint").alias("replicate"),
+            F.col("totw").alias("total_weight"),
+            "median_usd",
+        )
+        .orderBy("replicate")
+    )
+
+
+ORACLE_BOOTSTRAP_MEDIAN = f"""
+    WITH daily AS (SELECT
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+    ex AS (SELECT day, x, r.b AS b FROM daily,
+            unnest(generate_series(0, {_PB_REPLICATES - 1})) AS r(b)),
+    wtd AS (SELECT b, day, x,
+            ('0x' || substr(md5(CAST(day AS VARCHAR) || '#bmed'
+                || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 1000000
+                AS u_ppm
+        FROM ex),
+    ww AS (SELECT b, day, x,
+            {_poisson_weight_case('u_ppm')} AS w
+        FROM wtd),
+    c AS (SELECT b, x,
+            SUM(w) OVER (PARTITION BY b ORDER BY x, day ROWS BETWEEN
+                UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+            SUM(w) OVER (PARTITION BY b) AS totw
+        FROM ww)
+    SELECT CAST(b AS BIGINT) AS replicate,
+        CAST(MAX(totw) AS BIGINT) AS total_weight,
+        CAST(MIN(x) AS BIGINT) AS median_usd
+    FROM c WHERE cumw >= (totw + 1) // 2
+    GROUP BY b ORDER BY replicate
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -21276,6 +21486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cold_start_coverage": q_cold_start_coverage,
     "revenue_bridge_yoy": q_revenue_bridge_yoy,
     "dp_noise_plan": q_dp_noise_plan,
+    "littles_law_audit": q_littles_law_audit,
+    "bootstrap_median_days": q_bootstrap_median_days,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -21562,6 +21774,8 @@ ORACLES: dict[str, str] = {
     "cold_start_coverage": ORACLE_COLD_START,
     "revenue_bridge_yoy": ORACLE_REVENUE_BRIDGE,
     "dp_noise_plan": ORACLE_DP_PLAN,
+    "littles_law_audit": ORACLE_LITTLES_LAW,
+    "bootstrap_median_days": ORACLE_BOOTSTRAP_MEDIAN,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
