@@ -21205,6 +21205,178 @@ ORACLE_BOOTSTRAP_MEDIAN = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 8e
+
+
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit for the quality-score-as-
+    probability classifier: treating score k/4 as the predicted
+    English probability, per interior bin (k = 1..3; the 0 and 1
+    endpoint bins have zero binomial variance and are excluded, as HL
+    requires) the statistic sums (observed - expected)^2 / (n p (1-p))
+    — calibration_curve SHOWS the miscalibration, this TESTS it.
+    Exactly integer: with p = k/4, the bin term is
+    (4 s_k - k n_k)^2 * 1e6 div (n_k k (4-k)), summed over 3 bins —
+    one micro quantization per bin, nothing else.
+
+    Scale shape: one corpus agg to the 5-row score histogram; 3-row
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (TX.quality_score(F.col("text")) * 4).cast("bigint").alias("q"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    hist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("s_k")
+    )
+    dec = "DECIMAL(38,0)"
+    terms = hist.filter((F.col("q") >= 1) & (F.col("q") <= 3)).select(
+        "q",
+        "n_k",
+        "s_k",
+        F.expr(
+            f"CAST((CAST(4 AS {dec}) * s_k - CAST(q AS {dec}) * n_k)"
+            f" * (CAST(4 AS {dec}) * s_k - CAST(q AS {dec}) * n_k)"
+            f" * 1000000 div (CAST(n_k AS {dec}) * q * (4 - q))"
+            " AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_k").alias("n_docs_tested"),
+        F.sum("term_micro").alias("hl_chi2_micro"),
+    )
+
+
+ORACLE_HOSMER = """
+    WITH t AS (SELECT lang, text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    scored AS (SELECT y, CAST(
+        (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END) +
+        (CASE WHEN n_tok > 0
+              AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+              THEN 1 ELSE 0 END) +
+        (CASE WHEN n_chars = 0
+              OR CAST(n_chars - n_nopunct AS DOUBLE) / n_chars <= 0.2
+              THEN 1 ELSE 0 END) +
+        (CASE WHEN n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+              AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+              THEN 1 ELSE 0 END) AS BIGINT) AS q
+    FROM m),
+    hist AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_k,
+            CAST(SUM(y) AS BIGINT) AS s_k
+        FROM scored GROUP BY 1),
+    terms AS (SELECT q, n_k, s_k,
+            CAST((CAST(4 AS HUGEINT) * s_k - CAST(q AS HUGEINT) * n_k)
+                * (CAST(4 AS HUGEINT) * s_k - CAST(q AS HUGEINT) * n_k)
+                * 1000000 // (CAST(n_k AS HUGEINT) * q * (4 - q))
+                AS BIGINT) AS term_micro
+        FROM hist WHERE q BETWEEN 1 AND 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        CAST(SUM(n_k) AS BIGINT) AS n_docs_tested,
+        CAST(SUM(term_micro) AS BIGINT) AS hl_chi2_micro
+    FROM terms
+"""
+
+
+def q_cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression diagnostics: the 20 most influential lineitems for
+    the through-origin price-on-quantity fit, ranked by Cook's
+    distance D_i = r_i^2 h_i / (p s^2 (1 - h_i)^2) with leverage
+    h_i = x_i^2 / Sxx — the rows whose deletion moves the fitted slope
+    most (regression_price_qty reports the fit; this says which rows
+    OWN it).  Slope and Sxx come from one exact-moment pass; per-row
+    leverage and residual are exact rationals bridged once to a shared
+    IEEE expression, ranked det6 with a key tie-break.
+
+    Scale shape: one 1-row moment aggregate broadcast back, per-row
+    closed form in the scan projection, TakeOrdered(20)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        ).alias("y"),
+        F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").alias("x"),
+    )
+    dec = "DECIMAL(38,0)"
+    mo = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(CAST(x AS {dec}) * x)").alias("sxx"),
+        F.expr(f"SUM(CAST(x AS {dec}) * y)").alias("sxy"),
+        F.expr(f"SUM(CAST(y AS {dec}) * y)").alias("syy"),
+    )
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    # slope b = sxy/sxx; residual r = y - b x; SSE = syy - sxy^2/sxx;
+    # s^2 = SSE/(n-1); h = x^2/sxx; D = r^2 h / (s^2 (1-h)^2)
+    b = f"({br('sxy')} / {br('sxx')})"
+    s2 = (
+        f"(({br('syy')} - {br('sxy')} * {br('sxy')} / {br('sxx')})"
+        f" / (CAST(n AS DOUBLE) - 1.0))"
+    )
+    h = f"(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) / {br('sxx')})"
+    r = f"(CAST(y AS DOUBLE) - {b} * CAST(x AS DOUBLE))"
+    d = (
+        f"({r} * {r} * {h})"
+        f" / ({s2} * (1.0 - {h}) * (1.0 - {h}))"
+    )
+    scored = li.crossJoin(F.broadcast(mo)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "y",
+        DET.det_round(F.expr(f"{d} * 1000000.0"), 6).alias(
+            "cooks_d_micro"
+        ),
+    )
+    return scored.orderBy(
+        F.desc("cooks_d_micro"), "l_orderkey", "l_linenumber"
+    ).limit(20)
+
+
+ORACLE_COOKS = f"""
+    WITH li AS (SELECT l_orderkey, l_linenumber,
+            CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+            CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x
+        FROM lineitem),
+    mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+            CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM li),
+    b AS (SELECT n,
+            CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+            CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy,
+            CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy
+        FROM mo),
+    scored AS (SELECT l_orderkey, l_linenumber, x, y,
+            {DET.det_round_sql(
+                "(((CAST(y AS DOUBLE) - (dxy / dxx) * CAST(x AS DOUBLE))"
+                " * (CAST(y AS DOUBLE) - (dxy / dxx) * CAST(x AS DOUBLE))"
+                " * (CAST(x AS DOUBLE) * CAST(x AS DOUBLE) / dxx))"
+                " / (((dyy - dxy * dxy / dxx) / (CAST(n AS DOUBLE) - 1.0))"
+                " * (1.0 - CAST(x AS DOUBLE) * CAST(x AS DOUBLE) / dxx)"
+                " * (1.0 - CAST(x AS DOUBLE) * CAST(x AS DOUBLE) / dxx)))"
+                " * 1000000.0", 6
+            )} AS cooks_d_micro
+        FROM li CROSS JOIN b)
+    SELECT l_orderkey, l_linenumber, x, y, cooks_d_micro
+    FROM scored
+    ORDER BY cooks_d_micro DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -21488,6 +21660,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_noise_plan": q_dp_noise_plan,
     "littles_law_audit": q_littles_law_audit,
     "bootstrap_median_days": q_bootstrap_median_days,
+    "hosmer_lemeshow": q_hosmer_lemeshow,
+    "cooks_distance_top": q_cooks_distance_top,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -21776,6 +21950,8 @@ ORACLES: dict[str, str] = {
     "dp_noise_plan": ORACLE_DP_PLAN,
     "littles_law_audit": ORACLE_LITTLES_LAW,
     "bootstrap_median_days": ORACLE_BOOTSTRAP_MEDIAN,
+    "hosmer_lemeshow": ORACLE_HOSMER,
+    "cooks_distance_top": ORACLE_COOKS,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
