@@ -21377,6 +21377,272 @@ ORACLE_COOKS = f"""
 """
 
 
+# ---------------------------------------------------------------- wave 8f
+
+
+def _quality_flags(docs: DataFrame) -> DataFrame:
+    """The 4 quality-score component flags as separate integer columns
+    (same definitions the score sums — see ORACLE_QUALITY)."""
+    n_tok = TX.token_count(F.col("text"))
+    return docs.select(
+        n_tok.between(10, 100000).cast("long").alias("f1"),
+        (
+            (n_tok > 0)
+            & (TX.stopword_ratio(F.col("text")) >= F.lit(0.01))
+        ).cast("long").alias("f2"),
+        (
+            (F.length("text") == 0)
+            | (TX.punct_ratio(F.col("text")) <= F.lit(0.2))
+        ).cast("long").alias("f3"),
+        (
+            (n_tok > 0)
+            & TX.avg_word_len(F.col("text")).between(2, 12)
+        ).cast("long").alias("f4"),
+    )
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha for the 4-item quality scale: do the four
+    flags measure ONE latent 'document quality', or four unrelated
+    things?  alpha = (k/(k-1)) (1 - sum item variances / total-score
+    variance) — the reliability number that decides whether summing
+    the flags into quality_score was statistically legitimate.  With
+    binary items every variance is exact: n*s_i - s_i^2 over n^2, and
+    the common n^2 cancels, so alpha is ONE sign-safe rational in
+    DECIMAL(38,0), emitted in exact micro.
+
+    Scale shape: one corpus scan aggregating 4 item sums + the total-
+    score second moment; 1-row arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    f = _quality_flags(docs).withColumn(
+        "t", F.expr("f1 + f2 + f3 + f4")
+    )
+    dec = "DECIMAL(38,0)"
+    g = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f1").alias("s1"),
+        F.sum("f2").alias("s2"),
+        F.sum("f3").alias("s3"),
+        F.sum("f4").alias("s4"),
+        F.sum("t").alias("st"),
+        F.expr(f"SUM(CAST(t AS {dec}) * t)").alias("qt"),
+    )
+    items = (
+        f"((CAST(n AS {dec}) * s1 - CAST(s1 AS {dec}) * s1)"
+        f" + (CAST(n AS {dec}) * s2 - CAST(s2 AS {dec}) * s2)"
+        f" + (CAST(n AS {dec}) * s3 - CAST(s3 AS {dec}) * s3)"
+        f" + (CAST(n AS {dec}) * s4 - CAST(s4 AS {dec}) * s4))"
+    )
+    tot = f"(CAST(n AS {dec}) * qt - CAST(st AS {dec}) * st)"
+    num = f"({tot} - {items})"
+    return g.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_docs"),
+        F.expr(
+            f"CAST({items} * 1000000 div {tot} AS BIGINT)"
+        ).alias("item_var_share_ppm"),
+        F.expr(
+            f"CASE WHEN {tot} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * (abs(CAST(4 AS {dec}) * {num}) * 1000000"
+            f" div (CAST(3 AS {dec}) * {tot})) AS BIGINT) END"
+        ).alias("cronbach_alpha_micro"),
+    )
+
+
+ORACLE_CRONBACH = """
+    WITH t AS (SELECT text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    fl AS (SELECT
+        CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END
+            AS f1,
+        CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+            THEN 1 ELSE 0 END AS f2,
+        CASE WHEN n_chars = 0 OR CAST(n_chars - n_nopunct AS DOUBLE)
+            / n_chars <= 0.2 THEN 1 ELSE 0 END AS f3,
+        CASE WHEN n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+            AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+            THEN 1 ELSE 0 END AS f4
+    FROM m),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(f1) AS BIGINT) AS s1,
+            CAST(SUM(f2) AS BIGINT) AS s2,
+            CAST(SUM(f3) AS BIGINT) AS s3,
+            CAST(SUM(f4) AS BIGINT) AS s4,
+            CAST(SUM(f1 + f2 + f3 + f4) AS BIGINT) AS st,
+            CAST(SUM(CAST(f1 + f2 + f3 + f4 AS HUGEINT)
+                * (f1 + f2 + f3 + f4)) AS HUGEINT) AS qt
+        FROM fl)
+    SELECT n AS n_docs,
+        CAST(((CAST(n AS HUGEINT) * s1 - CAST(s1 AS HUGEINT) * s1)
+            + (CAST(n AS HUGEINT) * s2 - CAST(s2 AS HUGEINT) * s2)
+            + (CAST(n AS HUGEINT) * s3 - CAST(s3 AS HUGEINT) * s3)
+            + (CAST(n AS HUGEINT) * s4 - CAST(s4 AS HUGEINT) * s4))
+            * 1000000
+            // (CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st)
+            AS BIGINT) AS item_var_share_ppm,
+        CASE WHEN (CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st)
+                = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST((CASE WHEN ((CAST(n AS HUGEINT) * qt
+                - CAST(st AS HUGEINT) * st)
+            - ((CAST(n AS HUGEINT) * s1 - CAST(s1 AS HUGEINT) * s1)
+            + (CAST(n AS HUGEINT) * s2 - CAST(s2 AS HUGEINT) * s2)
+            + (CAST(n AS HUGEINT) * s3 - CAST(s3 AS HUGEINT) * s3)
+            + (CAST(n AS HUGEINT) * s4 - CAST(s4 AS HUGEINT) * s4)))
+            < 0 THEN -1 ELSE 1 END)
+            * (ABS(CAST(4 AS HUGEINT)
+                * ((CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st)
+            - ((CAST(n AS HUGEINT) * s1 - CAST(s1 AS HUGEINT) * s1)
+            + (CAST(n AS HUGEINT) * s2 - CAST(s2 AS HUGEINT) * s2)
+            + (CAST(n AS HUGEINT) * s3 - CAST(s3 AS HUGEINT) * s3)
+            + (CAST(n AS HUGEINT) * s4 - CAST(s4 AS HUGEINT) * s4))))
+            * 1000000
+            // (CAST(3 AS HUGEINT)
+               * (CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st)))
+            AS BIGINT) END AS cronbach_alpha_micro
+    FROM g
+"""
+
+
+def q_item_rest_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-rest (corrected item-total) correlations for the 4 quality
+    flags: each item against the sum of the OTHER three — the
+    companion diagnostic to cronbach_alpha that names WHICH flag drags
+    the scale down (a near-zero or negative item-rest correlation
+    marks a flag measuring something else).  All moments come from
+    ONE scan (item sums, rest-score sums, cross products); each
+    correlation is the bridged IEEE Pearson closed form, det6.
+
+    Scale shape: one corpus scan with 14 integer sums; 4-row finish
+    via stack."""
+    docs = _t(spark, sf_dir, "documents")
+    f = _quality_flags(docs)
+    dec = "DECIMAL(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in (1, 2, 3, 4):
+        rest = " + ".join(f"f{j}" for j in (1, 2, 3, 4) if j != i)
+        aggs.append(F.sum(f"f{i}").alias(f"s{i}"))
+        aggs.append(
+            F.expr(f"SUM(CAST({rest} AS {dec}))").alias(f"r{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"SUM(CAST({rest} AS {dec}) * ({rest}))"
+            ).alias(f"rr{i}")
+        )
+        aggs.append(
+            F.expr(f"SUM(CAST(f{i} AS {dec}) * ({rest}))").alias(
+                f"xr{i}"
+            )
+        )
+    g = f.agg(*aggs)
+    br = lambda c: f"CAST(CAST({c} AS STRING) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    rows = []
+    for i in (1, 2, 3, 4):
+        num = f"({dn} * {br(f'xr{i}')} - {br(f's{i}')} * {br(f'r{i}')})"
+        den = (
+            f"SQRT(({dn} * {br(f's{i}')} - {br(f's{i}')}"
+            f" * {br(f's{i}')})"
+            f" * ({dn} * {br(f'rr{i}')} - {br(f'r{i}')}"
+            f" * {br(f'r{i}')}))"
+        )
+        # Spark-side det quantization: FLOOR returns BIGINT and a bare
+        # "1000000.0" literal parses as DECIMAL in Spark SQL text (the
+        # chi2_keywords lesson) — cast both stages back to DOUBLE
+        rows.append(
+            f"'f{i}', CAST(s{i} AS BIGINT),"
+            f" (CAST(FLOOR(({num} / NULLIF({den}, CAST(0.0 AS DOUBLE)))"
+            " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " AS DOUBLE) / CAST(1000000.0 AS DOUBLE))"
+        )
+    stack = ", ".join(rows)
+    return g.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_docs"),
+        F.expr(
+            f"stack(4, {stack}) AS (item, item_sum, item_rest_corr)"
+        ),
+    ).orderBy("item")
+
+
+def _item_rest_oracle() -> str:
+    sums = []
+    for i in (1, 2, 3, 4):
+        rest = " + ".join(f"f{j}" for j in (1, 2, 3, 4) if j != i)
+        sums.append(f"CAST(SUM(f{i}) AS BIGINT) AS s{i}")
+        sums.append(f"CAST(SUM(CAST({rest} AS HUGEINT))"
+                    f" AS HUGEINT) AS r{i}")
+        sums.append(
+            f"CAST(SUM(CAST({rest} AS HUGEINT) * ({rest})) AS HUGEINT)"
+            f" AS rr{i}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST(f{i} AS HUGEINT) * ({rest})) AS HUGEINT)"
+            f" AS xr{i}"
+        )
+    br = lambda c: f"CAST(CAST({c} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    dn = "CAST(n AS DOUBLE)"
+    sel = []
+    for i in (1, 2, 3, 4):
+        num = f"({dn} * {br(f'xr{i}')} - {br(f's{i}')} * {br(f'r{i}')})"
+        den = (
+            f"SQRT(({dn} * {br(f's{i}')} - {br(f's{i}')}"
+            f" * {br(f's{i}')})"
+            f" * ({dn} * {br(f'rr{i}')} - {br(f'r{i}')}"
+            f" * {br(f'r{i}')}))"
+        )
+        sel.append(
+            f"SELECT n AS n_docs, 'f{i}' AS item,"
+            f" CAST(s{i} AS BIGINT) AS item_sum, "
+            + DET.det_round_sql(f"{num} / NULLIF({den}, 0.0)", 6)
+            + " AS item_rest_corr FROM g"
+        )
+    union = "\n        UNION ALL ".join(sel)
+    return f"""
+    WITH t AS (SELECT text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS toks
+    FROM documents),
+    m AS (SELECT
+        len(toks) AS n_tok,
+        len(list_filter(list_transform(toks, x -> lower(x)),
+            x -> list_contains(['the','a','of','to','and','in','is',
+                                'it','for','on'], x))) AS n_stop,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_nopunct,
+        list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+    FROM t),
+    fl AS (SELECT
+        CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1 ELSE 0 END
+            AS f1,
+        CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok >= 0.01
+            THEN 1 ELSE 0 END AS f2,
+        CASE WHEN n_chars = 0 OR CAST(n_chars - n_nopunct AS DOUBLE)
+            / n_chars <= 0.2 THEN 1 ELSE 0 END AS f3,
+        CASE WHEN n_tok > 0 AND CAST(tok_chars AS DOUBLE) / n_tok >= 2
+            AND CAST(tok_chars AS DOUBLE) / n_tok <= 12
+            THEN 1 ELSE 0 END AS f4
+    FROM m),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            {", ".join(sums)}
+        FROM fl)
+    SELECT * FROM ({union}) ORDER BY item
+"""
+
+
+ORACLE_ITEM_REST = _item_rest_oracle()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -21662,6 +21928,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_median_days": q_bootstrap_median_days,
     "hosmer_lemeshow": q_hosmer_lemeshow,
     "cooks_distance_top": q_cooks_distance_top,
+    "cronbach_alpha": q_cronbach_alpha,
+    "item_rest_correlations": q_item_rest_correlations,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -21952,6 +22220,8 @@ ORACLES: dict[str, str] = {
     "bootstrap_median_days": ORACLE_BOOTSTRAP_MEDIAN,
     "hosmer_lemeshow": ORACLE_HOSMER,
     "cooks_distance_top": ORACLE_COOKS,
+    "cronbach_alpha": ORACLE_CRONBACH,
+    "item_rest_correlations": ORACLE_ITEM_REST,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
