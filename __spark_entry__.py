@@ -21643,6 +21643,129 @@ def _item_rest_oracle() -> str:
 ORACLE_ITEM_REST = _item_rest_oracle()
 
 
+# ---------------------------------------------------------------- wave 8g
+
+
+def q_inspection_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inspection (length-biased sampling) paradox on customer order
+    gaps: the plain mean inter-order gap vs the SIZE-BIASED mean
+    (sum g^2 / sum g) — the gap a randomly-timed probe actually lands
+    in.  The ratio is the correction factor for every 'average wait'
+    metric measured by sampling at random instants instead of at
+    arrivals (latency dashboards systematically over-sample long
+    gaps by exactly this factor).  Exact integer day gaps, DECIMAL
+    second moment, two floor divisions.
+
+    Scale shape: one per-customer lag window at order-key cardinality
+    (the order_gap_median shuffle), one 1-row moment agg."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')"
+        ).alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = o.select(
+        (F.col("day") - F.lag("day").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    dec = "DECIMAL(38,0)"
+    r = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr(f"SUM(CAST(g AS {dec}))").alias("sg"),
+        F.expr(f"SUM(CAST(g AS {dec}) * g)").alias("sgg"),
+    )
+    return r.select(
+        "n_gaps",
+        F.expr(
+            "CAST(sg * 1000 div n_gaps AS BIGINT)"
+        ).alias("mean_gap_milli_days"),
+        F.expr(
+            "CAST(sgg * 1000 div sg AS BIGINT)"
+        ).alias("size_biased_mean_milli_days"),
+        F.expr(
+            "CAST(sgg * 1000000 * n_gaps div (sg * sg) AS BIGINT)"
+        ).alias("inflation_ppm"),
+    )
+
+
+ORACLE_INSPECTION = """
+    WITH o AS (SELECT o_custkey,
+            date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) AS day,
+            o_orderkey
+        FROM orders),
+    gaps AS (SELECT day - LAG(day) OVER (PARTITION BY o_custkey
+                ORDER BY day, o_orderkey) AS g
+        FROM o),
+    r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+            CAST(SUM(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+            CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+        FROM gaps WHERE g IS NOT NULL)
+    SELECT n_gaps,
+        CAST(sg * 1000 // n_gaps AS BIGINT) AS mean_gap_milli_days,
+        CAST(sgg * 1000 // sg AS BIGINT)
+            AS size_biased_mean_milli_days,
+        CAST(sgg * 1000000 * n_gaps // (sg * sg) AS BIGINT)
+            AS inflation_ppm
+    FROM r
+"""
+
+
+def q_birthday_collision_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Birthday-bound audit of the repo's OWN fingerprint space: the
+    md5-prefix 60-bit integers every dedup/sampling/split operator
+    keys on collide with expected count ~ n(n-1)/2^61 — this query
+    prices that risk for each keyed population (documents, users,
+    orders, lineitems) in exact micro-collisions, the table that says
+    when 60 bits stops being enough (at 1e9 keys: ~0.4 expected
+    collisions; at 1e12: ~430k — switch to the full 128 bits).  Exact
+    integer arithmetic: n(n-1)*1e6 div 2^61.
+
+    Scale shape: four count/count-distinct aggregates, 4 rows out."""
+    docs = _t(spark, sf_dir, "documents").agg(
+        F.count_distinct("doc_id").alias("n")
+    ).select(F.lit("doc_id").alias("population"), "n")
+    users = _t(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("n")
+    ).select(F.lit("user_id").alias("population"), "n")
+    orders = _t(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_orderkey").alias("n")
+    ).select(F.lit("o_orderkey").alias("population"), "n")
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("lineitem_rows").alias("population"), "n")
+    u = docs.unionByName(users).unionByName(orders).unionByName(li)
+    dec = "DECIMAL(38,0)"
+    return u.select(
+        "population",
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.expr(
+            f"CAST(CAST(n AS {dec}) * (n - 1) * 1000000"
+            f" div {2 ** 61} AS BIGINT)"
+        ).alias("expected_collisions_micro"),
+    ).orderBy("population")
+
+
+ORACLE_BIRTHDAY = f"""
+    WITH u AS (
+        SELECT 'doc_id' AS population,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+        UNION ALL SELECT 'user_id',
+            CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+        UNION ALL SELECT 'o_orderkey',
+            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        UNION ALL SELECT 'lineitem_rows',
+            CAST(COUNT(*) AS BIGINT) FROM lineitem)
+    SELECT population, n AS n_keys,
+        CAST(CAST(n AS HUGEINT) * (n - 1) * 1000000
+            // {2 ** 61} AS BIGINT) AS expected_collisions_micro
+    FROM u ORDER BY population
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_topics": q_route_topics,
     "route_topics_salted": q_route_topics_salted,
@@ -21930,6 +22053,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cooks_distance_top": q_cooks_distance_top,
     "cronbach_alpha": q_cronbach_alpha,
     "item_rest_correlations": q_item_rest_correlations,
+    "inspection_paradox_audit": q_inspection_paradox_audit,
+    "birthday_collision_plan": q_birthday_collision_plan,
     "flesch_by_source": q_flesch_by_source,
     "simpson_diversity_sources": q_simpson_diversity_sources,
     "item_item_cosine": q_item_item_cosine,
@@ -22222,6 +22347,8 @@ ORACLES: dict[str, str] = {
     "cooks_distance_top": ORACLE_COOKS,
     "cronbach_alpha": ORACLE_CRONBACH,
     "item_rest_correlations": ORACLE_ITEM_REST,
+    "inspection_paradox_audit": ORACLE_INSPECTION,
+    "birthday_collision_plan": ORACLE_BIRTHDAY,
     "flesch_by_source": ORACLE_FLESCH,
     "simpson_diversity_sources": ORACLE_SIMPSON,
     "item_item_cosine": ORACLE_ITEM_COSINE,
