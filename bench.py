@@ -49,10 +49,52 @@ BENCH_QUERIES = [
 ]
 
 
+def _read_steal_ticks() -> tuple:
+    """(steal_ticks, total_ticks) from the aggregate cpu line of
+    /proc/stat — the delta across the bench run measures hypervisor
+    steal DURING the measurement, the signal that explained the r4/r5/r6
+    inflated driver readings."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _md5_probe_sec() -> float:
+    """THE canonical single-core host-speed probe: md5 over 128 MiB of
+    zeros (2048 x 64 KiB updates), min-of-3. Pure C-loop inside
+    OpenSSL — immune to Spark/JVM state, sensitive only to host CPU
+    contention/steal. Idle reference on this VM class: ~0.14-0.16 s
+    (SCALE.md 'bench calibration'); readings >=2x that mean the
+    machine was hot and the Spark timings should be discounted
+    proportionally rather than read as regressions."""
+    import hashlib
+
+    buf = b"\x00" * 65536
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(2048):
+            h.update(buf)
+        h.hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # calibration bracket (VERDICT r6 item 2): host-speed probe + load
+    # BEFORE the run, steal ticks across it — emitted in the JSON so a
+    # hot driver reading can be normalized mechanically.
+    md5_before = _md5_probe_sec()
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    steal0, total0 = _read_steal_ticks()
     spark = get_spark("kfn-bench")
 
     qs = entrymod.queries()
@@ -70,6 +112,20 @@ def main() -> None:
         timings[name] = _best_of_3(lambda: qs[name](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    side = {
+        "routing_events_per_sec": _routing_throughput(spark),
+        "encode_events_per_sec": _encode_throughput(spark),
+        **_wide_ann_bench_isolated(),
+        **_lsh_pair_scoring_bench(spark, sf_dir),
+        **_round4_side_metrics(spark, sf_dir, qs),
+        **_round5_side_metrics(spark, sf_dir, qs),
+    }
+    steal1, total1 = _read_steal_ticks()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else 0.0
+    )
     print(
         json.dumps(
             {
@@ -78,12 +134,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "routing_events_per_sec": _routing_throughput(spark),
-                "encode_events_per_sec": _encode_throughput(spark),
-                **_wide_ann_bench_isolated(),
-                **_lsh_pair_scoring_bench(spark, sf_dir),
-                **_round4_side_metrics(spark, sf_dir, qs),
-                **_round5_side_metrics(spark, sf_dir, qs),
+                **side,
+                "calibration": {
+                    "md5_sec": md5_before,
+                    "md5_sec_after": _md5_probe_sec(),
+                    "md5_idle_reference_sec": 0.15,
+                    "steal_pct": steal_pct,
+                    "loadavg": loadavg_start,
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                },
             }
         )
     )

@@ -67,19 +67,25 @@ def counter_deltas(envelopes: DataFrame) -> DataFrame:
     )
 
 
-def _accumulate(
-    key: tuple,
-    pdfs: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
+def _fold_counter_batches(
+    total: int, n: int, pdfs: Iterator["pd.DataFrame"]
+) -> tuple:
+    """THE per-key fold both stateful APIs share: add each batch's delta
+    sum (nulls count as 0 — a CounterEvent with no delta moves nothing)
+    and row count onto the carried (total, n). Kept as one function so
+    applyInPandasWithState and transformWithStateInPandas cannot drift
+    semantically (VERDICT r6 item 7)."""
+    for pdf in pdfs:
+        total += int(pdf["delta"].fillna(0).sum())
+        n += len(pdf)
+    return total, n
+
+
+def _totals_row(key: tuple, total: int, n: int) -> "pd.DataFrame":
+    """One post-batch output row per key — shared by both API paths."""
     import pandas as pd
 
-    total, n = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        total += int(pdf["delta"].sum())
-        n += len(pdf)
-    state.update((total, n))
-    yield pd.DataFrame(
+    return pd.DataFrame(
         {
             "origin": [key[0]],
             "name": [key[1]],
@@ -87,6 +93,17 @@ def _accumulate(
             "n_deltas": [n],
         }
     )
+
+
+def _accumulate(
+    key: tuple,
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    total, n = state.get if state.exists else (0, 0)
+    total, n = _fold_counter_batches(int(total), int(n), pdfs)
+    state.update((total, n))
+    yield _totals_row(key, total, n)
 
 
 def counter_running_totals(envelopes: DataFrame) -> DataFrame:
@@ -242,31 +259,21 @@ class _CounterTotalsProcessor(_StatefulProcessor):
 
     Spark 4's arbitrary-state API (the successor of
     applyInPandasWithState): typed ValueState per key, Arrow-batched
-    input, update-mode emission of the post-batch totals. Same semantics
-    as counter_running_totals — the test asserts both APIs agree."""
+    input, update-mode emission of the post-batch totals. The fold itself
+    is the shared ``_fold_counter_batches`` — this class only adapts the
+    state API, so the two paths cannot diverge semantically."""
 
     def init(self, handle) -> None:
         self._state = handle.getValueState("totals", "total LONG, n LONG")
 
     def handleInputRows(self, key, rows, timer_values):
-        import pandas as pd
-
         total, n = 0, 0
         if self._state.exists():
             prev = self._state.get()
             total, n = int(prev[0]), int(prev[1])
-        for pdf in rows:
-            total += int(pdf["delta"].fillna(0).sum())
-            n += len(pdf)
+        total, n = _fold_counter_batches(total, n, rows)
         self._state.update((total, n))
-        yield pd.DataFrame(
-            {
-                "origin": [key[0]],
-                "name": [key[1]],
-                "running_total": [total],
-                "n_deltas": [n],
-            }
-        )
+        yield _totals_row(key, total, n)
 
     def handleExpiredTimer(self, key, timer_values, expired_timer_info):
         return iter(())

@@ -2137,3 +2137,71 @@ def test_kcore_converges_within_round_budget(spark):
     # peel is a no-op exactly when min(core_degree) >= k
     mind = core.agg(F.min("core_degree").alias("m")).head()["m"]
     assert mind is None or mind >= entry._KCORE_K
+
+
+def test_avi_build_parse_roundtrip_and_quarantine():
+    """AVI frame extraction byte-level goldens: build_avi -> parse_avi
+    recovers the logical top-down frames exactly (bottom-up flip, 4-byte
+    row-stride unpadding, word-aligned chunk walk all exercised — w=17
+    forces stride 20 != w); non-AVI, truncated-frame, and non-DIB
+    payloads quarantine to None instead of raising."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        build_avi,
+        parse_avi,
+    )
+
+    w, h, uspf = 17, 11, 250_000
+    fns = [
+        (lambda f: lambda p: (31 + f * 97 + p * 7) % 256)(f) for f in range(5)
+    ]
+    avi = build_avi(w, h, uspf, fns)
+    got = parse_avi(avi)
+    assert got is not None
+    g_uspf, g_w, g_h, frames = got
+    assert (g_uspf, g_w, g_h, len(frames)) == (uspf, w, h, 5)
+    for f, fr in enumerate(frames):
+        assert fr == bytes((31 + f * 97 + p * 7) % 256 for p in range(w * h))
+
+    assert parse_avi(None) is None
+    assert parse_avi(b"not an avi at all") is None
+    assert parse_avi(b"RIFF" + (4).to_bytes(4, "little") + b"WAVE") is None
+    assert parse_avi(avi[:-4]) is None  # truncated last frame
+    # biCompression != 0 (pretend MJPEG) must quarantine, not misdecode
+    assert parse_avi(avi.replace(b"\x08\x00\x00\x00\x00\x00", b"\x08\x00MJPG", 1)) is None
+
+
+def test_sample_frames_grid_and_hashes(spark):
+    """sample_frames end-to-end on a tiny frame: every k-th frame at
+    k = 1s // frame-interval, t_ms exact, pixel_hash = sum (p+1)*pixel
+    over the LOGICAL pixels; an unparseable payload yields one NULL
+    quarantine row."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        build_avi,
+        sample_frames,
+    )
+
+    # 2 fps -> k=2 over 5 frames: indices 0, 2, 4 at t = 0, 1000, 2000 ms
+    avi = build_avi(
+        5, 3, 500_000,
+        [(lambda f: lambda p: (f * 97 + p * 7) % 256)(f) for f in range(5)],
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"garbage"))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["frame_idx"]: r
+        for r in sample_frames(media, every_ms=1000).collect()
+        if r["media_id"] == 1
+    }
+    assert sorted(rows) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        r = rows[idx]
+        assert (r["t_ms"], r["width"], r["height"]) == (idx * 500, 5, 3)
+        assert r["pixel_hash"] == sum(
+            (p + 1) * ((idx * 97 + p * 7) % 256) for p in range(15)
+        )
+    quarantine = [
+        r for r in sample_frames(media).collect() if r["media_id"] == 2
+    ]
+    assert len(quarantine) == 1 and quarantine[0]["frame_idx"] is None

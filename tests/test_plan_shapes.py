@@ -1511,3 +1511,13 @@ def test_ridge_cv_single_fold_aggregate_shape(spark):
     plan = _plan(spark, "ridge_lambda_cv")
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan parquet") <= 3
+
+
+def test_frame_extract_single_python_chain_no_shuffle(spark):
+    """Frame extraction: AVI build and frame walk are back-to-back
+    mapInPandas stages with no join and no shuffle between them — frame
+    bytes never cross an exchange; only the presentation sort remains."""
+    plan = _plan(spark, "frame_extract_hashes")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1

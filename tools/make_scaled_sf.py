@@ -24,6 +24,13 @@ import sys
 import duckdb
 
 
+def _ts_expr(con, src: str) -> str:
+    t = con.execute(
+        f"SELECT typeof(ts) FROM '{src}/events.parquet' LIMIT 1"
+    ).fetchone()[0]
+    return "ts" if t == "BIGINT" else "epoch_ns(ts)"
+
+
 def build(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -77,8 +84,12 @@ def build(src: str, dst: str, factor: int) -> None:
         # spark.sql.legacy.parquet.nanosAsLong); DuckDB surfaces it as a
         # timestamp, so write it back as epoch-nanos BIGINT to preserve
         # the exact physical type the engine's loaders expect
+        # driver testdata stores ts as INT96/INT64 nanos that DuckDB
+        # surfaces as TIMESTAMP (needs epoch_ns); a dir this tool itself
+        # produced already has BIGINT nanos — pass those through so the
+        # tool can scale its own output (sf1 -> sf10)
         "events": f"""
-            SELECT event_id + i * {e_s} AS event_id, epoch_ns(ts) AS ts,
+            SELECT event_id + i * {e_s} AS event_id, {_ts_expr(con, src)} AS ts,
                    user_id + i * {u_s} AS user_id, event_type, value, props
             FROM '{{src}}/events.parquet' CROSS JOIN r""",
         "documents": f"""
