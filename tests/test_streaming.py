@@ -496,3 +496,131 @@ def test_incremental_span_dedup_stream(spark, tmp_path):
              for r in dec2.collect()}
     assert rows2 == {k: (r["admitted"], r["dup_windows"])
                      for k, r in rows.items()}
+
+
+def test_chaos_midbatch_crash_exactly_once(spark, tmp_path):
+    """Whole-pipeline crash chaos (VERDICT r6 item 5, the ST1/K5 claim
+    tested as ONE flow, not per-operator): firehose wire-replay source
+    -> stateful dedup-within-watermark -> routing -> idempotent
+    batchwise parquet sink.  The sink is killed AFTER a partial
+    foreachBatch commit of batch 1 (half the batch's rows land in the
+    lake, then the injected fault fires before checkpoint commit); the
+    query is restarted on the same checkpoint and run a few more
+    batches.  Exactly-once-observable contract: the final lake equals
+    the sequential model of the source's deterministic offset stream —
+    the replayed batch's partial half is REWRITTEN by the dynamic
+    partition overwrite, nothing is lost (source replays the planned
+    range from the checkpoint WAL) and nothing is duplicated (state
+    store + sink partition are both versioned by batch id)."""
+    import os
+    import time
+
+    from kafka_firehose_nozzle_spark.fixtures import canonical_envelopes
+    from kafka_firehose_nozzle_spark.pipeline import route_envelopes_config
+    from kafka_firehose_nozzle_spark.schemas import ENVELOPE_SCHEMA
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        encode_envelope,
+    )
+    from kafka_firehose_nozzle_spark.sources.firehose import (
+        FirehoseDataSource,
+        _decode_dropsonde,
+    )
+    from kafka_firehose_nozzle_spark.streaming.stateful import dedup_envelopes
+
+    spark.dataSource.register(FirehoseDataSource)
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    crash_marker = str(tmp_path / "crashed")
+    per_batch = 16
+
+    def write_batch(batch_df, batch_id):
+        full = batch_df.withColumn(
+            "_batch_id", F.lit(batch_id).cast("long")
+        )
+        writer = (
+            full.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+        )
+        if batch_id == 1 and not os.path.exists(crash_marker):
+            # partial commit: half the rows land, then the process dies
+            # before the checkpoint commit
+            half = full.limit(full.count() // 2)
+            (
+                half.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(lake)
+            )
+            with open(crash_marker, "w") as f:
+                f.write("crashed after partial write of batch 1")
+            raise RuntimeError("injected mid-batch crash")
+        writer.parquet(lake)
+
+    def start():
+        env = (
+            spark.readStream.format("firehose")
+            .option("fixtureRows", str(per_batch))
+            .option("fixtureWire", "true")
+            .load()
+        )
+        routed = route_envelopes_config(dedup_envelopes(env), _config())
+        return (
+            routed.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    # phase 1: run until the injected fault kills the query
+    q1 = start()
+    deadline = time.time() + 120
+    while q1.exception() is None and time.time() < deadline:
+        time.sleep(0.2)
+    exc = q1.exception()
+    try:
+        assert exc is not None and "injected mid-batch crash" in str(exc)
+    finally:
+        q1.stop()
+    assert os.path.exists(crash_marker), "fault never fired"
+    # the partial half of batch 1 is in the lake right now — the state
+    # this test exists to prove gets repaired
+    partial = spark.read.parquet(lake).filter(F.col("_batch_id") == 1)
+    assert 0 < partial.count() < per_batch
+
+    # phase 2: restart on the same checkpoint, run a few more batches
+    q2 = start()
+    committed = -1
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q2.lastProgress
+        if p is not None:
+            committed = p["batchId"]
+            if committed >= 4:
+                break
+        time.sleep(0.2)
+    q2.stop()
+    assert committed >= 2, "restarted stream never progressed past crash"
+
+    # sequential model: the fixture source is deterministic per global
+    # offset j (canonical[j % 8] with timestamp += j, through the same
+    # wire encode/decode), and batch b covers offsets [16b, 16(b+1))
+    canon = canonical_envelopes()
+    rows = []
+    for j in range(per_batch * (committed + 1)):
+        r = dict(canon[j % len(canon)])
+        r["timestamp"] = (r["timestamp"] or 0) + j
+        rows.append(_decode_dropsonde(encode_envelope(r)))
+    model = route_envelopes_config(
+        dedup_envelopes(spark.createDataFrame(rows, ENVELOPE_SCHEMA)),
+        _config(),
+    )
+    want = sorted((r["topic"], r["value"]) for r in model.collect())
+    got = sorted(
+        (r["topic"], r["value"])
+        for r in spark.read.parquet(lake)
+        .filter(F.col("_batch_id") <= committed)
+        .collect()
+    )
+    assert len(got) == len(want)
+    assert got == want  # no lost rows, no duplicated rows, batch 1 whole
