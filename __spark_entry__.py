@@ -1421,7 +1421,9 @@ def q_lsh_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = cluster diameter). Oracle is a DuckDB recursive CTE over the
     same candidate edges."""
     docs2 = _planted_docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    # star edges, not all-pairs: identical components, O(bucket) not
+    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
+    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
     return D.dup_components(pairs)
 
 
@@ -1447,7 +1449,9 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-canonical member set — at 100 TB the anti-join side is only the
     duplicate fringe, orders of magnitude smaller than the corpus."""
     docs2 = _planted_docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    # star edges, not all-pairs: identical components, O(bucket) not
+    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
+    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
     comp = D.dup_components(pairs)
     drop = comp.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
     return docs2.join(drop, "doc_id", "left_anti").select("doc_id")
@@ -4908,7 +4912,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs2 = _planted_docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    # star edges, not all-pairs: identical components, O(bucket) not
+    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
+    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
     comp = D.dup_components(pairs)
     sized = comp.join(
         docs2.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
@@ -7623,7 +7629,9 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded union-find tail) -> two bounded aggregations (component
     cardinality, then size cardinality)."""
     docs2 = _planted_docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+    # star edges, not all-pairs: identical components, O(bucket) not
+    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
+    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
     comp = D.dup_components(pairs)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("size")

@@ -2205,3 +2205,28 @@ def test_sample_frames_grid_and_hashes(spark):
         r for r in sample_frames(media).collect() if r["media_id"] == 2
     ]
     assert len(quarantine) == 1 and quarantine[0]["frame_idx"] is None
+
+
+def test_lsh_star_edges_same_components_as_clique(spark):
+    """lsh_component_edges (bucket star, O(c) edges) must reach the
+    IDENTICAL dup_components fixed point as lsh_candidate_pairs (bucket
+    clique, O(c^2) edges) — the equivalence that licenses the sf10
+    giant-bucket fix. Checked on the real sf0.001 corpus + planted
+    mutations."""
+    import __spark_entry__ as entry
+    from kafka_firehose_nozzle_spark.operators import dedup as D
+
+    docs2 = entry._planted_docs(spark, "/root/testdata/sf0.001")
+    clique = {
+        (r["doc_id"], r["component_id"])
+        for r in D.dup_components(
+            D.lsh_candidate_pairs(docs2, num_hashes=8, num_bands=4)
+        ).collect()
+    }
+    star = {
+        (r["doc_id"], r["component_id"])
+        for r in D.dup_components(
+            D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
+        ).collect()
+    }
+    assert star == clique and len(star) > 0

@@ -1521,3 +1521,18 @@ def test_frame_extract_single_python_chain_no_shuffle(spark):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_lsh_component_edges_no_self_join(spark):
+    """The component edge build must be the window-min star (one bucket
+    shuffle + sort-based min), NOT the all-pairs band self-join —
+    no join operator of any kind before the edge list exists."""
+    import __spark_entry__ as entry
+    from kafka_firehose_nozzle_spark.operators import dedup as D
+
+    docs2 = entry._planted_docs(spark, SF)
+    edges = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
