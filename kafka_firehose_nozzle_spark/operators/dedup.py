@@ -205,11 +205,25 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     num_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash.
 
     Shuffles only (band_index, band_hash, id) — tiny rows — then
     equi-joins within buckets. Distinct pair set, deduped across bands.
+
+    ``max_bucket`` is the 100 TB safety valve for the pairwise
+    consumers (Jaccard verification, recall/contamination audits) that
+    genuinely need every within-bucket pair: emission is O(c²) per
+    bucket, and web-scale corpora contain boilerplate cliques whose
+    buckets reach thousands of members (measured: 2,600 at sf10 →
+    ~498 M pairs). With a cap, buckets larger than ``max_bucket`` are
+    dropped before the self-join — the standard stop-shingle treatment:
+    a bucket shared by thousands of documents carries no pairwise
+    signal worth scoring, the same way a stopword carries no retrieval
+    signal. Default None preserves exact all-pairs semantics (the
+    registry oracles pin that); connected-components consumers should
+    use :func:`lsh_component_edges` instead, which needs no cap.
     """
     # posexplode_outer, deliberately: inner posexplode adds an implicit
     # size(arr) > 0 filter, and predicate pushdown substitutes the FULL
@@ -229,6 +243,15 @@ def lsh_candidate_pairs(
         # a second pass over the corpus text.
         .localCheckpoint(eager=False)
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_ix", "band_hash")
+        banded = (
+            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -2230,3 +2230,28 @@ def test_lsh_star_edges_same_components_as_clique(spark):
         ).collect()
     }
     assert star == clique and len(star) > 0
+
+
+def test_lsh_candidate_pairs_bucket_cap(spark):
+    """max_bucket drops over-large buckets BEFORE the self-join (the
+    100 TB stop-shingle valve): uncapped output is a superset of capped
+    output, a generous cap is a no-op, and a cap of 1 kills every pair
+    (every pair needs a bucket of >= 2)."""
+    import __spark_entry__ as entry
+    from kafka_firehose_nozzle_spark.operators import dedup as D
+
+    docs2 = entry._planted_docs(spark, "/root/testdata/sf0.001")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs2, max_bucket=5).collect()
+    }
+    assert capped < full  # strictly smaller: sf0.001 has buckets > 5
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs2, max_bucket=10**9).collect()
+    } == full
+    assert D.lsh_candidate_pairs(docs2, max_bucket=1).count() == 0
