@@ -138,8 +138,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ``every_ms``, always including t=0. Pure arithmetic over
     ``meta.duration_ms`` + explode: planning NEVER touches the payload
     bytes, so with columnar storage the binary column stays out of the
-    scan entirely (plan-guarded) and the expensive ffmpeg seam
-    (sample_frames) receives an exact work list instead of probing
+    scan entirely (plan-guarded) and the expensive frame-decode stage
+    (sample_frames — real for DIB-AVI, ffmpeg for entropy-coded
+    codecs) receives an exact work list instead of probing
     containers."""
     dur = F.col("meta").getField("duration_ms")
     n = F.greatest(F.lit(1), F.ceil(dur / F.lit(every_ms))).cast("int")
@@ -440,8 +441,10 @@ def decode_image(media: DataFrame) -> DataFrame:
     integers (channel sums; milli-means = sum * 1000 // n_px) so the
     result is engine-replayable bit-for-bit.  JPEG/GIF payloads yield
     NULL feature rows — entropy-coded pixel decode genuinely needs a
-    codec library (the one remaining gated path, alongside ffmpeg
-    frame extraction in :func:`sample_frames`).
+    codec library (the one remaining gated path — video frame
+    extraction is now REAL for uncompressed-DIB AVI via
+    :func:`sample_frames`; entropy-coded video shares this same
+    codec gate).
 
     At 100 TB the payload column is read ONLY by this stage (payload
     pruning is plan-guarded for the metadata queries) and never
