@@ -12280,29 +12280,41 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    du = deg.select(F.col("u"), F.col("d").alias("dx"))
-    dv = deg.select(
-        F.col("u").alias("v"), F.col("d").alias("dy")
-    )
-    xy = sym.join(du, "u").join(dv, "v")
     dec = "DECIMAL(38,0)"
-    m = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"SUM(CAST(dx AS {dec}))").alias("sx"),
-        F.expr(f"SUM(CAST(dy AS {dec}))").alias("sy"),
-        F.expr(f"SUM(CAST(dx AS {dec}) * dx)").alias("sxx"),
-        F.expr(f"SUM(CAST(dy AS {dec}) * dy)").alias("syy"),
-        F.expr(f"SUM(CAST(dx AS {dec}) * dy)").alias("sxy"),
+    # sf10 probe lesson (143 s, volume-linear but join-heavy): the old
+    # plan attached BOTH endpoint degrees to every sym row (two
+    # edge-cardinality joins + an edge-cardinality 6-sum agg). Over the
+    # symmetric orientation set, endpoint x takes value d(u) exactly
+    # d(u) times, so n = Σd, sx = sy = Σd², sxx = syy = Σd³ — pure
+    # VERTEX-cardinality math off the degree table. Only the cross
+    # moment is genuinely pairwise: Σ d(u)·d(v) = Σ_u d(u)·Σ_{v∈N(u)}
+    # d(v) — ONE edge-cardinality join, a vertex agg, a vertex join.
+    # Same exact integers (oracle unchanged), half the heavy stages.
+    dm = deg.agg(
+        F.expr(f"SUM(CAST(d AS {dec}))").alias("n_dec"),
+        F.expr(f"SUM(CAST(d AS {dec}) * d)").alias("sx"),
+        F.expr(f"SUM(CAST(d AS {dec}) * d * d)").alias("sxx"),
     )
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    nbr = (
+        sym.join(dv, "v")
+        .groupBy("u")
+        # nbr_sum <= max_d * max_d (schema-bounded, ~1e6 worst case
+        # here) — comfortably BIGINT
+        .agg(F.sum("dy").alias("nbr_sum"))
+    )
+    m_sxy = nbr.join(deg, "u").agg(
+        F.expr(f"SUM(CAST(d AS {dec}) * nbr_sum)").alias("sxy")
+    )
+    m = dm.crossJoin(F.broadcast(m_sxy))  # two 1-row frames
     br = m.select(
-        F.expr("CAST(n AS BIGINT)").alias("n_endpoints"),
-        F.expr("CAST(n AS DOUBLE)").alias("dn"),
-        *[
-            F.expr(f"CAST(CAST({c} AS STRING) AS DOUBLE)").alias(
-                "d" + c
-            )
-            for c in ("sx", "sy", "sxx", "syy", "sxy")
-        ],
+        F.expr("CAST(COALESCE(n_dec, 0) AS BIGINT)").alias("n_endpoints"),
+        F.expr("CAST(COALESCE(n_dec, 0) AS DOUBLE)").alias("dn"),
+        F.expr("CAST(CAST(sx AS STRING) AS DOUBLE)").alias("dsx"),
+        F.expr("CAST(CAST(sx AS STRING) AS DOUBLE)").alias("dsy"),
+        F.expr("CAST(CAST(sxx AS STRING) AS DOUBLE)").alias("dsxx"),
+        F.expr("CAST(CAST(sxx AS STRING) AS DOUBLE)").alias("dsyy"),
+        F.expr("CAST(CAST(sxy AS STRING) AS DOUBLE)").alias("dsxy"),
     )
     num = F.col("dn") * F.col("dsxy") - F.col("dsx") * F.col("dsy")
     den = F.sqrt(

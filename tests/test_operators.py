@@ -738,10 +738,11 @@ def test_media_schema_prunes_payload(spark):
     assert meta_only.collect()[0]["codec"] == "utf-8"
 
 
-def test_decode_image_real_and_frame_seam_raises(spark):
-    """decode_image is REAL now: non-PNG payloads (the text bytes of
+def test_decode_image_real_and_frame_quarantine(spark):
+    """decode_image is REAL: non-PNG payloads (the text bytes of
     documents_as_media) flow through and yield NULL feature rows —
-    quarantine, not crash.  Only the ffmpeg frame seam still raises."""
+    quarantine, not crash.  sample_frames (real since r7) applies the
+    same contract: a non-AVI payload yields one NULL quarantine row."""
     docs = documents_as_media(
         spark.createDataFrame([Row(doc_id=1, text="x")])
     )
@@ -749,8 +750,9 @@ def test_decode_image_real_and_frame_seam_raises(spark):
     assert len(rows) == 1
     assert rows[0]["media_id"] == 1
     assert rows[0]["width"] is None and rows[0]["sum_r"] is None
-    with pytest.raises(NotImplementedError):
-        sample_frames(docs)
+    frames = sample_frames(docs).collect()
+    assert len(frames) == 1
+    assert frames[0]["media_id"] == 1 and frames[0]["frame_idx"] is None
 
 
 def _real_png(w: int, h: int) -> bytes:
