@@ -446,6 +446,7 @@ def benchmark_decontam(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    max_bench_doc_freq: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag TRAINING documents that share at
     least one verbatim word ``n``-gram with a held-out benchmark set —
@@ -462,7 +463,16 @@ def benchmark_decontam(
     (doc, 60-bit gram hash) pairs — fixed-width ints cross the wire,
     never gram strings; the benchmark side is BROADCAST (an eval suite
     is MBs against a 100 TB corpus), so the train-side explode never
-    shuffles at all and the flagging is a map-side hash probe."""
+    shuffles at all and the flagging is a map-side hash probe.
+
+    ``max_bench_doc_freq`` is the stop-gram valve (the sf10 lesson,
+    SCALE.md round 7): a gram appearing in many BENCHMARK docs is
+    boilerplate, and every train doc carrying it matches all of them —
+    match volume grows as clique², not corpus size.  With the cap,
+    grams whose benchmark document frequency exceeds it are dropped
+    from the probe side (a count+filter over the already-tiny
+    broadcast table, zero extra cost on the corpus side).  Default
+    None preserves exact every-gram semantics (oracle-pinned)."""
     def hashed(df: DataFrame, out_id: str) -> DataFrame:
         grams = F.array_distinct(word_ngrams(F.col(text_col), n))
         return (
@@ -478,6 +488,15 @@ def benchmark_decontam(
 
     t = hashed(train, "train_id")
     b = hashed(bench, "bench_id")
+    if max_bench_doc_freq is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("gh")
+        b = (
+            b.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_bench_doc_freq)
+            .drop("_df")
+        )
     return (
         t.join(F.broadcast(b), "gh")
         .groupBy("train_id")

@@ -2257,3 +2257,43 @@ def test_lsh_candidate_pairs_bucket_cap(spark):
         for r in D.lsh_candidate_pairs(docs2, max_bucket=10**9).collect()
     } == full
     assert D.lsh_candidate_pairs(docs2, max_bucket=1).count() == 0
+
+
+def test_benchmark_decontam_stop_gram_cap(spark):
+    """max_bench_doc_freq drops benchmark boilerplate grams from the
+    probe side: a gram in every bench doc stops matching; rare grams
+    still flag; a generous cap is a no-op vs the exact default."""
+    from kafka_firehose_nozzle_spark.operators.text import (
+        benchmark_decontam,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 words
+    rare = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    bench = spark.createDataFrame(
+        [(1, f"{boiler} one"), (2, f"{boiler} two"), (3, rare)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(10, boiler), (11, rare), (12, "no shared grams here at all ok")],
+        "doc_id long, text string",
+    )
+    full = {
+        r["train_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in benchmark_decontam(train, bench, n=8).collect()
+    }
+    assert set(full) == {10, 11}
+    assert full[10][1] == 2  # boilerplate gram hits both bench docs
+    capped = {
+        r["train_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in benchmark_decontam(
+            train, bench, n=8, max_bench_doc_freq=1
+        ).collect()
+    }
+    assert set(capped) == {11}  # boilerplate grams (df=2) dropped
+    assert capped[11] == full[11]
+    assert {
+        r["train_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in benchmark_decontam(
+            train, bench, n=8, max_bench_doc_freq=10**6
+        ).collect()
+    } == full
