@@ -624,3 +624,98 @@ def test_chaos_midbatch_crash_exactly_once(spark, tmp_path):
     )
     assert len(got) == len(want)
     assert got == want  # no lost rows, no duplicated rows, batch 1 whole
+
+
+def test_incremental_lsh_crash_after_store_write_idempotent(spark, tmp_path):
+    """Chaos variant of the incremental-LSH ingest: the worst-timed
+    crash is AFTER the batch's store append but BEFORE the checkpoint
+    commit — on restart the batch replays with its own first-run band
+    rows already in the store.  The `batch_id < current` store filter
+    is what keeps the replay idempotent (a doc must never collide with
+    its own first attempt); this test forces that exact window and
+    compares the final decision log against a crash-free sequential
+    model run over the same batch splits."""
+    import os
+    import time
+
+    from kafka_firehose_nozzle_spark.streaming.incremental_lsh import (
+        IncrementalLshDedup,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 17), (17, 34), (34, 50)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    handler = IncrementalLshDedup(spark, store, out)
+    crash_marker = str(tmp_path / "crashed")
+
+    def crashing(batch_df, batch_id):
+        handler(batch_df, batch_id)  # full work INCLUDING the store append
+        if batch_id == 1 and not os.path.exists(crash_marker):
+            with open(crash_marker, "w") as f:
+                f.write("crashed after store append, before ckpt commit")
+            raise RuntimeError("injected post-store crash")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(crashing)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+    q1 = start()
+    deadline = time.time() + 120
+    while q1.exception() is None and time.time() < deadline:
+        time.sleep(0.2)
+    assert q1.exception() is not None and "post-store" in str(q1.exception())
+    q1.stop()
+    assert os.path.exists(crash_marker)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    dec = spark.read.parquet(out)
+    got = {
+        (r["doc_id"], r["dup_of"], r["admitted"], r["batch_id"])
+        for r in dec.collect()
+    }
+    # every input doc decided exactly once; nobody is its own duplicate
+    assert dec.count() == 50 and dec.select("doc_id").distinct().count() == 50
+    assert dec.filter(F.col("dup_of") == F.col("doc_id")).count() == 0
+
+    # sequential model: a fresh handler fed the SAME batch splits (read
+    # back from the decision log) with no crash anywhere
+    splits = {
+        r["batch_id"]: sorted(r["ids"])
+        for r in dec.groupBy("batch_id")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .collect()
+    }
+    model = IncrementalLshDedup(
+        spark, str(tmp_path / "store2"), str(tmp_path / "out2")
+    )
+    for bid in sorted(splits):
+        model(
+            docs.filter(F.col("doc_id").isin(splits[bid])), bid
+        )
+    want = {
+        (r["doc_id"], r["dup_of"], r["admitted"], r["batch_id"])
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert got == want
