@@ -829,13 +829,66 @@ def simhash_near_pairs(
     bit_count(a XOR b). Shuffle volume: (chunk_ix, chunk_val, id) rows.
     """
     assert max_hamming < chunks, "pigeonhole recall requires hamming < chunks"
-    width = bits // chunks
-    mask = (1 << width) - 1
     sh = (
         with_simhash(df, text_col, "sh", bits)
         .select(F.col(id_col).alias("id"), "sh")
         .localCheckpoint(eager=False)  # computed once, reused by both sides
     )
+    if bits <= 24:
+        # VALUE-SPACE enumeration (the r7 sf10 fix): with a small
+        # fingerprint space the chunk buckets are corpus fractions —
+        # 4-bit chunks hold n/16 docs each, so the chunk self-join is
+        # QUADRATIC in corpus size (timed out >600 s at sf10, 1 M
+        # docs). Instead enumerate the bounded value space: distinct
+        # fingerprints (<= 2^bits rows regardless of corpus size), each
+        # exploded to its sum C(bits, k<=max_hamming) flip-mask
+        # neighbors (137 for 16/2), semi-joined against the values that
+        # actually occur, then mapped back to doc pairs by two
+        # value-equi-joins. The only corpus-sized stages are one
+        # distinct over fingerprints and the final doc-pair emission —
+        # which IS the output, so nothing intermediate is quadratic.
+        from itertools import combinations
+
+        masks = [0]
+        positions = range(bits)
+        for k in range(1, max_hamming + 1):
+            masks += [
+                sum(1 << p for p in combo)
+                for combo in combinations(positions, k)
+            ]
+        vals = sh.select("sh").distinct()
+        nbrs = vals.select(
+            "sh",
+            F.explode(
+                F.array(*[
+                    F.col("sh").bitwiseXOR(F.lit(m)) for m in masks
+                ])
+            ).alias("sh2"),
+        ).join(
+            vals.select(F.col("sh").alias("sh2")).hint("broadcast"),
+            "sh2",
+            "left_semi",
+        )
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+        return (
+            nbrs.join(a, nbrs["sh"] == a["sha"])
+            .join(b, nbrs["sh2"] == b["shb"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(
+                    F.col("sha").bitwiseXOR(F.col("shb"))
+                ).alias("hamming"),
+            )
+            .distinct()
+        )
+    # wide fingerprints (value space too big to enumerate): pigeonhole
+    # chunk-banded join — chunk width bits/chunks must be large enough
+    # that buckets are selective (16-bit chunks of a 64-bit simhash)
+    width = bits // chunks
+    mask = (1 << width) - 1
     chunked = sh.select(
         "id",
         "sh",

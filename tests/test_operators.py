@@ -2297,3 +2297,51 @@ def test_benchmark_decontam_stop_gram_cap(spark):
             train, bench, n=8, max_bench_doc_freq=10**6
         ).collect()
     } == full
+
+
+def test_asof_join_jvm_matches_pandas_reference(spark):
+    """The JVM-native window as-of (default) must agree row-for-row with
+    the cogrouped pd.merge_asof reference on adversarial data: duplicate
+    timestamps on both sides (tie rules!), keys missing from either
+    side, all three directions, with and without tolerance."""
+    import random
+
+    from kafka_firehose_nozzle_spark.operators.asof import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    left_rows = [
+        (i, rng.randint(0, 9), _ts_of(base + rng.randint(0, 50) * 60))
+        for i in range(200)
+    ]
+    right_rows = [
+        (rng.randint(0, 11), _ts_of(base + rng.randint(0, 50) * 60),
+         rng.randint(0, 5))  # small px range forces value ties too
+        for _ in range(150)
+    ]
+    left = spark.createDataFrame(left_rows, "ev long, key long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "key long, ts timestamp, px long")
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, "5 minutes"):
+            kw = dict(
+                on="ts", by="key", right_value_cols=["px"],
+                direction=direction, tolerance=tol,
+            )
+            got = {
+                r["ev"]: r["px"]
+                for r in asof_join(left, right, **kw).collect()
+            }
+            want = {
+                r["ev"]: r["px"]
+                for r in asof_join_pandas(left, right, **kw).collect()
+            }
+            assert got == want, (direction, tol)
+
+
+def _ts_of(epoch_sec: int):
+    import datetime
+
+    return datetime.datetime.utcfromtimestamp(epoch_sec)

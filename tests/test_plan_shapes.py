@@ -1536,3 +1536,15 @@ def test_lsh_component_edges_no_self_join(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_no_python_stage_single_exchange_family(spark):
+    """The as-of join must be the JVM union+window plan (r7): no Python
+    evaluator (the old cogrouped merge_asof paid a pandas call per key —
+    5-7 min at sf10), no join node; one hash exchange on the key feeds
+    the direction sorts (nearest's two windows may reuse it)."""
+    for name in ("asof_purchase_orders", "asof_nearest_order"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan and "FlatMapCoGroups" not in plan
+        assert "Window" in plan
+        assert "Join" not in plan
