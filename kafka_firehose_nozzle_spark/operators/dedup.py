@@ -923,6 +923,71 @@ def simhash_near_pairs(
     )
 
 
+def simhash_hamming_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(hamming, n_pairs) histogram over ALL doc pairs at Hamming
+    distance <= max_hamming — the sufficient-statistics twin of
+    :func:`simhash_near_pairs` for consumers that only need COUNTS.
+
+    The r7 sf10 audit lesson: on a low-entropy corpus the qualifying
+    pair SET is itself quadratic (~40% of all pairs at sf0.01; ~2e11
+    pairs at sf10), so any pair-enumerating plan is doomed no matter
+    how it blocks. But the count per Hamming value is computable from
+    the fingerprint VALUE histogram alone: two docs are at distance h
+    iff their values xor to a popcount-h mask, so
+
+      n_pairs(0) = Σ_v C(c_v, 2)
+      n_pairs(h) = Σ_{pc(m)=h} Σ_{v < v⊕m} c_v · c_{v⊕m}
+
+    over the <= 2^bits histogram rows — one corpus scan for the
+    histogram, then pure value-space arithmetic (2^bits × Σ C(bits,k)
+    explode, two tiny joins). Corpus-size-independent beyond the scan.
+    """
+    from itertools import combinations
+
+    sh = with_simhash(df, text_col, "sh", bits).select(
+        F.col(id_col).alias("id"), "sh"
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c"))
+    h0 = counts.agg(
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("n_pairs")
+    ).select(F.lit(0).alias("hamming"), "n_pairs")
+    masks = [
+        sum(1 << p for p in combo)
+        for k in range(1, max_hamming + 1)
+        for combo in combinations(range(bits), k)
+    ]
+    hk = (
+        counts.select(
+            "sh",
+            "c",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+        )
+        .withColumn("sh2", F.col("sh").bitwiseXOR(F.col("m")))
+        # v < v⊕m counts each unordered value pair exactly once (their
+        # xor IS m, so no pair appears under two masks)
+        .filter(F.col("sh") < F.col("sh2"))
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("sh").alias("sh2"), F.col("c").alias("c2")
+                )
+            ),
+            "sh2",
+        )
+        .groupBy(F.bit_count("m").alias("hamming"))
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("n_pairs"))
+    )
+    return h0.unionByName(hk).filter(
+        F.col("n_pairs").isNotNull() & (F.col("n_pairs") > 0)
+    )
+
+
 def char_ngram_set(text: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text — the set
     representation for exact similarity joins.  The element universe
