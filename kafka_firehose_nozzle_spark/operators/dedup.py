@@ -1132,9 +1132,14 @@ def prefix_jaccard_pairs(
     union = (
         F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
     )
+    # pin the verification joins to sort-merge: the token-array sides
+    # are doc-cardinality rows of ~|set|-element long arrays (GBs at
+    # sf10), and AQE's size estimate for them tempted a broadcast that
+    # OOM'd the driver build in the r7 sf10 audit. Broadcasting a side
+    # that grows with the corpus is never right; SMJ spills safely.
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .withColumn("_i", inter)
         .withColumn("_u", union)
         .filter(F.col("_i") * 100 >= F.col("_u") * F.lit(t))

@@ -33,9 +33,13 @@ def get_spark(
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .appName(app_name)
         # local mode = driver does everything; the 1g default heap OOMs
-        # under 32 threads. Applied at JVM launch (no-op on reuse).
+        # under 32 threads. 32g ~= 600 MB execution memory per task at
+        # 32 threads — still conservative next to a real executor's
+        # 1-2 GB/core (the r7 sf10 audit OOM'd two dense-graph
+        # aggregations at 16g = ~300 MB/task, a ceiling no production
+        # cluster has). Applied at JVM launch (no-op on reuse).
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
