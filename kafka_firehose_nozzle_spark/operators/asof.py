@@ -44,12 +44,29 @@ def _on_numeric(col: Column, dtype: T.DataType) -> Column:
         return F.unix_micros(col.cast("timestamp"))
     if isinstance(dtype, T.DateType):
         return F.unix_date(col).cast("long")
-    return col.cast("long")
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(dtype, T.DecimalType) and dtype.scale == 0):
+        return col.cast("long")
+    # float/double/scaled-decimal `on` would TRUNCATE here while the
+    # pandas reference path (asof_join_pandas) uses exact values — the
+    # two property-pinned paths must not be able to disagree silently
+    # (ADVICE r7). Callers with fractional keys should scale to a
+    # fixed-point integer column first.
+    raise TypeError(
+        f"asof_join `on` must be timestamp/date/integral, got {dtype};"
+        " scale fractional keys to fixed-point integers first"
+    )
 
 
 def _tolerance_units(tolerance: str | int | float, dtype: T.DataType) -> int:
     """`tolerance` in the units of :func:`_on_numeric` for this dtype."""
     if isinstance(tolerance, (int, float)):
+        if tolerance != int(tolerance):
+            # int() would silently shrink the inclusive bound (ADVICE r7)
+            raise ValueError(
+                f"numeric tolerance must be integral, got {tolerance!r}"
+            )
         return int(tolerance)
     nanos = pd.Timedelta(tolerance).value
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
@@ -224,7 +241,13 @@ def asof_join_pandas(
             for c in right_value_cols:
                 out[c] = None
             return out
-        rsorted = rdf.sort_values([on, *right_value_cols], kind="mergesort")
+        # na_position="first" pins the (on)-tie rule when value columns
+        # hold NULLs: Spark's struct ordering sorts null fields FIRST,
+        # pandas defaults NaN LAST — without the pin the two paths pick
+        # different rows on tied timestamps (ADVICE r7)
+        rsorted = rdf.sort_values(
+            [on, *right_value_cols], kind="mergesort", na_position="first"
+        )
         merged = pd.merge_asof(
             lsorted,
             rsorted[[on, *right_value_cols]],

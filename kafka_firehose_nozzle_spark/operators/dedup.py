@@ -244,14 +244,9 @@ def lsh_candidate_pairs(
         .localCheckpoint(eager=False)
     )
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from kafka_firehose_nozzle_spark.operators.skew import cap_group_size
 
-        w = Window.partitionBy("band_ix", "band_hash")
-        banded = (
-            banded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
+        banded = cap_group_size(banded, ["band_ix", "band_hash"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -298,9 +293,19 @@ def lsh_component_edges(
     """
     from pyspark.sql import Window
 
-    banded = with_minhash(df, text_col, num_hashes, num_bands).select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer("lsh_bands").alias("band_ix", "band_hash"),
+    banded = (
+        with_minhash(df, text_col, num_hashes, num_bands)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer("lsh_bands").alias("band_ix", "band_hash"),
+        )
+        # lsh_candidate_pairs' equi-join drops null band keys implicitly;
+        # a window partition would instead pool ALL null-band rows into
+        # one partition and star-link them into a bogus component. Today
+        # token_hash_shingles never yields an empty band array, but the
+        # clique/star components-equivalence must hold by construction,
+        # not via that distant invariant (ADVICE r7).
+        .filter(F.col("band_hash").isNotNull())
     )
     w = Window.partitionBy("band_ix", "band_hash")
     return (

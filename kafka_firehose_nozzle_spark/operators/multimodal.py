@@ -726,9 +726,10 @@ def parse_avi(b) -> tuple:
         return None
     uspf = w = h = bitcount = compression = None
     frames_raw = []
+    stream_type = None  # fccType of the enclosing strl's strh
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal uspf, w, h, bitcount, compression
+        nonlocal uspf, w, h, bitcount, compression, stream_type
         i = lo
         while i + 8 <= hi:
             cc = b[i : i + 4]
@@ -738,15 +739,22 @@ def parse_avi(b) -> tuple:
                 walk(body_lo + 4, body_hi)  # list type 4cc, then children
             elif cc == b"avih" and size >= 40:
                 uspf = int.from_bytes(b[body_lo : body_lo + 4], "little")
+            elif cc == b"strh" and size >= 4:
+                # stream header precedes its strf inside each strl LIST;
+                # remember the type so only the VIDEO stream's strf is
+                # read as a BITMAPINFOHEADER (an audio strf holds
+                # WAVEFORMATEX bytes that would clobber w/h, ADVICE r7)
+                stream_type = b[body_lo : body_lo + 4]
             elif cc == b"strf" and size >= 18:
-                w = int.from_bytes(b[body_lo + 4 : body_lo + 8], "little")
-                h = int.from_bytes(b[body_lo + 8 : body_lo + 12], "little")
-                bitcount = int.from_bytes(
-                    b[body_lo + 14 : body_lo + 16], "little"
-                )
-                compression = int.from_bytes(
-                    b[body_lo + 16 : body_lo + 20], "little"
-                )
+                if stream_type == b"vids" and w is None:
+                    w = int.from_bytes(b[body_lo + 4 : body_lo + 8], "little")
+                    h = int.from_bytes(b[body_lo + 8 : body_lo + 12], "little")
+                    bitcount = int.from_bytes(
+                        b[body_lo + 14 : body_lo + 16], "little"
+                    )
+                    compression = int.from_bytes(
+                        b[body_lo + 16 : body_lo + 20], "little"
+                    )
             elif cc[2:4] == b"db":
                 frames_raw.append(b[body_lo:body_hi])
             i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
@@ -830,7 +838,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def build_avi(
-    width: int, height: int, us_per_frame: int, frame_pixel_fns
+    width: int,
+    height: int,
+    us_per_frame: int,
+    frame_pixel_fns,
+    with_audio_stream: bool = False,
 ) -> bytes:
     """Spec-correct uncompressed-DIB AVI bytes: RIFF/AVI with hdrl
     (avih + strl/strh/strf with a 256-entry grayscale palette) and a
@@ -838,7 +850,12 @@ def build_avi(
     callables p -> 0..255 giving each frame's logical top-down pixel
     at flat position p; rows are stored bottom-up and padded to 4
     bytes per the DIB spec. The write-side twin of :func:`parse_avi`
-    (same role build_png plays for decode_png_pixels)."""
+    (same role build_png plays for decode_png_pixels).
+
+    ``with_audio_stream`` appends a second strl (strh fccType 'auds' +
+    an 18-byte WAVEFORMATEX strf) after the video strl — the realistic
+    video-plus-audio layout whose audio strf must NOT be misread as a
+    BITMAPINFOHEADER (ADVICE r7)."""
     stride = (width + 3) & ~3
     n_frames = len(frame_pixel_fns)
 
@@ -858,7 +875,7 @@ def build_avi(
         + bytes(8)  # padding granularity + flags
         + n_frames.to_bytes(4, "little")
         + bytes(4)  # initial frames
-        + (1).to_bytes(4, "little")  # streams
+        + (2 if with_audio_stream else 1).to_bytes(4, "little")  # streams
         + (stride * height).to_bytes(4, "little")
         + width.to_bytes(4, "little")
         + height.to_bytes(4, "little")
@@ -889,11 +906,33 @@ def build_avi(
         + bytes(16)  # ppm x/y, clrUsed, clrImportant
         + palette
     )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
+    streams = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if with_audio_stream:
+        strh_a = (
+            b"auds"
+            + bytes(4)  # handler
+            + bytes(12)
+            + (1).to_bytes(4, "little")  # dwScale
+            + (8000).to_bytes(4, "little")  # dwRate
+            + bytes(4)
+            + (8000 * n_frames * us_per_frame // 1_000_000).to_bytes(
+                4, "little"
+            )  # dwLength (samples)
+            + bytes(20)
+        )
+        # WAVEFORMATEX: PCM, mono, 8 kHz, 8-bit — 18 bytes, which the
+        # pre-fix parser misread as a BITMAPINFOHEADER (size >= 18)
+        strf_a = (
+            (1).to_bytes(2, "little")  # wFormatTag = PCM
+            + (1).to_bytes(2, "little")  # nChannels
+            + (8000).to_bytes(4, "little")  # nSamplesPerSec
+            + (8000).to_bytes(4, "little")  # nAvgBytesPerSec
+            + (1).to_bytes(2, "little")  # nBlockAlign
+            + (8).to_bytes(2, "little")  # wBitsPerSample
+            + (0).to_bytes(2, "little")  # cbSize
+        )
+        streams += lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + streams)
     movi_frames = []
     for fn in frame_pixel_fns:
         logical = bytes(fn(p) for p in range(width * height))

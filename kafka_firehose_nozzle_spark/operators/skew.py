@@ -44,3 +44,33 @@ def salted_counts(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key_col).agg(F.sum("_partial").alias("n"))
+
+
+def cap_group_size(df: DataFrame, keys: list[str], max_n: int) -> DataFrame:
+    """Drop every row belonging to a group (by ``keys``) whose size
+    exceeds ``max_n`` — the shared "stop-valve" behind
+    ``lsh_candidate_pairs(max_bucket=)`` and
+    ``benchmark_decontam(max_bench_doc_freq=)``.
+
+    Semantics pinned here so the call sites cannot drift:
+
+    - group size counts ROWS (``count(1)``), including null-keyed rows —
+      a group is kept or dropped atomically, never truncated to its
+      first ``max_n`` rows (truncation would make results order- and
+      partitioning-dependent);
+    - NULL key values form their own group (Spark window partitioning
+      groups nulls together), same as the groupBy the count mirrors;
+    - comparison is ``<=``: a group of exactly ``max_n`` survives.
+
+    Plan shape: one hash shuffle on ``keys`` plus a sort-based window
+    count — the same shuffle the downstream bucket join / broadcast
+    probe needs anyway, so the valve adds no extra exchange in practice.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_group_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_group_n") <= max_n)
+        .drop("_group_n")
+    )

@@ -489,14 +489,9 @@ def benchmark_decontam(
     t = hashed(train, "train_id")
     b = hashed(bench, "bench_id")
     if max_bench_doc_freq is not None:
-        from pyspark.sql import Window
+        from kafka_firehose_nozzle_spark.operators.skew import cap_group_size
 
-        w = Window.partitionBy("gh")
-        b = (
-            b.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_bench_doc_freq)
-            .drop("_df")
-        )
+        b = cap_group_size(b, ["gh"], max_bench_doc_freq)
     return (
         t.join(F.broadcast(b), "gh")
         .groupBy("train_id")

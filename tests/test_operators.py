@@ -2172,6 +2172,31 @@ def test_avi_build_parse_roundtrip_and_quarantine():
     assert parse_avi(avi.replace(b"\x08\x00\x00\x00\x00\x00", b"\x08\x00MJPG", 1)) is None
 
 
+def test_avi_audio_stream_strf_not_misread():
+    """A video-plus-audio AVI (second strl: strh 'auds' + 18-byte
+    WAVEFORMATEX strf) must parse with the VIDEO stream's dimensions —
+    the pre-fix parser let every strf overwrite w/h/bitcount, so the
+    audio format bytes clobbered the video header and the file
+    quarantined or misparsed (ADVICE r7)."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        build_avi,
+        parse_avi,
+    )
+
+    w, h, uspf = 17, 11, 250_000
+    fns = [(lambda f: lambda p: (f * 97 + p * 7) % 256)(f) for f in range(3)]
+    av = build_avi(w, h, uspf, fns, with_audio_stream=True)
+    got = parse_avi(av)
+    assert got is not None
+    g_uspf, g_w, g_h, frames = got
+    assert (g_uspf, g_w, g_h, len(frames)) == (uspf, w, h, 3)
+    for f, fr in enumerate(frames):
+        assert fr == bytes((f * 97 + p * 7) % 256 for p in range(w * h))
+    # audio-only strls (no vids strh anywhere) still quarantine
+    video_only = build_avi(w, h, uspf, fns)
+    assert parse_avi(video_only.replace(b"vids", b"auds", 1)) is None
+
+
 def test_sample_frames_grid_and_hashes(spark):
     """sample_frames end-to-end on a tiny frame: every k-th frame at
     k = 1s // frame-interval, t_ms exact, pixel_hash = sum (p+1)*pixel
@@ -2302,8 +2327,10 @@ def test_benchmark_decontam_stop_gram_cap(spark):
 def test_asof_join_jvm_matches_pandas_reference(spark):
     """The JVM-native window as-of (default) must agree row-for-row with
     the cogrouped pd.merge_asof reference on adversarial data: duplicate
-    timestamps on both sides (tie rules!), keys missing from either
-    side, all three directions, with and without tolerance."""
+    timestamps on both sides (tie rules!), NULL value columns at tied
+    timestamps (null-first vs NaN-last ordering, ADVICE r7), keys
+    missing from either side, all three directions, with and without
+    tolerance."""
     import random
 
     from kafka_firehose_nozzle_spark.operators.asof import (
@@ -2319,7 +2346,10 @@ def test_asof_join_jvm_matches_pandas_reference(spark):
     ]
     right_rows = [
         (rng.randint(0, 11), _ts_of(base + rng.randint(0, 50) * 60),
-         rng.randint(0, 5))  # small px range forces value ties too
+         # small px range forces value ties; None rows land on tied
+         # timestamps too, pinning the null tie-break between Spark's
+         # null-first struct order and pandas' na_position
+         None if rng.random() < 0.3 else rng.randint(0, 5))
         for _ in range(150)
     ]
     left = spark.createDataFrame(left_rows, "ev long, key long, ts timestamp")
@@ -2339,6 +2369,36 @@ def test_asof_join_jvm_matches_pandas_reference(spark):
                 for r in asof_join_pandas(left, right, **kw).collect()
             }
             assert got == want, (direction, tol)
+
+
+def test_asof_join_rejects_fractional_on_and_tolerance(spark):
+    """Fractional `on` dtypes and non-integral numeric tolerances must
+    raise instead of silently truncating (cast-to-long would make the
+    JVM path diverge from the exact-valued pandas reference, ADVICE
+    r7); integral `on` with integral tolerance still works."""
+    import pytest
+
+    from kafka_firehose_nozzle_spark.operators.asof import asof_join
+
+    left_d = spark.createDataFrame(
+        [(1, 1, 2.5)], "ev long, key long, t double"
+    )
+    right_d = spark.createDataFrame([(1, 2.0, 9)], "key long, t double, px long")
+    with pytest.raises(TypeError, match="fixed-point"):
+        asof_join(left_d, right_d, on="t", by="key", right_value_cols=["px"])
+
+    left_i = spark.createDataFrame([(1, 1, 25)], "ev long, key long, t long")
+    right_i = spark.createDataFrame([(1, 20, 9)], "key long, t long, px long")
+    with pytest.raises(ValueError, match="integral"):
+        asof_join(
+            left_i, right_i, on="t", by="key",
+            right_value_cols=["px"], tolerance=4.5,
+        )
+    ok = asof_join(
+        left_i, right_i, on="t", by="key",
+        right_value_cols=["px"], tolerance=5,
+    ).collect()
+    assert [(r["ev"], r["px"]) for r in ok] == [(1, 9)]
 
 
 def _ts_of(epoch_sec: int):
