@@ -55,9 +55,34 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with one view per table, normalized to the
+    driver-testdata schema the oracle SQL is written against.
+
+    The driver's parquet surfaces ts/l_shipdate/o_orderdate as
+    TIMESTAMP in DuckDB; dirs produced by tools/make_scaled_sf.py store
+    them as BIGINT epoch-nanos.  The Spark side already normalizes via
+    catalog.read_table (timestamp_micros(c div 1000)); this applies the
+    IDENTICAL derivation DuckDB-side so the same oracle SQL runs
+    against both layouts (the r8 sf1 sweep tripped over this on
+    sliding_window_rates/scd2_user_history/changelog_compact)."""
+    from kafka_firehose_nozzle_spark.catalog import _TS_COLS
+
     con = duckdb.connect()
     for t in entrymod.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        replaces = []
+        for c in _TS_COLS.get(t, []):
+            row = con.execute(
+                f"SELECT typeof({c}) FROM '{src}' LIMIT 1"
+            ).fetchone()
+            if row and row[0] == "BIGINT":
+                replaces.append(f"make_timestamp({c} // 1000) AS {c}")
+        sel = (
+            f"SELECT * REPLACE ({', '.join(replaces)})"
+            if replaces
+            else "SELECT *"
+        )
+        con.execute(f"CREATE VIEW {t} AS {sel} FROM '{src}'")
     return con
 
 
