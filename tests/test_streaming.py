@@ -2,7 +2,9 @@
 memory sink, with listener-accumulated stats (SURVEY.md §5 port, item e)."""
 
 import tempfile
+import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_firehose_nozzle_spark.config import Config, KafkaConfig, TopicConfig
@@ -719,3 +721,178 @@ def test_incremental_lsh_crash_after_store_write_idempotent(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out2")).collect()
     }
     assert got == want
+
+
+@pytest.mark.slow
+def test_soak_100_microbatches_flat_latency_bounded_state(spark, tmp_path):
+    """Steady-state soak of the assembled pipeline (VERDICT r7 item 4):
+    file-replay source -> dedup_envelopes (stateful, 2-minute watermark)
+    -> routing -> memory sink, 100 micro-batches at a fixed 80 rows each
+    (64 unique + 16 exact duplicates), event time advancing 60 s per
+    batch. Chaos tests prove crash semantics; this proves sustained
+    health — the reference is a continuous pipeline (cli.go:336-349):
+
+    (a) per-batch latency is FLAT: the median over the last third of
+        batches is no worse than 2x the median over the first third
+        (plus a 1 s absolute floor for scheduler jitter on a shared CI
+        host) — a state or listener leak shows up as a monotone trend
+        that blows through that bar over 100 batches;
+    (b) state store size is BOUNDED: watermark eviction actually evicts
+        (numRowsRemoved > 0) and peak state rows stay within the
+        watermark horizon (~3 batches of keys + in-flight), nowhere
+        near the 6400 cumulative unique keys;
+    (c) stats counters match the sequential model: the same composition
+        run in batch mode over the same files yields the same consume /
+        forwarded / ignored / publish totals, and the memory sink holds
+        exactly the forwarded rows.
+    """
+    import glob as _glob
+    import os as _os
+
+    from kafka_firehose_nozzle_spark import schemas
+    from kafka_firehose_nozzle_spark.fixtures import TEST_TS
+    from kafka_firehose_nozzle_spark.pipeline import route_envelopes_config
+    from kafka_firehose_nozzle_spark.streaming.stateful import dedup_envelopes
+
+    n_batches, uniq_per_batch, dup_per_batch = 100, 64, 16
+    rows_per_batch = uniq_per_batch + dup_per_batch
+    n_unique = n_batches * uniq_per_batch
+
+    # --- fixture: one parquet file per micro-batch, mtime-ordered ---
+    base = synthetic_envelope_df(spark, n_unique)
+    # synthetic timestamps are TEST_TS + id*1000 (fixtures.py); recover
+    # the row id, then re-stamp event time to advance 60 s per batch so
+    # the 2-minute watermark horizon spans ~3 batches of keys
+    rid = ((F.col("timestamp") - F.lit(TEST_TS)) / 1000).cast("long")
+    base = base.withColumn("_id", rid).withColumn(
+        "_batch", (F.col("_id") / uniq_per_batch).cast("long")
+    )
+    base = base.withColumn(
+        "timestamp",
+        F.lit(TEST_TS)
+        + F.col("_batch") * F.lit(60_000_000_000)
+        + (F.col("_id") % uniq_per_batch) * F.lit(1000),
+    )
+    dups = base.filter(F.col("_id") % 4 == 0)  # exact copies, same batch
+    ordered = (
+        base.withColumn("_dup", F.lit(0))
+        .unionByName(dups.withColumn("_dup", F.lit(1)))
+        .orderBy("_batch", "_id", "_dup")
+    )
+    staged = str(tmp_path / "soak_staged")
+    # partitionBy writes one dir per batch (and drops _batch from the
+    # data files, leaving exactly ENVELOPE_SCHEMA); coalesce(1) makes a
+    # single part file per dir
+    ordered.drop("_id", "_dup").coalesce(1).write.partitionBy(
+        "_batch"
+    ).parquet(staged)
+    src = tmp_path / "soak_src"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i in range(n_batches):
+        parts = _glob.glob(f"{staged}/_batch={i}/part-*.parquet")
+        assert len(parts) == 1, parts
+        p = str(src / f"b{i:04d}.parquet")
+        _os.rename(parts[0], p)
+        _os.utime(p, (t0 + i, t0 + i))  # FileStreamSource orders by mtime
+
+    # --- progress capture (all 100 batches; recentProgress caps at 100) ---
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progress: list[dict] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            import json as _json
+
+            progress.append(_json.loads(event.progress.json))
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+    cap = _Capture()
+    spark.streams.addListener(cap)
+
+    stream = (
+        spark.readStream.schema(schemas.ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    handle = start_pipeline(
+        spark,
+        stream,
+        _config(),
+        checkpoint=str(tmp_path / "ckpt"),
+        sink="memory",
+        memory_sink_name="soak_out",
+        transform=lambda df: dedup_envelopes(df, within="2 minutes"),
+    )
+    try:
+        qid = handle.query.id
+        deadline = time.monotonic() + 600
+        total_rows = n_batches * rows_per_batch
+
+        def _mine() -> list[dict]:
+            return [
+                p
+                for p in list(progress)
+                if p.get("id") == str(qid)
+                and sum(
+                    s.get("numInputRows", 0) for s in p.get("sources", [])
+                )
+                > 0
+            ]
+
+        while time.monotonic() < deadline:
+            if sum(
+                s["numInputRows"] for p in _mine() for s in p["sources"]
+            ) >= total_rows:
+                break
+            time.sleep(0.25)
+        handle.wait_for_stats(n_unique, timeout=60)
+    finally:
+        handle.stop()
+        spark.streams.removeListener(cap)
+
+    data_batches = _mine()
+    assert len(data_batches) == n_batches, len(data_batches)
+
+    # (a) flat latency: robust median comparison, first vs last third
+    def _median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    durs = [p["durationMs"]["triggerExecution"] for p in data_batches]
+    first, last = _median(durs[5:33]), _median(durs[67:])
+    assert last <= max(2.0 * first, first + 1000.0), (first, last, durs)
+
+    # (b) bounded state: eviction happened, peak stays in the horizon
+    state = [p["stateOperators"][0] for p in data_batches]
+    removed = sum(s.get("numRowsRemoved", 0) for s in state)
+    assert removed > 0, "watermark eviction never evicted"
+    peak = max(s["numRowsTotal"] for s in state)
+    assert peak <= 6 * uniq_per_batch, peak  # horizon ~3 batches + slack
+    assert peak < n_unique  # nowhere near unbounded accumulation
+    tail_peak = max(s["numRowsTotal"] for s in state[67:])
+    assert tail_peak <= 6 * uniq_per_batch, tail_peak
+
+    # (c) counters == sequential model over the same files
+    batch_df = spark.read.schema(schemas.ENVELOPE_SCHEMA).parquet(str(src))
+    deduped = dedup_envelopes(batch_df)
+    expected_consume = deduped.count()
+    expected_forwarded = route_envelopes_config(deduped, _config()).count()
+    assert expected_consume == n_unique
+    st = handle.stats
+    assert st.get("consume") == expected_consume
+    assert st.get("forwarded") == expected_forwarded
+    assert st.get("ignored") == expected_consume - expected_forwarded
+    assert st.get("publish") == expected_forwarded
+    assert (
+        spark.table("soak_out").count() == expected_forwarded
+    )
