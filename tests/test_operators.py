@@ -2324,6 +2324,29 @@ def test_benchmark_decontam_stop_gram_cap(spark):
     } == full
 
 
+def test_cap_group_size_semantics(spark):
+    """The shared stop-valve helper's pinned semantics (skew.py): groups
+    are kept or dropped ATOMICALLY (never truncated), the comparison is
+    <= (a group of exactly max_n survives), and NULL key values form
+    their own group like the groupBy they mirror."""
+    from kafka_firehose_nozzle_spark.operators.skew import cap_group_size
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 2), ("a", 2, 3),  # (a,1) size 2; (a,2) size 1
+         ("b", 1, 4), ("b", 1, 5), ("b", 1, 6),  # (b,1) size 3
+         (None, 1, 7), (None, 1, 8)],            # (null,1) size 2
+        "k string, j int, v int",
+    )
+    keep2 = {r["v"] for r in cap_group_size(df, ["k", "j"], 2).collect()}
+    assert keep2 == {1, 2, 3, 7, 8}  # boundary <=: size-2 groups survive
+    keep1 = {r["v"] for r in cap_group_size(df, ["k", "j"], 1).collect()}
+    assert keep1 == {3}  # atomic: no group is truncated down to 1 row
+    assert cap_group_size(df, ["k", "j"], 3).count() == 8  # generous no-op
+    # null keys are ONE group of size 2, not two singleton groups
+    assert {r["v"] for r in cap_group_size(df, ["k", "j"], 1).collect()
+            if r["k"] is None} == set()
+
+
 def test_asof_join_jvm_matches_pandas_reference(spark):
     """The JVM-native window as-of (default) must agree row-for-row with
     the cogrouped pd.merge_asof reference on adversarial data: duplicate

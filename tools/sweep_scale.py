@@ -7,15 +7,27 @@ Spark (ansi.enabled=true, so silent wraps become errors) vs the DuckDB
 oracle — at an arbitrary sf dir with the same strict comparator the
 driver uses (tools/compare_oracle.canon: dtype-exact, value-exact).
 
-Usage: python tools/sweep_scale.py SF_DIR [query ...]
+Usage: python tools/sweep_scale.py SF_DIR [--progress FILE] [query ...]
 
 Prints one progress line per query and a final JSON summary; exit 1 on
 any failure. Results land in SCALE.md by hand.
+
+``--progress FILE`` appends one JSON line per completed query and, on
+restart, SKIPS names already recorded as pass — the first sf1 attempt
+died 39 queries in when a concurrent job filled the disk, and a sweep
+that re-runs five hours of passed queries after a crash is a sweep
+that never finishes.  Disk hygiene for the same reason: a single
+SparkSession accumulates shuffle files across 350 queries (36 GB by
+query 39 at sf1), so after each query we clear the cache and nudge the
+JVM GC — Spark's ContextCleaner only deletes shuffle dirs once their
+RDDs are collected — and report the temp volume's free space.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
 import time
 
@@ -27,25 +39,57 @@ from tools.compare_oracle import compare_query, oracle_connection
 from kafka_firehose_nozzle_spark.session import get_spark
 
 
+def _load_done(path: str) -> dict[str, str | None]:
+    """{name: err-or-None} from a previous run's progress file."""
+    done: dict[str, str | None] = {}
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    done[rec["name"]] = rec["err"]
+    return done
+
+
 def main() -> int:
-    sf_dir = sys.argv[1]
-    only = set(sys.argv[2:]) or None
+    argv = list(sys.argv[1:])
+    progress = None
+    if "--progress" in argv:
+        i = argv.index("--progress")
+        progress = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0]
+    only = set(argv[1:]) or None
+    done = _load_done(progress) if progress else {}
     spark = get_spark(
         "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
     )
     con = oracle_connection(sf_dir)
     names = [n for n in entrymod.queries() if not only or n in only]
-    failures: dict[str, str] = {}
+    failures: dict[str, str] = {n: e for n, e in done.items() if e}
     t0 = time.time()
     for i, name in enumerate(names, 1):
+        if name in done and done[name] is None:
+            continue  # passed in a previous attempt
         t = time.time()
         err = compare_query(spark, con, sf_dir, name)
         dt = time.time() - t
+        # Release this query's shuffle/checkpoint files before the next
+        # one: drop cached plans, then ask the JVM to GC so the
+        # ContextCleaner actually unlinks the dirs.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        free_gb = shutil.disk_usage("/tmp").free / 2**30
         print(
             f"[{i}/{len(names)}] {name} {dt:.1f}s "
-            + ("PASS" if err is None else f"FAIL {err}"),
+            + ("PASS" if err is None else f"FAIL {err}")
+            + f" (disk_free={free_gb:.0f}G)",
             flush=True,
         )
+        if progress:
+            with open(progress, "a") as f:
+                f.write(json.dumps({"name": name, "sec": round(dt, 1), "err": err}) + "\n")
         if err is not None:
             failures[name] = err
     print(
