@@ -4578,25 +4578,35 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TRIANGLES = """
-    WITH pairs AS (SELECT DISTINCT o.o_custkey AS g, l.l_suppkey AS s
-                   FROM orders o JOIN lineitem l
-                     ON l.l_orderkey = o.o_orderkey),
-    edges AS (SELECT a.s AS a, b.s AS b
-              FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
-              GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-    deg AS (SELECT v, COUNT(*) AS d FROM (
-                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) t
-            GROUP BY v),
-    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
-                      THEN e.a ELSE e.b END AS u,
-                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
-                      THEN e.b ELSE e.a END AS w
-          FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS g, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS MATERIALIZED (
+        SELECT a.s AS a, b.s AS b
+        FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    deg AS MATERIALIZED (
+        SELECT v, COUNT(*) AS d FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) t
+        GROUP BY v),
+    o AS MATERIALIZED (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS w
+        FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
     tri AS (SELECT COUNT(*) AS n_triangles
             FROM o e1 JOIN o e2 ON e1.w = e2.u
                  JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w)
     SELECT (SELECT COUNT(*) FROM edges) AS n_edges, n_triangles FROM tri
 """
+# MATERIALIZED, deliberately (sf1 post-mortem): inlined CTEs made DuckDB
+# recompute the pairs->edges->deg pipeline FOUR times and mis-estimate
+# the wedge join at 96 rows (compressed-projection stats), so it hash-
+# BUILT on the 1.7 B-row wedge stream — 78 GB of temp, disk-full crash.
+# Materialized, every build side is a real <= 5 M-row table and the
+# wedge stream is pure probe traffic: 313 s, zero temp, at sf1's
+# 1,661,670,000 triangles (10 replicas x C(1000,3) — exact).
 
 
 def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

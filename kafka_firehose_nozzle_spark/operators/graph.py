@@ -154,9 +154,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     edge x edge operation) from exploding on high-degree hubs; the
     orientation-by-id shortcut would put a hub's full neighborhood on
     one side.  Plan: degrees (one agg), orient (broadcast-join degrees
-    twice), wedges = oriented |x| oriented on the middle vertex, close
-    = wedges semi-joined against oriented edges.  Returns one row
-    [n_triangles]."""
+    twice), wedges = oriented |x| oriented on the middle vertex,
+    AGGREGATED to (endpoint-pair, middle-count) in the same stage, then
+    one small join against oriented edges sums the counts.  Returns one
+    row [n_triangles].
+
+    Aggregate-before-close, deliberately: a triangle (u,y,z) is one
+    wedge endpoint-pair (u,z) with >= 1 middle, so
+    n_triangles = sum over oriented edges (u,z) of wedge_count(u,z).
+    The wedge STREAM (sum of C(out_deg, 2), 1.7 B rows on the sf1
+    complete-graph fixture) is consumed by a partial hash aggregation
+    inside the join stage and never shuffled; only the distinct
+    endpoint-pair table (bounded by the pair space, 5 M rows there)
+    crosses the wire.  The earlier semi-join shape shuffled the full
+    wedge stream to close it — 50 GB of spill at sf1, and the DuckDB
+    oracle died the same way (hash-building the wedge side)."""
     deg = (
         edges.select(F.col("a").alias("v"))
         .union(edges.select(F.col("b").alias("v")))
@@ -181,21 +193,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .select(F.col("o.u").alias("u"), F.col("o.w").alias("w"))
         .localCheckpoint()
     )
-    wedges = (
+    wedge_counts = (
         e.alias("E1")
         .join(e.alias("E2"), F.col("E1.w") == F.col("E2.u"))
-        .select(
+        .groupBy(
             F.col("E1.u").alias("x"),
-            F.col("E1.w").alias("y"),
             F.col("E2.w").alias("z"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    closed = wedges.join(
+    closed = wedge_counts.join(
         e.alias("E3"),
         (F.col("x") == F.col("E3.u")) & (F.col("z") == F.col("E3.w")),
-        "left_semi",
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return closed.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_triangles")
+    )
 
 
 def hits_int(
