@@ -7,7 +7,8 @@ Spark (ansi.enabled=true, so silent wraps become errors) vs the DuckDB
 oracle — at an arbitrary sf dir with the same strict comparator the
 driver uses (tools/compare_oracle.canon: dtype-exact, value-exact).
 
-Usage: python tools/sweep_scale.py SF_DIR [--progress FILE] [query ...]
+Usage: python tools/sweep_scale.py SF_DIR [--progress FILE]
+           [--timeout SEC] [query ...]
 
 Prints one progress line per query and a final JSON summary; exit 1 on
 any failure. Results land in SCALE.md by hand.
@@ -52,12 +53,49 @@ def _load_done(path: str) -> dict[str, str | None]:
     return done
 
 
+def _timed_compare(spark, con, sf_dir, name, timeout_sec):
+    """compare_query under a SIGALRM deadline: one pathological query
+    must not wedge a 350-query sweep.  On expiry the Spark jobs are
+    cancelled and the DuckDB query interrupted; the query is recorded
+    as a TIMEOUT failure for later triage."""
+    import signal
+
+    if not timeout_sec:
+        return compare_query(spark, con, sf_dir, name)
+
+    def on_alarm(signum, frame):
+        raise TimeoutError(f"TIMEOUT>{timeout_sec}s")
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(timeout_sec)
+    try:
+        return compare_query(spark, con, sf_dir, name)
+    except TimeoutError as e:
+        try:
+            spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+        return str(e)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     progress = None
+    timeout_sec = 0
     if "--progress" in argv:
         i = argv.index("--progress")
         progress = argv[i + 1]
+        del argv[i : i + 2]
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        timeout_sec = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0]
     only = set(argv[1:]) or None
@@ -73,7 +111,7 @@ def main() -> int:
         if name in done and done[name] is None:
             continue  # passed in a previous attempt
         t = time.time()
-        err = compare_query(spark, con, sf_dir, name)
+        err = _timed_compare(spark, con, sf_dir, name, timeout_sec)
         dt = time.time() - t
         # Release this query's shuffle/checkpoint files before the next
         # one: drop cached plans, then ask the JVM to GC so the
