@@ -2324,6 +2324,42 @@ def test_benchmark_decontam_stop_gram_cap(spark):
     } == full
 
 
+def test_lsh_cap_recall_tradeoff(spark):
+    """The operating tradeoff OPERATING.md documents, pinned on a
+    planted corpus: a boilerplate CLIQUE (identical docs -> one giant
+    bucket) and isolated near-dup PAIRS (buckets of 2).  A cap below
+    the clique size removes exactly the clique's pairs (their recall
+    goes to 0) while every isolated pair survives (recall stays 1) —
+    the cap trades boilerplate-clique volume, never ordinary-pair
+    recall."""
+    from kafka_firehose_nozzle_spark.operators import dedup as D
+
+    boiler = "identical boilerplate header text repeated across the fleet"
+    clique = [(i, boiler) for i in range(20)]
+    # isolated pairs: unique text per pair, shared between 2 docs only
+    pairs = []
+    for p in range(5):
+        t = f"unique document number {p} about topic {p * 7} with tail {p}"
+        pairs += [(100 + 2 * p, t), (101 + 2 * p, t)]
+    docs = spark.createDataFrame(clique + pairs, "doc_id long, text string")
+    planted = {(100 + 2 * p, 101 + 2 * p) for p in range(5)}
+
+    def got(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in D.lsh_candidate_pairs(docs, max_bucket=cap).collect()
+        }
+
+    uncapped = got(None)
+    assert planted <= uncapped  # identical-text pairs always co-bucket
+    clique_pairs = {p for p in uncapped if p[0] < 100 and p[1] < 100}
+    assert len(clique_pairs) == 20 * 19 // 2  # the clique is all-pairs
+    capped = got(10)  # below the 20-doc clique, above the pair buckets
+    assert capped & clique_pairs == set()  # clique volume: gone
+    assert planted <= capped  # isolated-pair recall: untouched
+    assert capped == uncapped - clique_pairs  # and nothing else changed
+
+
 def test_cap_group_size_semantics(spark):
     """The shared stop-valve helper's pinned semantics (skew.py): groups
     are kept or dropped ATOMICALLY (never truncated), the comparison is
