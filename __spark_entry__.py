@@ -4620,29 +4620,38 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PREFIX_JACCARD = f"""
-    WITH norm AS (SELECT doc_id,
-                      lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
-                          AS s
-                  FROM documents),
-    toks AS (SELECT doc_id,
-                 CAST(('0x' || substr(md5(tok0), 1, 15)) AS BIGINT) AS tok
-             FROM (SELECT doc_id, unnest(
+    WITH grp AS MATERIALIZED (
+        SELECT md5(text) AS tk, MIN(doc_id) AS rep
+        FROM documents GROUP BY md5(text)),
+    mem AS MATERIALIZED (
+        SELECT g.rep, d.doc_id AS m
+        FROM documents d JOIN grp g ON md5(d.text) = g.tk),
+    norm AS MATERIALIZED (
+        SELECT g.rep AS doc_id,
+               lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS s
+        FROM grp g JOIN documents d ON d.doc_id = g.rep),
+    toks AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok0), 1, 15)) AS BIGINT) AS tok
+        FROM (SELECT doc_id, unnest(
                  CASE WHEN length(s) >= 5
                       THEN list_distinct(list_transform(
                                range(length(s) - 4),
                                i -> substr(s, i + 1, 5)))
                       ELSE [''] END) AS tok0
-             FROM norm) t0),
-    dfc AS (SELECT tok, COUNT(*) AS df_ FROM toks GROUP BY tok),
-    o2 AS (SELECT doc_id, ts, len(ts) AS n FROM (
-               SELECT doc_id, list(tok ORDER BY df_, tok) AS ts
-               FROM toks JOIN dfc USING (tok) GROUP BY doc_id) t),
+              FROM norm) t0),
+    dfc AS MATERIALIZED (SELECT tok, COUNT(*) AS df_ FROM toks GROUP BY tok),
+    o2 AS MATERIALIZED (
+        SELECT doc_id, ts, len(ts) AS n FROM (
+            SELECT doc_id, list(tok ORDER BY df_, tok) AS ts
+            FROM toks JOIN dfc USING (tok) GROUP BY doc_id) t),
     pre0 AS (SELECT doc_id, n,
                  unnest(list_transform(
                      range(n - ((60 * n + 99) // 100) + 1),
                      i -> {{'pos': i + 1, 'tok': ts[i + 1]}})) AS s
              FROM o2),
-    pre AS (SELECT doc_id, n, s.pos AS pos, s.tok AS tok FROM pre0),
+    pre AS MATERIALIZED (
+        SELECT doc_id, n, s.pos AS pos, s.tok AS tok FROM pre0),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM pre a JOIN pre b
                ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -4653,10 +4662,23 @@ ORACLE_PREFIX_JACCARD = f"""
               len(list_intersect(x.ts, y.ts)) AS i,
               x.n + y.n - len(list_intersect(x.ts, y.ts)) AS u
           FROM cand JOIN o2 x ON cand.id_a = x.doc_id
-               JOIN o2 y ON cand.id_b = y.doc_id)
-    SELECT id_a, id_b, CAST((i * 1000000) // u AS BIGINT) AS jac_ppm
-    FROM v WHERE i * 100 >= u * 60
+               JOIN o2 y ON cand.id_b = y.doc_id),
+    rep_pairs AS MATERIALIZED (
+        SELECT id_a, id_b, CAST((i * 1000000) // u AS BIGINT) AS jac_ppm
+        FROM v WHERE i * 100 >= u * 60)
+    SELECT LEAST(xa.m, xb.m) AS id_a, GREATEST(xa.m, xb.m) AS id_b, jac_ppm
+    FROM rep_pairs JOIN mem xa ON xa.rep = rep_pairs.id_a
+         JOIN mem xb ON xb.rep = rep_pairs.id_b
+    UNION ALL
+    SELECT a.m AS id_a, b.m AS id_b, CAST(1000000 AS BIGINT) AS jac_ppm
+    FROM mem a JOIN mem b ON a.rep = b.rep AND a.m < b.m
 """
+# Exact-duplicate collapse + MATERIALIZED CTEs, mirroring the operator
+# (operators/dedup.py::prefix_jaccard_pairs): the pairwise prefix
+# machinery runs on one representative per distinct text, identical-
+# text pairs are jaccard 1 by definition, cross-group pairs inherit
+# their representatives' jaccard.  Same exact output — verification is
+# exact, so the qualifying pair SET is implementation-independent.
 
 
 # --------------------------------------------------------------------------

@@ -1029,6 +1029,7 @@ def prefix_jaccard_pairs(
     id_col: str = "doc_id",
     threshold_pct: int = 60,
     unit: str = "char5",
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering (the PPJoin
     family) — the deterministic counterpart to MinHash-LSH: no false
@@ -1059,10 +1060,26 @@ def prefix_jaccard_pairs(
       candidate set, hence still zero false negatives (and the exact
       verification removes false positives).
 
-    Scale shape: one df-count agg (token-cardinality shuffle), one
-    sort-per-doc, candidate equi-join on (rare) prefix tokens with the
-    filters above, exact verification only on candidates.  Returns
-    [id_a, id_b, jac_ppm] with jac_ppm = (inter * 10^6) div union.
+    EXACT-DUPLICATE COLLAPSE (always on): docs are first grouped by
+    md5(text); the pairwise machinery runs only on one representative
+    (min id) per distinct text, and the result is expanded
+    arithmetically — identical-text pairs are Jaccard 1 by definition
+    (every pair inside a group qualifies at any threshold, jac_ppm =
+    10^6), and a cross-group pair (a, b) has exactly its
+    representatives' jaccard.  Real corpora carry 20-50%% exact
+    duplicates, and replicated/boilerplate corpora are far worse: at
+    sf1 the collapse shrinks the corpus 10x and the SATURATED-VOCABULARY
+    candidate join 100x — the uncollapsed run spilled 49 GB and was
+    still going at 20 minutes; collapsed it completes in seconds.
+    Cost when there are no duplicates: one (md5, id) aggregation and
+    one id-keyed semi-join pass — noise next to the candidate join.
+
+    Scale shape: one text-hash collapse, one df-count agg
+    (token-cardinality shuffle), one sort-per-doc, candidate equi-join
+    on (rare) prefix tokens with the filters above, exact verification
+    only on representative candidates, two small expansion joins.
+    Returns [id_a, id_b, jac_ppm] with jac_ppm = (inter * 10^6) div
+    union.
     """
     from kafka_firehose_nozzle_spark.operators.text import normalize_text, tokens
 
@@ -1072,6 +1089,17 @@ def prefix_jaccard_pairs(
         elems = F.array_distinct(tokens(normalize_text(F.col(text_col))))
     else:
         raise ValueError(f"unknown unit {unit!r} (want 'charK' or 'token')")
+    # ---- exact-dup collapse: one representative doc per distinct text
+    groups = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_tk"))
+        .agg(F.min(id_col).alias("rep"))
+    )
+    mem = df.select(
+        F.md5(F.col(text_col)).alias("_tk"), F.col(id_col).alias("m")
+    ).join(groups, "_tk").select("rep", "m")
+    df = df.join(
+        groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
+    )
     # set elements become 60-bit md5 hashes immediately: the exact
     # verification intersects ~|set|-element arrays once per candidate
     # pair, and long-array intersects are several times cheaper than
@@ -1109,6 +1137,38 @@ def prefix_jaccard_pairs(
         "n",
         F.posexplode(F.slice(F.col("ts"), 1, plen)).alias("p0", "tok"),
     ).select("doc_id", "n", (F.col("p0") + 1).alias("pos"), "tok")
+    if candidate_budget is not None:
+        # Saturated-vocabulary guardrail (opt-in): the candidate join
+        # emits sum over prefix tokens of C(bucket, 2) rows before any
+        # per-pair filter can apply.  On a low-entropy corpus that sum
+        # is near-all-pairs regardless of the true match count (the
+        # sf1 fixture: 1.6e9 candidate slots for ~250k true pairs —
+        # 90 GB of shuffle before dying), and NO exact prefix-family
+        # algorithm avoids it: every doc genuinely shares prefix grams
+        # with every other.  A 100 TB job should refuse with a
+        # diagnosis in seconds, not grind a cluster for hours first —
+        # the cost here is one aggregation over the prefix index.
+        est = (
+            prefixes.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.expr("c * (c - 1) div 2")).alias("slots"),
+                F.count(F.lit(1)).alias("vocab"),
+            )
+            .head()
+        )
+        slots = est["slots"] or 0
+        if slots > candidate_budget:
+            raise ValueError(
+                f"prefix_jaccard_pairs: saturated vocabulary — the "
+                f"prefix index ({est['vocab']} distinct tokens) implies "
+                f"{slots:,} candidate slots (> budget "
+                f"{candidate_budget:,}). Exact all-pairs similarity is "
+                f"near-quadratic on low-entropy corpora (see SCALE.md); "
+                f"use the MinHash-LSH path (lsh_candidate_pairs -> "
+                f"jaccard_verify_pairs) and accept its false-negative "
+                f"rate, or raise candidate_budget deliberately."
+            )
     na, nb = F.col("A.n"), F.col("B.n")
     alpha = F.expr(f"({t} * (A.n + B.n) + {100 + t} - 1) div {100 + t}")
     cand = (
@@ -1142,7 +1202,7 @@ def prefix_jaccard_pairs(
     # sf10), and AQE's size estimate for them tempted a broadcast that
     # OOM'd the driver build in the r7 sf10 audit. Broadcasting a side
     # that grows with the corpus is never right; SMJ spills safely.
-    return (
+    rep_pairs = (
         cand.join(a.hint("merge"), "id_a")
         .join(b.hint("merge"), "id_b")
         .withColumn("_i", inter)
@@ -1154,6 +1214,41 @@ def prefix_jaccard_pairs(
             F.expr("(_i * 1000000L) div _u").alias("jac_ppm"),
         )
     )
+    # ---- expand back across the identical-text groups.  A cross pair
+    # inherits its representatives' jaccard (identical sets); members
+    # interleave arbitrarily, so re-order with least/greatest.  An
+    # intra-group pair is jaccard 1 by definition (token sets are never
+    # empty: short/empty texts contribute a single sentinel gram).  The
+    # two legs are disjoint (different groups vs same group), so a
+    # plain union needs no dedup.
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col("m").alias("ma")),
+            "id_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col("m").alias("mb")),
+            "id_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jac_ppm",
+        )
+    )
+    intra = (
+        mem.alias("X")
+        .join(
+            mem.alias("Y"),
+            (F.col("X.rep") == F.col("Y.rep")) & (F.col("X.m") < F.col("Y.m")),
+        )
+        .select(
+            F.col("X.m").alias("id_a"),
+            F.col("Y.m").alias("id_b"),
+            F.lit(1_000_000).cast("long").alias("jac_ppm"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def windowed_span_hashes(

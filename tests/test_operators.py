@@ -1011,8 +1011,18 @@ def test_triangle_count_known_graphs(spark):
 def test_prefix_jaccard_matches_brute_force(spark):
     """The prefix filter's no-false-negative guarantee, verified: on
     the sf0.001 corpus the PPJoin-style operator must return EXACTLY
-    the pairs a brute-force all-pairs exact-Jaccard join returns."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    the pairs a brute-force all-pairs exact-Jaccard join returns.
+    The corpus is augmented with exact-duplicate copies (doc_id +
+    100000) so the exact-dup collapse's intra-group (jaccard-1) and
+    cross-group expansion paths are both exercised against brute
+    force."""
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            *[c for c in base.columns if c != "doc_id"],
+        )
+    )
     got = {
         (r["id_a"], r["id_b"], r["jac_ppm"])
         for r in D.prefix_jaccard_pairs(docs, "text", "doc_id", 60).collect()
@@ -2322,6 +2332,19 @@ def test_benchmark_decontam_stop_gram_cap(spark):
             train, bench, n=8, max_bench_doc_freq=10**6
         ).collect()
     } == full
+
+
+def test_prefix_jaccard_candidate_budget(spark):
+    """The saturated-vocabulary guardrail: a generous budget is a
+    no-op; a tiny budget refuses FAST with a diagnosis naming the LSH
+    alternative, instead of grinding a near-quadratic candidate join."""
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ok = D.prefix_jaccard_pairs(docs, candidate_budget=10**12).count()
+    assert ok == D.prefix_jaccard_pairs(docs).count()  # budget is a no-op
+    with pytest.raises(ValueError, match="saturated vocabulary"):
+        D.prefix_jaccard_pairs(docs, candidate_budget=10)
 
 
 def test_lsh_cap_recall_tradeoff(spark):

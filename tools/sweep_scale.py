@@ -100,16 +100,23 @@ def main() -> int:
     sf_dir = argv[0]
     only = set(argv[1:]) or None
     done = _load_done(progress) if progress else {}
+    # A progress entry whose err starts with "SKIP" is a deliberate,
+    # documented exclusion (e.g. a data-regime infeasibility recorded
+    # in SCALE.md) — honored on restart and reported separately, never
+    # silently retried or counted as a pass.
+    skips = {n: e for n, e in done.items() if e and e.startswith("SKIP")}
     spark = get_spark(
         "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
     )
     con = oracle_connection(sf_dir)
     names = [n for n in entrymod.queries() if not only or n in only]
-    failures: dict[str, str] = {n: e for n, e in done.items() if e}
+    failures: dict[str, str] = {
+        n: e for n, e in done.items() if e and n not in skips
+    }
     t0 = time.time()
     for i, name in enumerate(names, 1):
-        if name in done and done[name] is None:
-            continue  # passed in a previous attempt
+        if name in done and (done[name] is None or name in skips):
+            continue  # passed / documented-skip in a previous attempt
         t = time.time()
         err = _timed_compare(spark, con, sf_dir, name, timeout_sec)
         dt = time.time() - t
@@ -138,6 +145,7 @@ def main() -> int:
                 "total": len(names),
                 "n_fail": len(failures),
                 "failed": failures,
+                "documented_skips": skips,
                 "elapsed_sec": round(time.time() - t0, 1),
             }
         ),
