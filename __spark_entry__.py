@@ -12367,14 +12367,18 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ASSORTATIVITY = f"""
-    WITH pairs AS (SELECT DISTINCT o.o_custkey AS g, l.l_suppkey AS s
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS g, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-    edges AS (SELECT a.s AS a, b.s AS b
+    edges AS MATERIALIZED (
+        SELECT a.s AS a, b.s AS b
         FROM pairs a JOIN pairs b ON a.g = b.g AND a.s < b.s
         GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-    sym AS (SELECT a AS u, b AS v FROM edges
-            UNION ALL SELECT b, a FROM edges),
-    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym
+    sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b, a FROM edges),
+    deg AS MATERIALIZED (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym
         GROUP BY u),
     xy AS (SELECT du.d AS dx, dv.d AS dy
         FROM sym JOIN deg du ON sym.u = du.u
@@ -17278,9 +17282,17 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether weekday seasonality or monthly seasonality is worth
     modeling at all (seasonal_decompose_daily then extracts it).
     Exact integers: SS_total as sum of (N*x - S)^2 / N^2-scaled terms
-    and each group's (S_g*N - S*n_g)^2 term micro-quantized with the
-    brier_decomposition two-step division (inside DECIMAL(38) at any
-    corpus size); eta2 is one exact ppm division.
+    and each group's (S_g*N - S*n_g)^2 term divided by its FULL
+    divisor (n_g * N * N) in ONE `div` — the r8 sf1 sweep caught the
+    two-step form wrapping silently: Spark's IntegralDivide on
+    decimals returns LONG and the inner quotient reached 1.15e19 >
+    int64 even though the final value fits (ANSI does NOT trap this
+    wrap).  floor(floor(x/m)/n) = floor(x/(m*n)) for positive
+    integers, so the one-step value is bit-identical to the oracle's
+    two-step HUGEINT form.  Documented unit ceiling: the reported raw
+    SS columns (usd^2) cross int64 near sf10 (~1.3e20) — at that scale
+    report SS in musd^2 (div 10^6 on both engines) or eta2_ppm only;
+    the sf1 sweep value 1.26e18 has 7x headroom.
 
     Scale shape: fact agg to day cardinality (bounded by calendar),
     two tiny factor rollups, 2 rows out."""
@@ -17330,10 +17342,12 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s").alias("s"),
         )
         per = grp.select(
+            # one div with the combined divisor — see the docstring:
+            # the two-step form's inner quotient wraps int64 at sf1
             F.expr(
                 f"((CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g)"
-                f" * (CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g)"
-                f" div (CAST(n_g AS {dec}) * n)) div (CAST(n AS {dec}))"
+                f" * (CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g))"
+                f" div (CAST(n_g AS {dec}) * n * n)"
             ).alias("t")
         )
         return per.agg(
