@@ -170,16 +170,23 @@ SHARED_SQL: dict[str, str] = {
                  * 1000000.0 + 0.5) AS BIGINT) AS share_ppm
         FROM w CROSS JOIN t
     """,
-    # TPC-H Q1 style pricing summary: groupBy + 8 aggregates
+    # TPC-H Q1 style pricing summary: groupBy + 8 aggregates.
+    # Money emissions go decimal -> VARCHAR -> DOUBLE (the repo's
+    # established cross-engine idiom, cf. temperature_lang_mix): the
+    # decimal SUMs are exact and engine-identical, but a direct
+    # decimal->double cast is not correctly rounded in every engine
+    # (DuckDB converts int128/10^scale in two roundings) — the r8 sf1
+    # sweep caught sum_charge one ulp apart on one group.  String ->
+    # double is correctly rounded in both engines.
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty,
-            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_base_price,
-            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS sum_disc_price,
-            CAST(CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
-            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
-            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) / COUNT(*) AS avg_price,
-            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) / COUNT(*) AS avg_disc,
+            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
+            CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_base_price,
+            CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_disc_price,
+            CAST(CAST(CAST(SUM({_REV} * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_charge,
+            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_qty,
+            CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_price,
+            CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) / COUNT(*) AS avg_disc,
             COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -18078,34 +18085,40 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_oracle() -> str:
-    # unrolled 2-iteration HITS, ppm-of-max normalization each half-step
+    # unrolled 2-iteration HITS, ppm-of-max normalization each half-step.
+    # Every CTE is MATERIALIZED: inlined, each step re-evaluates its
+    # whole ancestry (h2 -> a2 -> a1 -> h0 -> e), so the 6M-row edge
+    # DISTINCT ran five-plus times concurrently and filled 77 G of
+    # DuckDB temp at sf1 (same class as the triangle-oracle post-mortem).
     steps = []
     prev_h = "h0"
     for i in (1, 2):
         steps.append(
-            f"a{i}r AS (SELECT a, SUM(CAST(hs AS HUGEINT)) AS raw"
+            f"a{i}r AS MATERIALIZED (SELECT a, SUM(CAST(hs AS HUGEINT)) AS raw"
             f" FROM e JOIN {prev_h} USING (h) GROUP BY a)"
         )
         steps.append(
-            f"a{i} AS (SELECT a, CAST(raw * 1000000"
+            f"a{i} AS MATERIALIZED (SELECT a, CAST(raw * 1000000"
             f" // (SELECT MAX(raw) FROM a{i}r) AS BIGINT) AS sc"
             f" FROM a{i}r)"
         )
         steps.append(
-            f"h{i}r AS (SELECT h, SUM(CAST(sc AS HUGEINT)) AS raw"
+            f"h{i}r AS MATERIALIZED (SELECT h, SUM(CAST(sc AS HUGEINT)) AS raw"
             f" FROM e JOIN a{i} USING (a) GROUP BY h)"
         )
         steps.append(
-            f"h{i} AS (SELECT h, CAST(raw * 1000000"
+            f"h{i} AS MATERIALIZED (SELECT h, CAST(raw * 1000000"
             f" // (SELECT MAX(raw) FROM h{i}r) AS BIGINT) AS hs"
             f" FROM h{i}r)"
         )
         prev_h = f"h{i}"
     joined = ",\n    ".join(steps)
     return f"""
-    WITH e AS (SELECT DISTINCT o_custkey AS h, l_partkey AS a
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS h, l_partkey AS a
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-    h0 AS (SELECT h, CAST(1000000 AS BIGINT) AS hs
+    h0 AS MATERIALIZED (
+        SELECT h, CAST(1000000 AS BIGINT) AS hs
         FROM (SELECT DISTINCT h FROM e)),
     {joined},
     ta AS (SELECT 'authority' AS role, CAST(a AS BIGINT) AS node_id,
