@@ -137,6 +137,8 @@ def main() -> int:
                 f.write(json.dumps({"name": name, "sec": round(dt, 1), "err": err}) + "\n")
         if err is not None:
             failures[name] = err
+        else:
+            failures.pop(name, None)  # a re-run that passes clears its stale record
     print(
         json.dumps(
             {
