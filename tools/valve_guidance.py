@@ -65,8 +65,12 @@ def lsh_curves(spark, sf_dir: str) -> dict:
     sizes = banded.groupBy("band_ix", "band_hash").agg(
         F.count(F.lit(1)).alias("c")
     )
-    # bucket-size histogram -> per-cap pair volume, all caps in one pass
-    size_hist = {
+    # bucket-size histogram -> per-cap pair volume, all caps in one pass.
+    # Tuple layout is (volume, hits) — _cum sums index 0 as the volume,
+    # so PAIRS must come first (the first sf1 run stored (n_buckets,
+    # pairs) and reported bucket counts as "pair volume": 28,510 for a
+    # corpus whose largest single bucket already implies 33,670 pairs).
+    raw = {
         int(r["c"]): (int(r["n_buckets"]), int(r["pairs"]))
         for r in sizes.groupBy("c")
         .agg(
@@ -75,6 +79,7 @@ def lsh_curves(spark, sf_dir: str) -> dict:
         )
         .collect()  # bounded: one row per DISTINCT bucket size
     }
+    size_hist = {s: (pairs, 0) for s, (_, pairs) in raw.items()}
     # planted pair (d, d+offset): min co-bucket size over the bands where
     # both land in the same bucket -> recall at every cap from one job
     withn = banded.join(sizes, ["band_ix", "band_hash"])
@@ -103,10 +108,10 @@ def lsh_curves(spark, sf_dir: str) -> dict:
         "n_original_docs": n_planted,
         "max_bucket_size": max(size_hist),
         "n_buckets_over_100": sum(
-            n for s, (n, _) in size_hist.items() if s > 100
+            n for s, (n, _) in raw.items() if s > 100
         ),
         "n_buckets_over_1000": sum(
-            n for s, (n, _) in size_hist.items() if s > 1000
+            n for s, (n, _) in raw.items() if s > 1000
         ),
         "caps": {},
     }
