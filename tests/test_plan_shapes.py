@@ -1548,3 +1548,26 @@ def test_asof_join_no_python_stage_single_exchange_family(spark):
         assert "EvalPython" not in plan and "FlatMapCoGroups" not in plan
         assert "Window" in plan
         assert "Join" not in plan
+
+
+def test_triangle_wedge_stream_never_shuffled(spark):
+    """The r8 triangle rewrite: the wedge stream (sum of C(out_deg,2)
+    rows — 1.7 B at sf1) must be consumed by a PARTIAL hash aggregation
+    in the same stage as the wedge join; only the aggregated
+    endpoint-pair table may cross an exchange.  Guard: a partial-agg
+    HashAggregate sits between the wedge SortMergeJoin and the exchange
+    above it, with no Exchange in between (the old semi-join shape
+    shuffled the raw stream — 50 GB of spill)."""
+    import re
+
+    plan = _plan(spark, "supplier_triangles")
+    # locate the wedge join: the single-key SMJ on [w], [u]
+    m = re.search(r"HashAggregate\(keys=\[u#\d+L, w#\d+L\], functions=\[partial_count", plan)
+    assert m, "partial aggregation of the wedge stream is missing"
+    # between that partial agg and the wedge join below it: no Exchange
+    below = plan[m.end():]
+    join_at = below.find("SortMergeJoin")
+    assert join_at != -1
+    assert "Exchange" not in below[:join_at], (
+        "the raw wedge stream is being shuffled before aggregation"
+    )
