@@ -3841,32 +3841,36 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(iterations: int = 3, damping_pct: int = 85) -> str:
+    # Every CTE MATERIALIZED: the unrolled-iteration inlining bomb
+    # (r3 -> c3 -> r2 -> ... -> e, whole ancestry re-evaluated per
+    # reference) filled DuckDB temp at sf10 — same class and fix as
+    # the hits/assortativity/triangle oracles.
     mass = "CAST(1000000000000000 AS BIGINT)"
     ctes = [
-        "pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cv, "
+        "pairs AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS cv, "
         "l.l_suppkey * 2 + 1 AS sv "
         "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)",
-        "e AS (SELECT cv AS src, sv AS dst FROM pairs "
+        "e AS MATERIALIZED (SELECT cv AS src, sv AS dst FROM pairs "
         "UNION ALL SELECT sv, cv FROM pairs)",
-        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
-        f"params AS (SELECT COUNT(*) AS n, {mass} // COUNT(*) AS base, "
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"params AS MATERIALIZED (SELECT COUNT(*) AS n, {mass} // COUNT(*) AS base, "
         f"({100 - damping_pct} * ({mass} // COUNT(*))) // 100 AS tele "
         f"FROM v)",
-        "r0 AS (SELECT vertex, base AS rank FROM v CROSS JOIN params)",
+        "r0 AS MATERIALIZED (SELECT vertex, base AS rank FROM v CROSS JOIN params)",
     ]
     prev = "r0"
     for i in range(1, iterations + 1):
         ctes.append(
-            f"c{i} AS (SELECT d.src AS cv, p.rank // d.outdeg AS contrib "
+            f"c{i} AS MATERIALIZED (SELECT d.src AS cv, p.rank // d.outdeg AS contrib "
             f"FROM {prev} p JOIN deg d ON p.vertex = d.src)"
         )
         ctes.append(
-            f"s{i} AS (SELECT e.dst, SUM(contrib) AS inflow "
+            f"s{i} AS MATERIALIZED (SELECT e.dst, SUM(contrib) AS inflow "
             f"FROM e JOIN c{i} ON e.src = c{i}.cv GROUP BY e.dst)"
         )
         ctes.append(
-            f"r{i} AS (SELECT v.vertex, tele + "
+            f"r{i} AS MATERIALIZED (SELECT v.vertex, tele + "
             f"(({damping_pct} * COALESCE(s{i}.inflow, 0)) // 100) AS rank "
             f"FROM v LEFT JOIN s{i} ON v.vertex = s{i}.dst "
             f"CROSS JOIN params)"
