@@ -4737,19 +4737,21 @@ def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SEMDEDUP = f"""
-    WITH e AS (SELECT vec_id,
+    WITH e AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
                FROM embeddings),
     params AS (SELECT GREATEST(8, COUNT(*) // 600) AS nc FROM e),
-    c AS (SELECT vec_id AS cell_id, v AS centroid
+    c AS MATERIALIZED (SELECT vec_id AS cell_id, v AS centroid
           FROM e CROSS JOIN params WHERE vec_id < params.nc),
-    assign AS (SELECT vec_id, cell_id FROM (
-        SELECT e.vec_id, c.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY {_sim_sql('e.v', 'c.centroid')} DESC, c.cell_id)
-                   AS rn
-        FROM e CROSS JOIN c) ranked WHERE rn = 1),
-    m AS (SELECT a.vec_id, a.cell_id, e.v,
+    sims AS (SELECT e.vec_id, c.cell_id,
+                    {_sim_sql('e.v', 'c.centroid')} AS s
+             FROM e CROSS JOIN c),
+    assign AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cell_id) AS rn
+        FROM sims) ranked WHERE rn = 1),
+    m AS MATERIALIZED (SELECT a.vec_id, a.cell_id, e.v,
                  sqrt(list_sum(list_transform(e.v, y -> y * y))) AS nrm
           FROM assign a JOIN e ON e.vec_id = a.vec_id),
     drops AS (SELECT DISTINCT y.vec_id
@@ -4760,6 +4762,17 @@ ORACLE_SEMDEDUP = f"""
     SELECT vec_id, cell_id FROM m
     WHERE vec_id NOT IN (SELECT vec_id FROM drops)
 """
+# Scalar-only assignment window + MATERIALIZED reuse points: the cell
+# count grows with the corpus (nc = n // 600), so the assignment cross
+# product is n * nc = O(n^2/600) rows — 66.6M at sf10.  The original
+# oracle windowed that product with both 64-dim double lists still in
+# the row and inlined `m` into each of its three consumers; DuckDB's
+# window materialization hit 105 GB RSS and was OOM-killed in the r8
+# stretch sweep.  Computing the cosine into a scalar CTE first shrinks
+# the window input to 24 bytes/row (~1.6 GB), and MATERIALIZED stops
+# the 66.6M-row assignment from being recomputed per consumer.  A/B
+# equality with the previous text pinned at sf0.01 (424 rows) and sf1
+# (4,074 rows) before the swap; sf10 now completes under a 40 GB cap.
 
 
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
