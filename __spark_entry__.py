@@ -4294,7 +4294,14 @@ _BPE_SPACED = (
 def _bpe_train_ctes(n_merges: int = 8) -> list[str]:
     """Unrolled merge-learning rounds (d0..dN corpora, m1..mN winners) —
     shared by the training oracle and the encode oracle."""
-    ctes = [f"d0 AS (SELECT {_BPE_SPACED} AS s FROM documents)"]
+    # MATERIALIZED throughout: every d{i} corpus state is consumed
+    # TWICE (pair-count p{i+1} and next state d{i+1}) and every m{i}
+    # winner twice in the encode oracle (training chain + enc chain).
+    # Inlined, the recompute tree doubles per round — 2^8 rescans of
+    # the spaced corpus at 8 merges — which is what pushed the sf10
+    # oracle past the 1200 s sweep timeout (same temp-bomb class as
+    # the pagerank/kcore fixes; 90.5 s -> seconds at sf1).
+    ctes = [f"d0 AS MATERIALIZED (SELECT {_BPE_SPACED} AS s FROM documents)"]
     for i in range(1, n_merges + 1):
         ctes.append(
             f"p{i} AS (SELECT unnest(list_transform(range(len(sy) - 1), "
@@ -4303,13 +4310,13 @@ def _bpe_train_ctes(n_merges: int = 8) -> list[str]:
             f"WHERE len(sy) >= 2)"
         )
         ctes.append(
-            f"m{i} AS (SELECT p, COUNT(*) AS cnt FROM p{i} "
+            f"m{i} AS MATERIALIZED (SELECT p, COUNT(*) AS cnt FROM p{i} "
             f"GROUP BY p ORDER BY cnt DESC, p LIMIT 1)"
         )
         rep = "' ' || replace(m.p, ' ', '') || ' '"
         pat = "' ' || m.p || ' '"
         ctes.append(
-            f"d{i} AS (SELECT trim(replace(replace(' ' || d.s || ' ', "
+            f"d{i} AS MATERIALIZED (SELECT trim(replace(replace(' ' || d.s || ' ', "
             f"{pat}, {rep}), {pat}, {rep})) AS s "
             f"FROM d{i - 1} d CROSS JOIN m{i} m)"
         )
@@ -4359,8 +4366,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_encode_oracle(n_merges: int = 8) -> str:
     ctes_part = ",\n    ".join(_bpe_train_ctes(n_merges))
+    # enc0 is consumed twice (the replace chain and the final join's
+    # base-symbol count) — materialize so the spacing pass runs once.
     enc = [
-        f"enc0 AS (SELECT doc_id, {_BPE_SPACED} AS s FROM documents)",
+        f"enc0 AS MATERIALIZED (SELECT doc_id, {_BPE_SPACED} AS s FROM documents)",
     ]
     for i in range(1, n_merges + 1):
         rep = "' ' || replace(m.p, ' ', '') || ' '"

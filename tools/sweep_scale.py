@@ -109,6 +109,16 @@ def main() -> int:
         "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
     )
     con = oracle_connection(sf_dir)
+    # Cap DuckDB and give it a spill dir: both single-node oracle deaths
+    # of the sf10 stretch sweep (supplier_triangles 92 GB RSS,
+    # semdedup_keep 105 GB RSS) were hard OOM *process kills* — with a
+    # cap, an over-budget operator spills to disk or raises a catchable
+    # OutOfMemoryException that lands in the journal as an ordinary
+    # failure instead of killing the whole resumable sweep.  48 GB
+    # leaves room for the 32 GB Spark driver on a 125 GB host.
+    con.execute("SET memory_limit='48GB'")
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     names = [n for n in entrymod.queries() if not only or n in only]
     failures: dict[str, str] = {
         n: e for n, e in done.items() if e and n not in skips
