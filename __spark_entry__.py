@@ -12672,24 +12672,24 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BRADLEY_TERRY = """
-    WITH brands AS (SELECT DISTINCT p_brand AS brand FROM part),
-    lb AS (SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
+    WITH brands AS MATERIALIZED (SELECT DISTINCT p_brand AS brand FROM part),
+    lb AS MATERIALIZED (SELECT l.l_orderkey AS ok, l.l_linenumber AS ln,
             p.p_brand AS brand, l.l_quantity AS q
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-    duels AS (SELECT
+    duels AS MATERIALIZED (SELECT
             CASE WHEN a.q > b.q THEN a.brand ELSE b.brand END AS winner,
             CASE WHEN a.q > b.q THEN b.brand ELSE a.brand END AS loser,
             CAST(COUNT(*) AS BIGINT) AS w
         FROM lb a JOIN lb b ON a.ok = b.ok AND a.ln < b.ln
         WHERE a.brand <> b.brand AND a.q <> b.q
         GROUP BY 1, 2),
-    w AS (SELECT x.brand AS x, y.brand AS y,
+    w AS MATERIALIZED (SELECT x.brand AS x, y.brand AS y,
             CAST(1 + COALESCE(d.w, 0) AS HUGEINT) AS wxy
         FROM brands x JOIN brands y ON x.brand <> y.brand
         LEFT JOIN duels d ON d.winner = x.brand AND d.loser = y.brand),
-    n AS (SELECT a.x, a.y, a.wxy + b.wxy AS nxy
+    n AS MATERIALIZED (SELECT a.x, a.y, a.wxy + b.wxy AS nxy
         FROM w a JOIN w b ON a.x = b.y AND a.y = b.x),
-    wt AS (SELECT x, SUM(wxy) AS bw FROM w GROUP BY x),
+    wt AS MATERIALIZED (SELECT x, SUM(wxy) AS bw FROM w GROUP BY x),
     nb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS b FROM brands),
     s0 AS (SELECT brand, CAST(1000000 AS HUGEINT) AS s FROM brands),
     d1 AS (SELECT n.x,
