@@ -5257,19 +5257,21 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMB_OUTLIERS = f"""
-    WITH e AS (SELECT vec_id,
+    WITH e AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
                FROM embeddings),
     params AS (SELECT GREATEST(8, COUNT(*) // 600) AS nc FROM e),
-    c AS (SELECT vec_id AS cell_id, v AS centroid
+    c AS MATERIALIZED (SELECT vec_id AS cell_id, v AS centroid
           FROM e CROSS JOIN params WHERE vec_id < params.nc),
-    assign AS (SELECT vec_id, cell_id FROM (
-        SELECT e.vec_id, c.cell_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY {_sim_sql('e.v', 'c.centroid')} DESC, c.cell_id)
-                   AS rn
-        FROM e CROSS JOIN c) ranked WHERE rn = 1),
-    scored AS (SELECT a.vec_id, a.cell_id,
+    sims AS (SELECT e.vec_id, c.cell_id,
+                    {_sim_sql('e.v', 'c.centroid')} AS s
+             FROM e CROSS JOIN c),
+    assign AS MATERIALIZED (SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cell_id) AS rn
+        FROM sims) ranked WHERE rn = 1),
+    scored AS MATERIALIZED (SELECT a.vec_id, a.cell_id,
                    CAST(FLOOR({_sim_sql('e.v', 'c.centroid')} * 1000000.0
                         + 0.5) AS BIGINT) AS sim_ppm
                FROM assign a JOIN e ON e.vec_id = a.vec_id
@@ -5284,6 +5286,13 @@ ORACLE_EMB_OUTLIERS = f"""
       AND 4 * (st.s1 - st.n * s.sim_ppm) * (st.s1 - st.n * s.sim_ppm)
           > 9 * (st.n * st.s2 - st.s1 * st.s1)
 """
+# Same growing-cell-count window bomb as ORACLE_SEMDEDUP (nc = n // 600
+# makes the assignment cross product 66.6 M rows at sf10; windowed with
+# two 64-dim double lists per row, DuckDB spilled past the machine —
+# this one filled 76 GB of /tmp before dying): cosine into a scalar CTE
+# first, MATERIALIZED reuse points, and scored (consumed by both the
+# moment aggregate and the final filter) materialized at 200 k scalar
+# rows.  A/B-pinned and strict-compared like the semdedup rewrite.
 
 
 def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10626,9 +10635,12 @@ def q_norm_quantile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "norm2",
+        # row_number() is IntegerType: (rk-1) * 1e6 in int32 wraps once
+        # a label group exceeds 2,148 rows — sf10 is the first scale
+        # that crosses it (ANSI mode surfaced the wrap in the r8 sweep).
         F.expr(
             "CASE WHEN n_label = 1 THEN 0"
-            " ELSE (rk - 1) * 1000000 div (n_label - 1) END"
+            " ELSE CAST(rk - 1 AS BIGINT) * 1000000 div (n_label - 1) END"
         ).alias("pct_ppm"),
     )
 
@@ -13434,7 +13446,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RAKE = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    pos AS (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS token,
+    pos AS MATERIALIZED (SELECT doc_id, u.i AS pos, toks[u.i + 1] AS token,
             toks[u.i + 1] IN {_RAKE_STOPS} AS is_stop
         FROM t, unnest(range(len(toks))) AS u(i)),
     seg AS (SELECT doc_id, pos, token,
@@ -13443,7 +13455,7 @@ ORACLE_RAKE = f"""
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS seg
         FROM pos),
-    ph AS (SELECT doc_id, seg,
+    ph AS MATERIALIZED (SELECT doc_id, seg,
             string_agg(token, ' ' ORDER BY pos) AS phrase,
             CAST(COUNT(*) AS BIGINT) AS plen
         FROM seg WHERE token NOT IN {_RAKE_STOPS}
@@ -13454,16 +13466,28 @@ ORACLE_RAKE = f"""
     wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
             CAST(SUM(deg1) AS BIGINT) AS deg
         FROM words GROUP BY w),
-    pdist AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+    pdist AS MATERIALIZED (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+            ROW_NUMBER() OVER (ORDER BY phrase) AS pid
         FROM ph GROUP BY phrase),
-    pw AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
-        FROM pdist)
-    SELECT phrase, n_occ,
-        CAST(SUM(deg * 1000000 // freq) AS BIGINT) AS score_ppm
-    FROM pw JOIN wstat ON pw.w = wstat.w
-    GROUP BY phrase, n_occ
-    ORDER BY score_ppm DESC, phrase LIMIT 15
+    pw AS (SELECT pid, unnest(string_split(phrase, ' ')) AS w
+        FROM pdist),
+    sc AS (SELECT pid,
+            CAST(SUM(deg * 1000000 // freq) AS BIGINT) AS score_ppm
+        FROM pw JOIN wstat ON pw.w = wstat.w GROUP BY pid)
+    SELECT p.phrase, p.n_occ, sc.score_ppm
+    FROM sc JOIN pdist p USING (pid)
+    ORDER BY score_ppm DESC, p.phrase LIMIT 15
 """
+# sf10 hygiene, A/B-pinned at sf1/sf0.01: pos/ph/pdist MATERIALIZED
+# (each is consumed twice — without the boundary the token-position
+# stream and the phrase table re-run per consumer), and the scoring
+# join/aggregate keyed on integer pid with phrase strings joined back
+# only for the final 15 rows, so no multi-million-row hash table holds
+# phrase text.  NOTE the query's original sf10 "OOM" was NOT volume:
+# glibc mmaps each medium DuckDB block separately and the process hit
+# vm.max_map_count (65,530 maps at just 8.4 GB RSS -> bad_alloc); with
+# the knob raised (see tools/sweep_scale.py) the query runs in ~60 s.
+# The phrase<->pid mapping is 1:1 so the scores are unchanged.
 
 _COVER_STEPS = 8
 

@@ -108,17 +108,33 @@ def main() -> int:
     spark = get_spark(
         "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
     )
-    con = oracle_connection(sf_dir)
-    # Cap DuckDB and give it a spill dir: both single-node oracle deaths
-    # of the sf10 stretch sweep (supplier_triangles 92 GB RSS,
-    # semdedup_keep 105 GB RSS) were hard OOM *process kills* — with a
-    # cap, an over-budget operator spills to disk or raises a catchable
-    # OutOfMemoryException that lands in the journal as an ordinary
-    # failure instead of killing the whole resumable sweep.  48 GB
-    # leaves room for the 32 GB Spark driver on a 125 GB host.
-    con.execute("SET memory_limit='48GB'")
-    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Best-effort vm.max_map_count raise: glibc mmaps each medium
+    # DuckDB block separately, so a scaled-data oracle exhausts the
+    # default 65,530 mappings at ~8 GB RSS and dies with a bad_alloc
+    # that is indistinguishable from OOM (the r8 sweep lost four
+    # queries to this before it was diagnosed — RSS was 8.4 GB on a
+    # 125 GB box).  Requires root; harmless if it fails.
+    try:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1048576")
+    except OSError:
+        pass
+
+    def fresh_con():
+        # Cap DuckDB and give it a spill dir: both single-node oracle
+        # deaths of the sf10 stretch sweep (supplier_triangles 92 GB
+        # RSS, semdedup_keep 105 GB RSS) were hard OOM *process kills*
+        # — with a cap, an over-budget operator spills to disk or
+        # raises a catchable OutOfMemoryException that lands in the
+        # journal as an ordinary failure instead of killing the whole
+        # resumable sweep.  48 GB leaves room for the 32 GB Spark
+        # driver on a 125 GB host.
+        c = oracle_connection(sf_dir)
+        c.execute("SET memory_limit='48GB'")
+        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        return c
+
     names = [n for n in entrymod.queries() if not only or n in only]
     failures: dict[str, str] = {
         n: e for n, e in done.items() if e and n not in skips
@@ -128,7 +144,20 @@ def main() -> int:
         if name in done and (done[name] is None or name in skips):
             continue  # passed / documented-skip in a previous attempt
         t = time.time()
-        err = _timed_compare(spark, con, sf_dir, name, timeout_sec)
+        # One connection PER QUERY: after rake_keywords exhausted the
+        # 48 GB cap mid-operator, the shared connection's allocator
+        # stayed poisoned — three later trivially-small queries failed
+        # on 2 KB allocations and the process eventually segfaulted.
+        # A fresh connection releases every buffer unconditionally.
+        con = fresh_con()
+        try:
+            err = _timed_compare(spark, con, sf_dir, name, timeout_sec)
+        finally:
+            try:
+                con.close()
+            except Exception:
+                pass
+            shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
         dt = time.time() - t
         # Release this query's shuffle/checkpoint files before the next
         # one: drop cached plans, then ask the JVM to GC so the
