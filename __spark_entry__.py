@@ -16924,6 +16924,11 @@ def _hash_walk_oracle() -> str:
             f" JOIN ranked r ON r.src = s.cur AND r.idx = s.idx)"
         )
         prev = f"w{k}"
+    # ranked is probed by all 3 walk steps and deg by all 4 — inlined,
+    # each consumer re-runs the 60M-row co-order self-join, and the
+    # concurrent instances spilled /tmp to death at sf10 (the same
+    # CTE-inlining class as pagerank/BPE/Bradley-Terry).  MATERIALIZED
+    # pins the edge list once (|adj| rows of 3 ints).
     return f"""
     WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
         FROM lineitem),
@@ -16932,11 +16937,11 @@ def _hash_walk_oracle() -> str:
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     adj AS (SELECT a AS src, b AS dst FROM und
         UNION ALL SELECT b, a FROM und),
-    ranked AS (SELECT src, dst,
+    ranked AS MATERIALIZED (SELECT src, dst,
             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
                 AS idx
         FROM adj),
-    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
         FROM ranked GROUP BY 1),
     w0 AS (SELECT src AS v0, src AS cur FROM deg),
     {",".join(steps)}
@@ -17340,16 +17345,19 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     modeling at all (seasonal_decompose_daily then extracts it).
     Exact integers: SS_total as sum of (N*x - S)^2 / N^2-scaled terms
     and each group's (S_g*N - S*n_g)^2 term divided by its FULL
-    divisor (n_g * N * N) in ONE `div` — the r8 sf1 sweep caught the
-    two-step form wrapping silently: Spark's IntegralDivide on
-    decimals returns LONG and the inner quotient reached 1.15e19 >
+    divisor (n_g * N * N * 10^6) in ONE `div` — the r8 sf1 sweep
+    caught the two-step form wrapping silently: Spark's IntegralDivide
+    on decimals returns LONG and the inner quotient reached 1.15e19 >
     int64 even though the final value fits (ANSI does NOT trap this
     wrap).  floor(floor(x/m)/n) = floor(x/(m*n)) for positive
     integers, so the one-step value is bit-identical to the oracle's
-    two-step HUGEINT form.  Documented unit ceiling: the reported raw
-    SS columns (usd^2) cross int64 near sf10 (~1.3e20) — at that scale
-    report SS in musd^2 (div 10^6 on both engines) or eta2_ppm only;
-    the sf1 sweep value 1.26e18 has 7x headroom.
+    HUGEINT form.  Units are musd^2 (usd^2 div 10^6, folded into each
+    term's single divisor): the r8 sf10 sweep hit the documented usd^2
+    ceiling for real — raw SS crossed int64 (~1.3e20) and the LONG sum
+    of per-term quotients threw under ANSI — so the predicted rescale
+    path shipped.  Per-term quotients stay <=~1e14 through sf100 and
+    the DECIMAL(38,0) numerators peak ~6.6e33, leaving 4 decades of
+    headroom.
 
     Scale shape: fact agg to day cardinality (bounded by calendar),
     two tiny factor rollups, 2 rows out."""
@@ -17386,7 +17394,7 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst = base.select(
         F.expr(
             f"((CAST(n AS {dec}) * x - s) * (CAST(n AS {dec}) * x - s)"
-            f" div (CAST(n AS {dec}) * n)) "
+            f" div (CAST(n AS {dec}) * n * 1000000)) "
         ).alias("t"),
         "n",
     ).agg(F.max("n").alias("n"), F.sum("t").alias("ss_tot"))
@@ -17404,7 +17412,7 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"((CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g)"
                 f" * (CAST(s_g AS {dec}) * n - CAST(s AS {dec}) * n_g))"
-                f" div (CAST(n_g AS {dec}) * n * n)"
+                f" div (CAST(n_g AS {dec}) * n * n * 1000000)"
             ).alias("t")
         )
         return per.agg(
@@ -17421,8 +17429,8 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "factor",
             "n_groups",
-            F.expr("CAST(ss_between AS BIGINT)").alias("ss_between_usd2"),
-            F.expr("CAST(ss_tot AS BIGINT)").alias("ss_total_usd2"),
+            F.expr("CAST(ss_between AS BIGINT)").alias("ss_between_musd2"),
+            F.expr("CAST(ss_tot AS BIGINT)").alias("ss_total_musd2"),
             # Spark `div` returns LONG, so rescale through DECIMAL —
             # ss * 1e6 passes int64 already at sf0.1
             F.expr(
@@ -17446,7 +17454,8 @@ ORACLE_ETA_SQUARED = """
     sst AS (SELECT MAX(n) AS n,
             CAST(SUM((CAST(n AS HUGEINT) * x - s)
                 * (CAST(n AS HUGEINT) * x - s)
-                // (CAST(n AS HUGEINT) * n)) AS HUGEINT) AS ss_tot
+                // (CAST(n AS HUGEINT) * n * 1000000)) AS HUGEINT)
+                AS ss_tot
         FROM base),
     dowg AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
             CAST(SUM(x) AS BIGINT) AS s_g,
@@ -17458,23 +17467,23 @@ ORACLE_ETA_SQUARED = """
         FROM base GROUP BY 1),
     u AS (SELECT 'day_of_week' AS factor,
             CAST(COUNT(*) AS BIGINT) AS n_groups,
-            CAST(SUM(((CAST(s_g AS HUGEINT) * n - CAST(s AS HUGEINT)
+            CAST(SUM((CAST(s_g AS HUGEINT) * n - CAST(s AS HUGEINT)
                 * n_g) * (CAST(s_g AS HUGEINT) * n
                 - CAST(s AS HUGEINT) * n_g)
-                // (CAST(n_g AS HUGEINT) * n)) // CAST(n AS HUGEINT))
+                // (CAST(n_g AS HUGEINT) * n * n * 1000000))
                 AS HUGEINT) AS ss_between
         FROM dowg
         UNION ALL
         SELECT 'month', CAST(COUNT(*) AS BIGINT),
-            CAST(SUM(((CAST(s_g AS HUGEINT) * n - CAST(s AS HUGEINT)
+            CAST(SUM((CAST(s_g AS HUGEINT) * n - CAST(s AS HUGEINT)
                 * n_g) * (CAST(s_g AS HUGEINT) * n
                 - CAST(s AS HUGEINT) * n_g)
-                // (CAST(n_g AS HUGEINT) * n)) // CAST(n AS HUGEINT))
+                // (CAST(n_g AS HUGEINT) * n * n * 1000000))
                 AS HUGEINT)
         FROM mong)
     SELECT factor, n_groups,
-        CAST(ss_between AS BIGINT) AS ss_between_usd2,
-        CAST(ss_tot AS BIGINT) AS ss_total_usd2,
+        CAST(ss_between AS BIGINT) AS ss_between_musd2,
+        CAST(ss_tot AS BIGINT) AS ss_total_musd2,
         CAST(ss_between * 1000000 // ss_tot AS BIGINT) AS eta2_ppm
     FROM u CROSS JOIN sst ORDER BY factor
 """
