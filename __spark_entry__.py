@@ -14139,7 +14139,8 @@ def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ITEM_COSINE = """
-    WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+    WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g,
+            l_partkey AS p
         FROM lineitem),
     deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM pp GROUP BY p),
     edges AS (SELECT a.p AS a, b.p AS b,
@@ -18256,7 +18257,7 @@ def q_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RA_LINKS = """
     WITH pp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
         FROM lineitem),
-    und AS (SELECT a.p AS a, b.p AS b
+    und AS MATERIALIZED (SELECT a.p AS a, b.p AS b
         FROM pp a JOIN pp b ON a.g = b.g AND a.p < b.p
         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     adj AS (SELECT a AS z, b AS x FROM und
