@@ -311,12 +311,17 @@ SHARED_SQL: dict[str, str] = {
           AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
                             WHERE l2.l_partkey = p_partkey)
     """,
-    # CUBE with GROUPING() null-vs-rollup disambiguation
+    # CUBE with GROUPING() null-vs-rollup disambiguation.  sum_base
+    # rides the VARCHAR round-trip (like q1's money columns): direct
+    # DECIMAL->DOUBLE is correctly rounded in Spark (BigDecimal) but
+    # double-rounded in DuckDB (int128, then /10^6 in float), and the
+    # r8 sf10 sweep caught the two diverging by 1 ulp on the rollup
+    # rows once sums outgrew double's exact integer range.
     "revenue_cube": """
         SELECT l_returnflag, l_linestatus,
             CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
             CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_base,
+            CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_base,
             COUNT(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
