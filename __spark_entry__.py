@@ -761,8 +761,8 @@ SHARED_SQL: dict[str, str] = {
     # inline VALUES dimension joined against a fact table
     "values_dim_join": """
         SELECT pr.label, COUNT(*) AS n_orders,
-            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
-                 AS DECIMAL(30,6)) AS DOUBLE) AS total
+            CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS total
         FROM orders
         JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
                      ('3-MEDIUM', 'normal'), ('4-NOT SPECIFIED', 'normal'),
@@ -781,13 +781,13 @@ SHARED_SQL: dict[str, str] = {
         WITH m AS (
             SELECT l_returnflag,
                 COUNT(*) AS n,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
-                     AS DECIMAL(30,6)) AS DOUBLE) AS sx,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sx,
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
                             * CAST(l_quantity AS DECIMAL(12,2)))
-                     AS DECIMAL(30,6)) AS DOUBLE) AS sxx,
-                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
-                     AS DECIMAL(30,6)) AS DOUBLE) AS sy,
+                     AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sxx,
+                CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sy,
                 CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                             * CAST(l_extendedprice AS DECIMAL(12,2)))
                      AS DECIMAL(38,6)) AS VARCHAR(64)) AS DOUBLE) AS syy,
@@ -813,13 +813,13 @@ SHARED_SQL: dict[str, str] = {
         WITH m AS (
             SELECT l_returnflag,
                 COUNT(*) AS n,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
-                     AS DECIMAL(30,6)) AS DOUBLE) AS sx,
-                CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sx,
+                CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
                             * CAST(l_quantity AS DECIMAL(12,2)))
-                     AS DECIMAL(30,6)) AS DOUBLE) AS sxx,
-                CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
-                     AS DECIMAL(30,6)) AS DOUBLE) AS sy,
+                     AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sxx,
+                CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                     AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sy,
                 CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                             * CAST(l_extendedprice AS DECIMAL(12,2)))
                      AS DECIMAL(38,6)) AS VARCHAR(64)) AS DOUBLE) AS syy,
