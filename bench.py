@@ -125,9 +125,19 @@ def main() -> None:
     # JIT warmup (amortized noise on a long-lived cluster), and min-of-3
     # rides out transient machine load (observed: a concurrent process
     # inflates single-pass timings ~30%)
+    # Shuffle-release hook (untimed, between passes and queries): at
+    # sf100 the suite otherwise fills the disk mid-run — Spark's
+    # ContextCleaner only unlinks shuffle dirs once their RDDs are
+    # garbage-collected, and min-of-3 stacks three spills per query.
+    def _release():
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = _best_of_3(lambda: qs[name](spark, sf_dir).count())
+        timings[name] = _best_of_3(
+            lambda: qs[name](spark, sf_dir).count(), cleanup=_release
+        )
 
     total = round(sum(timings.values()), 3)
     side = {
@@ -171,15 +181,19 @@ def main() -> None:
     )
 
 
-def _best_of_3(action) -> float:
+def _best_of_3(action, cleanup=None) -> float:
     """THE measurement protocol (pass 1 absorbs codegen/JIT, min-of-3
     rides out load spikes) — headline and side metrics share it so the
-    numbers stay comparable."""
+    numbers stay comparable.  `cleanup` (untimed, between passes)
+    releases each pass's shuffle files: at sf100 a single heavy query's
+    three passes otherwise stack ~3x its spill on disk at once."""
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         action()
         best = min(best, time.perf_counter() - t0)
+        if cleanup is not None:
+            cleanup()
     return round(best, 3)
 
 
