@@ -17396,7 +17396,8 @@ def q_eta_squared_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(wall).alias("s"),
     )
     # SS_total * N^2 — exact; term (N*x - S)^2 <= (2500 * 1e15)^2 at
-    # 100 TB: two-step micro division keeps it inside DECIMAL(38)
+    # 100 TB: a single div with the 10^6 micro-unit scale folded into
+    # the divisor (n*n*10^6) keeps the quotient inside DECIMAL(38)
     sst = base.select(
         F.expr(
             f"((CAST(n AS {dec}) * x - s) * (CAST(n AS {dec}) * x - s)"

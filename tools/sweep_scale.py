@@ -30,6 +30,7 @@ import json
 import os
 import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -113,11 +114,22 @@ def main() -> int:
     # default 65,530 mappings at ~8 GB RSS and dies with a bad_alloc
     # that is indistinguishable from OOM (the r8 sweep lost four
     # queries to this before it was diagnosed — RSS was 8.4 GB on a
-    # 125 GB box).  Requires root; harmless if it fails.
+    # 125 GB box).  Requires root; harmless if it fails.  NOTE: this is
+    # a host-global kernel knob that PERSISTS after the sweep exits —
+    # we only ever RAISE it (never lower a value an admin already set
+    # higher) and log when we change it, so the side effect is visible.
     try:
-        with open("/proc/sys/vm/max_map_count", "w") as f:
-            f.write("1048576")
-    except OSError:
+        with open("/proc/sys/vm/max_map_count") as f:
+            cur_map_count = int(f.read().strip())
+        if cur_map_count < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write("1048576")
+            print(
+                f"raised vm.max_map_count {cur_map_count} -> 1048576 "
+                "(host-global, persists after exit)",
+                flush=True,
+            )
+    except (OSError, ValueError):
         pass
 
     def fresh_con():
@@ -128,12 +140,14 @@ def main() -> int:
         # raises a catchable OutOfMemoryException that lands in the
         # journal as an ordinary failure instead of killing the whole
         # resumable sweep.  48 GB leaves room for the 32 GB Spark
-        # driver on a 125 GB host.
+        # driver on a 125 GB host.  The spill dir is per-process
+        # (mkdtemp) so a concurrent sweep on this shared box can't have
+        # its live spill files rmtree'd out from under it.
         c = oracle_connection(sf_dir)
         c.execute("SET memory_limit='48GB'")
-        os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-        c.execute("SET temp_directory='/tmp/duckdb_spill'")
-        return c
+        spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+        c.execute(f"SET temp_directory='{spill}'")
+        return c, spill
 
     names = [n for n in entrymod.queries() if not only or n in only]
     failures: dict[str, str] = {
@@ -149,15 +163,23 @@ def main() -> int:
         # stayed poisoned — three later trivially-small queries failed
         # on 2 KB allocations and the process eventually segfaulted.
         # A fresh connection releases every buffer unconditionally.
-        con = fresh_con()
+        # fresh_con() itself sits inside the try: a transient duckdb
+        # error during connect/SET is journaled as THIS query's failure
+        # instead of aborting the whole resumable sweep.
+        con, spill = None, None
         try:
+            con, spill = fresh_con()
             err = _timed_compare(spark, con, sf_dir, name, timeout_sec)
+        except Exception as e:  # connect/SET failure → this query's err
+            err = f"{type(e).__name__}: {e}"
         finally:
-            try:
-                con.close()
-            except Exception:
-                pass
-            shutil.rmtree("/tmp/duckdb_spill", ignore_errors=True)
+            if con is not None:
+                try:
+                    con.close()
+                except Exception:
+                    pass
+            if spill:
+                shutil.rmtree(spill, ignore_errors=True)
         dt = time.time() - t
         # Release this query's shuffle/checkpoint files before the next
         # one: drop cached plans, then ask the JVM to GC so the
