@@ -25,9 +25,12 @@ Source options (all strings, per the DataSource API):
   ``metrics``, appended to the websocket URL as ``filter-type=...``
   exactly like noaa (noaa/consumer/filter.go:3-20, firehose.go:42-44);
   also enforced client-side so fixture mode honors it
+- ``retryDelaySeconds``  initial reconnect backoff; doubles per failure
+  up to 60 s (noaa async.go:21-23 DefaultMinRetryDelay/MaxRetryDelay)
 - ``fixtureRows``  TEST MODE: emit N deterministic canonical envelopes
-  per batch instead of connecting (keeps CI network-free; the websocket
-  dependency is import-gated)
+  per batch instead of connecting (keeps CI network-free; live mode
+  uses the hand-rolled stdlib RFC 6455 client in rfc6455.py — no
+  third-party websocket package required)
 - ``fixtureWire``  with fixtureRows: route the fixture envelopes through
   the dropsonde wire codec (encode -> decode) so CI exercises the same
   decode path live traffic takes
@@ -49,6 +52,8 @@ DEFAULT_IDLE_TIMEOUT = 60  # cli.go:50
 DEFAULT_RETRY_COUNT = 5  # cli.go:53
 DEFAULT_UAA_TIMEOUT = 20  # cli.go:42
 DEFAULT_MAX_BATCH_ROWS = 10_000
+DEFAULT_MIN_RETRY_DELAY = 0.5  # noaa async.go:21 DefaultMinRetryDelay
+DEFAULT_MAX_RETRY_DELAY = 60.0  # noaa async.go:22 DefaultMaxRetryDelay
 
 
 def fetch_uaa_token(
@@ -141,43 +146,105 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         # server via the filter-type query param (noaa filter.go:11-19)
         self._allowed = FILTER_EVENT_TYPES.get(self.filter_type)
         self._conn = None
+        self._token = options.get("token", "")
         # live-restart replay loss tally (ADVICE: the reference counts
         # its drops, kafka.go:272; unobservable loss is not parity)
         self.dropped_replay_rows = 0
+        # connection-level SlowConsumerAlert tally: go-nozzle's detector
+        # raises the alert when the server closes 1008
+        # (detector.go:71-99, websocket.ClosePolicyViolation)
+        self.slow_consumer_close_alerts = 0
+        # reconnect budget + exponential backoff (noaa retryAction,
+        # async.go:315-351: sleep doubles from min to max; count resets
+        # on a successful connect via the on-connect callback,
+        # async.go:307-313)
+        self.retry_count = int(options.get("retryCount", DEFAULT_RETRY_COUNT))
+        self._min_retry_delay = float(
+            options.get("retryDelaySeconds", DEFAULT_MIN_RETRY_DELAY)
+        )
+        self._retries_left = self.retry_count
+        self._retry_sleep = self._min_retry_delay
 
     def initialOffset(self) -> dict:
         return {"n": 0}
 
+    def _spend_retry(self, reason: str) -> None:
+        """Burn one reconnect attempt, with noaa's doubling backoff
+        (async.go:327-350). Exhausting the budget fails the stream with
+        the reference's ErrMaxRetriesReached message (async.go:29)."""
+        import time
+
+        if self._retries_left <= 0:
+            raise RuntimeError(
+                "maximum number of connection retries reached"
+            )
+        self._retries_left -= 1
+        logging.getLogger("kafka_firehose_nozzle_spark").warning(
+            "firehose connection error: %s. Retrying... "
+            "(%d attempt(s) left, backoff %.2fs)",
+            reason,
+            self._retries_left,
+            self._retry_sleep,
+        )
+        time.sleep(self._retry_sleep)
+        self._retry_sleep = min(self._retry_sleep * 2, DEFAULT_MAX_RETRY_DELAY)
+
+    def _drop_connection(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            except Exception:
+                pass
+            self._conn = None
+
     def _connect(self):
+        """Dial the firehose with the hand-rolled RFC 6455 client
+        (rfc6455.py), sending the same headers noaa dials with
+        (Authorization + Origin, async.go:423). Dial failures spend the
+        retry budget; a successful upgrade resets it (async.go:307-313).
+        """
         if self._conn is not None:
             return self._conn
-        try:
-            import websockets.sync.client as ws_client  # type: ignore
-        except ImportError as e:  # pragma: no cover - not in test image
-            raise RuntimeError(
-                "firehose source needs the 'websockets' package for live "
-                "connections; use fixtureRows for tests"
-            ) from e
-        token = self.options.get("token", "")
-        if not token:
-            token = fetch_uaa_token(
+        from kafka_firehose_nozzle_spark.sources import rfc6455
+
+        if not self._token:
+            self._token = fetch_uaa_token(
                 self.options.get("uaaAddress", ""),
                 self.options.get("username", ""),
                 self.options.get("password", ""),
                 insecure=self.options.get("insecureSSLSkipVerify", "false")
                 == "true",
             )
+        doppler = self.options["dopplerAddress"]
         url = firehose_url(
-            self.options["dopplerAddress"],
-            self.options["subscriptionID"],
-            self.filter_type,
+            doppler, self.options["subscriptionID"], self.filter_type
         )
-        self._conn = ws_client.connect(
-            url,
-            additional_headers={"Authorization": token},
-            open_timeout=int(self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT)),
+        ssl_context = None
+        if url.startswith("wss"):
+            import ssl
+
+            ssl_context = (
+                ssl._create_unverified_context()
+                if self.options.get("insecureSSLSkipVerify", "false") == "true"
+                else ssl.create_default_context()
+            )
+        open_timeout = float(
+            self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT)
         )
-        return self._conn
+        while True:
+            try:
+                self._conn = rfc6455.connect(
+                    url,
+                    headers={"Authorization": self._token, "Origin": doppler},
+                    timeout=open_timeout,
+                    ssl_context=ssl_context,
+                )
+            except (rfc6455.WSError, OSError) as e:
+                self._spend_retry(str(e))
+                continue
+            self._retries_left = self.retry_count
+            self._retry_sleep = self._min_retry_delay
+            return self._conn
 
     def _fixture_batch(self, start_n: int, count: int | None = None) -> list[tuple]:
         from kafka_firehose_nozzle_spark.fixtures import canonical_envelopes
@@ -207,14 +274,45 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         if self.fixture_rows:
             rows = [r for r in self._fixture_batch(n) if self._keep(r)]
             return iter(rows), {"n": n + self.fixture_rows}
+        from kafka_firehose_nozzle_spark.sources import rfc6455
+
         conn = self._connect()
         rows = []
         n_read = 0
         idle = float(self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT))
         while n_read < self.max_batch:
             try:
+                # quick drain once the batch has rows; full idle wait
+                # only while empty (the stdlib analog of gorilla's
+                # per-read deadline, noaa async.go:255-257)
                 msg = conn.recv(timeout=0.05 if rows else idle)
             except TimeoutError:
+                if not rows:
+                    # a full idleTimeout with zero messages means the
+                    # connection is dead (ST5; noaa returns a retry
+                    # error on the read deadline, async.go:266-268) —
+                    # drop it and spend a reconnect attempt; the next
+                    # micro-batch redials
+                    self._drop_connection()
+                    self._spend_retry(f"idle timeout after {idle}s")
+                break
+            except rfc6455.WSClosed as e:
+                if e.code == rfc6455.CLOSE_POLICY_VIOLATION:
+                    # go-nozzle detector.go:71-99: ClosePolicyViolation
+                    # (1008) = server dropped us for being too slow
+                    self.slow_consumer_close_alerts += 1
+                    logging.getLogger(
+                        "kafka_firehose_nozzle_spark"
+                    ).warning(
+                        "websocket terminates the connection because "
+                        "connection is too slow (ClosePolicyViolation)"
+                    )
+                self._drop_connection()
+                self._spend_retry(f"connection closed ({e.code} {e.reason})")
+                break
+            except (rfc6455.WSError, OSError) as e:
+                self._drop_connection()
+                self._spend_retry(str(e))
                 break
             n_read += 1
             row = _decode_dropsonde(msg)
