@@ -86,6 +86,57 @@ def kafka_sink_options(config: Config) -> dict[str, str]:
     return opts
 
 
+def ssl_context_from_options(opts: dict[str, str]):
+    """Materialize the ``kafka.ssl.*`` PEM options into a real client
+    TLS context — the same construction the reference performs in Go
+    (kafka.go:33-68 builds a tls.Config from client cert, key, and CA
+    pool; sarama hands it to the dialer).
+
+    The JVM Kafka client consumes these options natively; this builder
+    exists so the option wiring can be proven against an ACTUAL
+    stdlib-``ssl`` handshake (tls_test.go:18-248 parity: its four
+    failure modes + success run on live loopback sockets), not just
+    string-mapped. Semantics match the Kafka client's defaults:
+
+    - no ``truststore.certificates`` -> system CAs (the reference's
+      'Fail with system CAs' case for a self-signed broker)
+    - ``keystore.certificate.chain`` + ``keystore.key`` -> client
+      identity for mutual TLS
+    - hostname verification ON (Kafka's default
+      ssl.endpoint.identification.algorithm=https)
+    """
+    import ssl
+    import tempfile
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.verify_mode = ssl.CERT_REQUIRED
+    ctx.check_hostname = True
+    ca = opts.get("kafka.ssl.truststore.certificates")
+    if ca:
+        ctx.load_verify_locations(cadata=ca)
+    else:
+        ctx.load_default_certs()
+    cert = opts.get("kafka.ssl.keystore.certificate.chain")
+    key = opts.get("kafka.ssl.keystore.key")
+    if cert and key:
+        # ssl.load_cert_chain takes file paths only
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".pem", delete=False
+        ) as cf, tempfile.NamedTemporaryFile(
+            "w", suffix=".pem", delete=False
+        ) as kf:
+            cf.write(cert)
+            kf.write(key)
+        try:
+            ctx.load_cert_chain(cf.name, kf.name)
+        finally:
+            import os
+
+            os.unlink(cf.name)
+            os.unlink(kf.name)
+    return ctx
+
+
 def write_stream_kafka(routed: DataFrame, config: Config, checkpoint: str):
     """Start the streaming kafka write. ``routed`` must carry (topic,
     value) — the topic column routes per-row (K1); no key column keeps

@@ -17,7 +17,7 @@ from pathlib import Path
 from cryptography import x509
 from cryptography.hazmat.primitives import hashes, serialization
 from cryptography.hazmat.primitives.asymmetric import rsa
-from cryptography.x509.oid import NameOID
+from cryptography.x509.oid import ExtendedKeyUsageOID, NameOID
 
 
 def _key():
@@ -42,7 +42,9 @@ def _name(cn: str) -> x509.Name:
     return x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
 
 
-def _build(subject, issuer, pubkey, signing_key, *, is_ca: bool, san=None):
+def _build(
+    subject, issuer, pubkey, signing_key, *, is_ca: bool, san=None, eku=None
+):
     now = datetime.datetime.now(datetime.timezone.utc)
     builder = (
         x509.CertificateBuilder()
@@ -56,6 +58,13 @@ def _build(subject, issuer, pubkey, signing_key, *, is_ca: bool, san=None):
     )
     if san:
         builder = builder.add_extension(x509.SubjectAlternativeName(san), critical=False)
+    if eku:
+        # ExtKeyUsage exactly as tls_test.go mints them (ServerAuth on
+        # the host cert, ClientAuth on the client cert) — OpenSSL
+        # enforces certificate purpose, so presenting the host cert as
+        # a client identity fails the handshake like Go's
+        # 'wrong type of cert' case
+        builder = builder.add_extension(x509.ExtendedKeyUsage(eku), critical=False)
     return builder.sign(signing_key, hashes.SHA256())
 
 
@@ -81,12 +90,14 @@ def mint(tmp_path: Path) -> dict[str, str]:
     server_cert = _build(
         _name("127.0.0.1"), _name("stub-test-ca"),
         server_key.public_key(), ca_key, is_ca=False, san=san,
+        eku=[ExtendedKeyUsageOID.SERVER_AUTH],
     )
 
     client_key = _key()
     client_cert = _build(
         _name("stub-test-client"), _name("stub-test-ca"),
         client_key.public_key(), ca_key, is_ca=False,
+        eku=[ExtendedKeyUsageOID.CLIENT_AUTH],
     )
 
     # a second, unrelated CA + client identity: presenting this cert to
@@ -100,6 +111,7 @@ def mint(tmp_path: Path) -> dict[str, str]:
     evil_client_cert = _build(
         _name("evil-client"), _name("evil-ca"),
         evil_client_key.public_key(), evil_ca_key, is_ca=False,
+        eku=[ExtendedKeyUsageOID.CLIENT_AUTH],
     )
 
     for name, obj, writer in [
