@@ -161,8 +161,10 @@ def _to_signed64(v: int) -> int:
 
 def _decode_message(buf: bytes, desc: dict) -> dict:
     out: dict = {name: None for (name, _, _) in desc.values()}
+    unrecognized = bytearray()
     i = 0
     while i < len(buf):
+        tag_start = i
         tag, i = _read_uvarint(buf, i)
         field_no, wire_type = tag >> 3, tag & 7
         if wire_type == 0:
@@ -180,7 +182,12 @@ def _decode_message(buf: bytes, desc: dict) -> dict:
             raise ValueError(f"unsupported wire type {wire_type}")
         spec = desc.get(field_no)
         if spec is None:
-            continue  # unknown field: tolerated and skipped, like proto2
+            # unknown field: carried through verbatim, like gogo proto's
+            # XXX_unrecognized (envelope.pb.go:116) — proto.Marshal
+            # re-emits the raw tag+value bytes, so a decode->encode trip
+            # through a newer schema loses nothing
+            unrecognized += buf[tag_start:i]
+            continue
         name, kind, sub = spec
         if kind == _STR:
             out[name] = raw.decode("utf-8")
@@ -201,6 +208,10 @@ def _decode_message(buf: bytes, desc: dict) -> dict:
             if out[name] is None:
                 out[name] = []
             out[name].append(raw.decode("utf-8"))
+    if unrecognized:
+        # only materialized when present, so known-field-only envelopes
+        # keep their exact historical dict shape
+        out["_unrecognized"] = bytes(unrecognized)
     return out
 
 
@@ -242,6 +253,12 @@ def _encode_message(values: dict, desc: dict) -> bytes:
         elif kind == _REP_STR:
             for s in v:
                 _append_len(out, field_no, s.encode("utf-8"))
+    # re-emit unknown-field residue last, exactly as gogo proto appends
+    # XXX_unrecognized after the known fields on Marshal
+    # (envelope.pb.go:116)
+    unrecognized = values.get("_unrecognized")
+    if unrecognized:
+        out += unrecognized
     return bytes(out)
 
 

