@@ -149,6 +149,23 @@ def main() -> int:
         c.execute(f"SET temp_directory='{spill}'")
         return c, spill
 
+    def ensure_spark(s):
+        # A catastrophic executor failure (the r9 sf100 run hit a
+        # disk-full spill that killed the whole SparkContext) must cost
+        # ONE journal entry, not poison every later query with
+        # "Cannot call methods on a stopped SparkContext".  getOrCreate
+        # builds a fresh context once the old one is stopped.
+        try:
+            stopped = s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            stopped = True
+        if not stopped:
+            return s
+        print("SparkContext died — recreating session", flush=True)
+        return get_spark(
+            "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
+        )
+
     names = [n for n in entrymod.queries() if not only or n in only]
     failures: dict[str, str] = {
         n: e for n, e in done.items() if e and n not in skips
@@ -157,6 +174,7 @@ def main() -> int:
     for i, name in enumerate(names, 1):
         if name in done and (done[name] is None or name in skips):
             continue  # passed / documented-skip in a previous attempt
+        spark = ensure_spark(spark)
         t = time.time()
         # One connection PER QUERY: after rake_keywords exhausted the
         # 48 GB cap mid-operator, the shared connection's allocator
@@ -183,9 +201,14 @@ def main() -> int:
         dt = time.time() - t
         # Release this query's shuffle/checkpoint files before the next
         # one: drop cached plans, then ask the JVM to GC so the
-        # ContextCleaner actually unlinks the dirs.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        # ContextCleaner actually unlinks the dirs.  Best-effort: a
+        # context that died mid-query must still reach the journal
+        # write below.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         free_gb = shutil.disk_usage("/tmp").free / 2**30
         print(
             f"[{i}/{len(names)}] {name} {dt:.1f}s "
