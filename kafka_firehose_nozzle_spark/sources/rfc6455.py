@@ -131,6 +131,11 @@ class _FrameIO:
         self._role = role
         self._buf = b""
         self._closed = False
+        # fragmented-message reassembly state lives on the instance so a
+        # recv() timeout between fragments resumes cleanly instead of
+        # dropping the partial message
+        self._parts: list[bytes] = []
+        self._text = False
 
     # -- raw IO ------------------------------------------------------
     def _read_exact(self, n: int) -> bytes:
@@ -184,8 +189,7 @@ class _FrameIO:
         if self._closed:
             raise WSClosed(1006, "recv on closed websocket")
         self._sock.settimeout(timeout)
-        parts: list[bytes] = []
-        text = False
+        parts = self._parts
         try:
             while True:
                 try:
@@ -212,7 +216,7 @@ class _FrameIO:
                 if opcode in (OP_TEXT, OP_BINARY):
                     if parts:
                         raise WSProtocolError("new message inside fragment")
-                    text = opcode == OP_TEXT
+                    self._text = opcode == OP_TEXT
                     parts.append(payload)
                 elif opcode == OP_CONT:
                     if not parts:
@@ -222,7 +226,8 @@ class _FrameIO:
                     raise WSProtocolError(f"unknown opcode {opcode:#x}")
                 if fin:
                     msg = b"".join(parts)
-                    return msg.decode("utf-8") if text else msg
+                    self._parts = []
+                    return msg.decode("utf-8") if self._text else msg
                 if sum(map(len, parts)) > self.MAX_MESSAGE:
                     raise WSProtocolError("fragmented message exceeds cap")
         finally:

@@ -122,6 +122,39 @@ def test_handshake_fragmentation_ping_and_close_over_real_socket():
     assert not server_err, server_err
 
 
+def test_fragment_split_across_recv_timeout_resumes():
+    """A recv() that times out BETWEEN fragments must not drop the
+    partial message — reassembly state persists on the connection."""
+    import socket
+    import threading
+    import time
+
+    lst = socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    port = lst.getsockname()[1]
+    release = threading.Event()
+
+    def server():
+        sock, _ = lst.accept()
+        rfc6455.server_handshake(sock)
+        sock.sendall(rfc6455.encode_frame(rfc6455.OP_BINARY, b"abc", mask=False, fin=False))
+        release.wait(5)  # hold the continuation until the client timed out
+        sock.sendall(rfc6455.encode_frame(rfc6455.OP_CONT, b"def", mask=False, fin=True))
+        time.sleep(0.2)
+        sock.close()
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    client = rfc6455.connect(f"ws://127.0.0.1:{port}/x", timeout=5)
+    with pytest.raises(TimeoutError):
+        client.recv(timeout=0.2)  # got fragment 1 only
+    release.set()
+    assert client.recv(timeout=5) == b"abcdef"
+    t.join(timeout=5)
+    lst.close()
+
+
 # ---------------------------------------------------------- firehose client
 
 
