@@ -8,7 +8,13 @@ oracle — at an arbitrary sf dir with the same strict comparator the
 driver uses (tools/compare_oracle.canon: dtype-exact, value-exact).
 
 Usage: python tools/sweep_scale.py SF_DIR [--progress FILE]
-           [--timeout SEC] [query ...]
+           [--timeout SEC] [--shuffle-partitions N] [query ...]
+
+``--shuffle-partitions``: size the shuffle to the scale factor. The
+session default (32) gives multi-GB per-task shuffles at sf100 — the
+r9 sweep lost supplier_pagerank to a 32 GB task heap OOM that simply
+disappears at 256 partitions. This is the cluster-sizing knob the
+engine docs call out (OPERATING.md), applied to the sweep itself.
 
 Prints one progress line per query and a final JSON summary; exit 1 on
 any failure. Results land in SCALE.md by hand.
@@ -98,6 +104,11 @@ def main() -> int:
         i = argv.index("--timeout")
         timeout_sec = int(argv[i + 1])
         del argv[i : i + 2]
+    shuffle_parts = None
+    if "--shuffle-partitions" in argv:
+        i = argv.index("--shuffle-partitions")
+        shuffle_parts = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0]
     only = set(argv[1:]) or None
     done = _load_done(progress) if progress else {}
@@ -106,9 +117,10 @@ def main() -> int:
     # in SCALE.md) — honored on restart and reported separately, never
     # silently retried or counted as a pass.
     skips = {n: e for n, e in done.items() if e and e.startswith("SKIP")}
-    spark = get_spark(
-        "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
-    )
+    sweep_conf = {"spark.sql.ansi.enabled": "true"}
+    if shuffle_parts:
+        sweep_conf["spark.sql.shuffle.partitions"] = str(shuffle_parts)
+    spark = get_spark("scale-sweep", extra_conf=sweep_conf)
     # Best-effort vm.max_map_count raise: glibc mmaps each medium
     # DuckDB block separately, so a scaled-data oracle exhausts the
     # default 65,530 mappings at ~8 GB RSS and dies with a bad_alloc
@@ -162,9 +174,19 @@ def main() -> int:
         if not stopped:
             return s
         print("SparkContext died — recreating session", flush=True)
-        return get_spark(
-            "scale-sweep", extra_conf={"spark.sql.ansi.enabled": "true"}
-        )
+        try:
+            s2 = get_spark("scale-sweep", extra_conf=sweep_conf)
+            s2.range(1).count()  # prove the new context actually works
+            return s2
+        except Exception as e:
+            # the JVM gateway itself is gone (r9 saw a heap-OOM take the
+            # whole JVM: later getOrCreate calls returned a stopped
+            # session, then ConnectionRefused) — in-process recovery is
+            # impossible. Exit cleanly; the resumable journal makes a
+            # process-level relaunch pick up exactly here.
+            print(f"session recreation failed ({e}); exiting for a "
+                  "process-level restart (journal is resumable)", flush=True)
+            raise SystemExit(3)
 
     names = [n for n in entrymod.queries() if not only or n in only]
     failures: dict[str, str] = {
