@@ -55,11 +55,20 @@ def pagerank_int(
     # edge-derivation subtree would re-execute per iteration.  At
     # cluster scale this is a persist-to-lake of the edge table,
     # pre-partitioned by src so the per-iteration join reuses the
-    # layout; localCheckpoint is the local-mode equivalent.
+    # layout; localCheckpoint is the local-mode equivalent.  DISK_ONLY,
+    # not the MEMORY_AND_DISK default: the edge table is the one input
+    # that can exceed executor memory (sf100's trade graph is ~1.2B
+    # edges; deserialized on-heap block building across 32 threads blew
+    # a 32 GB heap), and each iteration streams it once, so serialized
+    # disk blocks cost one decode pass while keeping memory bounded at
+    # ANY graph size — the standard level for iterative jobs whose edge
+    # set outgrows aggregate memory.
+    from pyspark.storagelevel import StorageLevel
+
     e = edges.select(
         F.col(src_col).cast("bigint").alias("src"),
         F.col(dst_col).cast("bigint").alias("dst"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     verts = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
