@@ -3017,7 +3017,16 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     one lineage, and Catalyst's per-field-access json-schema pruning
     (OptimizeJsonExprs) then optimizes each copy separately — 200+ s of
     pure plan-optimization time at ANY data size. The barrier keeps both
-    halves' plans small; encode runs once, spilling MEMORY_AND_DISK."""
+    halves' plans small; encode runs once.  DISK_ONLY, not the
+    MEMORY_AND_DISK default: the checkpoint holds the FULL encoded
+    corpus (~30 GB of JSON strings at sf100), and deserialized on-heap
+    block building across all executor threads starves execution memory
+    ("Unable to acquire ... got 0", reproduced solo at sf100) — the
+    same lesson as pagerank's edge list; a real deployment would land
+    the topic/file on storage, which is exactly what serialized disk
+    blocks model."""
+    from pyspark.storagelevel import StorageLevel
+
     from kafka_firehose_nozzle_spark.functions.sonde_json import (
         envelopes_from_json_with_value,
         sonde_json,
@@ -3025,7 +3034,7 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env = events_to_envelopes(_t(spark, sf_dir, "events"))
     encoded = env.select(sonde_json(env).alias("value")).localCheckpoint(
-        eager=False
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
     decoded = envelopes_from_json_with_value(encoded, "value")
     routed = route_envelopes(decoded, ROUTE_TOPICS, value_col="value")
