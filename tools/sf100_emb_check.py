@@ -11,13 +11,17 @@ groups and each group's pairwise cosines come from one NumPy gram
 product (operators/dedup.py::_lsh_pairs_gemm).
 
 This tool runs the gemm path at sf100 and compares it against the SAME
-registry DuckDB oracle the strict sweep would use (ORACLE_EMB_DUPS):
+registry DuckDB oracle the strict sweep would use (ORACLE_EMB_DUPS).
+The pair set at sf100 is tens of millions of rows — far past
+spark.driver.maxResultSize — so nothing is collected: Spark writes its
+pairs to parquet and DuckDB performs the comparison as a full outer
+join, reporting
 
 - pair SET equality (id_a, id_b) — exact, both directions;
-- cos_sim agreement within 2e-6 per pair (gemm pairwise summation is
-  documented to differ from the oracle's left fold only in the last
-  ulp of the 1e-6 rounding, so a half-ulp boundary pair may round one
-  step apart; the tolerance is two quanta).
+- cos_sim agreement within 2e-6 per matched pair (gemm pairwise
+  summation is documented to differ from the oracle's left fold only
+  in the last ulp of the 1e-6 rounding, so a half-ulp boundary pair
+  may round one step apart; the tolerance is two quanta).
 
 Run AFTER the main sweep (never concurrently — shared disk).
 
@@ -27,7 +31,9 @@ Usage: python tools/sf100_emb_check.py [SF_DIR]
 from __future__ import annotations
 
 import json
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -40,6 +46,8 @@ from kafka_firehose_nozzle_spark.session import get_spark
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
+    tmpdir = tempfile.mkdtemp(prefix="emb_check_")
+    spark_pq = f"{tmpdir}/spark_pairs.parquet"
     spark = get_spark(
         "sf100-emb-check",
         extra_conf={
@@ -53,55 +61,56 @@ def main() -> int:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    spark_pdf = (
-        D.embedding_lsh_dup_pairs(emb, threshold=0.2, n=n, impl="gemm")
-        .toPandas()
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
-    )
+    D.embedding_lsh_dup_pairs(
+        emb, threshold=0.2, n=n, impl="gemm"
+    ).write.mode("overwrite").parquet(spark_pq)
     t_spark = time.time() - t0
-    print(f"spark gemm pairs: {len(spark_pdf)} rows in {t_spark:.1f}s", flush=True)
+    print(f"spark gemm pairs -> parquet in {t_spark:.1f}s", flush=True)
 
     t1 = time.time()
     con = oracle_connection(sf_dir)
     con.execute("SET memory_limit='48GB'")
-    import tempfile
-
-    spill = tempfile.mkdtemp(prefix="duckdb_spill_")
-    con.execute(f"SET temp_directory='{spill}'")
-    oracle_pdf = (
-        con.execute(entrymod.oracle_sql()["embedding_dup_pairs"])
-        .df()
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    con.execute(f"SET temp_directory='{tmpdir}/spill'")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute(
+        "CREATE TEMP TABLE oracle_pairs AS "
+        + entrymod.oracle_sql()["embedding_dup_pairs"]
     )
+    con.execute(
+        f"""CREATE TEMP TABLE cmp AS
+            SELECT coalesce(s.id_a, o.id_a) AS id_a,
+                   coalesce(s.id_b, o.id_b) AS id_b,
+                   s.cos_sim AS cs, o.cos_sim AS co
+            FROM read_parquet('{spark_pq}/*.parquet') s
+            FULL OUTER JOIN oracle_pairs o
+              ON s.id_a = o.id_a AND s.id_b = o.id_b"""
+    )
+    stats = con.execute(
+        """SELECT count(*) AS total,
+                  count(*) FILTER (co IS NULL) AS only_spark,
+                  count(*) FILTER (cs IS NULL) AS only_oracle,
+                  max(abs(cs - co)) FILTER (cs IS NOT NULL AND co IS NOT NULL)
+                      AS max_dev
+           FROM cmp"""
+    ).fetchone()
+    n_spark, n_oracle = con.execute(
+        f"""SELECT (SELECT count(*) FROM read_parquet('{spark_pq}/*.parquet')),
+                   (SELECT count(*) FROM oracle_pairs)"""
+    ).fetchone()
+    con.close()
     t_oracle = time.time() - t1
-    print(f"duckdb oracle pairs: {len(oracle_pdf)} rows in {t_oracle:.1f}s", flush=True)
-
-    import pandas as pd
-
-    merged = spark_pdf.merge(
-        oracle_pdf, on=["id_a", "id_b"], how="outer",
-        suffixes=("_spark", "_oracle"), indicator=True,
-    )
-    only_spark = int((merged["_merge"] == "left_only").sum())
-    only_oracle = int((merged["_merge"] == "right_only").sum())
-    both = merged[merged["_merge"] == "both"]
-    # threshold-edge pairs (one engine's rounding lands a hair under
-    # 0.2) would show up as one-sided rows; report their sims if any
-    max_dev = float(
-        (both["cos_sim_spark"] - both["cos_sim_oracle"]).abs().max()
-    ) if len(both) else 0.0
+    total, only_spark, only_oracle, max_dev = stats
+    max_dev = float(max_dev or 0.0)
     ok = only_spark == 0 and only_oracle == 0 and max_dev <= 2e-6
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
                 "n_vectors": n,
-                "spark_pairs": len(spark_pdf),
-                "oracle_pairs": len(oracle_pdf),
-                "pairs_only_spark": only_spark,
-                "pairs_only_oracle": only_oracle,
+                "spark_pairs": int(n_spark),
+                "oracle_pairs": int(n_oracle),
+                "pairs_only_spark": int(only_spark),
+                "pairs_only_oracle": int(only_oracle),
                 "max_cos_dev": max_dev,
                 "tol": 2e-6,
                 "spark_sec": round(t_spark, 1),
@@ -111,6 +120,7 @@ def main() -> int:
         ),
         flush=True,
     )
+    shutil.rmtree(tmpdir, ignore_errors=True)
     return 0 if ok else 1
 
 
