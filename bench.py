@@ -113,7 +113,25 @@ def main() -> None:
     md5_before = _md5_probe_sec()
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     steal0, total0 = _read_steal_ticks()
-    spark = get_spark("kfn-bench")
+    # Optional scale knobs — UNSET in the driver's per-round sf0.1 run,
+    # so default behavior is untouched. For manual 4th-decade runs:
+    #   SPARK_GRAFT_SHUFFLE_PARTITIONS sizes the shuffle to the SF
+    #   (OPERATING.md rule: ~32*sf; 32 partitions OOM a 32 GB heap at
+    #   sf100), and SPARK_GRAFT_SKIP_QUERIES excludes queries whose
+    #   single-node run is journaled infeasible (the skip list is
+    #   echoed in the output JSON so the record is self-documenting).
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+    extra_conf = (
+        {"spark.sql.shuffle.partitions": shuffle_parts}
+        if shuffle_parts
+        else None
+    )
+    skip_queries = [
+        s
+        for s in os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "").split(",")
+        if s
+    ]
+    spark = get_spark("kfn-bench", extra_conf=extra_conf)
 
     qs = entrymod.queries()
     # warm up the JVM + parquet readers + codegen with trivial actions so
@@ -135,6 +153,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        if name in skip_queries:
+            continue
         timings[name] = _best_of_3(
             lambda: qs[name](spark, sf_dir).count(), cleanup=_release
         )
@@ -162,6 +182,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **(
+                    {
+                        "skipped_queries": skip_queries,
+                        "shuffle_partitions": shuffle_parts,
+                    }
+                    if skip_queries or shuffle_parts
+                    else {}
+                ),
                 **side,
                 "calibration": {
                     "md5_sec": md5_before,
