@@ -148,6 +148,13 @@ def main() -> None:
     # ContextCleaner only unlinks shuffle dirs once their RDDs are
     # garbage-collected, and min-of-3 stacks three spills per query.
     def _release():
+        # unpersist every lingering RDD FIRST (localCheckpoint blocks):
+        # min-of-3 at sf100 otherwise stacks three ~30 GB DISK_ONLY
+        # checkpoints of the same query while the async ContextCleaner
+        # races the next pass — observed disk-full mid-suite. Explicit
+        # unpersist releases the blocks synchronously.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

@@ -227,6 +227,11 @@ def main() -> int:
         # context that died mid-query must still reach the journal
         # write below.
         try:
+            # explicit unpersist releases localCheckpoint blocks
+            # synchronously (the async ContextCleaner race filled the
+            # disk during the r9 sf100 bench)
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         except Exception:
