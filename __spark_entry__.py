@@ -3017,24 +3017,37 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     one lineage, and Catalyst's per-field-access json-schema pruning
     (OptimizeJsonExprs) then optimizes each copy separately — 200+ s of
     pure plan-optimization time at ANY data size. The barrier keeps both
-    halves' plans small; encode runs once.  DISK_ONLY, not the
-    MEMORY_AND_DISK default: the checkpoint holds the FULL encoded
-    corpus (~30 GB of JSON strings at sf100), and deserialized on-heap
-    block building across all executor threads starves execution memory
-    ("Unable to acquire ... got 0", reproduced solo at sf100) — the
-    same lesson as pagerank's edge list; a real deployment would land
-    the topic/file on storage, which is exactly what serialized disk
-    blocks model."""
-    from pyspark.storagelevel import StorageLevel
+    halves' plans small; encode runs once.
 
+    Storage level is GATED on the estimated corpus size
+    (session.checkpoint_storage_level): the checkpoint holds the FULL
+    encoded corpus (~30 GB of JSON strings at sf100 — ~20x the events
+    parquet), and deserialized on-heap block building across all
+    executor threads starves execution memory ("Unable to acquire ...
+    got 0", reproduced solo at sf100), so past ~25% of heap it goes
+    DISK_ONLY — the same lesson as pagerank's edge list; a real
+    deployment would land the topic/file on storage, which is exactly
+    what serialized disk blocks model. Below the cliff the
+    MEMORY_AND_DISK default skips the serialize/decode pass that the r9
+    unconditional DISK_ONLY paid everywhere (~4% of the sf0.1 bench for
+    zero benefit — the r10 drift adjudication, SCALE.md)."""
     from kafka_firehose_nozzle_spark.functions.sonde_json import (
         envelopes_from_json_with_value,
         sonde_json,
     )
+    from kafka_firehose_nozzle_spark.session import (
+        checkpoint_storage_level,
+        input_bytes,
+    )
 
     env = events_to_envelopes(_t(spark, sf_dir, "events"))
+    level = checkpoint_storage_level(
+        spark,
+        input_bytes(spark, f"{sf_dir}/events.parquet"),
+        expansion=20.0,  # snappy parquet -> raw sonde-JSON strings
+    )
     encoded = env.select(sonde_json(env).alias("value")).localCheckpoint(
-        eager=False, storageLevel=StorageLevel.DISK_ONLY
+        eager=False, storageLevel=level
     )
     decoded = envelopes_from_json_with_value(encoded, "value")
     routed = route_envelopes(decoded, ROUTE_TOPICS, value_col="value")
@@ -3840,7 +3853,22 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(F.col("cv").alias("src"), F.col("sv").alias("dst")).union(
         pairs.select(F.col("sv").alias("src"), F.col("cv").alias("dst"))
     )
-    ranks = G.pagerank_int(e, iterations=3, damping_pct=85)
+    from kafka_firehose_nozzle_spark.session import (
+        checkpoint_storage_level,
+        input_bytes,
+    )
+
+    # edge rows are two BIGINTs; the distinct trade-pair count tracks
+    # lineitem row count, so ~1.5x lineitem's parquet bytes bounds the
+    # materialized edge list (sf100: 13.7 GB parquet -> ~19 GB edges)
+    level = checkpoint_storage_level(
+        spark,
+        input_bytes(spark, f"{sf_dir}/lineitem.parquet"),
+        expansion=1.5,
+    )
+    ranks = G.pagerank_int(
+        e, iterations=3, damping_pct=85, edge_storage_level=level
+    )
     return (
         ranks.orderBy(F.desc("rank"), F.col("vertex"))
         .limit(20)

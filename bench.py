@@ -132,6 +132,13 @@ def main() -> None:
         if s
     ]
     spark = get_spark("kfn-bench", extra_conf=extra_conf)
+    if not shuffle_parts:
+        # engine-derived sizing (session.py): at sf0.1 this resolves to
+        # the floor (= today's 32 — driver-run plans unchanged); at
+        # sf100 it supplies the partition count the env knob used to
+        from kafka_firehose_nozzle_spark.session import configure_shuffle_for_input
+
+        shuffle_parts = str(configure_shuffle_for_input(spark, sf_dir))
 
     qs = entrymod.queries()
     # warm up the JVM + parquet readers + codegen with trivial actions so
@@ -151,10 +158,12 @@ def main() -> None:
         # unpersist every lingering RDD FIRST (localCheckpoint blocks):
         # min-of-3 at sf100 otherwise stacks three ~30 GB DISK_ONLY
         # checkpoints of the same query while the async ContextCleaner
-        # races the next pass — observed disk-full mid-suite. Explicit
-        # unpersist releases the blocks synchronously.
+        # races the next pass — observed disk-full mid-suite.
+        # unpersist(True) blocks until the blocks are actually removed
+        # (the py4j default is blocking=false, which only INITIATES
+        # removal and leaves the disk-full race open).
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+            rdd.unpersist(True)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 

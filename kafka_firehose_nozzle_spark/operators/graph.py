@@ -38,6 +38,7 @@ def pagerank_int(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    edge_storage_level=None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list (every vertex must
     have out-degree >= 1 — union reversed edges first if the graph has
@@ -55,20 +56,25 @@ def pagerank_int(
     # edge-derivation subtree would re-execute per iteration.  At
     # cluster scale this is a persist-to-lake of the edge table,
     # pre-partitioned by src so the per-iteration join reuses the
-    # layout; localCheckpoint is the local-mode equivalent.  DISK_ONLY,
-    # not the MEMORY_AND_DISK default: the edge table is the one input
-    # that can exceed executor memory (sf100's trade graph is ~1.2B
-    # edges; deserialized on-heap block building across 32 threads blew
-    # a 32 GB heap), and each iteration streams it once, so serialized
+    # layout; localCheckpoint is the local-mode equivalent.
+    # ``edge_storage_level`` defaults to DISK_ONLY, NOT the
+    # MEMORY_AND_DISK default: the edge table is the one input that can
+    # exceed executor memory (sf100's trade graph is ~1.2B edges;
+    # deserialized on-heap block building across 32 threads blew a
+    # 32 GB heap), and each iteration streams it once, so serialized
     # disk blocks cost one decode pass while keeping memory bounded at
     # ANY graph size — the standard level for iterative jobs whose edge
-    # set outgrows aggregate memory.
+    # set outgrows aggregate memory.  Callers that can bound the edge
+    # volume (session.checkpoint_storage_level over the source tables)
+    # pass the gated level and skip the decode pass at small SF.
     from pyspark.storagelevel import StorageLevel
 
+    if edge_storage_level is None:
+        edge_storage_level = StorageLevel.DISK_ONLY
     e = edges.select(
         F.col(src_col).cast("bigint").alias("src"),
         F.col(dst_col).cast("bigint").alias("dst"),
-    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+    ).localCheckpoint(storageLevel=edge_storage_level)
     verts = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))

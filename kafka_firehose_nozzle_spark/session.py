@@ -59,3 +59,109 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Scale-aware sizing (OPERATING.md's 100-200 MB/task rule as engine
+# behavior, VERDICT r9 item 4). These derive tuning from the INPUT
+# VOLUME the job is about to scan, so the same code self-sizes from
+# sf0.01 laptop runs to a 100 TB lake without an operator remembering a
+# knob. All estimates are deliberately coarse — AQE coalesces an
+# over-partitioned shuffle down for free, while an UNDER-partitioned
+# one OOMs (the r9 sf100 sweep lost supplier_pagerank to 32 partitions
+# on a 32 GB heap), so every rounding here errs toward more partitions.
+# ---------------------------------------------------------------------------
+
+# the sweet spot Spark's own AQE targets (advisoryPartitionSizeInBytes
+# defaults to 64 MB post-shuffle; 150 MB of COMPRESSED source per task
+# lands the expanded working set in the same regime)
+TARGET_BYTES_PER_TASK = 150 * 1024 * 1024
+# parquet -> expanded-row shuffle inflation; snappy parquet on this
+# corpus measures ~3x smaller than its shuffled row form
+DEFAULT_EXPANSION = 3.0
+SHUFFLE_PARTITION_CAP = 4096  # runaway-input backstop, not a tuning target
+
+
+def input_bytes(spark: SparkSession, *paths: str) -> int:
+    """Total on-storage bytes under ``paths`` via the Hadoop FileSystem
+    API — works for local paths here and HDFS/S3/GCS on a cluster.
+    Missing paths count 0 (callers size against what exists)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(hconf)
+        if fs.exists(hp):
+            total += fs.getContentSummary(hp).getLength()
+    return total
+
+
+def derive_shuffle_partitions(
+    source_bytes: int,
+    *,
+    bytes_per_task: int = TARGET_BYTES_PER_TASK,
+    expansion: float = DEFAULT_EXPANSION,
+    floor: int | None = None,
+    cap: int = SHUFFLE_PARTITION_CAP,
+) -> int:
+    """Initial shuffle partition count for a job scanning
+    ``source_bytes`` of (compressed) input: expanded volume divided by
+    the per-task target, floored at the local parallelism (so small-SF
+    runs keep today's 32 and stay plan-comparable) and capped. AQE
+    still coalesces downward at runtime; this only sets the UPPER
+    bound a single task must fit in memory under."""
+    if floor is None:
+        floor = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    need = int(source_bytes * expansion / bytes_per_task)
+    return max(floor, min(cap, need))
+
+
+def configure_shuffle_for_input(spark: SparkSession, *paths: str) -> int:
+    """Set ``spark.sql.shuffle.partitions`` (a session-mutable conf)
+    from the volume actually under ``paths``; returns the chosen count.
+    The engine-behavior form of OPERATING.md's sizing rule: callers
+    point it at the input dir(s) and stop passing --shuffle-partitions
+    by hand."""
+    n = derive_shuffle_partitions(input_bytes(spark, *paths))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
+
+
+def _heap_bytes(spark: SparkSession) -> int:
+    """Per-JVM heap budget: executor memory on a cluster, driver memory
+    in local mode (where the driver IS the executor)."""
+    raw = spark.conf.get(
+        "spark.executor.memory",
+        spark.conf.get("spark.driver.memory", "1g"),
+    )
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    raw = raw.strip().lower().removesuffix("b")
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * (1 << units[raw[-1]]))
+    return int(raw)
+
+
+def checkpoint_storage_level(
+    spark: SparkSession,
+    source_bytes: int,
+    *,
+    expansion: float = 1.0,
+    heap_fraction: float = 0.25,
+):
+    """Storage level for a localCheckpoint/persist of a materialization
+    estimated at ``source_bytes * expansion``: the MEMORY_AND_DISK
+    default while it comfortably fits (fastest — blocks stay
+    deserialized on-heap), DISK_ONLY once it would contend with
+    execution memory. Building deserialized on-heap blocks for a
+    corpus near heap size across all task threads starves execution
+    ("Unable to acquire ... got 0" — both r9 sf100 incidents:
+    pagerank's ~19 GB edge list and roundtrip's ~30 GB JSON corpus on a
+    32 GB heap), while DISK_ONLY costs one serialize/decode pass that
+    is pure overhead at small SF (~4% on the sf0.1 bench). Gating on
+    the estimate buys both: fast below the cliff, bounded above it."""
+    from pyspark.storagelevel import StorageLevel
+
+    if source_bytes * expansion > heap_fraction * _heap_bytes(spark):
+        return StorageLevel.DISK_ONLY
+    return StorageLevel.MEMORY_AND_DISK

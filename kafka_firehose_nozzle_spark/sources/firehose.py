@@ -207,14 +207,6 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
             return self._conn
         from kafka_firehose_nozzle_spark.sources import rfc6455
 
-        if not self._token:
-            self._token = fetch_uaa_token(
-                self.options.get("uaaAddress", ""),
-                self.options.get("username", ""),
-                self.options.get("password", ""),
-                insecure=self.options.get("insecureSSLSkipVerify", "false")
-                == "true",
-            )
         doppler = self.options["dopplerAddress"]
         url = firehose_url(
             doppler, self.options["subscriptionID"], self.filter_type
@@ -232,6 +224,14 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
             self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT)
         )
         while True:
+            if not self._token:
+                self._token = fetch_uaa_token(
+                    self.options.get("uaaAddress", ""),
+                    self.options.get("username", ""),
+                    self.options.get("password", ""),
+                    insecure=self.options.get("insecureSSLSkipVerify", "false")
+                    == "true",
+                )
             try:
                 self._conn = rfc6455.connect(
                     url,
@@ -240,6 +240,18 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
                     ssl_context=ssl_context,
                 )
             except (rfc6455.WSError, OSError) as e:
+                # Expired token: a long-lived stream's reconnect replays
+                # the cached token and Doppler answers 401. The reference
+                # refreshes on 401 (noaa async.go websocketConnNewToken ->
+                # go-nozzle RefreshTokenFrom), so when UAA credentials are
+                # configured (no explicit ``token`` option) drop the cache
+                # and refetch on the next loop turn.
+                if (
+                    isinstance(e, rfc6455.WSHandshakeError)
+                    and e.status == 401
+                    and not self.options.get("token", "")
+                ):
+                    self._token = ""
                 self._spend_retry(str(e))
                 continue
             self._retries_left = self.retry_count

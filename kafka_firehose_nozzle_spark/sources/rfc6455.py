@@ -138,31 +138,52 @@ class _FrameIO:
         self._text = False
 
     # -- raw IO ------------------------------------------------------
-    def _read_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise WSClosed(1006, "connection dropped mid-frame")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
-        return out
-
     def _send_all(self, data: bytes) -> None:
         self._sock.sendall(data)
 
     # -- frames ------------------------------------------------------
     def _read_frame(self) -> tuple[bool, int, bytes]:
-        b0, b1 = self._read_exact(2)
-        fin = bool(b0 & 0x80)
+        """Next complete frame. Parsing is NON-DESTRUCTIVE until the
+        whole frame (header + payload) sits in ``self._buf``: a recv()
+        timeout mid-frame leaves the buffer positioned at the frame
+        boundary, so the next call resumes cleanly instead of parsing
+        payload bytes as a header (the firehose quick-drain loop reads
+        with timeout=0.05 and relies on this)."""
+        while True:
+            frame = self._parse_buffered_frame()
+            if frame is not None:
+                return frame
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise WSClosed(1006, "connection dropped mid-frame")
+            self._buf += chunk
+
+    def _parse_buffered_frame(self) -> tuple[bool, int, bytes] | None:
+        """Parse one frame from self._buf, consuming it only when fully
+        buffered; return None (buffer untouched) when incomplete.
+        Protocol violations raise immediately — those are fatal to the
+        connection, so destroying the parse position is fine."""
+        buf = self._buf
+        if len(buf) < 2:
+            return None
+        b0, b1 = buf[0], buf[1]
         if b0 & 0x70:
             raise WSProtocolError("RSV bits set without an extension")
+        fin = bool(b0 & 0x80)
         opcode = b0 & 0x0F
         masked = bool(b1 & 0x80)
         n = b1 & 0x7F
+        off = 2
         if n == 126:
-            (n,) = struct.unpack(">H", self._read_exact(2))
+            if len(buf) < off + 2:
+                return None
+            (n,) = struct.unpack_from(">H", buf, off)
+            off += 2
         elif n == 127:
-            (n,) = struct.unpack(">Q", self._read_exact(8))
+            if len(buf) < off + 8:
+                return None
+            (n,) = struct.unpack_from(">Q", buf, off)
+            off += 8
         if n > self.MAX_MESSAGE:
             raise WSProtocolError(f"frame of {n} bytes exceeds cap")
         if self._role == "client" and masked:
@@ -170,9 +191,17 @@ class _FrameIO:
         if self._role == "server" and not masked:
             raise WSProtocolError("client sent an unmasked frame")
         if masked:
-            key = self._read_exact(4)
-            return fin, opcode, _apply_mask(self._read_exact(n), key)
-        return fin, opcode, self._read_exact(n)
+            if len(buf) < off + 4 + n:
+                return None
+            key = buf[off : off + 4]
+            off += 4
+            payload = _apply_mask(buf[off : off + n], key)
+        else:
+            if len(buf) < off + n:
+                return None
+            payload = buf[off : off + n]
+        self._buf = buf[off + n :]
+        return fin, opcode, payload
 
     def _send_frame(self, opcode: int, payload: bytes) -> None:
         self._send_all(

@@ -45,6 +45,7 @@ class StubDoppler:
         self.token = token
         self.ssl_context = ssl_context
         self.requests: list[dict] = []  # {"path":…, "headers":…} per conn
+        self.rejected: list[dict] = []  # same shape, 401-refused dials
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -94,6 +95,8 @@ class StubDoppler:
         if self.token is not None and headers.get("authorization") != self.token:
             # a real traffic controller answers a bad token with 401 and
             # a body (noaa reads it, async.go:440-444)
+            with self._lock:
+                self.rejected.append({"path": path, "headers": dict(headers)})
             return 401, "Unauthorized", b"Error: Invalid authorization"
         return None
 
@@ -131,8 +134,14 @@ class StubUAA:
     (go-nozzle token.go:37-66: POST /oauth/token, Basic cf:, form-encoded
     password grant -> {token_type, access_token})."""
 
-    def __init__(self, username: str = "u", password: str = "p"):
+    def __init__(
+        self, username: str = "u", password: str = "p", rotate: bool = False
+    ):
+        """``rotate=True`` issues ``tok-<user>-<n>`` with n incrementing
+        per grant — lets tests simulate token expiry (the old token stops
+        being the one the Doppler accepts)."""
         stub = self
+        self.calls = 0
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # keep pytest output clean
@@ -150,14 +159,15 @@ class StubUAA:
                     and form.get("username") == stub.username
                     and form.get("password") == stub.password
                 )
-                payload = (
-                    {
-                        "token_type": "bearer",
-                        "access_token": f"tok-{form.get('username', '')}",
-                    }
-                    if ok
-                    else {"error": "unauthorized"}
-                )
+                if ok:
+                    stub.calls += 1
+                    user = form.get("username", "")
+                    access = (
+                        f"tok-{user}-{stub.calls}" if rotate else f"tok-{user}"
+                    )
+                    payload = {"token_type": "bearer", "access_token": access}
+                else:
+                    payload = {"error": "unauthorized"}
                 data = json.dumps(payload).encode()
                 self.send_response(200 if ok else 401)
                 self.send_header("Content-Type", "application/json")

@@ -155,6 +155,54 @@ def test_fragment_split_across_recv_timeout_resumes():
     lst.close()
 
 
+@pytest.mark.parametrize(
+    "split",
+    [1, 2, 4],  # mid-header, header|payload boundary, mid-payload
+    ids=["mid_header", "after_header", "mid_payload"],
+)
+def test_frame_split_across_recv_timeout_resumes(split):
+    """A recv() that times out MID-FRAME must leave the parser at the
+    frame boundary. Previously _read_frame consumed the 2-byte header
+    (and extended length/mask) destructively, so a timeout while
+    awaiting the payload desynced the stream — the next recv parsed
+    payload bytes as a header and raised
+    WSProtocolError('server sent a masked frame'). The firehose read
+    loop quick-drains with timeout=0.05, so this killed healthy
+    connections."""
+    import socket
+    import threading
+
+    payload = b"envelope-bytes"
+    raw = rfc6455.encode_frame(rfc6455.OP_BINARY, payload, mask=False)
+    assert 0 < split < len(raw)
+
+    lst = socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    port = lst.getsockname()[1]
+    release = threading.Event()
+
+    def server():
+        sock, _ = lst.accept()
+        rfc6455.server_handshake(sock)
+        sock.sendall(raw[:split])  # first fragment of the FRAME itself
+        release.wait(5)  # hold the rest until the client timed out
+        sock.sendall(raw[split:])
+        # then a second complete frame to prove the stream stays in sync
+        sock.sendall(rfc6455.encode_frame(rfc6455.OP_BINARY, b"next", mask=False))
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    client = rfc6455.connect(f"ws://127.0.0.1:{port}/x", timeout=5)
+    with pytest.raises(TimeoutError):
+        client.recv(timeout=0.2)  # partial frame buffered, nothing lost
+    release.set()
+    assert client.recv(timeout=5) == payload
+    assert client.recv(timeout=5) == b"next"
+    t.join(timeout=5)
+    lst.close()
+
+
 # ---------------------------------------------------------- firehose client
 
 
@@ -293,6 +341,48 @@ def test_uaa_password_grant_live_then_firehose_dial():
                 stub.requests[0]["headers"]["authorization"]
                 == "bearer tok-nozzle-user"
             )
+
+
+def test_expired_token_refetched_from_uaa_on_401():
+    """Token expiry on a long-lived stream: the Doppler 401s the cached
+    token on reconnect. With UAA credentials configured the reader must
+    drop the cache and refetch (the reference refreshes on 401: noaa
+    async.go websocketConnNewToken -> go-nozzle RefreshTokenFrom) —
+    previously the stale token replayed until the retry budget died."""
+    frames = wire_frames(2)
+    with StubUAA(username="u", password="p", rotate=True) as uaa:
+        # doppler only accepts the SECOND issued token: grant #1's token
+        # is 'expired' from the server's point of view
+        with StubDoppler(
+            [{"frames": frames, "then": "silent"}], token="bearer tok-u-2"
+        ) as stub:
+            opts = reader_opts(stub, retryCount=3)
+            del opts["token"]
+            opts.update(uaaAddress=uaa.address, username="u", password="p")
+            reader = FirehoseStreamReader(opts)
+            rows, _ = reader.read({"n": 0})
+            assert len(list(rows)) == 2
+        assert uaa.calls == 2  # initial grant + refresh after the 401
+        assert reader._token == "bearer tok-u-2"
+        # dial 1 carried the stale token (401'd), dial 2 the refreshed one
+        assert [r["headers"]["authorization"] for r in stub.rejected] == [
+            "bearer tok-u-1"
+        ]
+        assert [r["headers"]["authorization"] for r in stub.requests] == [
+            "bearer tok-u-2"
+        ]
+        assert reader._retries_left == 3  # success reset the budget
+
+
+def test_explicit_token_option_is_never_refetched_on_401():
+    """An operator-supplied ``token`` option is authoritative (go-nozzle
+    nozzle.go:112-138: explicit token wins, no UAA in the loop) — a 401
+    must exhaust the budget, not silently mint new credentials."""
+    with StubDoppler([], token="bearer other") as stub:
+        reader = FirehoseStreamReader(reader_opts(stub, retryCount=1))
+        with pytest.raises(RuntimeError, match="maximum number of connection retries"):
+            reader.read({"n": 0})
+        assert reader._token == TOKEN  # cache never cleared
 
 
 # ----------------------------------------------------------------- wss/TLS

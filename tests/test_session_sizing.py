@@ -1,0 +1,135 @@
+"""Scale-aware sizing helpers (session.py): shuffle partitions derived
+from input volume and storage-level gating for big materializations —
+OPERATING.md's 100-200 MB/task rule and the r9 sf100 storage-level
+lessons encoded as engine behavior (VERDICT r9 items 1 and 4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.storagelevel import StorageLevel
+
+from kafka_firehose_nozzle_spark import session as S
+
+
+# ------------------------------------------------- derive_shuffle_partitions
+
+
+def test_small_input_stays_at_floor():
+    # sf0.1 (~17.5 MB) and sf1 (~180 MB) must keep the local default so
+    # the driver bench plans are unchanged
+    assert S.derive_shuffle_partitions(17_500_000, floor=32) == 32
+    assert S.derive_shuffle_partitions(180_000_000, floor=32) == 32
+
+
+def test_sf100_volume_clears_the_oom_threshold():
+    # 18.2 GB (the real sf100 dir) must derive >= the 256 partitions
+    # that fixed the r9 supplier_pagerank heap OOM at 32
+    n = S.derive_shuffle_partitions(18_200_000_000, floor=32)
+    assert 256 <= n <= S.SHUFFLE_PARTITION_CAP
+
+
+def test_cap_bounds_runaway_inputs():
+    assert (
+        S.derive_shuffle_partitions(10**15, floor=32)
+        == S.SHUFFLE_PARTITION_CAP
+    )
+
+
+def test_monotone_in_volume():
+    vals = [
+        S.derive_shuffle_partitions(b, floor=8)
+        for b in (0, 10**8, 10**9, 10**10, 10**11)
+    ]
+    assert vals == sorted(vals)
+    assert vals[0] == 8
+
+
+# --------------------------------------------------------- heap parsing
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ("32g", 32 << 30),
+        ("512m", 512 << 20),
+        ("1t", 1 << 40),
+        ("2048k", 2048 << 10),
+        ("1073741824", 1 << 30),
+        ("16G", 16 << 30),
+        ("4gb", 4 << 30),
+    ],
+)
+def test_heap_bytes_parses_jvm_memory_strings(raw, want):
+    class FakeConf:
+        def get(self, key, default=None):
+            return raw if key == "spark.executor.memory" else default
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    assert S._heap_bytes(FakeSpark()) == want
+
+
+# ------------------------------------------- checkpoint_storage_level
+
+
+def test_storage_level_gates_on_estimated_bytes(spark):
+    # the live session runs a 32g driver heap (session.py default);
+    # threshold = 25% of heap = 8 GB
+    heap = S._heap_bytes(spark)
+    small = S.checkpoint_storage_level(spark, heap // 100)
+    big = S.checkpoint_storage_level(spark, heap)  # 1x heap >> 25%
+    assert small == StorageLevel.MEMORY_AND_DISK
+    assert big == StorageLevel.DISK_ONLY
+
+
+def test_storage_level_applies_expansion(spark):
+    # sf100 roundtrip regime: 1.36 GB events parquet x20 JSON expansion
+    # crosses the cliff; the same bytes at x1 do not (32 GB heap)
+    heap = S._heap_bytes(spark)
+    if heap < 16 << 30:
+        pytest.skip("heap too small for the sf100-regime constants")
+    parquet_bytes = 1_360_000_000
+    assert (
+        S.checkpoint_storage_level(spark, parquet_bytes, expansion=20.0)
+        == StorageLevel.DISK_ONLY
+    )
+    assert (
+        S.checkpoint_storage_level(spark, parquet_bytes, expansion=1.0)
+        == StorageLevel.MEMORY_AND_DISK
+    )
+
+
+# ---------------------------------------------------------- input_bytes
+
+
+def test_input_bytes_via_hadoop_fs(spark, tmp_path):
+    p = tmp_path / "t.parquet"
+    spark.range(1000).write.parquet(str(p))
+    got = S.input_bytes(spark, str(p))
+    import os
+
+    # LocalFileSystem's ContentSummary excludes its own hidden .crc
+    # sidecars — mirror that
+    want = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(p)
+        for f in fs
+        if not f.startswith(".")
+    )
+    assert got == want > 0
+    # missing paths count zero, not error
+    assert S.input_bytes(spark, str(tmp_path / "absent")) == 0
+
+
+def test_configure_shuffle_for_input_sets_conf(spark, tmp_path):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        p = tmp_path / "tiny.parquet"
+        spark.range(10).write.parquet(str(p))
+        n = S.configure_shuffle_for_input(spark, str(p))
+        # tiny input -> floor (local parallelism), and the conf is set
+        assert n == S.derive_shuffle_partitions(S.input_bytes(spark, str(p)))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

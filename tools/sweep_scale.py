@@ -121,6 +121,17 @@ def main() -> int:
     if shuffle_parts:
         sweep_conf["spark.sql.shuffle.partitions"] = str(shuffle_parts)
     spark = get_spark("scale-sweep", extra_conf=sweep_conf)
+    if not shuffle_parts:
+        # engine-derived sizing (session.py): shuffle partitions from
+        # the sf dir's actual volume — the sweep no longer needs the
+        # manual --shuffle-partitions flag at sf100 (VERDICT r9 item 4).
+        # Recorded into sweep_conf so a mid-sweep session recreation
+        # (ensure_spark) inherits the same sizing.
+        from kafka_firehose_nozzle_spark.session import configure_shuffle_for_input
+
+        derived = configure_shuffle_for_input(spark, sf_dir)
+        sweep_conf["spark.sql.shuffle.partitions"] = str(derived)
+        print(f"shuffle partitions derived from input volume: {derived}", flush=True)
     # Best-effort vm.max_map_count raise: glibc mmaps each medium
     # DuckDB block separately, so a scaled-data oracle exhausts the
     # default 65,530 mappings at ~8 GB RSS and dies with a bad_alloc
@@ -227,11 +238,12 @@ def main() -> int:
         # context that died mid-query must still reach the journal
         # write below.
         try:
-            # explicit unpersist releases localCheckpoint blocks
-            # synchronously (the async ContextCleaner race filled the
-            # disk during the r9 sf100 bench)
+            # unpersist(True) blocks until localCheckpoint blocks are
+            # actually removed — the py4j default (blocking=false) only
+            # initiates removal, leaving open the ContextCleaner race
+            # that filled the disk during the r9 sf100 bench
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
+                rdd.unpersist(True)
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         except Exception:
