@@ -39,6 +39,10 @@ def _base(origin: str, event_type: int) -> dict:
         "counterEvent": None,
         "error": None,
         "containerMetric": None,
+        # _unrecognized (ENVELOPE_SCHEMA's unknown-field residue) is
+        # deliberately ABSENT: decode_envelope only materializes the key
+        # when residue exists, and these dicts pin that historical shape;
+        # createDataFrame fills the missing key as NULL
     }
 
 
@@ -212,5 +216,6 @@ def synthetic_envelope_df(spark: SparkSession, n: int, seed: int = 42) -> DataFr
                 F.lit("diskBytesQuota"), F.lit(None).cast("long"),
             ),
         ).alias("containerMetric"),
+        F.lit(None).cast("binary").alias("_unrecognized"),
     )
     return df

@@ -136,6 +136,13 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("counterEvent", COUNTER_EVENT_SCHEMA, True),
         T.StructField("error", ERROR_SCHEMA, True),
         T.StructField("containerMetric", CONTAINER_METRIC_SCHEMA, True),
+        # raw unknown-field residue from the wire decode — gogo proto's
+        # XXX_unrecognized (envelope.pb.go:116) carried through the
+        # DataFrame boundary so decode -> DataFrame -> re-encode loses
+        # nothing when a newer Doppler adds envelope fields. NULL on
+        # every non-wire source; NEVER emitted into sonde JSON (easyjson
+        # has no unknown-field concept, encoder parity is byte-exact).
+        T.StructField("_unrecognized", T.BinaryType(), True),
     ]
 )
 

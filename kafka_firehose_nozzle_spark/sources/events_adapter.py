@@ -156,4 +156,5 @@ def events_to_envelopes(events: DataFrame) -> DataFrame:
             ),
         ).alias("error"),
         F.lit(None).cast(schemas.CONTAINER_METRIC_SCHEMA).alias("containerMetric"),
+        F.lit(None).cast("binary").alias("_unrecognized"),
     )

@@ -91,3 +91,87 @@ def decode_wire_frames(
             yield pd.DataFrame(rows, columns=field_names, dtype=object)
 
     return df.select(payload_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+# arrow-to-pandas cell shapes normalized back to the plain dict format
+# dropsonde_wire's encoder consumes, DRIVEN BY THE SPARK TYPE: a batch
+# that mixes null and non-null rows has its nullable int64 struct
+# children converted to float64 by pyarrow (observed under streaming),
+# so the target type — not the arrived dtype — decides the cast.
+# Also: numpy scalars -> python, MapType list[(k, v)] -> dict,
+# arrays -> list, bytearray -> bytes.
+def _plain(v, dtype):
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    t = dtype.typeName()
+    if t in ("long", "integer", "short", "byte"):
+        return int(v)
+    if t in ("double", "float"):
+        return float(v)
+    if t == "binary":
+        return bytes(v)
+    if t == "string":
+        return str(v)
+    if t == "struct":
+        return {
+            f.name: _plain(v.get(f.name), f.dataType) for f in dtype.fields
+        }
+    if t == "map":
+        items = v.items() if isinstance(v, dict) else v
+        return {k: _plain(x, dtype.valueType) for k, x in items}
+    if t == "array":
+        return [_plain(x, dtype.elementType) for x in v]
+    return v
+
+
+def encode_wire_frames(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Typed ENVELOPE_SCHEMA rows -> binary dropsonde wire frames: the
+    inverse of :func:`decode_wire_frames` (what a raw-capture archiver
+    or a protobuf-topic producer runs). Same plan shape — one
+    shuffle-free Arrow-batched map stage.
+
+    Round-trip contract: ``encode(decode(frames)) == frames`` byte-exact
+    for canonically-ordered frames, INCLUDING unknown fields — the
+    ``_unrecognized`` envelope column re-emits raw unknown tag+value
+    bytes after the known fields, exactly like gogo proto's
+    XXX_unrecognized on Marshal (envelope.pb.go:116) — pinned by
+    tests/test_dropsonde_wire.py and the streaming round-trip test.
+
+    ``mapInArrow``, NOT ``mapInPandas``: the pandas conversion turns a
+    nullable int64 struct child into float64 whenever a batch mixes
+    null and non-null parents, silently rounding ns timestamps
+    (> 2^53) to 256-ns multiples — the same hazard the decode path
+    dodges with dtype=object, here on the INPUT side where dtype is
+    not ours to pick. Arrow ``to_pylist`` keeps exact ints."""
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        encode_envelope,
+    )
+
+    env_fields = list(schemas.ENVELOPE_SCHEMA.fields)
+    env_names = [f.name for f in env_fields]
+    out_schema = T.StructType([T.StructField(payload_col, T.BinaryType())])
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            payloads = [
+                encode_envelope(
+                    {
+                        f.name: _plain(row.get(f.name), f.dataType)
+                        for f in env_fields
+                    }
+                )
+                for row in batch.to_pylist()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(payloads, type=pa.binary())], [payload_col]
+            )
+
+    return df.select(*env_names).mapInArrow(encode, out_schema)
