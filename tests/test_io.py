@@ -379,3 +379,44 @@ def test_wire_roundtrip_streaming_preserves_unknown_fields(spark, tmp_path):
         bytes(r["payload"]) for r in spark.table("wire_rt_sink").collect()
     )
     assert got == sorted(frames)
+
+
+def test_wire_roundtrip_dataframe_mixed_null_batches_exact_ints(spark):
+    """Regression guard for the Arrow conversion hazards: a ~100-row
+    batch mixing null and non-null struct parents converts nullable
+    int64 children to float64 under pandas, silently rounding ns
+    timestamps (> 2^53) to 256-ns multiples — encode_wire_frames uses
+    mapInArrow precisely to dodge that. All six payload shapes, null
+    structs, and unknown residues of all four wire types ride one
+    round trip byte-exactly."""
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        _write_uvarint,
+        encode_envelope,
+    )
+    from kafka_firehose_nozzle_spark.sources.wire_batch import (
+        decode_wire_frames,
+        encode_wire_frames,
+    )
+
+    env = synthetic_envelope_df(spark, 400, seed=3)
+    dicts = [r.asDict(recursive=True) for r in env.collect()]
+    # residues: varint, fixed64, length-delimited, fixed32 (field 99)
+    residues = [
+        bytes(_write_uvarint(99 << 3 | 0)) + bytes(_write_uvarint(7)),
+        bytes(_write_uvarint(99 << 3 | 1)) + (2**63 + 5).to_bytes(8, "little"),
+        bytes(_write_uvarint(99 << 3 | 2)) + bytes(_write_uvarint(3)) + b"abc",
+        bytes(_write_uvarint(99 << 3 | 5)) + (12345).to_bytes(4, "little"),
+    ]
+    frames = [
+        encode_envelope(d) + (residues[i % 4] if i % 7 == 0 else b"")
+        for i, d in enumerate(dicts)
+    ]
+    # 4 partitions -> ~100-row Arrow batches mixing null/non-null structs
+    raw = spark.createDataFrame(
+        [(f,) for f in frames], "payload binary"
+    ).repartition(4)
+    out = encode_wire_frames(
+        decode_wire_frames(raw).filter("_decode_error IS NULL")
+    )
+    got = sorted(bytes(r["payload"]) for r in out.collect())
+    assert got == sorted(frames)
