@@ -113,7 +113,10 @@ def derive_shuffle_partitions(
     bound a single task must fit in memory under."""
     if floor is None:
         floor = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    need = int(source_bytes * expansion / bytes_per_task)
+    # ceil, never truncate: the module invariant is that rounding errs
+    # toward MORE partitions (AQE coalesces excess for free; a missing
+    # partition near the memory cliff OOMs)
+    need = -(-int(source_bytes * expansion) // bytes_per_task)
     return max(floor, min(cap, need))
 
 
@@ -129,17 +132,25 @@ def configure_shuffle_for_input(spark: SparkSession, *paths: str) -> int:
 
 
 def _heap_bytes(spark: SparkSession) -> int:
-    """Per-JVM heap budget: executor memory on a cluster, driver memory
-    in local mode (where the driver IS the executor)."""
-    raw = spark.conf.get(
-        "spark.executor.memory",
-        spark.conf.get("spark.driver.memory", "1g"),
-    )
+    """Per-JVM heap budget: executor memory on a cluster, DRIVER memory
+    under a local master (where the driver IS the executor and
+    spark.executor.memory — even if a spark-defaults.conf sets it — is
+    ignored by Spark). Unit-less values are MiB, matching Spark's own
+    byteStringAsMb parsing of the memory confs (a bare '4096' means
+    4 GiB, not 4 KB)."""
+    master = spark.conf.get("spark.master", "local")
+    if master.startswith("local"):
+        raw = spark.conf.get("spark.driver.memory", "1g")
+    else:
+        raw = spark.conf.get(
+            "spark.executor.memory",
+            spark.conf.get("spark.driver.memory", "1g"),
+        )
     units = {"k": 10, "m": 20, "g": 30, "t": 40}
     raw = raw.strip().lower().removesuffix("b")
     if raw and raw[-1] in units:
         return int(float(raw[:-1]) * (1 << units[raw[-1]]))
-    return int(raw)
+    return int(raw) << 20  # bare number = MiB (Spark semantics)
 
 
 def checkpoint_storage_level(

@@ -224,15 +224,25 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
             self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT)
         )
         while True:
-            if not self._token:
-                self._token = fetch_uaa_token(
-                    self.options.get("uaaAddress", ""),
-                    self.options.get("username", ""),
-                    self.options.get("password", ""),
-                    insecure=self.options.get("insecureSSLSkipVerify", "false")
-                    == "true",
-                )
             try:
+                if not self._token:
+                    # inside the try: a transient UAA failure (refused
+                    # connection, 5xx) spends the retry budget + backoff
+                    # like any other connect error instead of killing
+                    # the stream — a bad-credential 401 from UAA is an
+                    # HTTPError (OSError subclass), so it burns the
+                    # bounded budget then fails with max-retries.
+                    # Config VALIDATION errors (empty UaaAddr/username/
+                    # password -> ValueError) stay immediately fatal.
+                    self._token = fetch_uaa_token(
+                        self.options.get("uaaAddress", ""),
+                        self.options.get("username", ""),
+                        self.options.get("password", ""),
+                        insecure=self.options.get(
+                            "insecureSSLSkipVerify", "false"
+                        )
+                        == "true",
+                    )
                 self._conn = rfc6455.connect(
                     url,
                     headers={"Authorization": self._token, "Origin": doppler},

@@ -33,9 +33,36 @@ from kafka_firehose_nozzle_spark import schemas
 # every field forced nullable: a quarantined frame carries NULL
 # envelope fields, which the envelope schema's required (non-null)
 # proto2 fields would reject at the Unsafe row writer (JVM NPE)
+
+
+def _with_residue(dt):
+    """Nested payload structs (recursively — the UUIDs inside
+    httpStartStop included) gain their own `_unrecognized` binary
+    subfield on the DECODE side: gogo proto keeps XXX_unrecognized on
+    EVERY generated struct (metric.pb.go included), and the wire codec
+    already captures residue per message level — without a schema slot
+    the Arrow conversion would silently drop nested unknowns at the
+    DataFrame boundary, breaking the byte-exact re-encode contract."""
+    if not isinstance(dt, T.StructType):
+        return dt
+    return T.StructType(
+        [
+            T.StructField(f.name, _with_residue(f.dataType), True)
+            for f in dt.fields
+        ]
+        + [T.StructField("_unrecognized", T.BinaryType(), True)]
+    )
+
+
 DECODED_SCHEMA = T.StructType(
     [
-        T.StructField(f.name, f.dataType, True)
+        T.StructField(
+            f.name,
+            f.dataType
+            if f.name == "_unrecognized"
+            else _with_residue(f.dataType),
+            True,
+        )
         for f in schemas.ENVELOPE_SCHEMA.fields
     ]
     + [
@@ -57,25 +84,32 @@ def decode_wire_frames(
     error text in ``_decode_error``; good rows carry NULL there.  Split
     with ``.filter("_decode_error IS NULL")`` / ``IS NOT NULL`` — both
     halves share the single decode pass.
-    """
-    import pandas as pd
 
+    ``mapInArrow`` (was mapInPandas): building the output through a
+    pandas frame — even at dtype=object — lets the object->Arrow
+    conversion treat a NaN double as NULL, silently nulling legitimate
+    NaN metric values; ``RecordBatch.from_pylist`` against the explicit
+    Arrow schema keeps NaN a value, ints exact at any magnitude, and
+    maps nested dicts (including the `_unrecognized` residue subfields)
+    to struct fields by NAME.
+    """
     from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
         decode_envelope,
     )
 
-    field_names = [f.name for f in DECODED_SCHEMA.fields]
     env_names = [f.name for f in schemas.ENVELOPE_SCHEMA.fields]
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def decode(batches):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(DECODED_SCHEMA)
+        for batch in batches:
             rows = []
-            for buf in pdf[payload_col]:
+            for buf in batch.column(0).to_pylist():
                 try:
                     d = decode_envelope(bytes(buf))
-                    # nested messages stay DICTS — Arrow maps dict cells
-                    # to struct fields by NAME (tuples would bind
-                    # positionally and corrupt the row)
                     row = {name: d.get(name) for name in env_names}
                     row["_decode_error"] = None
                     row["_raw"] = None
@@ -84,13 +118,9 @@ def decode_wire_frames(
                     row["_decode_error"] = f"{type(e).__name__}: {e}"[:200]
                     row["_raw"] = bytes(buf)
                 rows.append(row)
-            # dtype=object: one quarantined row's None in an int64
-            # column would otherwise flip the whole batch to float64 —
-            # silently rounding ns timestamps (> 2^53) to 256-ns
-            # multiples; Arrow converts object ints to int64 exactly
-            yield pd.DataFrame(rows, columns=field_names, dtype=object)
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
-    return df.select(payload_col).mapInPandas(decode, DECODED_SCHEMA)
+    return df.select(payload_col).mapInArrow(decode, DECODED_SCHEMA)
 
 
 # arrow-to-pandas cell shapes normalized back to the plain dict format
@@ -103,7 +133,10 @@ def decode_wire_frames(
 def _plain(v, dtype):
     import numpy as np
 
-    if v is None or (isinstance(v, float) and v != v):
+    # None is the ONLY null here (Arrow to_pylist, not pandas): a float
+    # NaN is a legitimate double VALUE (e.g. a NaN ValueMetric) and must
+    # encode, not vanish — struct.pack round-trips its exact bits
+    if v is None:
         return None
     if isinstance(v, np.generic):
         v = v.item()
@@ -117,9 +150,16 @@ def _plain(v, dtype):
     if t == "string":
         return str(v)
     if t == "struct":
-        return {
+        out = {
             f.name: _plain(v.get(f.name), f.dataType) for f in dtype.fields
         }
+        # nested unknown-field residue rides outside the declared
+        # ENVELOPE_SCHEMA payload types (decode emits it per message
+        # level, DECODED_SCHEMA slots it) — carry it so encode_envelope
+        # re-emits it after that level's known fields
+        if "_unrecognized" not in out and v.get("_unrecognized") is not None:
+            out["_unrecognized"] = bytes(v["_unrecognized"])
+        return out
     if t == "map":
         items = v.items() if isinstance(v, dict) else v
         return {k: _plain(x, dtype.valueType) for k, x in items}
@@ -137,11 +177,13 @@ def encode_wire_frames(
     shuffle-free Arrow-batched map stage.
 
     Round-trip contract: ``encode(decode(frames)) == frames`` byte-exact
-    for canonically-ordered frames, INCLUDING unknown fields — the
-    ``_unrecognized`` envelope column re-emits raw unknown tag+value
-    bytes after the known fields, exactly like gogo proto's
-    XXX_unrecognized on Marshal (envelope.pb.go:116) — pinned by
-    tests/test_dropsonde_wire.py and the streaming round-trip test.
+    for canonically-ordered frames, INCLUDING unknown fields AT EVERY
+    message level — the ``_unrecognized`` envelope column and the
+    nested residue subfields DECODED_SCHEMA adds re-emit raw unknown
+    tag+value bytes after each level's known fields, exactly like gogo
+    proto's XXX_unrecognized on Marshal (envelope.pb.go:116) — pinned
+    by tests/test_dropsonde_wire.py and the round-trip tests in
+    tests/test_io.py.
 
     ``mapInArrow``, NOT ``mapInPandas``: the pandas conversion turns a
     nullable int64 struct child into float64 whenever a batch mixes

@@ -374,6 +374,42 @@ def test_expired_token_refetched_from_uaa_on_401():
         assert reader._retries_left == 3  # success reset the budget
 
 
+def test_transient_uaa_outage_spends_retry_budget_not_stream():
+    """A momentarily-unreachable UAA (refused connection) on the token
+    fetch must spend the reconnect budget with backoff like any other
+    connect error — not kill the stream while retries remain. After the
+    budget drains the stream fails with the max-retries error."""
+    import socket as _socket
+
+    # reserve a port with nothing listening: connection refused
+    s = _socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    with StubDoppler([], token=TOKEN) as stub:
+        opts = reader_opts(stub, retryCount=2)
+        del opts["token"]
+        opts.update(
+            uaaAddress=f"http://127.0.0.1:{dead_port}", username="u", password="p"
+        )
+        reader = FirehoseStreamReader(opts)
+        with pytest.raises(RuntimeError, match="maximum number of connection retries"):
+            reader.read({"n": 0})
+        assert reader._retries_left == 0  # budget spent, not bypassed
+    # config-VALIDATION errors stay immediately fatal (token.go:69-83)
+    bad = FirehoseStreamReader(
+        {
+            "dopplerAddress": "ws://127.0.0.1:1",
+            "subscriptionID": "s",
+            "username": "u",
+            "password": "p",
+        }
+    )
+    with pytest.raises(ValueError, match="UaaAddr must not be empty"):
+        bad.read({"n": 0})
+
+
 def test_explicit_token_option_is_never_refetched_on_401():
     """An operator-supplied ``token`` option is authoritative (go-nozzle
     nozzle.go:112-138: explicit token wins, no UAA in the loop) — a 401

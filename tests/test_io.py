@@ -420,3 +420,64 @@ def test_wire_roundtrip_dataframe_mixed_null_batches_exact_ints(spark):
     )
     got = sorted(bytes(r["payload"]) for r in out.collect())
     assert got == sorted(frames)
+
+
+def test_wire_roundtrip_nested_residue_and_nan_survive_dataframe(spark):
+    """code-review r10 closures: (a) unknown fields inside NESTED
+    messages (gogo keeps XXX_unrecognized on every struct) survive the
+    DataFrame boundary — DECODED_SCHEMA slots a residue subfield per
+    payload struct and encode re-emits it after that level's known
+    fields; (b) a NaN ValueMetric is a VALUE, not a null — it must
+    re-encode, not vanish."""
+    import math
+    import struct as _struct
+
+    from kafka_firehose_nozzle_spark.fixtures import canonical_envelopes
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        decode_envelope,
+        encode_envelope,
+    )
+    from kafka_firehose_nozzle_spark.sources.wire_batch import (
+        decode_wire_frames,
+        encode_wire_frames,
+    )
+
+    vm = next(
+        e for e in canonical_envelopes() if e.get("valueMetric") is not None
+    )
+    # (a) unknown field INSIDE the valueMetric submessage (field 99
+    # varint = tag bytes 0x98 0x06), normalized-to-tail at that level
+    nested = dict(vm, valueMetric=dict(vm["valueMetric"]))
+    inner = encode_envelope(nested)
+    base_vm_bytes = None  # splice residue into the nested message
+    d = decode_envelope(inner)
+    d["valueMetric"]["_unrecognized"] = b"\x98\x06\x2a"
+    frame_nested = encode_envelope(d)
+    assert decode_envelope(frame_nested)["valueMetric"]["_unrecognized"] == b"\x98\x06\x2a"
+
+    # (b) NaN metric value
+    nan_env = dict(vm, valueMetric=dict(vm["valueMetric"], value=float("nan")))
+    frame_nan = encode_envelope(nan_env)
+
+    frames = [frame_nested, frame_nan, encode_envelope(vm)]
+    raw = spark.createDataFrame([(f,) for f in frames], "payload binary")
+    decoded = decode_wire_frames(raw).filter("_decode_error IS NULL")
+    assert decoded.count() == 3
+    # nested residue is visible as a typed subfield
+    got_res = [
+        bytes(r)
+        for (r,) in decoded.select("valueMetric._unrecognized").collect()
+        if r is not None
+    ]
+    assert got_res == [b"\x98\x06\x2a"]
+    # NaN survived decode as a value, not a null
+    vals = [
+        v
+        for (v,) in decoded.select("valueMetric.value").collect()
+        if v is not None and math.isnan(v)
+    ]
+    assert len(vals) == 1
+
+    out = encode_wire_frames(decoded.drop("_decode_error", "_raw"))
+    got = sorted(bytes(r["payload"]) for r in out.collect())
+    assert got == sorted(frames)

@@ -44,7 +44,30 @@ def test_monotone_in_volume():
     assert vals[0] == 8
 
 
+def test_rounds_up_never_down():
+    # rounding must err toward MORE partitions (a missing one near the
+    # memory cliff OOMs; AQE coalesces excess for free): one byte past
+    # an exact task boundary adds a partition
+    exact = 100 * S.TARGET_BYTES_PER_TASK
+    b = int(exact / S.DEFAULT_EXPANSION)
+    while int(b * S.DEFAULT_EXPANSION) < exact:
+        b += 1
+    assert S.derive_shuffle_partitions(b, floor=1) == 100
+    assert S.derive_shuffle_partitions(b + 1, floor=1) == 101
+
+
 # --------------------------------------------------------- heap parsing
+
+
+def _fake_spark(confs: dict):
+    class FakeConf:
+        def get(self, key, default=None):
+            return confs.get(key, default)
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    return FakeSpark()
 
 
 @pytest.mark.parametrize(
@@ -54,20 +77,42 @@ def test_monotone_in_volume():
         ("512m", 512 << 20),
         ("1t", 1 << 40),
         ("2048k", 2048 << 10),
-        ("1073741824", 1 << 30),
+        # bare number = MiB, matching Spark's byteStringAsMb semantics
+        # for the memory confs (a '4096' driver is a 4 GiB driver)
+        ("4096", 4096 << 20),
         ("16G", 16 << 30),
         ("4gb", 4 << 30),
     ],
 )
 def test_heap_bytes_parses_jvm_memory_strings(raw, want):
-    class FakeConf:
-        def get(self, key, default=None):
-            return raw if key == "spark.executor.memory" else default
+    fake = _fake_spark(
+        {"spark.master": "local[8]", "spark.driver.memory": raw}
+    )
+    assert S._heap_bytes(fake) == want
 
-    class FakeSpark:
-        conf = FakeConf()
 
-    assert S._heap_bytes(FakeSpark()) == want
+def test_heap_bytes_local_master_ignores_executor_memory():
+    # local mode ignores spark.executor.memory (the driver IS the
+    # executor) — a stray defaults-file value must not win
+    fake = _fake_spark(
+        {
+            "spark.master": "local[32]",
+            "spark.driver.memory": "32g",
+            "spark.executor.memory": "4g",
+        }
+    )
+    assert S._heap_bytes(fake) == 32 << 30
+
+
+def test_heap_bytes_cluster_master_prefers_executor_memory():
+    fake = _fake_spark(
+        {
+            "spark.master": "spark://head:7077",
+            "spark.driver.memory": "8g",
+            "spark.executor.memory": "16g",
+        }
+    )
+    assert S._heap_bytes(fake) == 16 << 30
 
 
 # ------------------------------------------- checkpoint_storage_level
