@@ -56,6 +56,11 @@ def kafka_sink_options(config: Config) -> dict[str, str]:
     if codec:
         opts["kafka.compression.type"] = codec
 
+    # 0 means UNSET, deliberately: the reference's Go config has no
+    # absent-vs-zero distinction either (TOML ints default to the zero
+    # value, kafka.go:21-22 then substitutes the defaults), so
+    # "explicitly zero retries" is not expressible there and is not
+    # expressible here — parity, not an oversight
     retry_max = kafka.retry_max or DEFAULT_RETRY_MAX
     backoff = kafka.retry_backoff_ms or DEFAULT_RETRY_BACKOFF_MS
     opts["kafka.retries"] = str(retry_max)

@@ -23,8 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-
 
 def overwrite_partitions(
     df: DataFrame,
@@ -38,10 +36,16 @@ def overwrite_partitions(
     the same files' contents; writing a corrected frame for one
     partition replaces just that partition directory.
     """
-    spark = df.sparkSession
-    old = spark.conf.get(_MODE_KEY, "STATIC")
-    spark.conf.set(_MODE_KEY, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set(_MODE_KEY, old)
+    # per-WRITER option, not the session conf: flipping the session
+    # global and restoring it in a finally races concurrent writers on
+    # a shared session — thread B's restore can land between thread A's
+    # set and A's write, demoting A to STATIC mode, which deletes every
+    # partition under `path` not present in A's frame (the full-table
+    # wipe the module docstring warns about). The DataFrameWriter-level
+    # option scopes the mode to this one write.
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

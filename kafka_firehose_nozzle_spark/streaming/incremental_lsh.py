@@ -22,9 +22,17 @@ sinks/batchwise.py established):
   makes replays idempotent (crash between store write and output write
   replays the batch into the same directory).
 
-Within-batch duplicates are resolved by the batch operator first
-(lowest-id canon survives), so ordering is deterministic given a
-deterministic batch sequence.
+Within-batch duplicates are resolved inside the handler, deterministically:
+exact copies collapse to the lowest-id canon (the dropped rows still get
+decision rows, ``dup_of`` = their canon — the decision log covers EVERY
+input row); near-dups are flagged against any SMALLER-id batch document
+sharing a band, the same collides-with-anything rule the store probe
+applies. The smaller-id rule is deliberately conservative along chains
+(if 11~10 and 12~11, doc 12 is flagged even though 11 was itself
+flagged): over-flagging keeps the store invariant — only documents that
+collide with NOTHING are admitted, so the store stays mutually novel —
+and full transitive resolution remains the batch components operator's
+job offline.
 """
 
 from __future__ import annotations
@@ -70,7 +78,28 @@ class IncrementalLshDedup:
         return read_store(self.spark, self.store_dir, _STORE_SCHEMA)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        # 1. resolve within-batch dups first (lowest id is canonical)
+        from kafka_firehose_nozzle_spark.operators.text import fingerprint
+
+        # 1. within-batch EXACT dups: lowest id per fingerprint is the
+        #    canon; the non-canon rows are REMOVED from the probe but
+        #    still receive decision rows (dup_of = canon) — the decision
+        #    log covers every input row, which downstream ingest joins
+        #    rely on.
+        fps = batch.select(
+            F.col(self.id_col).alias("doc_id"),
+            fingerprint(F.col(self.text_col)).alias("fp"),
+        )
+        canon = fps.groupBy("fp").agg(F.min("doc_id").alias("canon_id"))
+        exact_dup_decisions = (
+            fps.join(canon, "fp")
+            .filter(F.col("doc_id") != F.col("canon_id"))
+            .select(
+                "doc_id",
+                F.col("canon_id").alias("dup_of"),
+                F.lit(False).alias("admitted"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
         local = D.dedup_exact_keep_first(batch, self.id_col, self.text_col)
         probe = _band_rows(local, self.id_col, self.text_col).localCheckpoint()
 
@@ -80,7 +109,7 @@ class IncrementalLshDedup:
         #    what makes a crash replay idempotent: the replayed batch's
         #    own first-run store rows are invisible to its second run.
         store = self._store().filter(F.col("batch_id") < batch_id)
-        hits = (
+        store_hits = (
             probe.alias("P")
             .join(
                 store.alias("S"),
@@ -88,8 +117,35 @@ class IncrementalLshDedup:
                 & (F.col("P.band_hash") == F.col("S.band_hash")),
                 "inner",
             )
-            .groupBy(F.col("P.doc_id").alias("doc_id"))
-            .agg(F.min(F.col("S.doc_id")).alias("dup_of"))
+            .select(
+                F.col("P.doc_id").alias("doc_id"),
+                F.col("S.doc_id").alias("dup_of"),
+            )
+        )
+        # 2b. within-batch NEAR dups: the same collides-with-anything
+        #     rule against SMALLER-id batch documents (deterministic,
+        #     chunking-independent — without this, near-dups landing in
+        #     one micro-batch were all admitted and the store lost its
+        #     mutual-novelty invariant). Conservative along chains by
+        #     design (module docstring).
+        batch_hits = (
+            probe.alias("P")
+            .join(
+                probe.alias("Q"),
+                (F.col("P.band_ix") == F.col("Q.band_ix"))
+                & (F.col("P.band_hash") == F.col("Q.band_hash"))
+                & (F.col("P.doc_id") > F.col("Q.doc_id")),
+                "inner",
+            )
+            .select(
+                F.col("P.doc_id").alias("doc_id"),
+                F.col("Q.doc_id").alias("dup_of"),
+            )
+        )
+        hits = (
+            store_hits.unionByName(batch_hits)
+            .groupBy("doc_id")
+            .agg(F.min("dup_of").alias("dup_of"))
         )
 
         decisions = (
@@ -101,6 +157,7 @@ class IncrementalLshDedup:
                 F.col("dup_of").isNull().alias("admitted"),
                 F.lit(batch_id).alias("batch_id"),
             )
+            .unionByName(exact_dup_decisions)
             .localCheckpoint()
         )
 

@@ -100,24 +100,37 @@ def start_pipeline(
     """
     stats = stats or Stats()
     listener = make_streaming_listener(stats)
+    # registered BEFORE the query starts (or its first batches would go
+    # uncounted) — so any construction failure below must unregister
+    # it, or the orphan keeps counting every other query on the shared
+    # session and repeated failed attempts stack listeners
     spark.streams.addListener(listener)
+    try:
+        if transform is not None:
+            envelopes = transform(envelopes)
+        routed = route_envelopes_config(envelopes, config, with_observe=True)
 
-    if transform is not None:
-        envelopes = transform(envelopes)
-    routed = route_envelopes_config(envelopes, config, with_observe=True)
+        if sink == "kafka":
+            from kafka_firehose_nozzle_spark.sinks.kafka import (
+                write_stream_kafka,
+            )
 
-    if sink == "kafka":
-        from kafka_firehose_nozzle_spark.sinks.kafka import write_stream_kafka
+            query = write_stream_kafka(routed, config, checkpoint)
+        elif sink == "console":
+            from kafka_firehose_nozzle_spark.sinks.debug import (
+                write_stream_console,
+            )
 
-        query = write_stream_kafka(routed, config, checkpoint)
-    elif sink == "console":
-        from kafka_firehose_nozzle_spark.sinks.debug import write_stream_console
+            query = write_stream_console(routed, checkpoint)
+        elif sink == "memory":
+            from kafka_firehose_nozzle_spark.sinks.debug import (
+                write_stream_memory,
+            )
 
-        query = write_stream_console(routed, checkpoint)
-    elif sink == "memory":
-        from kafka_firehose_nozzle_spark.sinks.debug import write_stream_memory
-
-        query = write_stream_memory(routed, memory_sink_name, checkpoint)
-    else:
-        raise ValueError(f"unknown sink: {sink}")
+            query = write_stream_memory(routed, memory_sink_name, checkpoint)
+        else:
+            raise ValueError(f"unknown sink: {sink}")
+    except BaseException:
+        spark.streams.removeListener(listener)
+        raise
     return PipelineHandle(spark, query, stats, listener)

@@ -231,12 +231,19 @@ def dedup_envelopes(
     envelopes: DataFrame,
     within: str = "10 minutes",
 ) -> DataFrame:
-    """Drop duplicate envelopes (same origin + type + timestamp) keeping
-    the first, with state bounded to the watermark horizon. Upgrades the
-    reference's at-least-once redelivery (SURVEY.md ST1) to
-    effectively-once on the natural key.
+    """Drop duplicate envelopes keeping the first, with state bounded
+    to the watermark horizon. Upgrades the reference's at-least-once
+    redelivery (SURVEY.md ST1) to effectively-once on the natural key.
+
+    The key includes the emitter-identity fields (deployment, job,
+    index, ip), not just (origin, eventType, timestamp): two INSTANCES
+    of the same job stamping the same nanosecond are distinct events,
+    while redelivery duplicates agree on every field — so the wider key
+    eliminates false-positive drops at zero cost to real dedup.
     """
-    keys = ["origin", "eventType", "timestamp"]
+    keys = [
+        "origin", "eventType", "timestamp", "deployment", "job", "index", "ip"
+    ]
     with_ts = envelopes.withColumn(
         "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
     )
@@ -338,14 +345,37 @@ def _ewma_detect(alpha: float, threshold: float, warmup: int):
         # _token_bucket)
         frames = [p for p in pdfs if len(p)]
         if frames:
-            pdf = pd.concat(frames, ignore_index=True).sort_values(
-                ["ts", "event_id"]
+            # a NULL user_id groups under the null key and arrives as
+            # NaN — int(row.user_id) on a flagged row would crash-loop
+            # the query; an anomaly no user can be attributed to is
+            # dropped (value NaN is handled per-row below: skip without
+            # poisoning state)
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                .dropna(subset=["user_id"])
+                .sort_values(["ts", "event_id"])
             )
             for row in pdf.itertuples(index=False):
                 x = float(row.value)
+                if x != x:
+                    # a NULL value arrives as NaN; folding it in would
+                    # set ewma/ewmvar to NaN PERMANENTLY (every later
+                    # comparison is False), silently disabling the
+                    # detector for this key — skip: no flag, no update
+                    continue
                 if n >= warmup:
                     sd = math.sqrt(ewmvar) if ewmvar > 0 else 0.0
-                    z = (x - ewma) / sd if sd > 0 else 0.0
+                    if sd > 0:
+                        z = (x - ewma) / sd
+                    elif x != ewma:
+                        # zero EW variance (constant warm-up) followed
+                        # by ANY jump is the most anomalous case, not
+                        # the least — a finite-sd z would be infinite,
+                        # so flag with signed infinity instead of the
+                        # old silent z=0 miss
+                        z = math.inf if x > ewma else -math.inf
+                    else:
+                        z = 0.0
                     if abs(z) > threshold:
                         out.append(
                             (int(row.user_id), int(row.event_id), x, ewma, z)
@@ -485,8 +515,13 @@ def _token_bucket(capacity_micro: int, refill_micro_per_sec: int):
         # concatenate first and sort ONCE.
         frames = [p for p in pdfs if len(p)]
         if frames:
-            pdf = pd.concat(frames, ignore_index=True).sort_values(
-                ["us", "event_id"]
+            # a NULL ts arrives as NaN; int(NaN) raises and the poison
+            # row crash-loops the query on checkpoint replay — a row
+            # with no event time cannot be rate-accounted, drop it
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                .dropna(subset=["us"])
+                .sort_values(["us", "event_id"])
             )
             for row in pdf.itertuples(index=False):
                 us = int(row.us)
@@ -596,8 +631,14 @@ def _space_saving(m: int):
         # depends on (see _token_bucket)
         frames = [p for p in pdfs if len(p)]
         if frames:
-            pdf = pd.concat(frames, ignore_index=True).sort_values(
-                ["ts_us", "item"]
+            # a NULL item (nullable user_id) arrives as NaN in the
+            # pandas chunk; .astype("int64") on it raises and the
+            # poison row then crash-loops the query from the
+            # checkpoint — unattributable rows are dropped instead
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                .dropna(subset=["item"])
+                .sort_values(["ts_us", "item"])
             )
             for it in pdf["item"].astype("int64"):
                 it = int(it)

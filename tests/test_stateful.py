@@ -402,7 +402,15 @@ def test_ewma_anomalies_stream_matches_sequential_model(spark, tmp_path):
         x = float(r["value"])
         if n >= 5:
             sd = math.sqrt(ewmvar) if ewmvar > 0 else 0.0
-            z = (x - ewma) / sd if sd > 0 else 0.0
+            if sd > 0:
+                z = (x - ewma) / sd
+            elif x != ewma:
+                # zero-variance warm-up then a jump: flagged with
+                # signed infinity (the operator's spec — the old z=0
+                # silently missed the most anomalous case)
+                z = math.inf if x > ewma else -math.inf
+            else:
+                z = 0.0
             if abs(z) > 2.0:
                 expected.add((r["user_id"], r["event_id"]))
         if n == 0:
@@ -830,3 +838,109 @@ def test_rate_limiter_chunked_arrow_delivery_deterministic(spark, tmp_path):
         assert got == expected
     finally:
         spark.conf.set(key, old)
+
+
+def _null_poison_run(spark, tmp_path, op, name, mode="update"):
+    """Drive ``op`` over the events log twice — clean, and with
+    null-field poison rows injected — and return both sorted outputs.
+    The poison rows must neither crash the query (the pandas chunk
+    turns nulls into NaN; int()/astype on NaN raised and the batch
+    then crash-looped from the checkpoint) nor change the clean rows'
+    results (drop/skip semantics)."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(F.col("user_id") < 5)
+    )
+    late = _dt.datetime(2025, 6, 1, 0, 0, 0)
+    poison = spark.createDataFrame(
+        [
+            Row(event_id=900001, ts=None, user_id=3, event_type="view", value=1.0),
+            Row(event_id=900002, ts=late, user_id=None,
+                event_type="view", value=2.0),
+            Row(event_id=900003, ts=late, user_id=4,
+                event_type="view", value=None),
+        ],
+        ev.schema,
+    )
+    outs = []
+    for tag, df in (("clean", ev), ("poison", ev.unionByName(poison))):
+        src = str(tmp_path / f"{name}_{tag}_src")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        sink = f"np_{name}_{tag}"
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / f"{name}_{tag}_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        outs.append(
+            sorted(
+                (tuple(r) for r in spark.table(sink).collect()),
+                key=lambda t: tuple((v is None, v) for v in t),
+            )
+        )
+    return outs
+
+
+def test_heavy_hitters_null_user_id_dropped_not_crash(spark, tmp_path):
+    from kafka_firehose_nozzle_spark.streaming.stateful import heavy_hitters
+
+    clean, poisoned = _null_poison_run(
+        spark, tmp_path, lambda s: heavy_hitters(s, m=4), "hh"
+    )
+    assert clean  # non-degenerate
+    # the two valid poison rows (ids 3 and 4) still count; only the
+    # null-item row is dropped — so compare table SHAPE, not equality:
+    # every clean item survives with est_count >= its clean estimate
+    clean_items = {(r[0], r[1]) for r in clean}
+    poisoned_items = {(r[0], r[1]) for r in poisoned}
+    assert clean_items <= poisoned_items
+
+
+def test_rate_limiter_null_ts_dropped_not_crash(spark, tmp_path):
+    from kafka_firehose_nozzle_spark.streaming.stateful import (
+        rate_limited_counts,
+    )
+
+    clean, poisoned = _null_poison_run(
+        spark,
+        tmp_path,
+        lambda s: rate_limited_counts(s, capacity=3, refill_per_sec=0.5),
+        "rl",
+    )
+    assert clean
+    # the null-ts row (user 3) is dropped; users other than 3/4/None
+    # must be byte-identical
+    untouched = lambda rows: sorted(
+        r for r in rows if r[0] not in (3, 4, None)
+    )
+    assert untouched(clean) == untouched(poisoned)
+
+
+def test_ewma_null_value_and_user_skip_not_poison(spark, tmp_path):
+    from kafka_firehose_nozzle_spark.streaming.stateful import ewma_anomalies
+
+    clean, poisoned = _null_poison_run(
+        spark,
+        tmp_path,
+        lambda s: ewma_anomalies(s, alpha=0.25, threshold=2.0, warmup=5),
+        "ew",
+        mode="append",
+    )
+    # the null-VALUE row must neither flag nor poison user 4's state:
+    # every clean flag for users != 3 survives identically (user 3
+    # gains a ts=None row which sorts last and may shift its tail)
+    flags = lambda rows: sorted(r for r in rows if r[0] != 3)
+    assert flags(clean) == flags(poisoned)

@@ -238,10 +238,26 @@ def test_incremental_lsh_dedup_stream(spark, tmp_path):
         "text",
     )
     b2 = _band_rows(within2, "doc_id", "text")
-    expected_dups = {
+    store_dups = {
         r["doc_id"]
         for r in b2.join(b1, ["band_ix", "band_hash"]).select("doc_id").distinct().collect()
     }
+    # within-batch near-dups: collide with any SMALLER-id doc of the
+    # same batch (the handler's deterministic in-batch rule)
+    within_dups = {
+        r["doc_id"]
+        for r in b2.alias("P")
+        .join(
+            b2.alias("Q"),
+            (F.col("P.band_ix") == F.col("Q.band_ix"))
+            & (F.col("P.band_hash") == F.col("Q.band_hash"))
+            & (F.col("P.doc_id") > F.col("Q.doc_id")),
+        )
+        .select(F.col("P.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    expected_dups = store_dups | within_dups
     got_dups = {
         r["doc_id"]
         for r in dec.filter(
@@ -251,10 +267,12 @@ def test_incremental_lsh_dedup_stream(spark, tmp_path):
     assert got_dups == expected_dups
     assert len(got_dups) > 0  # the corpus has planted near-dups
 
-    # dup_of points at an admitted earlier doc
+    # dup_of points at a SMALLER id: an admitted earlier-batch doc or a
+    # same-batch doc that precedes this one
+    all_ids = {int(i) for i in first_ids} | {int(i) for i in second_ids}
     for r in dec.filter(~F.col("admitted")).collect():
         if r["batch_id"] == max(split):
-            assert r["dup_of"] in {int(i) for i in first_ids}
+            assert r["dup_of"] < r["doc_id"] and r["dup_of"] in all_ids
 
     # idempotent replay: re-running the second batch rewrites identical
     # decisions (store growth is append-only and decision-neutral)
@@ -896,3 +914,47 @@ def test_soak_100_microbatches_flat_latency_bounded_state(spark, tmp_path):
     assert (
         spark.table("soak_out").count() == expected_forwarded
     )
+
+
+def test_start_pipeline_failure_unregisters_listener(spark, tmp_path):
+    """A start_pipeline that fails during sink construction must not
+    leak its streaming listener: the orphan would keep counting every
+    other query on the shared session (corrupting their Stats) and
+    repeated failed attempts would stack listeners."""
+    import pytest as _pytest
+
+    from kafka_firehose_nozzle_spark.stats import Stats
+
+    src = str(tmp_path / "env")
+    synthetic_envelope_df(spark, 50, seed=1).coalesce(1).write.parquet(src)
+
+    bad = _config()
+    bad.kafka.brokers = []  # kafka sink rejects empty brokers
+    failed_stats = Stats()
+    with _pytest.raises(ValueError, match="brokers are not provided"):
+        start_pipeline(
+            spark,
+            file_replay_stream(spark, src),
+            bad,
+            checkpoint=str(tmp_path / "ck_fail"),
+            sink="kafka",
+            stats=failed_stats,
+        )
+
+    # drive an unrelated healthy pipeline; the failed call's listener
+    # must observe NOTHING
+    handle = start_pipeline(
+        spark,
+        file_replay_stream(spark, src),
+        _config(),
+        checkpoint=str(tmp_path / "ck_ok"),
+        sink="memory",
+        memory_sink_name="leak_probe_out",
+    )
+    try:
+        handle.query.processAllAvailable()
+        handle.wait_for_stats(50, timeout=60)
+    finally:
+        handle.stop()
+    assert handle.stats.get("consume") == 50  # the healthy one counted
+    assert failed_stats.get("consume") == 0  # the failed one is silent
