@@ -114,7 +114,11 @@ def run(argv: list[str]) -> int:
 
     try:
         config = resolve_config(args)
-    except FileNotFoundError as e:
+    except (OSError, ValueError) as e:
+        # OSError: missing file / directory / permissions; ValueError
+        # covers tomllib.TOMLDecodeError (malformed TOML) — ALL config
+        # failures get the reference's clean error + exit 1
+        # (cli.go:147-155), never a raw traceback
         print(f"[ERROR] Failed to load configuration file: {e}", file=sys.stderr)
         return EXIT_ERROR
 
@@ -132,21 +136,60 @@ def run(argv: list[str]) -> int:
 
     http_server = start_stats_server(stats) if args.server else None
 
+    # periodic stats display (cli.go:35,104: the -stats-interval ticker
+    # logs the counters; previously the flag was parsed but unread)
+    import logging
+    import threading
+
+    stats_stop = threading.Event()
+
+    def _stats_loop() -> None:
+        log = logging.getLogger("kafka_firehose_nozzle_spark")
+        while not stats_stop.wait(max(1, args.stats_interval)):
+            log.info("stats: %s", stats.to_json())
+
+    threading.Thread(
+        target=_stats_loop, name="stats-interval", daemon=True
+    ).start()
+
+    # SIGTERM (the supervisor stop signal) gets the same graceful path
+    # as SIGINT: stop the query, producers flush, servers shut down —
+    # the default handler would kill the process mid-batch. Only the
+    # main thread may set handlers; restored on exit.
+    import signal
+
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    old_sigterm = None
+    if threading.current_thread() is threading.main_thread():
+        old_sigterm = signal.signal(signal.SIGTERM, _sigterm)
+
     checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="nozzle-ckpt-")
     envelopes = firehose_stream(spark, config)
     sink = "console" if args.debug else "kafka"  # cli.go:222-235
     handle = start_pipeline(
         spark, envelopes, config, checkpoint, sink=sink, stats=stats
     )
+    exit_code = EXIT_OK
     try:
         handle.query.awaitTermination()
-    except KeyboardInterrupt:  # SIGINT handling, cli.go:328-334
-        handle.stop()
+    except KeyboardInterrupt:  # SIGINT/SIGTERM, cli.go:328-334
+        pass
+    except Exception as e:
+        # a permanently-failed stream (e.g. retry budget exhausted)
+        # surfaces as the reference's [ERROR] + exit 1, not a traceback
+        print(f"[ERROR] {e}", file=sys.stderr)
+        exit_code = EXIT_ERROR
     finally:
+        handle.stop()
+        stats_stop.set()
         ticker_stop.set()
         if http_server:
             http_server.shutdown()
-    return EXIT_OK
+        if old_sigterm is not None:
+            signal.signal(signal.SIGTERM, old_sigterm)
+    return exit_code
 
 
 def main() -> None:

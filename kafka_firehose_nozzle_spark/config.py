@@ -97,16 +97,10 @@ def load_config(path: str) -> Config:
         subscription_id=raw.get("subscription_id", ""),
         insecure_ssl_skip_verify=raw.get("insecure_ssl_skip_verify", False),
         cf=pick(CFConfig, cf_raw),
-        kafka=KafkaConfig(
-            brokers=list(kafka_raw.get("brokers", [])),
-            topic=pick(TopicConfig, topic_raw),
-            retry_max=kafka_raw.get("retry_max", 0),
-            retry_backoff_ms=kafka_raw.get("retry_backoff_ms", 0),
-            repartition_max=kafka_raw.get("repartition_max", 0),
-            compression=kafka_raw.get("compression", ""),
-            enable_tls=kafka_raw.get("enable_tls", False),
-            ca_certificates=list(kafka_raw.get("ca_certificates", [])),
-            private_key=kafka_raw.get("private_key", ""),
-            certificate=kafka_raw.get("certificate", ""),
+        # pick() covers every KafkaConfig field from the dataclass
+        # definition — a hand-written per-field mapping here would
+        # silently ignore the TOML key of any field added later
+        kafka=pick(
+            KafkaConfig, {**kafka_raw, "topic": pick(TopicConfig, topic_raw)}
         ),
     )

@@ -97,14 +97,9 @@ def route_envelopes_dlq(
     good = routed_all.filter(F.col("topic").isNotNull()).select(
         "topic", value.alias("value")
     )
-    known = [
-        schemas.HTTP_START_STOP,
-        schemas.LOG_MESSAGE,
-        schemas.VALUE_METRIC,
-        schemas.COUNTER_EVENT,
-        schemas.ERROR,
-        schemas.CONTAINER_METRIC,
-    ]
+    # single source of truth for "known type" — a hand-enumerated list
+    # would silently drift if a type is ever added to the schema map
+    known = list(schemas.EVENT_TYPE_NAMES)
     dead = routed_all.filter(F.col("topic").isNull()).select(
         "eventType",
         "origin",

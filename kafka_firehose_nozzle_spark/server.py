@@ -74,6 +74,10 @@ def _heap_profile() -> bytes:
 def make_handler(stats: Stats):
     class StatsHandler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API)
+            # route on the PATH only, like Go's ServeMux (server.go uses
+            # r.URL.Path): a scraper's cache-busting query string
+            # (/stats/app?_=123) must not 404
+            self.path = self.path.split("?", 1)[0]
             ctype = "application/json"
             if self.path == "/":
                 body, ctype = INDEX_HTML, "text/html"

@@ -58,7 +58,13 @@ def observe_consume(df: DataFrame, observation=None) -> DataFrame:
         F.count_if(et == schemas.LOG_MESSAGE).alias("consume_log_message"),
         F.count_if(et == schemas.ERROR).alias("consume_error"),
         F.count_if(et == schemas.CONTAINER_METRIC).alias("consume_container_metric"),
-        F.count_if(~et.isin(list(schemas.EVENT_TYPE_NAMES))).alias("consume_unknown"),
+        # isNull() is explicit: ~NULL.isin(...) is NULL and count_if
+        # would skip it, leaving a NULL-typed envelope counted in
+        # `consume` but in NO per-type bucket — the reference's default
+        # switch arm counts every unmatched event (nozzle.go)
+        F.count_if(
+            et.isNull() | ~et.isin(list(schemas.EVENT_TYPE_NAMES))
+        ).alias("consume_unknown"),
         F.count_if(slow_consumer_predicate(df)).alias("slow_consumer_alert"),
     )
 
@@ -170,17 +176,33 @@ class Stats:
         )
 
 
-def make_streaming_listener(stats: Stats):
+def make_streaming_listener(stats: Stats, query_id=None):
     """StreamingQueryListener folding per-batch observed metrics + sink
-    progress into ``stats`` (the A1 accumulation across micro-batches)."""
+    progress into ``stats`` (the A1 accumulation across micro-batches).
+
+    ``query_id`` scopes the listener to ONE query: listeners receive
+    events for EVERY query on the shared session, and two pipelines use
+    the same observation names, so an unscoped listener double-counts
+    the other pipeline's consume/forwarded and folds foreign sink rows
+    into ``publish``. The id isn't known until ``.start()`` returns, so
+    callers may also assign ``listener.query_id`` right after start
+    (streaming/job.py does); events arriving while it is None are
+    counted unscoped — progress events only fire after a completed
+    batch, so the post-start assignment wins that race in practice."""
     from pyspark.sql.streaming import StreamingQueryListener
 
     class StatsListener(StreamingQueryListener):
+        def __init__(self):
+            super().__init__()
+            self.query_id = query_id
+
         def onQueryStarted(self, event):
             pass
 
         def onQueryProgress(self, event):
             prog = event.progress
+            if self.query_id is not None and str(prog.id) != str(self.query_id):
+                return
             om = prog.observedMetrics or {}
             for name in (OBS_CONSUME, OBS_ROUTED):
                 row = om.get(name)

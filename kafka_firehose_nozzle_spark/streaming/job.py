@@ -133,4 +133,8 @@ def start_pipeline(
     except BaseException:
         spark.streams.removeListener(listener)
         raise
+    # scope the listener to THIS query now that its id exists — without
+    # this, two pipelines on one session double-count each other's
+    # observations and sink rows (same observation names)
+    listener.query_id = str(query.id)
     return PipelineHandle(spark, query, stats, listener)

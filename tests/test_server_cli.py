@@ -135,3 +135,89 @@ def test_env_password(tmp_path, monkeypatch):
     args = build_parser().parse_args(["--config", str(p)])
     c = resolve_config(args)
     assert c.cf.password == "env-secret"
+
+
+def test_stats_endpoint_ignores_query_string():
+    """Route on the PATH only (Go's ServeMux matches r.URL.Path): a
+    scraper's cache-busting query param must not 404."""
+    import json as _json
+    import urllib.request
+
+    from kafka_firehose_nozzle_spark.stats import Stats
+
+    server = start_stats_server(Stats(), port=0)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats/app?_=1692190000"
+        ) as r:
+            assert r.status == 200
+            assert "consume" in _json.loads(r.read())
+    finally:
+        server.shutdown()
+
+
+def test_malformed_config_clean_error(tmp_path, capsys):
+    """Malformed TOML (and unreadable paths generally) get the
+    reference's '[ERROR] Failed to load configuration file' + exit 1
+    (cli.go:147-155) — never a raw traceback."""
+    from kafka_firehose_nozzle_spark.cli import EXIT_ERROR, run
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[kafka\nbrokers = not-valid")
+    assert run(["--config", str(bad)]) == EXIT_ERROR
+    assert "Failed to load configuration file" in capsys.readouterr().err
+
+    isdir = tmp_path / "confdir"
+    isdir.mkdir()
+    assert run(["--config", str(isdir)]) == EXIT_ERROR
+    assert "Failed to load configuration file" in capsys.readouterr().err
+
+
+def test_streaming_listener_scoped_to_query_id():
+    """The stats listener must ignore progress events from OTHER
+    queries on the shared session — both pipelines use the same
+    observation names, so an unscoped listener double-counts."""
+    from types import SimpleNamespace
+
+    from kafka_firehose_nozzle_spark.stats import Stats, make_streaming_listener
+
+    stats = Stats()
+    listener = make_streaming_listener(stats, query_id="q-mine")
+
+    def progress_event(qid, rows):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                id=qid,
+                observedMetrics={},
+                sink=SimpleNamespace(numOutputRows=rows),
+            )
+        )
+
+    listener.onQueryProgress(progress_event("q-other", 100))
+    assert stats.get("publish") == 0  # foreign query ignored
+    listener.onQueryProgress(progress_event("q-mine", 7))
+    assert stats.get("publish") == 7
+    # unscoped (query_id None) keeps the count-everything behavior
+    unscoped = make_streaming_listener(Stats())
+    assert unscoped.query_id is None
+
+
+def test_null_event_type_lands_in_consume_unknown(spark):
+    """A NULL eventType row must count in consume_unknown, not vanish:
+    ~NULL.isin(...) is NULL and count_if skips it, which broke the
+    reference invariant consume == sum(per-type) + unknown."""
+    from pyspark.sql import Observation
+
+    from kafka_firehose_nozzle_spark.stats import observe_consume
+
+    df = spark.createDataFrame(
+        [(None, "o", None), (4, "o", None), (999, "o", None)],
+        "eventType int, origin string, counterEvent struct<name:string>",
+    )
+    obs = Observation()
+    observe_consume(df, obs).count()
+    got = obs.get
+    assert got["consume"] == 3
+    assert got["consume_http_start_stop"] == 1
+    assert got["consume_unknown"] == 2  # the NULL row AND the 999 row
