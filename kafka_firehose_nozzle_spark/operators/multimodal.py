@@ -200,6 +200,9 @@ def parse_image_header(b) -> tuple:
         i = 2
         while i + 4 <= len(b) and b[i] == 0xFF:
             m = b[i + 1]
+            if m == 0xFF:  # spec-legal fill byte (B.1.1.2): any number
+                i += 1  # of 0xFF may pad a marker — skip one, re-check
+                continue
             if m == 0x01 or 0xD0 <= m <= 0xD9:  # standalone: no length
                 i += 2
                 continue
@@ -1269,6 +1272,14 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ns, sq = [], []
             for raw in pdf["payload"]:
+                # quarantine-don't-crash, like every sibling decoder:
+                # a NULL payload (bytes(None) TypeError) or an
+                # odd-length data chunk (np.frombuffer needs a multiple
+                # of 2) must yield NULL stats, not a dead stage
+                if raw is None:
+                    ns.append(None)
+                    sq.append(None)
+                    continue
                 b = bytes(raw)
                 data = None
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -1284,6 +1295,7 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
                     ns.append(None)
                     sq.append(None)
                     continue
+                data = data[: len(data) & ~1]  # trim a truncated tail byte
                 s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 ns.append(len(s))
                 sq.append(int((s * s).sum()))

@@ -71,8 +71,13 @@ def blas_cosine_udf(query_vec: list[float]):
     scalar-scale: dim doubles), so the plan stays a pure map — no join,
     no shuffle; executors receive Arrow record batches and NumPy runs
     ``M @ q`` over the whole batch at once (~dim× fewer interpreter
-    dispatches than the per-element fold).  Zero-norm rows yield 0.0
-    rather than NaN, matching the expression path's guarded callers."""
+    dispatches than the per-element fold).  NULL embeddings and
+    zero-norm rows score NaN in the batch, which Arrow's pandas_udf
+    conversion emits as SQL NULL — so they sort LAST under the desc
+    ranking exactly like the expr path's NULL cosine, instead of
+    crashing np.vstack(None) or silently ranking a zero vector at 0.0
+    (the expr path surfaces zero norms as an ANSI divide-by-zero — its
+    strictness is deliberate; this path is the tolerant scan)."""
     from pyspark.sql.functions import pandas_udf
 
     q = np.asarray(query_vec, dtype=np.float64)
@@ -83,13 +88,20 @@ def blas_cosine_udf(query_vec: list[float]):
         vals = v.to_numpy()
         if len(vals) == 0:
             return pd.Series(np.zeros(0))
-        # vstack over the per-row ndarrays Arrow hands us — never
-        # .tolist(), which would box every component into a Python float
-        # and cost more than the BLAS call saves
-        m = np.vstack(vals).astype(np.float64, copy=False)
-        n = np.sqrt((m * m).sum(axis=1))
-        n[n == 0.0] = 1.0
-        return pd.Series((m @ q) / (n * qn))
+        mask = np.array([x is not None for x in vals])
+        out = np.full(len(vals), np.nan)
+        if mask.any():
+            # vstack over the per-row ndarrays Arrow hands us — never
+            # .tolist(), which would box every component into a Python
+            # float and cost more than the BLAS call saves
+            m = np.vstack(vals[mask]).astype(np.float64, copy=False)
+            n = np.sqrt((m * m).sum(axis=1))
+            good = n > 0.0
+            n[~good] = 1.0
+            sims = (m @ q) / (n * qn)
+            sims[~good] = np.nan  # zero-norm == undefined, like expr's NULL
+            out[mask] = sims
+        return pd.Series(out)
 
     return _sim
 
@@ -195,34 +207,51 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
-    ``centroids``: [cell_id, centroid(array<double>)] — small, broadcast.
-    The corpus is never shuffled; output adds a ``cell_id`` column. At
-    scale, write the corpus partitioned by cell_id so queries prune scans.
-    """
-    # per-row norm computed once (not once per centroid); centroid norms
-    # computed once on the broadcast side
-    c = F.broadcast(centroids.withColumn("_cnorm", l2_norm(F.col("centroid"))))
-    scored = (
-        df.withColumn("_vnorm", l2_norm(F.col(vec_col).cast("array<double>")))
-        .crossJoin(c)
-        .withColumn(
-            "_sim",
-            cosine_prenormed(
-                F.col(vec_col).cast("array<double>"),
-                F.col("centroid"),
-                F.col("_vnorm"),
-                F.col("_cnorm"),
-            ),
-        )
-    )
-    from pyspark.sql import Window
+    ``centroids``: [cell_id, centroid(array<double>)] — scalar-scale
+    (C × dim doubles), so it is collected driver-side and rides into
+    the plan as LITERAL arrays: assignment is a pure zero-shuffle map
+    (the kmeans_centroids pattern). The previous implementation
+    crossJoined the corpus with the centroid table and ranked with a
+    per-row window — n·C rows each carrying the full embedding through
+    a hash shuffle, the opposite of this docstring's claim at 100 TB.
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_sim", "centroid", "_vnorm", "_cnorm")
+    Arithmetic is BIT-IDENTICAL to the old cosine_prenormed path: the
+    driver-side centroid norm replicates l2_norm's left fold + sqrt
+    (same IEEE sequence), the division is unchanged, and
+    first-occurrence array_position over centroids sorted by cell_id
+    reproduces the window's (sim desc, cell_id asc) tie-break — so the
+    frozen oracle pins are untouched. Output adds a ``cell_id`` column.
+    At scale, write the corpus partitioned by cell_id so queries prune
+    scans."""
+    import math
+
+    cents_rows = sorted(
+        (
+            (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+            for r in centroids.collect()
+        ),
+        key=lambda t: t[0],
     )
+    if not cents_rows:
+        raise ValueError("ivf_assign: empty centroid table")
+
+    def fold_norm(c: list[float]) -> float:
+        # exact replica of l2_norm's JVM left fold (acc + v*v, then sqrt)
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    cents = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for _, c in cents_rows]
+    )
+    cnorms = F.array(*[F.lit(fold_norm(c)) for _, c in cents_rows])
+    cells = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cents_rows])
+    v = F.col(vec_col).cast("array<double>")
+    vnorm = l2_norm(v)
+    sims = F.zip_with(cents, cnorms, lambda c, n: dot(v, c) / (vnorm * n))
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    return df.withColumn("cell_id", F.element_at(cells, pos))
 
 
 def _component_avg(d: DataFrame) -> DataFrame:
@@ -327,6 +356,8 @@ def kmeans_centroids(
             df, num_cells, id_col, vec_col, init
         ).collect()
     }
+    if not seed:
+        raise ValueError("kmeans_centroids: empty corpus")
     # dense 0..C-1 index; a hash cell empty at tiny SF borrows a neighbor
     cur = [seed.get(i, seed[min(seed)]) for i in range(num_cells)]
     v = F.col(vec_col).cast("array<double>")
@@ -421,6 +452,34 @@ def pq_codebook(
     )
 
 
+def _dense_codebook(
+    codebook: DataFrame, num_sub: int, num_codes: int
+) -> dict:
+    """Collect the codebook as a DENSE {(sub, code): centroid} table.
+    pq_codebook only emits codes that had members (id % num_codes), so a
+    corpus whose ids don't cover every residue leaves holes that used
+    to KeyError in pq_encode/pq_topk; missing codes borrow the
+    subspace's lowest present code (the kmeans empty-cell precedent).
+    Deterministic; a borrowed duplicate can win the first-occurrence
+    argmin over its original, but both decode to the IDENTICAL
+    centroid, so ADC distances and top-k are unchanged — only the code
+    byte differs, and only on corpora with holes."""
+    rows = {
+        (int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
+        for r in codebook.collect()
+    }
+    for s in range(num_sub):
+        present = [j for j in range(num_codes) if (s, j) in rows]
+        if not present:
+            raise ValueError(
+                f"pq codebook has no codes for subspace {s} (empty corpus?)"
+            )
+        fallback = rows[(s, present[0])]
+        for j in range(num_codes):
+            rows.setdefault((s, j), fallback)
+    return rows
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -444,8 +503,7 @@ def pq_encode(
     oracle's tie break).  Output: [id, codes(array<int>)].
     """
     subdim = dim // num_sub
-    rows = {(int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
-            for r in codebook.collect()}
+    rows = _dense_codebook(codebook, num_sub, num_codes)
     v = F.col(vec_col).cast("array<double>")
     codes = []
     for s in range(num_sub):
@@ -486,8 +544,7 @@ def pq_topk(
     vector instead of dim × 4."""
     dim = len(query_vec)
     subdim = dim // num_sub
-    rows = {(int(r["sub"]), int(r["code"])): [float(x) for x in r["centroid"]]
-            for r in codebook.collect()}
+    rows = _dense_codebook(codebook, num_sub, num_codes)
     lut = []
     for s in range(num_sub):
         qs = [float(x) for x in query_vec[s * subdim : (s + 1) * subdim]]
@@ -559,7 +616,10 @@ def ivf_topk(
                 "_sim"
             ),
         )
-        .orderBy(F.desc("_sim"))
+        # cell_id tie-break: limit(nprobe) on tied centroid sims would
+        # otherwise probe a partition-order-dependent cell set (every
+        # other ranking in this module tie-breaks on id for this reason)
+        .orderBy(F.desc("_sim"), F.col("cell_id"))
         .limit(nprobe)
         .select("cell_id")
     )
@@ -687,6 +747,11 @@ def semantic_dedup_keep(
         thr = float(threshold)
 
         def drop_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+            # NULL embeddings can neither drop nor be dropped (the expr
+            # path's NULL cosine never passes >= threshold), so exclude
+            # them BEFORE vstack — np.vstack(None) would otherwise
+            # crash the job where expr completes
+            pdf = pdf[[x is not None for x in pdf["v"]]]
             ids = pdf["id"].to_numpy()
             if len(ids) < 2:
                 return pd.DataFrame({"id": []}).astype({"id": "int64"})
@@ -794,6 +859,8 @@ def pca_top_component(
         )
         .collect()
     )
+    if not mean_rows:
+        raise ValueError("pca_top_component: empty corpus")
     mean = [0.0] * len(mean_rows)
     for r in mean_rows:
         mean[int(r["pos"])] = float(r["m"])

@@ -2487,3 +2487,142 @@ def _ts_of(epoch_sec: int):
     import datetime
 
     return datetime.datetime.utcfromtimestamp(epoch_sec)
+
+
+# ---------------------------------------------------- r10 review closures
+
+
+def test_blas_and_gemm_tolerate_null_and_zero_embeddings(spark):
+    """The NumPy fast paths must not CRASH on degenerate inputs
+    (np.vstack(None) raised inside the executor): NULL embeddings match
+    the expr path's NULL-cosine exclusion exactly; zero-norm vectors
+    score NaN and are excluded on the blas path (the expr path
+    surfaces them as an ANSI divide-by-zero — strictness is its
+    documented contract under Spark 4's ANSI default)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    dim = len(emb.head()["embedding"])
+    with_null = emb.unionByName(
+        spark.createDataFrame([(90001, None, 0)], emb.schema)
+    )
+    q = S.query_vector(emb, 0)
+    expr_rows = [
+        tuple(r) for r in S.cosine_topk(with_null, q, k=10).collect()
+    ]
+    blas_rows = [
+        tuple(r)
+        for r in S.cosine_topk(with_null, q, k=10, impl="blas").collect()
+    ]
+    assert blas_rows == expr_rows  # NULL row excluded identically
+
+    # zero-norm: NULL sim (Arrow NaN->null), sorted last — never in a
+    # top-k that real rows can fill, instead of ranking at 0.0
+    with_zero = emb.unionByName(
+        spark.createDataFrame([(90002, [0.0] * dim, 0)], emb.schema)
+    )
+    blas_zero = [
+        tuple(r)
+        for r in S.cosine_topk(with_zero, q, k=10, impl="blas").collect()
+    ]
+    assert len(blas_zero) == 10
+    assert not any(r[0] == 90002 for r in blas_zero)
+
+    cents = S.medoid_centroids(emb, 4)
+    keep_expr = {
+        r["vec_id"]
+        for r in S.semantic_dedup_keep(with_null, cents, 0.99).collect()
+    }
+    keep_gemm = {
+        r["vec_id"]
+        for r in S.semantic_dedup_keep(
+            with_null, cents, 0.99, impl="gemm"
+        ).collect()
+    }
+    assert keep_expr == keep_gemm  # and neither path crashed
+
+
+def test_pq_codebook_with_holes_encodes_and_searches(spark):
+    """A corpus whose ids don't cover every residue mod num_codes used
+    to KeyError in pq_encode/pq_topk; missing codes now borrow the
+    subspace's lowest present code — ADC distances are unchanged (the
+    borrowed centroid is an identical copy)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 10)  # ids 0..9 < num_codes=16 -> holes
+    dim = len(emb.head()["embedding"])
+    cb = S.pq_codebook(emb, num_sub=4, num_codes=16, dim=dim)
+    codes = S.pq_encode(emb, cb, num_sub=4, num_codes=16, dim=dim)
+    assert codes.count() == 10
+    qvec = [float(x) for x in emb.head()["embedding"]]
+    top = S.pq_topk(codes, cb, qvec, k=3, num_sub=4, num_codes=16)
+    assert top.count() == 3
+
+
+def test_ivf_assign_is_zero_shuffle_and_empty_centroids_fail_fast(spark):
+    """ivf_assign's docstring promises the corpus is never shuffled —
+    now true: the plan has no Exchange and no Window (centroids ride as
+    literals). Empty centroid tables fail with a clear error."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(100)
+    cents = S.medoid_centroids(emb, 4)
+    plan = (
+        S.ivf_assign(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Window" not in plan
+
+    with _pytest.raises(ValueError, match="empty centroid table"):
+        S.ivf_assign(emb, cents.filter("cell_id < 0"))
+
+
+def test_wav_pcm_stats_null_and_odd_payloads_quarantined(spark):
+    """NULL payloads and odd-length data chunks yield NULL stats rows
+    (quarantine-don't-crash), matching every sibling decoder."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import wav_pcm_stats
+
+    def wav(data: bytes) -> bytes:
+        return (
+            b"RIFF"
+            + (4 + 8 + len(data)).to_bytes(4, "little")
+            + b"WAVE"
+            + b"data"
+            + len(data).to_bytes(4, "little")
+            + data
+        )
+
+    rows = [
+        (1, wav(b"\x01\x00\x02\x00")),  # two samples: 1, 2
+        (2, None),  # NULL payload
+        (3, wav(b"\x01\x00\x02")),  # odd data chunk (truncated)
+        (4, b"not a wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["n_samples"], r["sumsq"])
+           for r in wav_pcm_stats(df).collect()}
+    assert got[1] == (2, 5)
+    assert got[2] == (None, None)
+    assert got[3] == (1, 1)  # truncated tail byte trimmed, 1 sample
+    assert got[4] == (None, None)
+
+
+def test_jpeg_fill_bytes_before_marker_parsed():
+    """JPEG B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; the walk previously read a bogus segment length there
+    and lost the dimensions of a well-formed image."""
+    from kafka_firehose_nozzle_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0\x00\x11\x08" + (480).to_bytes(2, "big") + (
+        640
+    ).to_bytes(2, "big") + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    # three fill 0xFF bytes between APP0 and SOF0
+    jpeg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
