@@ -139,7 +139,10 @@ def _heap_bytes(spark: SparkSession) -> int:
     byteStringAsMb parsing of the memory confs (a bare '4096' means
     4 GiB, not 4 KB)."""
     master = spark.conf.get("spark.master", "local")
-    if master.startswith("local"):
+    # "local" / "local[...]" only — "local-cluster[n,cores,mem]" DOES
+    # launch separate executor JVMs whose (smaller) memory is the one
+    # that matters
+    if master == "local" or master.startswith("local["):
         raw = spark.conf.get("spark.driver.memory", "1g")
     else:
         raw = spark.conf.get(

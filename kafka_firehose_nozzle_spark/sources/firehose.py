@@ -223,17 +223,20 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
         open_timeout = float(
             self.options.get("idleTimeout", DEFAULT_IDLE_TIMEOUT)
         )
+        if not self._token:
+            # config VALIDATION is fatal and happens ONCE, outside the
+            # retry loop (token.go:69-83) — so that inside the loop any
+            # ValueError from the fetch is a transient body-parse
+            # failure, not a misconfiguration
+            if not self.options.get("uaaAddress", ""):
+                raise ValueError("UaaAddr must not be empty")
+            if not self.options.get("username", ""):
+                raise ValueError("Username must not be empty")
+            if not self.options.get("password", ""):
+                raise ValueError("Password must not be empty")
         while True:
-            try:
-                if not self._token:
-                    # inside the try: a transient UAA failure (refused
-                    # connection, 5xx) spends the retry budget + backoff
-                    # like any other connect error instead of killing
-                    # the stream — a bad-credential 401 from UAA is an
-                    # HTTPError (OSError subclass), so it burns the
-                    # bounded budget then fails with max-retries.
-                    # Config VALIDATION errors (empty UaaAddr/username/
-                    # password -> ValueError) stay immediately fatal.
+            if not self._token:
+                try:
                     self._token = fetch_uaa_token(
                         self.options.get("uaaAddress", ""),
                         self.options.get("username", ""),
@@ -243,6 +246,19 @@ class FirehoseStreamReader(SimpleDataSourceStreamReader):
                         )
                         == "true",
                     )
+                except (OSError, ValueError, KeyError) as e:
+                    # transient UAA failure — refused connection / 5xx
+                    # (OSError incl. HTTPError), an LB answering 200
+                    # with a non-JSON maintenance page (JSONDecodeError
+                    # = ValueError), or a well-formed-but-wrong body
+                    # (KeyError) — spends the retry budget with backoff
+                    # like any other connect error instead of killing
+                    # the stream. A bad-credential 401 from UAA is an
+                    # HTTPError too: it burns the bounded budget then
+                    # fails with max-retries.
+                    self._spend_retry(f"UAA token fetch: {e}")
+                    continue
+            try:
                 self._conn = rfc6455.connect(
                     url,
                     headers={"Authorization": self._token, "Origin": doppler},

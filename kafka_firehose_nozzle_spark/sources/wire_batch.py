@@ -56,13 +56,7 @@ def _with_residue(dt):
 
 DECODED_SCHEMA = T.StructType(
     [
-        T.StructField(
-            f.name,
-            f.dataType
-            if f.name == "_unrecognized"
-            else _with_residue(f.dataType),
-            True,
-        )
+        T.StructField(f.name, _with_residue(f.dataType), True)
         for f in schemas.ENVELOPE_SCHEMA.fields
     ]
     + [
@@ -109,6 +103,8 @@ def decode_wire_frames(
             rows = []
             for buf in batch.column(0).to_pylist():
                 try:
+                    if buf is None:
+                        raise ValueError("null payload")
                     d = decode_envelope(bytes(buf))
                     row = {name: d.get(name) for name in env_names}
                     row["_decode_error"] = None
@@ -116,7 +112,10 @@ def decode_wire_frames(
                 except Exception as e:  # counted-drop, never job-fail
                     row = {name: None for name in env_names}
                     row["_decode_error"] = f"{type(e).__name__}: {e}"[:200]
-                    row["_raw"] = bytes(buf)
+                    # buf can itself be None — the quarantine handler
+                    # must not raise (bytes(None) TypeError would fail
+                    # the job from inside the never-job-fail path)
+                    row["_raw"] = None if buf is None else bytes(buf)
                 rows.append(row)
             yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
@@ -183,7 +182,11 @@ def encode_wire_frames(
     tag+value bytes after each level's known fields, exactly like gogo
     proto's XXX_unrecognized on Marshal (envelope.pb.go:116) — pinned
     by tests/test_dropsonde_wire.py and the round-trip tests in
-    tests/test_io.py.
+    tests/test_io.py. One deliberate exclusion, matching gogo exactly:
+    unknown fields inside a synthetic MAP-ENTRY message (``tags``) are
+    dropped — gogo decodes map fields straight into map[string]string
+    and retains no entry-level unknowns either, so the parity claim is
+    the reference's own behavior, not a gap.
 
     ``mapInArrow``, NOT ``mapInPandas``: the pandas conversion turns a
     nullable int64 struct child into float64 whenever a batch mixes

@@ -135,19 +135,35 @@ class StubUAA:
     password grant -> {token_type, access_token})."""
 
     def __init__(
-        self, username: str = "u", password: str = "p", rotate: bool = False
+        self,
+        username: str = "u",
+        password: str = "p",
+        rotate: bool = False,
+        html_outage_responses: int = 0,
     ):
         """``rotate=True`` issues ``tok-<user>-<n>`` with n incrementing
         per grant — lets tests simulate token expiry (the old token stops
-        being the one the Doppler accepts)."""
+        being the one the Doppler accepts). ``html_outage_responses=N``
+        answers the first N grants with 200 + an HTML maintenance page
+        (the partial-outage LB failure mode) before behaving normally."""
         stub = self
         self.calls = 0
+        self._outage_left = html_outage_responses
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # keep pytest output clean
                 pass
 
             def do_POST(self):
+                if stub._outage_left > 0:
+                    stub._outage_left -= 1
+                    body = b"<html>maintenance</html>"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 body = self.rfile.read(
                     int(self.headers.get("Content-Length", 0))
                 ).decode()

@@ -410,6 +410,26 @@ def test_transient_uaa_outage_spends_retry_budget_not_stream():
         bad.read({"n": 0})
 
 
+def test_uaa_html_maintenance_page_spends_retry_then_recovers():
+    """A load balancer answering the token grant with 200 + an HTML
+    maintenance page (JSONDecodeError, not OSError) is the same
+    transient-outage class as a refused connection: spend a retry with
+    backoff, refetch on the next turn, and deliver once UAA is back."""
+    frames = wire_frames(2)
+    with StubUAA(username="u", password="p", html_outage_responses=1) as uaa:
+        with StubDoppler(
+            [{"frames": frames, "then": "silent"}], token="bearer tok-u"
+        ) as stub:
+            opts = reader_opts(stub, retryCount=3)
+            del opts["token"]
+            opts.update(uaaAddress=uaa.address, username="u", password="p")
+            reader = FirehoseStreamReader(opts)
+            rows, _ = reader.read({"n": 0})
+            assert len(list(rows)) == 2
+        assert uaa.calls == 1  # grant #0 was the HTML outage, #1 real
+        assert reader._retries_left == 3  # reset after successful dial
+
+
 def test_explicit_token_option_is_never_refetched_on_401():
     """An operator-supplied ``token`` option is authoritative (go-nozzle
     nozzle.go:112-138: explicit token wins, no UAA in the loop) — a 401

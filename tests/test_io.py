@@ -447,10 +447,7 @@ def test_wire_roundtrip_nested_residue_and_nan_survive_dataframe(spark):
     )
     # (a) unknown field INSIDE the valueMetric submessage (field 99
     # varint = tag bytes 0x98 0x06), normalized-to-tail at that level
-    nested = dict(vm, valueMetric=dict(vm["valueMetric"]))
-    inner = encode_envelope(nested)
-    base_vm_bytes = None  # splice residue into the nested message
-    d = decode_envelope(inner)
+    d = decode_envelope(encode_envelope(vm))
     d["valueMetric"]["_unrecognized"] = b"\x98\x06\x2a"
     frame_nested = encode_envelope(d)
     assert decode_envelope(frame_nested)["valueMetric"]["_unrecognized"] == b"\x98\x06\x2a"
@@ -481,3 +478,28 @@ def test_wire_roundtrip_nested_residue_and_nan_survive_dataframe(spark):
     out = encode_wire_frames(decoded.drop("_decode_error", "_raw"))
     got = sorted(bytes(r["payload"]) for r in out.collect())
     assert got == sorted(frames)
+
+
+def test_wire_decode_null_payload_quarantined_not_job_fail(spark):
+    """A NULL payload cell must land in the quarantine like any other
+    undecodable frame — the counted-drop handler itself must not raise
+    (bytes(None) inside the except block would fail the whole job)."""
+    from kafka_firehose_nozzle_spark.sources.dropsonde_wire import (
+        encode_envelope,
+    )
+    from kafka_firehose_nozzle_spark.sources.wire_batch import (
+        decode_wire_frames,
+    )
+
+    good = encode_envelope(
+        __import__(
+            "kafka_firehose_nozzle_spark.fixtures", fromlist=["x"]
+        ).canonical_envelopes()[0]
+    )
+    raw = spark.createDataFrame([(good,), (None,)], "payload binary")
+    decoded = decode_wire_frames(raw)
+    bad = decoded.filter("_decode_error IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert "null payload" in bad[0]["_decode_error"]
+    assert bad[0]["_raw"] is None
+    assert decoded.filter("_decode_error IS NULL").count() == 1

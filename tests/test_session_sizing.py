@@ -115,6 +115,19 @@ def test_heap_bytes_cluster_master_prefers_executor_memory():
     assert S._heap_bytes(fake) == 16 << 30
 
 
+def test_heap_bytes_local_cluster_master_is_not_local():
+    # local-cluster[n,cores,mem] launches real executor JVMs — their
+    # (smaller) heap is the budget, not the driver's
+    fake = _fake_spark(
+        {
+            "spark.master": "local-cluster[2,1,1024]",
+            "spark.driver.memory": "32g",
+            "spark.executor.memory": "1g",
+        }
+    )
+    assert S._heap_bytes(fake) == 1 << 30
+
+
 # ------------------------------------------- checkpoint_storage_level
 
 
