@@ -199,32 +199,112 @@ def medoid_centroids(
     )
 
 
+# Above this many literal doubles (C x dim), the centroid table stops
+# riding into the plan as literal arrays and the assignment switches to
+# a broadcast-variable Arrow map instead. Rationale: Catalyst treats
+# every literal as an expression-tree node, and the round-1 finding
+# (SCALE.md) is that ANALYSIS time is a real cost — a production IVF
+# (C ~ 1e4-1e5 cells x dim 256 -> 1e6-1e7 literals) would spend more
+# time planning the multi-MB tree than running it. 1e5 doubles (~800 KB
+# of plan, C=400 @ dim 256) planned in well under a second in the
+# round-11 measurement; the oracle corpora (C <= a few hundred, dim 64)
+# sit far below it, so every frozen pin stays on the literal path.
+LITERAL_CENTROID_DOUBLES_CAP = 100_000
+
+
+def _argmax_cell_udf(spark, cents_rows, prenormalized: bool):
+    """Arrow-batched nearest-centroid scorer for the above-cap path.
+
+    The centroid matrix ships ONCE per executor as a SparkContext
+    broadcast (torrent blocks, not a per-task closure — at production C
+    the matrix is tens/hundreds of MB and a closure copy per task would
+    dominate). Each Arrow batch scores as one ``X @ M.T`` BLAS product;
+    argmax takes the FIRST maximum, matching the literal path's
+    array_position tie-break over centroids sorted by cell_id. NULL
+    embeddings return SQL NULL cell_id, same as the literal path.
+
+    Not bit-identical to the literal fold (BLAS pairwise summation vs
+    left fold differ in the last ulp), which is why the gate keeps
+    oracle-scale centroid tables on the literal path; equality of the
+    resulting ASSIGNMENTS on the test corpus is pinned by
+    tests/test_operators.py::test_ivf_assign_broadcast_matches_literal."""
+    from pyspark.sql.functions import pandas_udf
+
+    cells = np.array([cid for cid, _ in cents_rows], dtype=np.int64)
+    M = np.vstack([c for _, c in cents_rows]).astype(np.float64)
+    if prenormalized:
+        cn = None
+    else:
+        cn = np.sqrt((M * M).sum(axis=1))
+        cn[cn == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((cells, M, cn))
+
+    @pandas_udf("bigint")
+    def _cell(v: pd.Series) -> pd.Series:
+        cells_, M_, cn_ = bc.value
+        vals = v.to_numpy()
+        out = np.zeros(len(vals), dtype=np.int64)
+        mask = np.array([x is not None for x in vals], dtype=bool)
+        if mask.any():
+            X = np.vstack(vals[mask]).astype(np.float64, copy=False)
+            sims = X @ M_.T
+            if cn_ is not None:
+                xn = np.sqrt((X * X).sum(axis=1))
+                xn[xn == 0.0] = 1.0
+                sims = sims / (xn[:, None] * cn_[None, :])
+            out[mask] = cells_[np.argmax(sims, axis=1)]
+        res = pd.array(out, dtype="Int64")
+        res[~mask] = pd.NA
+        return pd.Series(res)
+
+    return _cell
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
     ``centroids``: [cell_id, centroid(array<double>)] — scalar-scale
-    (C × dim doubles), so it is collected driver-side and rides into
-    the plan as LITERAL arrays: assignment is a pure zero-shuffle map
-    (the kmeans_centroids pattern). The previous implementation
-    crossJoined the corpus with the centroid table and ranked with a
-    per-row window — n·C rows each carrying the full embedding through
-    a hash shuffle, the opposite of this docstring's claim at 100 TB.
+    (C × dim doubles), so it is collected driver-side and the
+    assignment is a pure zero-shuffle map either way (the previous
+    implementation crossJoined the corpus with the centroid table and
+    ranked with a per-row window — n·C rows each carrying the full
+    embedding through a hash shuffle, the opposite of this docstring's
+    claim at 100 TB). Two physical forms, gated on plan size:
 
-    Arithmetic is BIT-IDENTICAL to the old cosine_prenormed path: the
-    driver-side centroid norm replicates l2_norm's left fold + sqrt
-    (same IEEE sequence), the division is unchanged, and
-    first-occurrence array_position over centroids sorted by cell_id
-    reproduces the window's (sim desc, cell_id asc) tie-break — so the
-    frozen oracle pins are untouched. Output adds a ``cell_id`` column.
-    At scale, write the corpus partitioned by cell_id so queries prune
-    scans."""
+    - ``mode="literal"`` (auto below LITERAL_CENTROID_DOUBLES_CAP):
+      centroids ride into the plan as literal arrays; pure JVM
+      expression, zero Python. Arithmetic is BIT-IDENTICAL to the old
+      cosine_prenormed path: the driver-side centroid norm replicates
+      l2_norm's left fold + sqrt (same IEEE sequence), the division is
+      unchanged, and first-occurrence array_position over centroids
+      sorted by cell_id reproduces the window's (sim desc, cell_id asc)
+      tie-break — so the frozen oracle pins are untouched.
+    - ``mode="broadcast"`` (auto above the cap): centroids ship once
+      per executor as a SparkContext broadcast and each Arrow batch
+      scores as one BLAS matmul — the production-C path, where a
+      literal tree (1e6+ doubles) would stall Catalyst analysis
+      (the round-1 SCALE.md finding). Still zero shuffle of the
+      corpus; only assignments differ from literal by last-ulp ties
+      (equality pinned on the test corpus).
+
+    NULL embeddings get NULL cell_id in BOTH modes (array_position over
+    an all-NULL sims array is NULL; the Arrow path masks them) — a
+    deliberate improvement over the old crossJoin+window path, which
+    assigned NULL vectors to the lowest cell_id; pinned by
+    tests/test_operators.py::test_ivf_assign_null_embedding_gets_null_cell.
+
+    Output adds a ``cell_id`` column. At scale, write the corpus
+    partitioned by cell_id so queries prune scans."""
     import math
 
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown mode {mode!r} (want auto/literal/broadcast)")
     cents_rows = sorted(
         (
             (int(r["cell_id"]), [float(x) for x in r["centroid"]])
@@ -234,6 +314,18 @@ def ivf_assign(
     )
     if not cents_rows:
         raise ValueError("ivf_assign: empty centroid table")
+    n_literal_doubles = sum(len(c) for _, c in cents_rows)
+    if mode == "auto":
+        mode = (
+            "literal"
+            if n_literal_doubles <= LITERAL_CENTROID_DOUBLES_CAP
+            else "broadcast"
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    if mode == "broadcast":
+        cell = _argmax_cell_udf(df.sparkSession, cents_rows, prenormalized=False)
+        return df.withColumn("cell_id", cell(v))
 
     def fold_norm(c: list[float]) -> float:
         # exact replica of l2_norm's JVM left fold (acc + v*v, then sqrt)
@@ -247,11 +339,16 @@ def ivf_assign(
     )
     cnorms = F.array(*[F.lit(fold_norm(c)) for _, c in cents_rows])
     cells = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cents_rows])
-    v = F.col(vec_col).cast("array<double>")
     vnorm = l2_norm(v)
     sims = F.zip_with(cents, cnorms, lambda c, n: dot(v, c) / (vnorm * n))
     pos = F.array_position(sims, F.array_max(sims)).cast("int")
-    return df.withColumn("cell_id", F.element_at(cells, pos))
+    # the when() guard is load-bearing: a NULL embedding folds to NULL
+    # pos, and Spark 4.1's element_at evaluates a NULL *column* index as
+    # -1 (last element!) rather than NULL — unguarded, NULL vectors
+    # would silently land in the highest cell_id
+    return df.withColumn(
+        "cell_id", F.when(pos.isNotNull(), F.element_at(cells, pos))
+    )
 
 
 def _component_avg(d: DataFrame) -> DataFrame:
@@ -319,6 +416,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "hash",
+    mode: str = "auto",
 ) -> DataFrame:
     """Trained IVF centroids: Lloyd's k-means, expressed Spark-first.
 
@@ -341,9 +439,19 @@ def kmeans_centroids(
     ``init="mod"`` — replayable by a plain-SQL oracle (the 4-iteration
     unrolled CTE in ``__spark_entry__.ORACLE_IVF_TRAINED``). Returns
     [cell_id, centroid] compatible with ivf_assign/ivf_topk.
+
+    ``mode`` gates the assignment's physical form exactly like
+    ivf_assign: ``"literal"`` (auto below LITERAL_CENTROID_DOUBLES_CAP)
+    embeds the C×dim centroids as literal arrays; ``"broadcast"`` (auto
+    above the cap — production C) ships them as a SparkContext
+    broadcast and scores each Arrow batch with one BLAS matmul. Either
+    way the per-iteration shape is unchanged: zero-shuffle assignment
+    map + one partial-aggregated update shuffle.
     """
     import math
 
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown mode {mode!r} (want auto/literal/broadcast)")
     spark = df.sparkSession
 
     def unit(c: list[float]) -> list[float]:
@@ -361,14 +469,26 @@ def kmeans_centroids(
     # dense 0..C-1 index; a hash cell empty at tiny SF borrows a neighbor
     cur = [seed.get(i, seed[min(seed)]) for i in range(num_cells)]
     v = F.col(vec_col).cast("array<double>")
+    dim = len(cur[0])
+    use_broadcast = mode == "broadcast" or (
+        mode == "auto" and num_cells * dim > LITERAL_CENTROID_DOUBLES_CAP
+    )
     for _ in range(max_iter):
         # centroids pre-normalized driver-side: argmax cosine == argmax dot,
         # so the per-row assignment is C*dim multiply-adds and nothing else
-        cents = F.array(
-            *[F.array(*[F.lit(x) for x in unit(c)]) for c in cur]
-        )
-        sims = F.transform(cents, lambda c: dot(v, c))
-        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        if use_broadcast:
+            cell_udf = _argmax_cell_udf(
+                spark,
+                [(i, unit(c)) for i, c in enumerate(cur)],
+                prenormalized=True,
+            )
+            cell = cell_udf(v).cast("int")
+        else:
+            cents = F.array(
+                *[F.array(*[F.lit(x) for x in unit(c)]) for c in cur]
+            )
+            sims = F.transform(cents, lambda c: dot(v, c))
+            cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
         updated = _component_avg(
             df.select(cell.alias("cell_id"), F.posexplode(v).alias("pos", "v"))
         )

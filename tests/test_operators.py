@@ -2581,6 +2581,94 @@ def test_ivf_assign_is_zero_shuffle_and_empty_centroids_fail_fast(spark):
         S.ivf_assign(emb, cents.filter("cell_id < 0"))
 
 
+def test_ivf_assign_broadcast_matches_literal(spark):
+    """The above-cap broadcast-Arrow path must produce IDENTICAL
+    assignments to the literal path on the real embeddings corpus
+    (VERDICT r10 item 1's done-criterion) — and its plan must still be
+    a zero-shuffle map: no Exchange on the corpus side, ArrowEvalPython
+    (never BatchEvalPython) as the scorer."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.medoid_centroids(emb, 8)
+    lit = {
+        r["vec_id"]: r["cell_id"]
+        for r in S.ivf_assign(emb, cents, mode="literal").collect()
+    }
+    bc = S.ivf_assign(emb, cents, mode="broadcast")
+    got = {r["vec_id"]: r["cell_id"] for r in bc.collect()}
+    assert got == lit and len(lit) > 0
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    with pytest.raises(ValueError, match="mode"):
+        S.ivf_assign(emb, cents, mode="windowed")
+
+
+def test_ivf_assign_auto_gates_on_literal_plan_size(spark, monkeypatch):
+    """mode='auto' stays literal below LITERAL_CENTROID_DOUBLES_CAP
+    (zero Python in the plan — the oracle-pinned form) and flips to the
+    broadcast Arrow map above it (production C, where a 1e6+-literal
+    tree would stall Catalyst analysis)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    cents = S.medoid_centroids(emb, 4)
+
+    plan = (
+        S.ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan  # default: literal, pure JVM
+
+    monkeypatch.setattr(S, "LITERAL_CENTROID_DOUBLES_CAP", 10)
+    plan = (
+        S.ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan  # auto flipped above the cap
+
+
+def test_ivf_assign_null_embedding_gets_null_cell(spark):
+    """A NULL embedding assigns NULL cell_id in BOTH modes (ADVICE r10:
+    the old crossJoin+window path assigned NULL vectors to the lowest
+    cell_id; the literal path's array_position over all-NULL sims is
+    NULL — an improvement, now pinned)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id bigint, centroid array<double>",
+    )
+    for mode in ("literal", "broadcast"):
+        got = {
+            r["vec_id"]: r["cell_id"]
+            for r in S.ivf_assign(df, cents, mode=mode).collect()
+        }
+        assert got == {0: 0, 1: None, 2: 1}, mode
+
+
+def test_kmeans_centroids_broadcast_matches_literal(spark):
+    """Training with the broadcast-Arrow assignment must reproduce the
+    literal path's centroids exactly on the test corpus: per-iteration
+    assignments agree (argmax ties pinned equal here), and the update
+    step's decimal component averages are order-independent, so equal
+    assignments => bit-equal centroids."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    lit = {
+        r["cell_id"]: r["centroid"]
+        for r in S.kmeans_centroids(emb, 8, max_iter=2, mode="literal").collect()
+    }
+    bc = {
+        r["cell_id"]: r["centroid"]
+        for r in S.kmeans_centroids(emb, 8, max_iter=2, mode="broadcast").collect()
+    }
+    assert bc == lit and len(lit) == 8
+
+
 def test_wav_pcm_stats_null_and_odd_payloads_quarantined(spark):
     """NULL payloads and odd-length data chunks yield NULL stats rows
     (quarantine-don't-crash), matching every sibling decoder."""
