@@ -102,6 +102,70 @@ def _md5_idle_reference_sec() -> float:
     return _md5_probe_sec(samples=12, settle_sec=0.05)
 
 
+def _drift_report(
+    timings: dict,
+    sf: float,
+    md5_before: float,
+    md5_after: float,
+    steal_pct: float,
+    loadavg_start: list,
+) -> dict:
+    """Mechanical drift tripwire (VERDICT r10 item 2): compare each
+    headline query against the stored certified-idle band
+    (BENCH_REFERENCE.json) and flag >threshold one-directional
+    regressions — but ONLY on a calibration-clean run (md5 probe within
+    2% of the idle reference, steal <0.1%, start 1-min loadavg <1).
+    Three consecutive rounds spent their top verdict item hand-
+    adjudicating host-load noise; a hot run now self-reports
+    'calibration not clean' instead of producing numbers someone must
+    A/B by hand. Returns {"calibration_clean", "flags", ...}; flags is
+    non-empty only when a clean run shows real drift, so SCALE.md can
+    cite the flag instead of an adjudication."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_REFERENCE.json")) as f:
+            ref = json.load(f)
+    except OSError:
+        return {"calibration_clean": False, "not_clean_reasons": ["no reference file"], "flags": []}
+    if abs(sf - ref.get("sf", 0.1)) > 1e-9:
+        return {
+            "calibration_clean": False,
+            "not_clean_reasons": [f"sf {sf} != reference sf {ref.get('sf')}"],
+            "flags": [],
+        }
+    reasons = []
+    md5_ref = ref["md5_idle_sec"]
+    if max(md5_before, md5_after) > md5_ref * 1.02:
+        reasons.append(
+            f"md5 probe {max(md5_before, md5_after)} > 1.02x idle ref {md5_ref}"
+        )
+    if steal_pct >= 0.1:
+        reasons.append(f"steal {steal_pct}% >= 0.1%")
+    if loadavg_start[0] >= 1.0:
+        reasons.append(f"start loadavg {loadavg_start[0]} >= 1")
+    clean = not reasons
+    flags = []
+    if clean:
+        thr = ref.get("drift_threshold_pct", 20.0) / 100.0
+        for name, t in timings.items():
+            r = ref["queries"].get(name)
+            if r and t > r * (1.0 + thr):
+                flags.append(
+                    {
+                        "query": name,
+                        "sec": t,
+                        "ref_sec": r,
+                        "drift_pct": round(100.0 * (t - r) / r, 1),
+                    }
+                )
+    return {
+        "calibration_clean": clean,
+        "not_clean_reasons": reasons,
+        "reference": f"BENCH_REFERENCE.json (r{ref.get('seeded_round')})",
+        "flags": flags,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -190,6 +254,7 @@ def main() -> None:
         if total1 > total0
         else 0.0
     )
+    md5_after = _md5_probe_sec()
     print(
         json.dumps(
             {
@@ -207,9 +272,17 @@ def main() -> None:
                     else {}
                 ),
                 **side,
+                "drift": _drift_report(
+                    timings,
+                    sf,
+                    md5_before,
+                    md5_after,
+                    steal_pct,
+                    loadavg_start,
+                ),
                 "calibration": {
                     "md5_sec": md5_before,
-                    "md5_sec_after": (md5_after := _md5_probe_sec()),
+                    "md5_sec_after": md5_after,
                     # best slice seen this session — the denominator of
                     # the X * (ref/m) adjudication rule (SCALE.md)
                     "md5_idle_reference_sec": min(
