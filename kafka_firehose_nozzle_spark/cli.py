@@ -166,13 +166,19 @@ def run(argv: list[str]) -> int:
         old_sigterm = signal.signal(signal.SIGTERM, _sigterm)
 
     checkpoint = args.checkpoint or tempfile.mkdtemp(prefix="nozzle-ckpt-")
-    envelopes = firehose_stream(spark, config)
-    sink = "console" if args.debug else "kafka"  # cli.go:222-235
-    handle = start_pipeline(
-        spark, envelopes, config, checkpoint, sink=sink, stats=stats
-    )
     exit_code = EXIT_OK
+    handle = None
+    # construction (stream source + pipeline start) sits INSIDE the
+    # try: a failure there must take the same [ERROR]+exit-1 path and
+    # the same finally-cleanup (signal handler restore, stats/HTTP
+    # shutdown) as a mid-run failure — previously it escaped as a raw
+    # traceback with the SIGTERM handler left installed (ADVICE r10)
     try:
+        envelopes = firehose_stream(spark, config)
+        sink = "console" if args.debug else "kafka"  # cli.go:222-235
+        handle = start_pipeline(
+            spark, envelopes, config, checkpoint, sink=sink, stats=stats
+        )
         handle.query.awaitTermination()
     except KeyboardInterrupt:  # SIGINT/SIGTERM, cli.go:328-334
         pass
@@ -182,7 +188,8 @@ def run(argv: list[str]) -> int:
         print(f"[ERROR] {e}", file=sys.stderr)
         exit_code = EXIT_ERROR
     finally:
-        handle.stop()
+        if handle is not None:
+            handle.stop()
         stats_stop.set()
         ticker_stop.set()
         if http_server:

@@ -117,6 +117,23 @@ def derive_shuffle_partitions(
     # toward MORE partitions (AQE coalesces excess for free; a missing
     # partition near the memory cliff OOMs)
     need = -(-int(source_bytes * expansion) // bytes_per_task)
+    if need > cap:
+        # no silent caps (ADVICE r10): a clamp means per-task bytes
+        # grow past the 150 MB target again — the exact failure this
+        # module exists to prevent. Past ~200 GB of expanded input on
+        # the default cap, raise it (it's a backstop against runaway
+        # estimates, not a tuning target).
+        import logging
+
+        logging.getLogger("kafka_firehose_nozzle_spark").warning(
+            "derive_shuffle_partitions: derived %d partitions clamped to "
+            "cap %d; per-task input will exceed the %d MB target "
+            "(~%d MB/task) — raise cap= for this input volume",
+            need,
+            cap,
+            bytes_per_task >> 20,
+            int(source_bytes * expansion / max(cap, 1)) >> 20,
+        )
     return max(floor, min(cap, need))
 
 
@@ -173,7 +190,16 @@ def checkpoint_storage_level(
     pagerank's ~19 GB edge list and roundtrip's ~30 GB JSON corpus on a
     32 GB heap), while DISK_ONLY costs one serialize/decode pass that
     is pure overhead at small SF (~4% on the sf0.1 bench). Gating on
-    the estimate buys both: fast below the cliff, bounded above it."""
+    the estimate buys both: fast below the cliff, bounded above it.
+
+    CONTRACT: the gate sizes ONE materialization at a time — it does
+    not track other live persists in the session, so two concurrent
+    ~20%-of-heap checkpoints would each individually pass the 25% gate
+    while jointly starving execution (the r9 OOM signature). Callers
+    holding a persist across a second persist must pass the SUM of
+    live estimates as ``source_bytes``, or unpersist first. Every
+    in-repo caller materializes, consumes, and releases sequentially
+    (OPERATING.md §shuffle-sizing documents the rule)."""
     from pyspark.storagelevel import StorageLevel
 
     if source_bytes * expansion > heap_fraction * _heap_bytes(spark):

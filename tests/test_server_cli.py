@@ -221,3 +221,31 @@ def test_null_event_type_lands_in_consume_unknown(spark):
     assert got["consume"] == 3
     assert got["consume_http_start_stop"] == 1
     assert got["consume_unknown"] == 2  # the NULL row AND the 999 row
+
+
+def test_construction_failure_takes_error_path_and_cleans_up(
+    tmp_path, capsys, monkeypatch
+):
+    """A failure while CONSTRUCTING the stream (firehose_stream /
+    start_pipeline — e.g. an unreachable doppler at first connect) must
+    take the same [ERROR]+exit-1 path and the same finally-cleanup as a
+    mid-run failure: previously it escaped run() as a raw traceback
+    with the SIGTERM handler still installed (ADVICE r10)."""
+    import signal
+
+    from kafka_firehose_nozzle_spark import streaming as _s  # noqa: F401
+    from kafka_firehose_nozzle_spark.cli import EXIT_ERROR, run
+    import kafka_firehose_nozzle_spark.streaming.job as jobmod
+
+    def boom(*a, **kw):
+        raise RuntimeError("doppler unreachable at construction")
+
+    monkeypatch.setattr(jobmod, "firehose_stream", boom)
+    p = tmp_path / "c.toml"
+    p.write_text('[kafka]\nbrokers=["b:9092"]\n')
+
+    before = signal.getsignal(signal.SIGTERM)
+    assert run(["--config", str(p)]) == EXIT_ERROR
+    assert "[ERROR] doppler unreachable at construction" in capsys.readouterr().err
+    # no traceback escaped, and the finally block restored the handler
+    assert signal.getsignal(signal.SIGTERM) is before

@@ -191,3 +191,20 @@ def test_configure_shuffle_for_input_sets_conf(spark, tmp_path):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_cap_clamp_warns_no_silent_caps(caplog):
+    """Clamping the derived count to the cap re-opens per-task-bytes
+    growth — the module must SAY so (ADVICE r10: no silent caps). Below
+    the cap: silence."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="kafka_firehose_nozzle_spark"):
+        n = S.derive_shuffle_partitions(300 * 1024**4)  # ~300 TB source
+    assert n == S.SHUFFLE_PARTITION_CAP
+    assert any("clamped to" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="kafka_firehose_nozzle_spark"):
+        S.derive_shuffle_partitions(10 * 1024**3)
+    assert not caplog.records
