@@ -97,6 +97,67 @@ def input_bytes(spark: SparkSession, *paths: str) -> int:
     return total
 
 
+def parquet_expansion(
+    *paths: str, sample_files_per_path: int = 8
+) -> float | None:
+    """Self-calibrated parquet→row expansion from file FOOTERS
+    (VERDICT r10 item 5): sum of ``total_uncompressed_size`` over
+    ``total_compressed_size`` across each path's column chunks. The
+    fixed DEFAULT_EXPANSION=3.0 was measured on this corpus's
+    string-heavy tables at sf100 (footers there agree: lineitem 3.09,
+    orders 2.98, events 2.61) but over-partitions inputs that don't
+    expand — double-array embeddings measure 1.05 — and would
+    under-partition a future higher-ratio corpus. Uncompressed
+    columnar size is the right proxy for the shuffled row form: fixed
+    width types are byte-identical and string/binary pages carry the
+    same payload bytes as their row form.
+
+    Driver cost stays bounded at lake scale: at most
+    ``sample_files_per_path`` footers per path, evenly spaced through
+    the sorted listing so one giant skewed file can't dominate the
+    sample. Returns None (callers fall back to the constant) for
+    non-local/non-parquet paths or unreadable footers — the estimate
+    degrades, never errors. Clamped to [1, 8]: a ratio below 1 means a
+    pathological footer, above 8 a corrupt one."""
+    import glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    comp = unc = 0
+    for p in paths:
+        if _os.path.isfile(p):
+            files = [p]
+        elif _os.path.isdir(p):
+            files = sorted(
+                _os.path.join(r, f)
+                for r, _, fs in _os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            continue
+        if len(files) > sample_files_per_path:
+            step = len(files) // sample_files_per_path
+            files = files[::step][:sample_files_per_path]
+        for f in files:
+            try:
+                md = pq.ParquetFile(f).metadata
+            except Exception:
+                continue
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for c in range(g.num_columns):
+                    col = g.column(c)
+                    comp += col.total_compressed_size
+                    unc += col.total_uncompressed_size
+    if comp <= 0:
+        return None
+    return min(8.0, max(1.0, unc / comp))
+
+
 def derive_shuffle_partitions(
     source_bytes: int,
     *,
@@ -142,8 +203,13 @@ def configure_shuffle_for_input(spark: SparkSession, *paths: str) -> int:
     from the volume actually under ``paths``; returns the chosen count.
     The engine-behavior form of OPERATING.md's sizing rule: callers
     point it at the input dir(s) and stop passing --shuffle-partitions
-    by hand."""
-    n = derive_shuffle_partitions(input_bytes(spark, *paths))
+    by hand. The expansion factor is read from the input's own parquet
+    footers when available (self-calibrating; see parquet_expansion),
+    with the measured corpus constant as fallback."""
+    expansion = parquet_expansion(*paths) or DEFAULT_EXPANSION
+    n = derive_shuffle_partitions(
+        input_bytes(spark, *paths), expansion=expansion
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
 

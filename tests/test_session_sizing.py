@@ -208,3 +208,58 @@ def test_cap_clamp_warns_no_silent_caps(caplog):
     with caplog.at_level(logging.WARNING, logger="kafka_firehose_nozzle_spark"):
         S.derive_shuffle_partitions(10 * 1024**3)
     assert not caplog.records
+
+
+def test_parquet_expansion_reads_footers():
+    """Footer-derived expansion (VERDICT r10 item 5): string-heavy
+    tables expand, double-array embeddings do not — the fixed 3.0
+    constant was over-partitioning the latter."""
+    docs = S.parquet_expansion("/root/testdata/sf0.01/documents.parquet")
+    emb = S.parquet_expansion("/root/testdata/sf0.01/embeddings.parquet")
+    whole = S.parquet_expansion("/root/testdata/sf0.01")
+    assert docs is not None and emb is not None and whole is not None
+    assert emb < docs  # embeddings barely expand; documents ~2.7x
+    assert 1.0 <= emb < 1.5 and 2.0 < docs < 4.0
+    assert 1.0 <= whole <= 4.0
+    # non-parquet / missing inputs degrade to None, never raise
+    assert S.parquet_expansion("/etc/hosts") is None
+    assert S.parquet_expansion("/nonexistent/path") is None
+
+
+def test_configure_shuffle_uses_footer_expansion(spark, tmp_path):
+    """configure_shuffle_for_input derives its expansion from the
+    input's own footers (fallback: DEFAULT_EXPANSION for non-parquet)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        p = tmp_path / "t.parquet"
+        spark.range(1000).write.parquet(str(p))
+        n = S.configure_shuffle_for_input(spark, str(p))
+        exp = S.parquet_expansion(str(p)) or S.DEFAULT_EXPANSION
+        assert n == S.derive_shuffle_partitions(
+            S.input_bytes(spark, str(p)), expansion=exp
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_sf100_footer_derivation_stays_in_working_band():
+    """The r10 done-criterion: footer-calibrated sizing at the fourth
+    decade must stay inside the 256-512 band the sf100 sweeps
+    validated (constant-3.0 derived 347 there; footers measure ~2.98).
+    Runs only when the scaled corpus is materialized (OPERATING.md's
+    disk-lifecycle rules)."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir("/tmp/sf100"):
+        _pytest.skip("sf100 corpus not materialized (see OPERATING.md)")
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk("/tmp/sf100")
+        for f in fs
+    )
+    exp = S.parquet_expansion("/tmp/sf100")
+    assert exp is not None and 2.0 < exp < 4.0
+    n = S.derive_shuffle_partitions(total, expansion=exp)
+    assert 256 <= n <= 512
