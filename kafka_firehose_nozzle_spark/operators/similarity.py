@@ -608,6 +608,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
     """Encode each vector as ``num_sub`` nearest-centroid codes — the
     64-byte float32 subvector becomes ONE byte (num_codes ≤ 256), a
@@ -616,15 +617,63 @@ def pq_encode(
     embeddings entirely) and memory-resident indexes fit corpus-scale.
 
     The codebook is collected driver-side (num_sub × num_codes rows —
-    scalar-scale, the kmeans_centroids precedent) and rides into the
-    plan as literal arrays, so encoding is a ZERO-SHUFFLE map: per row,
+    scalar-scale, the kmeans_centroids precedent). ``mode`` gates its
+    physical form exactly like ivf_assign: ``"literal"`` (auto while
+    dim × num_codes ≤ LITERAL_CENTROID_DOUBLES_CAP, i.e. every oracle
+    corpus) rides it into the plan as literal arrays — per row,
     num_sub slices × num_codes left-fold distances, argmin by
     array_position (first occurrence == lowest code, matching the
-    oracle's tie break).  Output: [id, codes(array<int>)].
+    oracle's tie break). ``"broadcast"`` (auto above the cap —
+    production dim 512+/8-bit codebooks) ships the codebook once per
+    executor and argmins each Arrow batch in NumPy; identical codes on
+    the pinned corpus (test_pq_encode_broadcast_matches_literal), not
+    bit-identical distance arithmetic. Either way encoding is a
+    ZERO-SHUFFLE map. Output: [id, codes(array<int>)].
     """
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown mode {mode!r} (want auto/literal/broadcast)")
     subdim = dim // num_sub
     rows = _dense_codebook(codebook, num_sub, num_codes)
+    if mode == "auto":
+        mode = (
+            "literal"
+            if num_sub * num_codes * subdim <= LITERAL_CENTROID_DOUBLES_CAP
+            else "broadcast"
+        )
     v = F.col(vec_col).cast("array<double>")
+    if mode == "broadcast":
+        from pyspark.sql.functions import pandas_udf
+
+        M = np.zeros((num_sub, num_codes, subdim), dtype=np.float64)
+        for (s, j), c in rows.items():
+            M[s, j] = c
+        bc = df.sparkSession.sparkContext.broadcast(M)
+
+        @pandas_udf("array<int>")
+        def _codes(col: pd.Series) -> pd.Series:
+            M_ = bc.value
+            ns, nc, sd = M_.shape
+            vals = col.to_numpy()
+            out = [None] * len(vals)
+            idx = [i for i, x in enumerate(vals) if x is not None]
+            if idx:
+                X = np.vstack([vals[i] for i in idx]).astype(
+                    np.float64, copy=False
+                )
+                per_sub = []
+                for s in range(ns):
+                    sv = X[:, s * sd : (s + 1) * sd]
+                    # (rows, codes): squared L2 to every code centroid
+                    d = ((sv[:, None, :] - M_[s][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    per_sub.append(np.argmin(d, axis=1))
+                codes = np.stack(per_sub, axis=1).astype(np.int32)
+                for row_i, i in enumerate(idx):
+                    out[i] = codes[row_i].tolist()
+            return pd.Series(out)
+
+        return df.select(F.col(id_col), _codes(v).alias("codes"))
     codes = []
     for s in range(num_sub):
         cents = F.array(

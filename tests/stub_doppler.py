@@ -112,6 +112,13 @@ class StubDoppler:
                 {"path": conn.path, "headers": dict(conn.headers)}
             )
         sess = self._next_session()
+        # "set_token": rotate the token the server accepts, effective
+        # for every LATER dial (this connection already authorized) —
+        # simulates token expiry mid-stream so soaks can force the
+        # reader through multiple 401 -> UAA-refetch cycles
+        if sess.get("set_token") is not None:
+            with self._lock:
+                self.token = sess["set_token"]
         try:
             for frame in sess.get("frames", ()):
                 conn.send_binary(frame)

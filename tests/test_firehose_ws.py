@@ -628,6 +628,171 @@ def test_soak_live_websocket_with_faults(spark, tmp_path):
     assert last <= max(2.0 * first, first + 1000.0), (first, last)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    "KFN_SOAK" not in __import__("os").environ,
+    reason="endurance tier: ~1000 micro-batches, several minutes — "
+    "opt in with KFN_SOAK=1 (VERDICT r10 item 4; run log in SCALE.md)",
+)
+def test_endurance_soak_1000_batches_multi_reconnect(spark, tmp_path):
+    """The endurance tier (VERDICT r10 item 4): ~1000 micro-batches
+    through the live RFC 6455 path, modeling the reference's days-long
+    runtime compressed into minutes. Fault script, in order:
+
+    - two close-1008s (slow-consumer signal), each paired with a
+      server-side token rotation so the redial 401s and the reader must
+      REFETCH from UAA (token expiry on a long-lived stream — the
+      reference's RefreshTokenFrom path) — several UAA grants total;
+    - one abrupt TCP drop (no close frame);
+    - one idle-timeout redial (server goes silent mid-corpus).
+
+    Invariants are the ~100-batch soak's, held 10x longer: exact
+    delivery (no loss, no dup across every fault), each fault recovery
+    a real upgrade handshake, and flat per-batch latency (a leak in
+    reassembly buffers, retry accounting, or the token cache would
+    trend it upward over 1000 batches)."""
+    import os as _os
+    import time
+
+    from kafka_firehose_nozzle_spark.sources.firehose import FirehoseDataSource
+
+    per_batch = 30
+    n_total = 30_000  # ~1000 micro-batches at maxBatchRows=30
+    canon = canonical_envelopes()
+    frames = []
+    for i in range(n_total):
+        e = dict(canon[i % len(canon)])
+        e["timestamp"] = (e["timestamp"] or 0) + i
+        frames.append(encode_envelope(e))
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    progress: list[dict] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            import json as _json
+
+            progress.append(_json.loads(event.progress.json))
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+    cap = _Capture()
+    spark.streams.addListener(cap)
+
+    a, b, c, d = 8_000, 15_000, 21_000, 26_000
+    with StubUAA(username="u", password="p", rotate=True) as uaa:
+        with StubDoppler(
+            [
+                # s1: rotate -> redial 401s, reader refetches (grant #2)
+                {"frames": frames[:a], "then": "close1008",
+                 "set_token": "bearer tok-u-2"},
+                # s2: rotate again -> second 401/refetch (grant #3)
+                {"frames": frames[a:b], "then": "close1008",
+                 "set_token": "bearer tok-u-3"},
+                # s3: abrupt TCP loss, token unchanged
+                {"frames": frames[b:c], "then": "drop"},
+                # s4: serve then go silent -> reader's idle timeout fires
+                {"frames": frames[c:d], "then": "silent"},
+                # s5: the rest
+                {"frames": frames[d:], "then": "silent"},
+            ],
+            token="bearer tok-u-1",
+        ) as stub:
+            spark.dataSource.register(FirehoseDataSource)
+            df = (
+                spark.readStream.format("firehose")
+                .option("dopplerAddress", stub.address)
+                .option("subscriptionID", "kafka-firehose-nozzle")
+                .option("uaaAddress", uaa.address)
+                .option("username", "u")
+                .option("password", "p")
+                .option("idleTimeout", "3")
+                .option("retryDelaySeconds", "0.01")
+                .option("maxBatchRows", str(per_batch))
+                .load()
+            )
+            q = (
+                df.writeStream.format("memory")
+                .queryName("endurance_sink")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            try:
+                deadline = time.time() + 900
+                while time.time() < deadline:
+                    if (
+                        spark.sql("select count(*) c from endurance_sink").first().c
+                        >= n_total
+                    ):
+                        break
+                    time.sleep(1.0)
+                got_n = spark.sql(
+                    "select count(*) c from endurance_sink"
+                ).first().c
+                hist = {
+                    r.eventType: r.n
+                    for r in spark.sql(
+                        "select eventType, count(*) n from endurance_sink group by 1"
+                    ).collect()
+                }
+            finally:
+                q.stop()
+                spark.streams.removeListener(cap)
+
+            # exact delivery across every fault: no loss, no duplication
+            assert got_n == n_total
+            want: dict[int, int] = {}
+            for i in range(n_total):
+                t = canon[i % len(canon)]["eventType"]
+                want[t] = want.get(t, 0) + 1
+            assert hist == want
+            # 5 authorized upgrades: initial + after 1008#1 + after
+            # 1008#2 + after the drop + after the idle timeout
+            assert len(stub.requests) == 5, len(stub.requests)
+            # the two rotations each 401'd exactly one stale dial
+            assert [
+                r["headers"]["authorization"] for r in stub.rejected
+            ] == ["bearer tok-u-1", "bearer tok-u-2"]
+            assert [
+                r["headers"]["authorization"] for r in stub.requests
+            ] == [
+                "bearer tok-u-1",
+                "bearer tok-u-2",
+                "bearer tok-u-3",
+                "bearer tok-u-3",
+                "bearer tok-u-3",
+            ]
+        # several UAA refreshes: initial grant + one per rotation
+        assert uaa.calls == 3
+
+    qid = str(q.id)
+    data_batches = [
+        p
+        for p in progress
+        if p.get("id") == qid
+        and sum(s.get("numInputRows", 0) for s in p.get("sources", [])) > 0
+    ]
+    assert len(data_batches) >= 800, len(data_batches)
+
+    def _median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    durs = [p["durationMs"]["triggerExecution"] for p in data_batches]
+    third = len(durs) // 3
+    first, last = _median(durs[:third]), _median(durs[-third:])
+    assert last <= max(2.0 * first, first + 1000.0), (first, last)
+
+
 # -------------------------------------------------------- through Spark
 
 

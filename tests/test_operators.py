@@ -2714,3 +2714,34 @@ def test_jpeg_fill_bytes_before_marker_parsed():
     # three fill 0xFF bytes between APP0 and SOF0
     jpeg = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0
     assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+
+
+def test_pq_encode_broadcast_matches_literal(spark):
+    """pq_encode's above-cap broadcast path must emit IDENTICAL codes
+    to the literal path on the real corpus, as a zero-shuffle
+    ArrowEvalPython map (the ivf_assign gate, applied to the PQ
+    codebook's dim x num_codes literal exposure)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = S.pq_codebook(emb, num_sub=4, num_codes=16, dim=64)
+    lit = {
+        r["vec_id"]: list(r["codes"])
+        for r in S.pq_encode(emb, cb, num_sub=4, num_codes=16, dim=64,
+                             mode="literal").collect()
+    }
+    bcd = S.pq_encode(emb, cb, num_sub=4, num_codes=16, dim=64,
+                      mode="broadcast")
+    got = {r["vec_id"]: list(r["codes"]) for r in bcd.collect()}
+    assert got == lit and len(lit) > 0
+
+    plan = bcd._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    # NULL embeddings encode to NULL codes, not a crash
+    null_df = spark.createDataFrame(
+        [(0, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert (
+        S.pq_encode(null_df, cb, num_sub=4, num_codes=16, dim=64,
+                    mode="broadcast").first()["codes"]
+        is None
+    )
