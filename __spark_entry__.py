@@ -195,7 +195,7 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q3 style: 3-way join + group + deterministic top-10
     "q3_shipping_priority": f"""
         SELECT l_orderkey,
-            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+            CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue,
             o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -209,7 +209,7 @@ SHARED_SQL: dict[str, str] = {
     """,
     # TPC-H Q5 style: 6-table join, local-supplier revenue by nation
     "q5_local_supplier": f"""
-        SELECT n_name, CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        SELECT n_name, CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -229,7 +229,7 @@ SHARED_SQL: dict[str, str] = {
                                       ORDER BY spend DESC, c_custkey) AS rk
             FROM (
                 SELECT c_mktsegment, c_custkey,
-                       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) AS spend
+                       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS spend
                 FROM customer JOIN orders ON c_custkey = o_custkey
                 GROUP BY c_mktsegment, c_custkey
             ) agg
@@ -238,16 +238,16 @@ SHARED_SQL: dict[str, str] = {
     # running window aggregate over orders per customer
     "running_revenue_by_customer": """
         SELECT o_custkey, o_orderkey, o_orderdate,
-            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+            CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DECIMAL(30,6)) AS DOUBLE) AS running_spend
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS running_spend
         FROM orders
     """,
     # grouping sets / rollup
     "revenue_rollup": """
         SELECT l_returnflag, l_linestatus,
-            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty,
+            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_qty,
             COUNT(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -302,9 +302,16 @@ SHARED_SQL: dict[str, str] = {
           AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         GROUP BY o_orderpriority
     """,
-    # correlated scalar subquery (TPC-H Q17 style): small-quantity orders
+    # correlated scalar subquery (TPC-H Q17 style): small-quantity orders.
+    # avg_yearly rides the VARCHAR round-trip (revenue_cube/q1 precedent):
+    # the r11 sf100 sweep caught the direct DECIMAL->DOUBLE casts
+    # diverging by 2 ulps (1.787029149528571[5|8]e11) once the exact
+    # decimal sum outgrew double's 2^53 integer range — Spark's
+    # BigDecimal cast is correctly rounded, DuckDB's int128 path double-
+    # rounds; the decimal-digits-as-text parse is correctly rounded in
+    # both engines.
     "q17_small_qty_revenue": """
-        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS DOUBLE) / 7.0
+        SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) / 7.0
                AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand LIKE 'Brand#1%'
@@ -397,7 +404,7 @@ SHARED_SQL: dict[str, str] = {
     "q7_nation_trade": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
             YEAR(l_shipdate) AS yr,
-            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+            CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -412,10 +419,10 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q8 style: one nation's market share inside a region per year
     "q8_market_share": f"""
         SELECT YEAR(o_orderdate) AS yr,
-            CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV}
+            CAST(CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV}
                                ELSE CAST(0 AS DECIMAL(10,4)) END)
-                 AS DECIMAL(30,6)) AS DOUBLE)
-            / CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE)
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
+            / CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
                 AS mkt_share
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
@@ -431,10 +438,10 @@ SHARED_SQL: dict[str, str] = {
     # nation and year; partsupp is absent so p_retailprice stands in
     "q9_profit": f"""
         SELECT n_name, YEAR(o_orderdate) AS yr,
-            CAST(CAST(SUM({_REV}
+            CAST(CAST(CAST(SUM({_REV}
                 - CAST(p_retailprice AS DECIMAL(10,4))
                   * CAST(l_quantity AS DECIMAL(10,4)))
-                 AS DECIMAL(30,6)) AS DOUBLE) AS profit
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS profit
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -446,7 +453,7 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q10 style: top-20 customers by returned-lineitem revenue
     "q10_returned_revenue": f"""
         SELECT c_custkey, c_name, n_name,
-            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+            CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -473,10 +480,10 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q14 style: promo-part revenue share in one quarter
     "q14_promo_quarter": f"""
         SELECT CAST(100 AS DOUBLE)
-            * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+            * CAST(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
                                  ELSE CAST(0 AS DECIMAL(10,4)) END)
-                   AS DECIMAL(30,6)) AS DOUBLE)
-            / CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE)
+                   AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
+            / CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
                 AS promo_revenue_pct
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -492,7 +499,7 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q7 style: volume shipping between two nations by year
     "q7_volume_shipping": f"""
         SELECT supp_nation, cust_nation, l_year,
-            CAST(CAST(SUM(vol) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+            CAST(CAST(CAST(SUM(vol) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    YEAR(l_shipdate) AS l_year, {_REV} AS vol
@@ -512,7 +519,7 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q10 style: returned-item revenue by customer, top 20
     "q10_returned_items": f"""
         SELECT c_custkey, c_name,
-            CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+            CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue,
             c_acctbal, n_name
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -540,8 +547,8 @@ SHARED_SQL: dict[str, str] = {
     # TPC-H Q18 style: large-volume orders (HAVING subquery + semi join)
     "q18_big_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
-                 AS DECIMAL(30,6)) AS DOUBLE) AS total_qty
+            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS total_qty
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -554,7 +561,7 @@ SHARED_SQL: dict[str, str] = {
     """,
     # TPC-H Q19 style: OR-of-ANDs predicate (brand x size x quantity bands)
     "q19_banded_revenue": f"""
-        SELECT CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+        SELECT CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                AND l_quantity >= 1 AND l_quantity <= 21)
@@ -585,12 +592,12 @@ SHARED_SQL: dict[str, str] = {
     # (scalar avg subquery + anti join)
     "q22_idle_customers": """
         SELECT SUBSTR(c_name, 10, 2) AS code, COUNT(*) AS numcust,
-            CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
-                 AS DECIMAL(30,6)) AS DOUBLE) AS total_bal
+            CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c_acctbal > (
-                SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
-                       AS DECIMAL(30,6)) AS DOUBLE) / COUNT(*)
+                SELECT CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4)))
+                       AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) / COUNT(*)
                 FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
@@ -627,9 +634,9 @@ SHARED_SQL: dict[str, str] = {
     """,
     # TPC-H Q6 style: forecast revenue change (single-pass filtered sum)
     "q6_forecast_revenue": """
-        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,4))
+        SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,4))
                              * CAST(l_discount AS DECIMAL(10,4)))
-                    AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+                    AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -651,7 +658,7 @@ SHARED_SQL: dict[str, str] = {
             WHERE n_name = 'NATION_3'
             GROUP BY l_partkey
         )
-        SELECT l_partkey, CAST(CAST(val AS DECIMAL(30,6)) AS DOUBLE) AS part_value
+        SELECT l_partkey, CAST(CAST(CAST(val AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS part_value
         FROM value_by_part
         WHERE val * 1000 > (SELECT SUM(val) FROM value_by_part)
     """,
@@ -673,7 +680,7 @@ SHARED_SQL: dict[str, str] = {
     "q15_top_supplier": f"""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS DOUBLE) AS total_revenue
+                CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -713,8 +720,8 @@ SHARED_SQL: dict[str, str] = {
     # sliding-frame moving average (ROWS BETWEEN), decimal-exact division
     "moving_avg_spend": """
         SELECT o_custkey, o_orderkey,
-            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
-                 OVER w AS DECIMAL(30,6)) AS DOUBLE)
+            CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                 OVER w AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
             / COUNT(*) OVER w AS moving_avg
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -742,8 +749,8 @@ SHARED_SQL: dict[str, str] = {
     # explicit GROUPING SETS (finer than ROLLUP/CUBE)
     "grouping_sets_flagstatus": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
-                 AS DECIMAL(30,6)) AS DOUBLE) AS sum_qty
+            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), (l_linestatus), ())

@@ -257,7 +257,7 @@ def _argmax_cell_udf(spark, cents_rows, prenormalized: bool):
         res[~mask] = pd.NA
         return pd.Series(res)
 
-    return _cell
+    return _cell, bc
 
 
 def ivf_assign(
@@ -324,7 +324,11 @@ def ivf_assign(
 
     v = F.col(vec_col).cast("array<double>")
     if mode == "broadcast":
-        cell = _argmax_cell_udf(df.sparkSession, cents_rows, prenormalized=False)
+        # the broadcast's lifetime is the returned plan's lifetime —
+        # ContextCleaner reclaims it once the DataFrame is GC'd
+        cell, _bc = _argmax_cell_udf(
+            df.sparkSession, cents_rows, prenormalized=False
+        )
         return df.withColumn("cell_id", cell(v))
 
     def fold_norm(c: list[float]) -> float:
@@ -476,8 +480,9 @@ def kmeans_centroids(
     for _ in range(max_iter):
         # centroids pre-normalized driver-side: argmax cosine == argmax dot,
         # so the per-row assignment is C*dim multiply-adds and nothing else
+        iter_bc = None
         if use_broadcast:
-            cell_udf = _argmax_cell_udf(
+            cell_udf, iter_bc = _argmax_cell_udf(
                 spark,
                 [(i, unit(c)) for i, c in enumerate(cur)],
                 prenormalized=True,
@@ -496,6 +501,11 @@ def kmeans_centroids(
             int(r["cell_id"]): [float(x) for x in r["centroid"]]
             for r in updated.collect()
         }
+        if iter_bc is not None:
+            # each iteration ships its own C x dim matrix; release it
+            # eagerly — at production C, 8 un-reclaimed ~200 MB
+            # broadcasts would otherwise sit on every executor until GC
+            iter_bc.unpersist()
         nxt = [nxt_map.get(i, cur[i]) for i in range(num_cells)]
         if nxt == cur:
             break

@@ -117,7 +117,16 @@ def main() -> int:
     # in SCALE.md) — honored on restart and reported separately, never
     # silently retried or counted as a pass.
     skips = {n: e for n, e in done.items() if e and e.startswith("SKIP")}
-    sweep_conf = {"spark.sql.ansi.enabled": "true"}
+    # maxResultSize: the STRICT comparator materializes each query's
+    # full result on the driver to canon-hash it against DuckDB — an
+    # engine anti-pattern in operators, but the comparator's whole job.
+    # sf100's session-window result crossed the 1 GiB default
+    # (1053.5 MiB, r11); 8 GiB keeps the collect bounded well under the
+    # 32 GiB driver heap while covering another decade of result growth.
+    sweep_conf = {
+        "spark.sql.ansi.enabled": "true",
+        "spark.driver.maxResultSize": "8g",
+    }
     if shuffle_parts:
         sweep_conf["spark.sql.shuffle.partitions"] = str(shuffle_parts)
     spark = get_spark("scale-sweep", extra_conf=sweep_conf)
