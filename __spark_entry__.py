@@ -55,7 +55,28 @@ ROUTE_TOPICS = TopicConfig(
 )
 
 
+# Plan-construction memo (r11 optimization, guide §5/§7.3: the driver
+# should do almost no work in the query path). A table's DataFrame and a
+# session's view registration are immutable PLAN METADATA — re-deriving
+# them on every query build costs ~10 parquet footer reads + dozens of
+# py4j round trips per call (~0.6-0.9 s of every shared-SQL bench pass,
+# measured r11), while contributing nothing to the computation, which
+# still runs from the parquet inputs on every action. Keyed by Spark
+# applicationId so a fresh session (new JVM state, new
+# defaultParallelism) never sees another session's plans. This memoizes
+# CONSTRUCTION only — never results, never data.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# appId -> the sf_dir whose tables the session's views CURRENTLY point
+# at (a dict, not a set: alternating sf_dirs in one session must
+# re-register, or the second sf_dir's views would serve the first's).
+_VIEWS_CURRENT: dict[str, str] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
     # typed read (nanosAsLong + TIMESTAMP(NANOS) column derivation) is
     # catalog.read_table — ONE implementation for the SQL views and the
     # driver contract.
@@ -74,12 +95,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         nbytes = 0
     if nbytes > 256 << 10:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    _TABLE_MEMO[key] = df
     return df
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    app = spark.sparkContext.applicationId
+    if _VIEWS_CURRENT.get(app) == sf_dir:
+        return
     for name in TABLES:
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_CURRENT[app] = sf_dir
 
 
 def _parquet_nrows(path: str) -> int | None:
@@ -994,11 +1020,39 @@ _TOKS = (
 )
 
 
+# Prepared-plan memo for the envelope/routing source adapters (same
+# rationale and keying as _TABLE_MEMO): events_to_envelopes and
+# route_envelopes build several-hundred-node expression trees through
+# fine-grained py4j calls (~1.5-2 s of pure driver time per build,
+# measured r11) that are a pure function of (session, sf_dir, frozen
+# ROUTE_TOPICS). The DataFrames are unexecuted plans; every action
+# still scans the parquet. NOT used for anything holding a checkpoint
+# or other materialized state (roundtrip rebuilds its encode/decode
+# chain every call).
+_ENV_MEMO: dict[tuple[str, str], DataFrame] = {}
+_ROUTED_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ENV_MEMO:
+        _ENV_MEMO[key] = events_to_envelopes(_t(spark, sf_dir, "events"))
+    return _ENV_MEMO[key]
+
+
+def _routed_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ROUTED_MEMO:
+        _ROUTED_MEMO[key] = route_envelopes(
+            _envelopes(spark, sf_dir), ROUTE_TOPICS
+        )
+    return _ROUTED_MEMO[key]
+
+
 def q_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P2+P3: the real routing pipeline over the events stream,
     aggregated per destination topic."""
-    env = events_to_envelopes(_t(spark, sf_dir, "events"))
-    routed = route_envelopes(env, ROUTE_TOPICS)
+    routed = _routed_envelopes(spark, sf_dir)
     return routed.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -1016,8 +1070,7 @@ def q_route_topics_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_firehose_nozzle_spark.operators.skew import salted_counts
 
-    env = events_to_envelopes(_t(spark, sf_dir, "events"))
-    routed = route_envelopes(env, ROUTE_TOPICS)
+    routed = _routed_envelopes(spark, sf_dir)
     return salted_counts(routed, "topic", salt_from=["value"], n_salts=32)
 
 
@@ -1026,7 +1079,7 @@ def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the envelope stream (stats.go:19-37)."""
     from kafka_firehose_nozzle_spark import schemas
 
-    env = events_to_envelopes(_t(spark, sf_dir, "events"))
+    env = _envelopes(spark, sf_dir)
     env = env.withColumn("topic", route_topic_expr(env, ROUTE_TOPICS))
     et = F.col("eventType")
     return env.agg(
@@ -3047,7 +3100,7 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_bytes,
     )
 
-    env = events_to_envelopes(_t(spark, sf_dir, "events"))
+    env = _envelopes(spark, sf_dir)
     level = checkpoint_storage_level(
         spark,
         input_bytes(spark, f"{sf_dir}/events.parquet"),
