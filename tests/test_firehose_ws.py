@@ -590,8 +590,30 @@ def test_soak_live_websocket_with_faults(spark, tmp_path):
                 ).collect()
             }
         finally:
+            # Stop FIRST (holding the query alive while the stub is
+            # silent would trip the idle-timeout redial and add a 4th
+            # handshake), then drain the async listener: progress events
+            # reach the Python listener asynchronously, and removing it
+            # while it lags the sink discards the tail events (observed
+            # 66 of ~101 under host load, delivery itself exact). The
+            # session-level bus keeps delivering already-posted events
+            # after q.stop(); the test_streaming soak polls the captured
+            # progress for the same reason.
             q.stop()
-            spark.streams.removeListener(cap)
+            try:
+                drain_deadline = time.time() + 120
+                while time.time() < drain_deadline:
+                    seen = sum(
+                        s.get("numInputRows", 0)
+                        for p in list(progress)
+                        if p.get("id") == str(q.id)
+                        for s in p.get("sources", [])
+                    )
+                    if seen >= n_total:
+                        break
+                    time.sleep(0.25)
+            finally:
+                spark.streams.removeListener(cap)
 
         # exact delivery across both faults: no loss, no duplication
         assert got_n == n_total
@@ -745,8 +767,27 @@ def test_endurance_soak_1000_batches_multi_reconnect(spark, tmp_path):
                     ).collect()
                 }
             finally:
+                # Stop FIRST (a live query against the now-silent stub
+                # would trip the idle-timeout redial and add a handshake),
+                # then drain the async listener before removing it: the
+                # session-level bus keeps delivering already-posted
+                # events after q.stop(), and removing the listener while
+                # it lags the sink discards tail progress events.
                 q.stop()
-                spark.streams.removeListener(cap)
+                try:
+                    drain_deadline = time.time() + 180
+                    while time.time() < drain_deadline:
+                        seen = sum(
+                            s.get("numInputRows", 0)
+                            for p in list(progress)
+                            if p.get("id") == str(q.id)
+                            for s in p.get("sources", [])
+                        )
+                        if seen >= n_total:
+                            break
+                        time.sleep(0.5)
+                finally:
+                    spark.streams.removeListener(cap)
 
             # exact delivery across every fault: no loss, no duplication
             assert got_n == n_total
