@@ -84,16 +84,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The local testdata is one single-row-group file per table, so the
     # scan yields ONE split no matter how many cores exist. On a real lake
     # a 100 TB table arrives as thousands of row groups and this branch
-    # never fires; locally, rebalance fact/corpus tables so downstream
-    # stages use all cores — the documents/embeddings tables are tiny on
-    # disk but compute-heavy per byte (explode, hashing, pairwise joins).
-    # Dims below 256 KB stay single-split (they broadcast anyway).
-    # (Catalyst still pushes filters/pruning through a Repartition node.)
+    # never fires; locally, rebalance tables so downstream stages use all
+    # cores. The r11 refinement: the break-even for the fan-out shuffle
+    # depends on COMPUTE DENSITY, not just bytes. Corpus tables
+    # (documents/embeddings) run explode/hash/pairwise work per row —
+    # parallelism pays from ~256 KB up. Scan-bound tables (the relational
+    # set AND events): the r11 interleaved A/Bs (2-3 reps x min-of-3)
+    # showed the round-robin exchange costs MORE than a single-task scan
+    # for every such table at sf0.1, lineitem's 10 MB included — q1 0.45
+    # vs 0.91 s, q9 0.51 vs 1.36 s, revenue_rollup 0.27 vs 0.70 s;
+    # events_per_minute 0.23 vs 0.73 s, sessionize 0.21 vs 0.76 s,
+    # error_prior_views 0.23 vs 0.66 s, props_json_stats 0.18 vs 0.41 s —
+    # and the r11 plan audit showed several of those exchanges feeding
+    # straight into BroadcastExchange nodes (shuffle a table 32 ways,
+    # then broadcast it — pure waste; error_prior_views had exactly
+    # that). Most events queries hash-exchange immediately (groupBy /
+    # window / join), so the round-robin exchange bought distribution
+    # the next operator re-did anyway; the one events path with heavy
+    # per-row work BEFORE its first shuffle — the envelope codec — fans
+    # out inside `_envelopes` instead, where the dense work actually
+    # lives. So non-corpus tables stay single-split up to 32 MB (the
+    # measured break-even region); at sf1+ every fact table crosses the
+    # threshold and fans out again. (Catalyst still pushes
+    # filters/pruning through a Repartition node.)
     try:
         nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
     except OSError:
         nbytes = 0
-    if nbytes > 256 << 10:
+    dense = name in ("documents", "embeddings")
+    if nbytes > ((256 << 10) if dense else (32 << 20)):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     _TABLE_MEMO[key] = df
     return df
@@ -570,21 +589,12 @@ SHARED_SQL: dict[str, str] = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY YEAR(l_shipdate)
     """,
-    # TPC-H Q18 style: large-volume orders (HAVING subquery + semi join)
-    "q18_big_orders": """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
-                 AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS total_qty
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-            SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey
-            HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 180
-        )
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
-    """,
+    # (q18_big_orders moved to the DataFrame-native section in r11: the
+    # IN-subquery form made Spark aggregate lineitem TWICE — Catalyst
+    # pushes the semi-join down both sides of the orders/lineitem join,
+    # duplicating the whole subquery agg subtree (24 Exchange nodes).
+    # The Spark side now runs the single-aggregation formulation in
+    # q_q18_big_orders; the original string stays as ORACLE_Q18.)
     # TPC-H Q19 style: OR-of-ANDs predicate (brand x size x quantity bands)
     "q19_banded_revenue": f"""
         SELECT CAST(CAST(CAST(SUM({_REV}) AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS revenue
@@ -1036,7 +1046,18 @@ _ROUTED_MEMO: dict[tuple[str, str], DataFrame] = {}
 def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ENV_MEMO:
-        _ENV_MEMO[key] = events_to_envelopes(_t(spark, sf_dir, "events"))
+        # The envelope codec is the ONE events path with heavy per-row
+        # work (struct building, sonde JSON encode downstream) BEFORE its
+        # first shuffle, so the fan-out lives here rather than in _t():
+        # every other events consumer hash-exchanges immediately and a
+        # table-level round-robin exchange only duplicated that work
+        # (r11 A/B: events_per_minute 0.73 -> 0.23 s etc. with events
+        # single-split, route/stats unchanged with this fan-out kept).
+        _ENV_MEMO[key] = events_to_envelopes(
+            _t(spark, sf_dir, "events").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
     return _ENV_MEMO[key]
 
 
@@ -3161,6 +3182,66 @@ ORACLE_PROPS_JSON = """
             / 1000000.0 AS avg_k,
         min_k, max_k
     FROM g
+"""
+
+
+def q_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 style, single-aggregation formulation (r11 optimization,
+    guide §2.4: remove shuffles outright).
+
+    The shared-SQL ``IN (SELECT l_orderkey ... HAVING SUM(qty) > 180)``
+    form planned as TWO full lineitem aggregations: Catalyst rewrites the
+    IN-subquery to a LeftSemi join and pushes it down BOTH sides of the
+    orders=lineitem join, duplicating the agg subtree (measured: 24
+    Exchange nodes, 3.1 s at sf0.1). But the outer GROUP BY
+    (c_name, c_custkey, o_orderkey, o_orderdate) is keyed by the order
+    primary key — each group IS one order, and its SUM(l_quantity) is
+    exactly the per-order sum the subquery already computes. So compute
+    the per-order sum ONCE, filter > 180, and join the surviving (tiny)
+    order keys to orders + customer; lineitem is scanned and aggregated
+    a single time and never re-shuffled. Equivalence holds because
+    o_orderkey functionally determines (o_orderdate, o_custkey) ->
+    (c_name, c_custkey); pinned by the unchanged ORACLE_Q18 (the
+    original query text) across sf0.001/0.01/0.1 strict hash checks.
+
+    At 100 TB this halves the dominant cost (two full scans + two
+    shuffles of the fact table -> one of each) and turns the final join
+    into broadcast-size work: orders past the >180 filter are a
+    vanishing fraction of lineitem."""
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 180
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+            CAST(CAST(CAST(qty AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE)
+                AS total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        """
+    )
+
+
+# the original shared string, unchanged, as the DuckDB replay
+ORACLE_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)))
+             AS DECIMAL(30,6)) AS VARCHAR(64)) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 180
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
 """
 
 
@@ -22073,6 +22154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": q_doc_stats,
     "lang_pred_counts": q_lang_pred_counts,
     "dedup_exact": q_dedup_exact,
+    "q18_big_orders": q_q18_big_orders,
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_signatures": q_minhash_signatures,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -22368,6 +22450,7 @@ ORACLES: dict[str, str] = {
     "doc_stats": ORACLE_DOC_STATS,
     "lang_pred_counts": ORACLE_LANG_PRED,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "q18_big_orders": ORACLE_Q18,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "minhash_signatures": ORACLE_MINHASH,
     "ann_cosine_topk": ORACLE_ANN,
