@@ -1043,21 +1043,28 @@ _ENV_MEMO: dict[tuple[str, str], DataFrame] = {}
 _ROUTED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _envelopes(
+    spark: SparkSession, sf_dir: str, fan: bool = True
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, fan)
     if key not in _ENV_MEMO:
-        # The envelope codec is the ONE events path with heavy per-row
-        # work (struct building, sonde JSON encode downstream) BEFORE its
-        # first shuffle, so the fan-out lives here rather than in _t():
+        # ``fan=True``: the envelope CODEC paths (sonde JSON encode in
+        # roundtrip/salted) do heavy per-row work BEFORE their first
+        # shuffle, so the fan-out lives here rather than in _t():
         # every other events consumer hash-exchanges immediately and a
         # table-level round-robin exchange only duplicated that work
         # (r11 A/B: events_per_minute 0.73 -> 0.23 s etc. with events
         # single-split, route/stats unchanged with this fan-out kept).
-        _ENV_MEMO[key] = events_to_envelopes(
-            _t(spark, sf_dir, "events").repartition(
-                spark.sparkContext.defaultParallelism
-            )
-        )
+        # ``fan=False``: consumers whose per-row work is a topic CASE +
+        # one counting aggregate (route_topics, stats_counters) measured
+        # FASTER without the exchange at sf0.1 (topic-only agg 0.61 s
+        # single-split vs 1.55 s fanned) — the lazy CASE never evaluates
+        # the expensive uuid-hex branch on this corpus mix, so the
+        # projection is scan-class, not codec-class.
+        ev = _t(spark, sf_dir, "events")
+        if fan:
+            ev = ev.repartition(spark.sparkContext.defaultParallelism)
+        _ENV_MEMO[key] = events_to_envelopes(ev)
     return _ENV_MEMO[key]
 
 
@@ -1071,10 +1078,28 @@ def _routed_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1+P2+P3: the real routing pipeline over the events stream,
-    aggregated per destination topic."""
-    routed = _routed_envelopes(spark, sf_dir)
-    return routed.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+    """P1+P2+P3: the routing dispatch over the events stream, aggregated
+    per destination topic.
+
+    r11 (guide §7.3, "very large plans: planning time itself can become
+    the bottleneck"): built topic-only rather than over the full
+    ``route_envelopes`` (topic, value) frame. Catalyst prunes the unused
+    sonde-JSON ``value`` column from the EXECUTED plan either way — the
+    physical plans are identical — but ``.count()`` re-optimizes the
+    logical tree on every action, and carrying the ~300-node encode tree
+    just to prune it measured +0.33 s per bench pass. The full encode
+    path stays benched by roundtrip_route_topics, route_topics_salted
+    and the routing-throughput side metric. Same filter semantics
+    (``topic IS NOT NULL`` = route_envelopes' drop rule); oracle
+    unchanged."""
+    env = _envelopes(spark, sf_dir, fan=False)
+    topic = route_topic_expr(env, ROUTE_TOPICS)
+    return (
+        env.withColumn("topic", topic)
+        .filter(F.col("topic").isNotNull())
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 ORACLE_ROUTE_TOPICS = f"""
@@ -1100,7 +1125,9 @@ def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the envelope stream (stats.go:19-37)."""
     from kafka_firehose_nozzle_spark import schemas
 
-    env = _envelopes(spark, sf_dir)
+    # fan=False: one CASE projection + one 1-row aggregate — scan-class
+    # work, the fan-out exchange measured as pure loss (see _envelopes)
+    env = _envelopes(spark, sf_dir, fan=False)
     env = env.withColumn("topic", route_topic_expr(env, ROUTE_TOPICS))
     et = F.col("eventType")
     return env.agg(
@@ -3112,10 +3139,7 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEMORY_AND_DISK default skips the serialize/decode pass that the r9
     unconditional DISK_ONLY paid everywhere (~4% of the sf0.1 bench for
     zero benefit — the r10 drift adjudication, SCALE.md)."""
-    from kafka_firehose_nozzle_spark.functions.sonde_json import (
-        envelopes_from_json_with_value,
-        sonde_json,
-    )
+    from kafka_firehose_nozzle_spark.functions.sonde_json import sonde_json
     from kafka_firehose_nozzle_spark.session import (
         checkpoint_storage_level,
         input_bytes,
@@ -3130,9 +3154,29 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = env.select(sonde_json(env).alias("value")).localCheckpoint(
         eager=False, storageLevel=level
     )
-    decoded = envelopes_from_json_with_value(encoded, "value")
-    routed = route_envelopes(decoded, ROUTE_TOPICS, value_col="value")
-    return routed.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+    # r11: the count-only tail routes DIRECTLY from the parsed wire
+    # struct (route_topic_from_wire) instead of materializing all 14
+    # envelope columns first — same dispatch, same decode transforms on
+    # the fields routing touches, but OptimizeJsonExprs can then prune
+    # the parse to those leaves (1.36 s vs 2.00 s for this half at
+    # sf0.1, results identical; equivalence pinned in test_routing.py).
+    # Forwarding pipelines keep envelopes_from_json_with_value.
+    from kafka_firehose_nozzle_spark.functions.routing import (
+        route_topic_from_wire,
+    )
+    from kafka_firehose_nozzle_spark.functions.sonde_json import (
+        _decode_read_schema,
+    )
+
+    raw = encoded.select(
+        F.from_json(F.col("value"), _decode_read_schema()).alias("_raw")
+    )
+    return (
+        raw.select(route_topic_from_wire(F.col("_raw"), ROUTE_TOPICS).alias("topic"))
+        .filter(F.col("topic").isNotNull())
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

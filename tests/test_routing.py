@@ -73,3 +73,51 @@ def test_routed_value_is_golden_json(spark):
     df = canonical_envelope_df(spark).filter(F.col("origin") == "fake-origin-2")
     rows = route_envelopes(df, FULL).collect()
     assert rows[0].value.startswith('{"origin":"fake-origin-2","eventType":6,')
+
+
+def test_route_topic_from_wire_matches_envelope_path(spark):
+    """route_topic_from_wire (single-projection, parse-pruned dispatch
+    over the parsed wire struct — the r11 roundtrip fast path) must
+    route every envelope to EXACTLY the topic the envelope-column path
+    produces, across the canonical corpus (all 6 types + unknown + a
+    nil applicationId HttpStartStop) and a synthetic mix, for both a
+    fully-templated and a partially-disabled config."""
+    from kafka_firehose_nozzle_spark.fixtures import synthetic_envelope_df
+    from kafka_firehose_nozzle_spark.functions.routing import (
+        route_topic_expr,
+        route_topic_from_wire,
+    )
+    from kafka_firehose_nozzle_spark.functions.sonde_json import (
+        _decode_read_schema,
+        envelopes_from_json,
+        sonde_json,
+    )
+
+    templated = TopicConfig(
+        log_message_fmt="log-%s",
+        value_metric="metric",
+        container_metric_fmt="cm-%s",
+        http_start_stop_fmt="http-%s",
+        counter_event="counterevent",
+        error="",  # disabled -> NULL
+    )
+    for df in (canonical_envelope_df(spark), synthetic_envelope_df(spark, 200)):
+        encoded = df.select(sonde_json(df).alias("value")).localCheckpoint()
+        for topics in (FULL, templated):
+            dec = envelopes_from_json(encoded, "value")
+            want = [
+                r[0]
+                for r in dec.select(
+                    route_topic_expr(dec, topics).alias("t")
+                ).collect()
+            ]
+            got = [
+                r[0]
+                for r in encoded.select(
+                    route_topic_from_wire(
+                        F.from_json(F.col("value"), _decode_read_schema()),
+                        topics,
+                    ).alias("t")
+                ).collect()
+            ]
+            assert sorted(want, key=str) == sorted(got, key=str)
