@@ -88,7 +88,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # cores. The r11 refinement: the break-even for the fan-out shuffle
     # depends on COMPUTE DENSITY, not just bytes. Corpus tables
     # (documents/embeddings) run explode/hash/pairwise work per row —
-    # parallelism pays from ~256 KB up. Scan-bound tables (the relational
+    # parallelism pays earlier than for scan-bound tables, but the second
+    # r11 A/B wave showed NOT at sub-MB sizes: with both corpus tables
+    # single-split at sf0.1 (0.6-0.8 MB), minhash_signatures 0.42 -> 0.22,
+    # dedup_exact 0.55 -> 0.19, bigram_topk 0.62 -> 0.41,
+    # embedding_dup_pairs 2.4 -> 1.9, ann_cosine_topk 0.39 -> 0.31 — the
+    # per-row hash/dot work on a few thousand rows is cheaper than one
+    # 32-way exchange + 32-task stages. The ONE corpus path whose dense
+    # pre-shuffle work still wants the fan at those sizes is the planted
+    # minhash-LSH family (2x rows, regexp mutation, shingles, 8 hash
+    # lanes), and it fans inside `_planted_docs` — the same
+    # fan-where-the-work-lives pattern as `_envelopes`. Dense tables
+    # above 4 MB (sf1+: documents ~6 MB, embeddings ~8 MB) fan at scan
+    # exactly as before. Scan-bound tables (the relational
     # set AND events): the r11 interleaved A/Bs (2-3 reps x min-of-3)
     # showed the round-robin exchange costs MORE than a single-task scan
     # for every such table at sf0.1, lineitem's 10 MB included — q1 0.45
@@ -112,7 +124,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         nbytes = 0
     dense = name in ("documents", "embeddings")
-    if nbytes > ((256 << 10) if dense else (32 << 20)):
+    if nbytes > ((4 << 20) if dense else (32 << 20)):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     _TABLE_MEMO[key] = df
     return df
@@ -1470,6 +1482,22 @@ _PLANT_OFFSET = 1_000_000
 
 def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # The planted family is the corpus path with dense per-row work
+    # BEFORE its first shuffle (2x rows via the mutation union, then
+    # shingling + 8 minhash lanes per row), so when `_t` left documents
+    # single-split (<= 4 MB) the fan-out lives HERE — the `_envelopes`
+    # pattern. r11 A/B at sf0.1: lsh_dup_components 2.8/2.1 s fanned-at-
+    # scan, 3.3/2.8 s nowhere, 2.1/2.0 s fanned-here — while the
+    # non-planted doc queries all got faster without the scan fan.
+    # Above 4 MB the scan already fanned and a second exchange would be
+    # pure cost; below ~256 KB (sf0.01 correctness runs) the corpus is
+    # too small for either to matter.
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        nbytes = 0
+    if (256 << 10) < nbytes <= (4 << 20):
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     mutated = docs.select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
