@@ -1498,11 +1498,24 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbytes = 0
     if (256 << 10) < nbytes <= (4 << 20):
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    mutated = docs.select(
-        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
-        F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+    # One scan, not two: the original union(docs, mutated) planned BOTH
+    # branches as independent Scan->(Exchange)->Project subtrees, so the
+    # corpus was read (and, in the fan band above, shuffled) twice per
+    # action. Emitting [original, mutated] as a 2-struct array and
+    # exploding keeps the exact same output multiset from ONE scan and
+    # one fan exchange. r11 idle A/B at sf0.1 (min-of-3, noop sink):
+    # docs2 0.505 -> 0.377 s, full lsh_dup_components chain 2.91 ->
+    # 1.95 s (with the edge-dedup skip below), toPandas outputs equal.
+    pair = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct(
+            (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+        ),
     )
-    return docs.unionAll(mutated)
+    return docs.select(F.explode(pair).alias("_d")).select(
+        "_d.doc_id", "_d.text"
+    )
 
 
 _PLANTED_SQL = f"""
@@ -1576,7 +1589,11 @@ def q_lsh_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs2 = _planted_docs(spark, sf_dir)
     # star edges, not all-pairs: identical components, O(bucket) not
     # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
+    # dedup_edges=False: dup_components is multiplicity-insensitive and
+    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
+    pairs = D.lsh_component_edges(
+        docs2, num_hashes=8, num_bands=4, dedup_edges=False
+    )
     return D.dup_components(pairs)
 
 
@@ -1604,7 +1621,11 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs2 = _planted_docs(spark, sf_dir)
     # star edges, not all-pairs: identical components, O(bucket) not
     # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
+    # dedup_edges=False: dup_components is multiplicity-insensitive and
+    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
+    pairs = D.lsh_component_edges(
+        docs2, num_hashes=8, num_bands=4, dedup_edges=False
+    )
     comp = D.dup_components(pairs)
     drop = comp.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
     return docs2.join(drop, "doc_id", "left_anti").select("doc_id")
@@ -5239,7 +5260,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs2 = _planted_docs(spark, sf_dir)
     # star edges, not all-pairs: identical components, O(bucket) not
     # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
+    # dedup_edges=False: dup_components is multiplicity-insensitive and
+    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
+    pairs = D.lsh_component_edges(
+        docs2, num_hashes=8, num_bands=4, dedup_edges=False
+    )
     comp = D.dup_components(pairs)
     sized = comp.join(
         docs2.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
@@ -7965,7 +7990,11 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs2 = _planted_docs(spark, sf_dir)
     # star edges, not all-pairs: identical components, O(bucket) not
     # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    pairs = D.lsh_component_edges(docs2, num_hashes=8, num_bands=4)
+    # dedup_edges=False: dup_components is multiplicity-insensitive and
+    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
+    pairs = D.lsh_component_edges(
+        docs2, num_hashes=8, num_bands=4, dedup_edges=False
+    )
     comp = D.dup_components(pairs)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("size")

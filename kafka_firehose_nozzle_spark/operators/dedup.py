@@ -266,6 +266,7 @@ def lsh_component_edges(
     text_col: str = "text",
     num_hashes: int = 8,
     num_bands: int = 4,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Bucket-STAR edges for connected components: one (bucket_min_id,
     member_id) edge per non-minimal bucket member, instead of
@@ -308,12 +309,21 @@ def lsh_component_edges(
         .filter(F.col("band_hash").isNotNull())
     )
     w = Window.partitionBy("band_ix", "band_hash")
-    return (
+    edges = (
         banded.withColumn("id_a", F.min("id").over(w))
         .filter(F.col("id_a") != F.col("id"))
         .select("id_a", F.col("id").alias("id_b"))
-        .distinct()
     )
+    # ``dedup_edges=False`` skips the trailing ``.distinct()`` — a full
+    # shuffle of the edge set whose only effect is collapsing the <=
+    # num_bands copies of a star edge that fires in several bands.
+    # Connected-components consumers (dup_components) are insensitive to
+    # edge multiplicity (the fixed point is identical; its own first
+    # label aggregation absorbs the copies), so they pass False and
+    # save the exchange: r11 idle A/B at sf0.1, full planted chain
+    # 2.11 -> 1.95 s with outputs equal. Anything that EXPOSES the edge
+    # list (or counts edges) must keep the default.
+    return edges.distinct() if dedup_edges else edges
 
 
 def jaccard_verify_pairs(
