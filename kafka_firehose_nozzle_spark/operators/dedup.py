@@ -16,6 +16,8 @@ bit-for-bit (both engines agree on md5 hex).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -503,6 +505,35 @@ def embedding_dup_pairs(
     )
 
 
+def _double_literal_sql(x: float) -> str:
+    """Shortest round-trip decimal + ``D`` suffix: parses (via Java's
+    correctly-rounded ``Double.parseDouble``) to the identical binary64
+    that ``F.lit(x)`` would pass by value."""
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite plane component {x!r}")
+    return repr(float(x)) + "D"
+
+
+def _sign_bits_expr(vec_col: str, planes: list) -> Column:
+    """Banded sign-LSH bit word over ``planes`` as ONE parsed SQL
+    expression — value-identical to the Column-API chain
+    ``sum_j when(dot(v, plane_j) >= 0, 2^j).otherwise(0)`` but built in
+    a single py4j round trip instead of ~dim * k of them (driver plan
+    construction was the dominant per-query cost for the LSH pair
+    operators at sf0.1: ~2 s/build, guide §7.3)."""
+    terms = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ",".join(_double_literal_sql(x) for x in p) + ")"
+        d = (
+            f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {arr}, "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"CAST(CASE WHEN {d} >= 0 THEN {2 ** j} ELSE 0 END AS BIGINT)"
+        )
+    return F.expr(" + ".join(terms))
+
+
 def embedding_lsh_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -556,7 +587,6 @@ def embedding_lsh_dup_pairs(
 
     from kafka_firehose_nozzle_spark.operators.similarity import (
         cosine_prenormed,
-        dot,
         l2_norm,
     )
 
@@ -576,15 +606,20 @@ def embedding_lsh_dup_pairs(
             f"got {len(planes)}"
         )
     v = F.col(vec_col).cast("array<double>")
-    buckets = []
-    for b in range(num_bands):
-        bits = F.lit(0).cast("long")
-        for j in range(k):
-            plane = F.array(*[F.lit(x) for x in planes[b * k + j]])
-            bits = bits + F.when(dot(v, plane) >= 0, F.lit(2**j)).otherwise(
-                F.lit(0)
-            ).cast("long")
-        buckets.append(bits)
+    # Each band's sign-bit word is built as ONE parsed SQL expression
+    # instead of a Python loop of F.lit/F.when/zip_with/aggregate calls:
+    # the per-object py4j construction was ~2 s per query build at k=5
+    # (measured r11 — every F.lit and every lambda conversion is a JVM
+    # round trip), vs ~4 ms for a single parse. The parsed tree is
+    # bit-identical: `<repr(x)>D` literals parse (Double.parseDouble,
+    # correctly rounded) to the exact binary64 F.lit passed by value,
+    # and aggregate(zip_with(...), 0.0D, +) is the same left-fold
+    # ArrayAggregate node `dot` builds — pinned by
+    # tests/test_operators.py::test_sign_bits_expr_matches_column_form.
+    buckets = [
+        _sign_bits_expr(vec_col, [planes[b * k + j] for j in range(k)])
+        for b in range(num_bands)
+    ]
     # bucket table WITHOUT vectors: the self-join shuffles only
     # (id, band, bucket) triples, never the embedding payload.
     # Materialized once — both sides reuse it and the num_planes
@@ -747,11 +782,18 @@ def dup_components(
         .localCheckpoint(eager=False)
     )
     spark = pairs.sparkSession
+    first_round = True
     for _ in range(max_iterations):
-        n_edges = cur.count()
-        if n_edges == 0:
+        # ONE job answers both branch questions (r11, guide §5 "the
+        # driver should do almost no data work" — but COUNTING is data
+        # work too: the old count()+collect() pair ran two jobs in the
+        # common tail exit). limit(tail+1) proves either "residue fits
+        # the tail" (and then head IS the full residue) or "still big"
+        # without ever pulling more than tail+1 two-int64 rows.
+        head = cur.limit(driver_tail_edges + 1).collect()
+        if not head:
             break
-        if n_edges <= driver_tail_edges:
+        if len(head) <= driver_tail_edges:
             # hybrid tail: bounded residue -> one driver union-find pass
             parent: dict = {}
 
@@ -763,12 +805,31 @@ def dup_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in cur.collect():
+            for row in head:
                 a, b = find(row["src"]), find(row["dst"])
                 if a != b:
                     # min id becomes the root so roots ARE component minima
                     lo, hi = (a, b) if a < b else (b, a)
                     parent[hi] = lo
+            if first_round:
+                # Tail fired before any contraction, so mapping is still
+                # the identity over the edge endpoints — all of which are
+                # IN `head`. Build the complete (id, label) result right
+                # here instead of executing mapping's union+distinct
+                # shuffle plus a broadcast join whose only job is to
+                # re-derive the same labels (r11: this was ~0.5 s of
+                # fixed overhead per components query at sf0.1). Driver
+                # bound: <= 2 * driver_tail_edges labels (~3.2 MB at the
+                # default cap) — same order as the residue just
+                # collected, and documented above.
+                nodes = sorted(
+                    {int(r["src"]) for r in head}
+                    | {int(r["dst"]) for r in head}
+                )
+                mapping = spark.createDataFrame(
+                    [(x, find(x)) for x in nodes], "id long, label long"
+                )
+                break
             roots = [(x, find(x)) for x in list(parent)]
             if roots:
                 l2 = spark.createDataFrame(roots, "id long, new long")
@@ -821,6 +882,7 @@ def dup_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        first_round = False
     return mapping.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -883,6 +883,44 @@ def test_embedding_lsh_dup_pairs_finds_near_identical(spark):
     assert len(got) == len(pairs)
 
 
+def test_sign_bits_expr_matches_column_form(spark):
+    """The single-parse SQL sign-bits word must be VALUE-IDENTICAL to
+    the Column-API chain it replaced (sum_j of when(dot(v, plane_j) >=
+    0, 2^j).otherwise(0) over left-fold dots) — including awkward
+    double reprs (exponent notation, negative zero, non-terminating
+    binaries) and NULL embeddings (NULL dot -> CASE else-branch 0,
+    exactly like when().otherwise(0))."""
+    from kafka_firehose_nozzle_spark.operators.dedup import _sign_bits_expr
+    from kafka_firehose_nozzle_spark.operators.similarity import dot
+
+    planes = [
+        [1e-05, -5e22, 0.1 + 0.2, -0.0],
+        [1 / 3, -7.234e18, 2.5e-10, 1.0],
+        [-1e-300, 4093.0, -0.25, 0.5],
+    ]
+    rows = [
+        Row(vec_id=0, embedding=[0.3, -1.75, 2e-9, 0.125]),
+        Row(vec_id=1, embedding=[-1e5, 0.1, 0.2, -0.3]),
+        Row(vec_id=2, embedding=None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    v = F.col("embedding").cast("array<double>")
+    bits_old = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bits_old = bits_old + F.when(dot(v, plane) >= 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    got = df.select(
+        "vec_id",
+        bits_old.alias("old"),
+        _sign_bits_expr("embedding", planes).alias("new"),
+    ).collect()
+    assert all(r["old"] == r["new"] for r in got), got
+
+
 def test_dup_components_empty_pairs(spark):
     # no edges -> no components, and the loop must not iterate
     empty = spark.createDataFrame([], "id_a long, id_b long")
