@@ -41,6 +41,32 @@ from pyspark.sql import functions as F
 from kafka_firehose_nozzle_spark.functions.detmath import det_round
 
 
+def _double_sql(x: float) -> str:
+    """Shortest round-trip decimal + ``D`` suffix — parses (Java's
+    correctly-rounded ``Double.parseDouble``) to the identical binary64
+    that ``F.lit(x)`` passes by value (pinned, with awkward reprs, by
+    tests/test_operators.py::test_sign_bits_expr_matches_column_form)."""
+    import math as _m
+
+    if not _m.isfinite(x):
+        raise ValueError(f"non-finite literal component {x!r}")
+    return repr(float(x)) + "D"
+
+
+def _array_double_sql(vals) -> str:
+    return "array(" + ",".join(_double_sql(float(x)) for x in vals) + ")"
+
+
+def _matrix_double_sql(rows) -> str:
+    """C x dim literal matrix as ONE parseable SQL fragment. The Column
+    API equivalent (F.array of F.array of F.lit) costs a py4j round trip
+    PER DOUBLE — measured r11 at 28 s of driver construction for the
+    4-iteration trained-IVF query (2,560 literals) vs milliseconds to
+    parse the same tree from text (guide §7.3: planning is single-
+    threaded driver work)."""
+    return "array(" + ",".join(_array_double_sql(r) for r in rows) + ")"
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -338,14 +364,27 @@ def ivf_assign(
             acc = acc + x * x
         return math.sqrt(acc)
 
-    cents = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for _, c in cents_rows]
+    # Single-parse SQL construction (r11): the Column-API form built one
+    # py4j object per centroid double; the parsed tree is value-identical
+    # (same zip_with/aggregate left folds, same literal binary64s — see
+    # _matrix_double_sql) and costs one round trip total.
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    dot_sql = (
+        f"aggregate(zip_with({vsql}, c, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
     )
-    cnorms = F.array(*[F.lit(fold_norm(c)) for _, c in cents_rows])
-    cells = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cents_rows])
-    vnorm = l2_norm(v)
-    sims = F.zip_with(cents, cnorms, lambda c, n: dot(v, c) / (vnorm * n))
-    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    vnorm_sql = f"sqrt(aggregate({vsql}, 0.0D, (acc, x) -> acc + x * x))"
+    sims_sql = (
+        f"zip_with({_matrix_double_sql([c for _, c in cents_rows])}, "
+        f"{_array_double_sql([fold_norm(c) for _, c in cents_rows])}, "
+        f"(c, n) -> {dot_sql} / ({vnorm_sql} * n))"
+    )
+    cells = F.expr(
+        "array(" + ",".join(f"{cid}L" for cid, _ in cents_rows) + ")"
+    )
+    pos = F.expr(
+        f"CAST(array_position({sims_sql}, array_max({sims_sql})) AS INT)"
+    )
     # the when() guard is load-bearing: a NULL embedding folds to NULL
     # pos, and Spark 4.1's element_at evaluates a NULL *column* index as
     # -1 (last element!) rather than NULL — unguarded, NULL vectors
@@ -489,13 +528,29 @@ def kmeans_centroids(
             )
             cell = cell_udf(v).cast("int")
         else:
-            cents = F.array(
-                *[F.array(*[F.lit(x) for x in unit(c)]) for c in cur]
+            # single-parse literal centroids (r11): one py4j round trip
+            # per iteration instead of C x dim — see _matrix_double_sql
+            vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+            sims_sql = (
+                f"transform({_matrix_double_sql([unit(c) for c in cur])}, "
+                f"c -> aggregate(zip_with({vsql}, c, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x))"
             )
-            sims = F.transform(cents, lambda c: dot(v, c))
-            cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+            cell = F.expr(
+                f"CAST(array_position({sims_sql}, array_max({sims_sql}))"
+                " - 1 AS INT)"
+            )
+        # STAGE the assignment below the explode: as a sibling of
+        # posexplode the argmax lands in the Project ABOVE the Generate
+        # and is re-evaluated once per exploded row — dim x the work
+        # (measured r11: 6.4 s -> 0.7 s per iteration at sf0.1). An
+        # aliasing select first puts it in the Generate's child, once
+        # per input row.
+        staged = df.select(cell.alias("cell_id"), v.alias("_v"))
         updated = _component_avg(
-            df.select(cell.alias("cell_id"), F.posexplode(v).alias("pos", "v"))
+            staged.select(
+                "cell_id", F.posexplode(F.col("_v")).alias("pos", "v")
+            )
         )
         nxt_map = {
             int(r["cell_id"]): [float(x) for x in r["centroid"]]
@@ -685,17 +740,24 @@ def pq_encode(
 
         return df.select(F.col(id_col), _codes(v).alias("codes"))
     codes = []
+    # single-parse literal codebooks (r11): one py4j round trip per
+    # subspace instead of num_codes x subdim — see _matrix_double_sql;
+    # the parsed slice/sq_dist folds are the Column API's exact trees
+    vsql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     for s in range(num_sub):
-        cents = F.array(
-            *[
-                F.array(*[F.lit(x) for x in rows[(s, j)]])
-                for j in range(num_codes)
-            ]
+        cents_sql = _matrix_double_sql(
+            [rows[(s, j)] for j in range(num_codes)]
         )
-        sv = F.slice(v, s * subdim + 1, subdim)
-        dists = F.transform(cents, lambda c: sq_dist(sv, c))
+        sv_sql = f"slice({vsql}, {s * subdim + 1}, {subdim})"
+        dists_sql = (
+            f"transform({cents_sql}, c -> aggregate(zip_with({sv_sql}, c, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
+        )
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            F.expr(
+                f"CAST(array_position({dists_sql}, array_min({dists_sql}))"
+                " - 1 AS INT)"
+            )
         )
     return df.select(F.col(id_col), F.array(*codes).alias("codes"))
 
@@ -735,9 +797,8 @@ def pq_topk(
                 acc = acc + (x - y) * (x - y)
             per_code.append(acc)
         lut.append(per_code)
-    lut_lit = F.array(
-        *[F.array(*[F.lit(d) for d in per_code]) for per_code in lut]
-    )
+    # single-parse literal LUT (r11) — value-identical, one py4j call
+    lut_lit = F.expr(_matrix_double_sql(lut))
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -1044,14 +1105,18 @@ def pca_top_component(
     for r in mean_rows:
         mean[int(r["pos"])] = float(r["m"])
     dim = len(mean)
-    mean_lit = F.array(*[F.lit(x) for x in mean])
+    mean_lit = F.expr(_array_double_sql(mean))
     centered = F.zip_with(v, mean_lit, lambda x, m: x - m)
     cur = [1.0 / 8.0] * dim if dim == 64 else [1.0 / math.sqrt(dim)] * dim
     for _ in range(iterations):
-        v_lit = F.array(*[F.lit(x) for x in cur])
+        v_lit = F.expr(_array_double_sql(cur))
         proj = dot(centered, v_lit)
-        terms = df.select(
-            proj.alias("_p"), F.posexplode(centered).alias("pos", "c")
+        # STAGE proj/centered below the explode (same fix as the k-means
+        # update): as posexplode siblings they are re-evaluated once per
+        # exploded row — dim x the fold work per document.
+        staged = df.select(proj.alias("_p"), centered.alias("_c"))
+        terms = staged.select(
+            "_p", F.posexplode(F.col("_c")).alias("pos", "c")
         ).select("pos", (F.col("_p") * F.col("c")).alias("term"))
         y_rows = (
             terms.groupBy("pos")

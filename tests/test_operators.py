@@ -921,6 +921,61 @@ def test_sign_bits_expr_matches_column_form(spark):
     assert all(r["old"] == r["new"] for r in got), got
 
 
+def test_ivf_assign_literal_sql_matches_column_form(spark):
+    """The single-parse literal-centroid assignment must be VALUE-
+    IDENTICAL to the Column-API chain it replaced (zip_with over literal
+    centroid arrays, left-fold dots, hoisted vector norm, first-
+    occurrence argmax, NULL embedding -> NULL cell) — including awkward
+    double reprs that exercise the text round trip."""
+    from kafka_firehose_nozzle_spark.operators.similarity import (
+        dot,
+        ivf_assign,
+        l2_norm,
+    )
+
+    cents = [
+        (0, [1e-05, -5e22, 0.1 + 0.2, -0.0]),
+        (1, [1 / 3, -7.234e18, 2.5e-10, 1.0]),
+        (2, [-1e-300, 4093.0, -0.25, 0.5]),
+    ]
+    rows = [
+        Row(vec_id=0, embedding=[0.3, -1.75, 2e-9, 0.125]),
+        Row(vec_id=1, embedding=[-1e5, 0.1, 0.2, -0.3]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(
+        [Row(cell_id=c, centroid=v) for c, v in cents],
+        "cell_id long, centroid array<double>",
+    )
+
+    import math
+
+    def fold_norm(c):
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    v = F.col("embedding").cast("array<double>")
+    cents_col = F.array(*[F.array(*[F.lit(x) for x in c]) for _, c in cents])
+    cnorms = F.array(*[F.lit(fold_norm(c)) for _, c in cents])
+    cells = F.array(*[F.lit(cid).cast("bigint") for cid, _ in cents])
+    vnorm = l2_norm(v)
+    sims = F.zip_with(cents_col, cnorms, lambda c, n: dot(v, c) / (vnorm * n))
+    pos = F.array_position(sims, F.array_max(sims)).cast("int")
+    old = df.select(
+        "vec_id",
+        F.when(pos.isNotNull(), F.element_at(cells, pos)).alias("cell_id"),
+    )
+    new = ivf_assign(df, cdf, mode="literal").select("vec_id", "cell_id")
+    got_old = {r["vec_id"]: r["cell_id"] for r in old.collect()}
+    got_new = {r["vec_id"]: r["cell_id"] for r in new.collect()}
+    assert got_old == got_new, (got_old, got_new)
+    assert got_new[3] is None
+
+
 def test_dup_components_empty_pairs(spark):
     # no edges -> no components, and the loop must not iterate
     empty = spark.createDataFrame([], "id_a long, id_b long")
