@@ -57,6 +57,12 @@ def _h(col: Column, seed: int) -> Column:
 _SHINGLE_P = 4093
 _LANE_MOD = 2147483647  # 2^31 - 1 (prime)
 
+# prefix_jaccard_pairs: broadcast the verification token-array table
+# when its MEASURED size (exact post-collapse token count x 8 bytes +
+# per-row overhead) fits comfortably in executor memory; else pin the
+# verification joins to sort-merge (the corpus-growing case).
+VERIFY_BROADCAST_CAP_BYTES = 128 << 20
+
 
 def token_hash_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as 56-bit integers: one md5 per TOKEN
@@ -1172,6 +1178,15 @@ def prefix_jaccard_pairs(
     df = df.join(
         groups.select(F.col("rep").alias(id_col)), id_col, "left_semi"
     )
+    # Fan the representative set before the dense tokenize: building +
+    # md5-hashing ~|text| char-grams per doc is the operator's heavy
+    # map, and on a single-split local scan (the broadcast semi-join
+    # preserves the input's one partition) it otherwise runs in ONE
+    # task (r11 thread-dump finding — same class as the BPE loop).
+    # One corpus-bytes exchange; output values are partitioning-
+    # independent. r11 A/B at sf0.1: 215 s -> 56 s end-to-end
+    # (with the gated-broadcast verification below).
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # set elements become 60-bit md5 hashes immediately: the exact
     # verification intersects ~|set|-element arrays once per candidate
     # pair, and long-array intersects are several times cheaper than
@@ -1269,14 +1284,31 @@ def prefix_jaccard_pairs(
     union = (
         F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
     )
-    # pin the verification joins to sort-merge: the token-array sides
-    # are doc-cardinality rows of ~|set|-element long arrays (GBs at
-    # sf10), and AQE's size estimate for them tempted a broadcast that
-    # OOM'd the driver build in the r7 sf10 audit. Broadcasting a side
-    # that grows with the corpus is never right; SMJ spills safely.
+    # Verification join strategy, gated on the MEASURED array-table
+    # size (r11). The SMJ pin existed because AQE's (wrong) estimate
+    # once broadcast a corpus-growing side and OOM'd the r7 sf10 audit
+    # — but an unconditional SMJ makes the first join's OUTPUT carry
+    # ts_a on every candidate row INTO the second join's shuffle
+    # (candidates x ~|set| longs: ~30 GB at sf0.1's 4.6M candidates —
+    # the dominant cost of the whole operator, 215 s end-to-end).
+    # `ordered` is an eager localCheckpoint, so its exact token count
+    # is one cheap agg away; when the real bytes fit comfortably in an
+    # executor (guide §3.1: a few hundred MB is fine) we broadcast
+    # BOTH sides and verification becomes a pure map over the pair
+    # list — no array ever shuffles. Past the cap (the r7 sf10 case)
+    # the SMJ pin stands. Measured bytes, not AQE estimates, so the
+    # r7 failure mode cannot recur.
+    st = ordered.agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n").alias("tk")
+    ).head()
+    est_bytes = int(st["tk"] or 0) * 8 + int(st["d"] or 0) * 48
+    if est_bytes <= VERIFY_BROADCAST_CAP_BYTES:
+        a, b = F.broadcast(a), F.broadcast(b)
+    else:
+        a, b = a.hint("merge"), b.hint("merge")
     rep_pairs = (
-        cand.join(a.hint("merge"), "id_a")
-        .join(b.hint("merge"), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("_i", inter)
         .withColumn("_u", union)
         .filter(F.col("_i") * 100 >= F.col("_u") * F.lit(t))

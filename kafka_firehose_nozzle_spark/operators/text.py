@@ -357,7 +357,22 @@ def bpe_learn_merges(
     pair-asc tie break): a plain-SQL oracle replays the whole training
     run (__spark_entry__.ORACLE_BPE_MERGES)."""
     spark = df.sparkSession
-    cur = df.select(bpe_base_symbols(F.col(text_col)).alias("s"))
+    # Fan the spaced corpus ONCE before the rounds and checkpoint it:
+    # every round's pair explode + replace is dense per-char work
+    # (~chars-per-corpus interpreted ops), and on the single-split local
+    # testdata the whole loop otherwise runs in ONE task per round
+    # (r11 thread-dump finding; 17 s -> ~4 s for 8 rounds at sf0.1).
+    # The un-checkpointed seed was also recomputed by round 1's count
+    # AND cur_1's materialization. One ~corpus-sized exchange buys all
+    # n_merges rounds of parallelism; on a multi-row-group lake the
+    # repartition is still one cheap rebalance of the active corpus
+    # column. Values are partitioning-independent (count/tie-break is
+    # deterministic), so the learned table is unchanged.
+    cur = (
+        df.select(bpe_base_symbols(F.col(text_col)).alias("s"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     merges: list[tuple[str, int]] = []
     for _ in range(n_merges):
         top = (

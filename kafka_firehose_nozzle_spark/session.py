@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound each Arrow batch by BYTES, not just the 10k-row default:
+        # the multimodal operators ship binary payload columns through
+        # mapInPandas, and at production media sizes (MBs per cell) a
+        # 10k-row batch is tens of GB of off-heap Arrow per worker —
+        # the guide-§4.2 OOM signature (exit 137). 64 MB keeps worker
+        # RSS bounded at any payload size; the oracle corpora's batches
+        # are far below both limits, so local plans and timings are
+        # unchanged (no-op at bench scale, verified r11).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 << 20))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # the driver's testdata parquet uses TIMESTAMP(NANOS); read as
