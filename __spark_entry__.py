@@ -1475,6 +1475,28 @@ def _oracle_simhash_near_pairs() -> str:
     """
 
 
+def _fanned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the fan-where-the-work-lives exchange for span
+    operators (`_planted_docs` pattern): the per-row work is tokenize +
+    explode every 8-token window at stride 4 + md5 per window — the
+    densest map in the doc family — and its first shuffle (groupBy
+    window hash) comes only AFTER that map, so a single-split scan
+    serializes the whole thing in one task. r11 idle interleaved A/B at
+    sf0.1 (min-of-3 warm passes): substring_dup_spans 4.1-4.5 s
+    single-split vs 1.4-1.8 s fanned; boilerplate_topk same shape.
+    Same (256 KB, 4 MB] band as `_planted_docs`: above 4 MB `_t`
+    already fanned the scan, below 256 KB the corpus is too small for
+    either to matter."""
+    docs = _t(spark, sf_dir, "documents")
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+    except OSError:
+        nbytes = 0
+    if (256 << 10) < nbytes <= (4 << 20):
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs
+
+
 # planted near-duplicates: every document re-appears (id + 1000000) with
 # its last word dropped; LSH must surface orig->copy candidate pairs.
 _PLANT_OFFSET = 1_000_000
@@ -6025,7 +6047,7 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     with explode + two-phase agg + equi-join — never pairwise in docs.
     The fraction is produced in exact BIGINT micro-units (no double is
     ever rounded)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanned_docs(spark, sf_dir)
     per = D.duplicated_span_counts(docs, k=8, stride=4)
     frac_micro = _avg_micro_expr("dup_windows", "n_windows")
     return per.select(
@@ -6333,7 +6355,7 @@ def q_boilerplate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass would remove. TakeOrdered on (docs desc, hash asc); the
     window hash stands in for the span text so no long strings cross
     the shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanned_docs(spark, sf_dir)
     w = D.span_rows(docs)
     return (
         w.groupBy("wh")
