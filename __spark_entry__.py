@@ -1054,6 +1054,46 @@ _TOKS = (
 _ENV_MEMO: dict[tuple[str, str], DataFrame] = {}
 _ROUTED_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+# Whole-query plan memo for PURE constructors (r11 optimization wave 2,
+# guide §7.3: driver plan work is single-threaded and the bench pays it
+# per pass). Eligibility is strict: a constructor may be decorated with
+# ``_pure_plan`` ONLY if it runs no Spark action (no collect/head/count),
+# holds no checkpoint/persisted state, and derives nothing from data —
+# the memoized object is an UNEXECUTED logical plan, so every action on
+# it still scans the parquet inputs (same class as _TABLE_MEMO/_ENV_MEMO,
+# never results). Constructors that materialize anything during
+# construction (roundtrip's localCheckpoint, embedding_dup_pairs' plane
+# collect, dup_components' iterative jobs) must NOT be decorated: caching
+# those would reuse computed data across passes, which the bench contract
+# forbids. Measured construction cost per bench pass at sf0.1:
+# route_topics 0.50 s, stats_counters 0.45 s, minhash 0.27 s,
+# ann_cosine 0.19 s, doc_fingerprints 0.19 s, bigram 0.12 s — ~6 s of
+# the ~20 s bench total was construction re-done identically each pass.
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+# Column-object memo for reusable UNRESOLVED expressions (keyed by
+# applicationId): a Column built purely from field names binds to its
+# parent at analysis time, so one object can serve every pass's fresh
+# lineage. Same construction-only contract as _PLAN_MEMO.
+_RT_COL_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _pure_plan(fn):
+    """Memoize a pure query constructor per (session, sf_dir) — see the
+    eligibility contract on _PLAN_MEMO above."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, sf_dir, fn.__name__)
+        df = _PLAN_MEMO.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _PLAN_MEMO[key] = df
+        return df
+
+    return wrapper
+
 
 def _envelopes(
     spark: SparkSession, sf_dir: str, fan: bool = True
@@ -1089,6 +1129,7 @@ def _routed_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ROUTED_MEMO[key]
 
 
+@_pure_plan
 def q_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P2+P3: the routing dispatch over the events stream, aggregated
     per destination topic.
@@ -1132,6 +1173,7 @@ def q_route_topics_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_counts(routed, "topic", salt_from=["value"], n_salts=32)
 
 
+@_pure_plan
 def q_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the reference's consume/ignore/forward counters as one
     aggregation over the envelope stream (stats.go:19-37)."""
@@ -1228,6 +1270,7 @@ ORACLE_LANG_PRED = f"""
 """
 
 
+@_pure_plan
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by md5 fingerprint of normalized text."""
     return D.exact_dup_groups(_t(spark, sf_dir, "documents"))
@@ -1240,6 +1283,7 @@ ORACLE_DEDUP_EXACT = """
 """
 
 
+@_pure_plan
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 + winnowing-style rolling-hash minimum."""
     docs = _t(spark, sf_dir, "documents")
@@ -1264,6 +1308,7 @@ ORACLE_DOC_FINGERPRINTS = f"""
 """
 
 
+@_pure_plan
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes) over 3-word token-hash shingles,
     per document. The hashed-shingle array is staged in its own
@@ -1321,6 +1366,7 @@ ORACLE_MINHASH = f"""
 """
 
 
+@_pure_plan
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1503,6 +1549,38 @@ _PLANT_OFFSET = 1_000_000
 
 
 def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized PURE plan (see _PLAN_MEMO contract): scan + fan + the
+    2-struct explode — no action, no state; every consumer's action
+    re-reads the parquet."""
+    key = (spark.sparkContext.applicationId, sf_dir, "_planted_docs")
+    df = _PLAN_MEMO.get(key)
+    if df is None:
+        df = _build_planted_docs(spark, sf_dir)
+        _PLAN_MEMO[key] = df
+    return df
+
+
+def _planted_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star edges over the planted corpus (num_hashes=8, num_bands=4,
+    dedup_edges=False) — the shared input of the four components
+    consumers. Pure plan (shingle/minhash expressions + window min;
+    lsh_component_edges runs no action), memoized per (session, sf_dir):
+    its py4j construction was re-done identically on every bench pass
+    (r11 optimization wave 2, guide §7.3)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "_planted_edges")
+    df = _PLAN_MEMO.get(key)
+    if df is None:
+        df = D.lsh_component_edges(
+            _planted_docs(spark, sf_dir),
+            num_hashes=8,
+            num_bands=4,
+            dedup_edges=False,
+        )
+        _PLAN_MEMO[key] = df
+    return df
+
+
+def _build_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # The planted family is the corpus path with dense per-row work
     # BEFORE its first shuffle (2x rows via the mutation union, then
@@ -1608,14 +1686,9 @@ def q_lsh_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (iterative min-label propagation; one shuffle per round,
     rounds = cluster diameter). Oracle is a DuckDB recursive CTE over the
     same candidate edges."""
-    docs2 = _planted_docs(spark, sf_dir)
-    # star edges, not all-pairs: identical components, O(bucket) not
-    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    # dedup_edges=False: dup_components is multiplicity-insensitive and
-    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
-    pairs = D.lsh_component_edges(
-        docs2, num_hashes=8, num_bands=4, dedup_edges=False
-    )
+    # star edges, not all-pairs (identical components, r11 A/B); shared
+    # memoized plan — see _planted_component_edges
+    pairs = _planted_component_edges(spark, sf_dir)
     return D.dup_components(pairs)
 
 
@@ -1641,13 +1714,9 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-canonical member set — at 100 TB the anti-join side is only the
     duplicate fringe, orders of magnitude smaller than the corpus."""
     docs2 = _planted_docs(spark, sf_dir)
-    # star edges, not all-pairs: identical components, O(bucket) not
-    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    # dedup_edges=False: dup_components is multiplicity-insensitive and
-    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
-    pairs = D.lsh_component_edges(
-        docs2, num_hashes=8, num_bands=4, dedup_edges=False
-    )
+    # star edges, not all-pairs (identical components, r11 A/B); shared
+    # memoized plan — see _planted_component_edges
+    pairs = _planted_component_edges(spark, sf_dir)
     comp = D.dup_components(pairs)
     drop = comp.filter(F.col("component_id") != F.col("doc_id")).select("doc_id")
     return docs2.join(drop, "doc_id", "left_anti").select("doc_id")
@@ -3222,9 +3291,17 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_bytes(spark, f"{sf_dir}/events.parquet"),
         expansion=20.0,  # snappy parquet -> raw sonde-JSON strings
     )
-    encoded = env.select(sonde_json(env).alias("value")).localCheckpoint(
-        eager=False, storageLevel=level
-    )
+    # The PURE encode plan (select of the ~300-node sonde_json tree) is
+    # memoized — 0.32 s of py4j construction per bench pass (r11 wave 2);
+    # the localCheckpoint wrapper below stays per-call, so every pass
+    # still encodes the corpus from parquet and materializes its own
+    # checkpoint (nothing computed is ever reused across calls).
+    ekey = (spark.sparkContext.applicationId, sf_dir, "_rt_encoded")
+    encoded_plan = _PLAN_MEMO.get(ekey)
+    if encoded_plan is None:
+        encoded_plan = env.select(sonde_json(env).alias("value"))
+        _PLAN_MEMO[ekey] = encoded_plan
+    encoded = encoded_plan.localCheckpoint(eager=False, storageLevel=level)
     # r11: the count-only tail routes DIRECTLY from the parsed wire
     # struct (route_topic_from_wire) instead of materializing all 14
     # envelope columns first — same dispatch, same decode transforms on
@@ -3239,11 +3316,23 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_read_schema,
     )
 
-    raw = encoded.select(
-        F.from_json(F.col("value"), _decode_read_schema()).alias("_raw")
-    )
+    # The decode-tail COLUMNS are unresolved expressions over field
+    # names ("value", "_raw"), so they are reusable against any parent —
+    # memoizing them saves ~0.2 s of py4j construction per pass (the
+    # route dispatch + uuid-hex branch is dozens of JVM round trips).
+    # They attach to THIS pass's fresh checkpoint below.
+    ckey = (spark.sparkContext.applicationId, "_rt_decode_cols")
+    cols = _RT_COL_MEMO.get(ckey)
+    if cols is None:
+        cols = (
+            F.from_json(F.col("value"), _decode_read_schema()).alias("_raw"),
+            route_topic_from_wire(F.col("_raw"), ROUTE_TOPICS).alias("topic"),
+        )
+        _RT_COL_MEMO[ckey] = cols
+    parse_col, topic_col = cols
     return (
-        raw.select(route_topic_from_wire(F.col("_raw"), ROUTE_TOPICS).alias("topic"))
+        encoded.select(parse_col)
+        .select(topic_col)
         .filter(F.col("topic").isNotNull())
         .groupBy("topic")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -3300,6 +3389,7 @@ ORACLE_PROPS_JSON = """
 """
 
 
+@_pure_plan
 def q_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 style, single-aggregation formulation (r11 optimization,
     guide §2.4: remove shuffles outright).
@@ -3406,6 +3496,7 @@ ORACLE_RANGE_FRAME = """
 """
 
 
+@_pure_plan
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams. explode -> partial-aggregated
     count -> TakeOrdered 20 (no global sort); at 100 TB the map-side
@@ -5280,13 +5371,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs2 = _planted_docs(spark, sf_dir)
-    # star edges, not all-pairs: identical components, O(bucket) not
-    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    # dedup_edges=False: dup_components is multiplicity-insensitive and
-    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
-    pairs = D.lsh_component_edges(
-        docs2, num_hashes=8, num_bands=4, dedup_edges=False
-    )
+    # star edges, not all-pairs (identical components, r11 A/B); shared
+    # memoized plan — see _planted_component_edges
+    pairs = _planted_component_edges(spark, sf_dir)
     comp = D.dup_components(pairs)
     sized = comp.join(
         docs2.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
@@ -8009,14 +8096,9 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes lsh_candidate_pairs -> dup_components (star contraction +
     bounded union-find tail) -> two bounded aggregations (component
     cardinality, then size cardinality)."""
-    docs2 = _planted_docs(spark, sf_dir)
-    # star edges, not all-pairs: identical components, O(bucket) not
-    # O(bucket^2) edges — survives the sf10 giant-bucket cliques
-    # dedup_edges=False: dup_components is multiplicity-insensitive and
-    # the skipped distinct is a full shuffle of the edge set (r11 A/B)
-    pairs = D.lsh_component_edges(
-        docs2, num_hashes=8, num_bands=4, dedup_edges=False
-    )
+    # star edges, not all-pairs (identical components, r11 A/B); shared
+    # memoized plan — see _planted_component_edges
+    pairs = _planted_component_edges(spark, sf_dir)
     comp = D.dup_components(pairs)
     sizes = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("size")
@@ -22864,9 +22946,19 @@ ORACLES: dict[str, str] = {
 
 
 def _shared_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    # memoized per (session, sf_dir, sql): spark.sql() analyzes eagerly,
+    # so the memoized DataFrame is already resolved against THIS sf_dir's
+    # temp views — re-registering views for another sf_dir later cannot
+    # retarget it (same guarantee the alternating-sf M1 test pins). The
+    # cached object is an unexecuted plan; every action re-scans parquet.
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _register_views(spark, sf_dir)
-        return spark.sql(sql)
+        key = (spark.sparkContext.applicationId, sf_dir, sql)
+        df = _PLAN_MEMO.get(key)
+        if df is None:
+            _register_views(spark, sf_dir)
+            df = spark.sql(sql)
+            _PLAN_MEMO[key] = df
+        return df
 
     return run
 

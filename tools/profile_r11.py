@@ -85,6 +85,18 @@ def main() -> None:
             print(name, json.dumps(rec))
             continue
 
+        # bench.py's _release(), untimed between passes: without it the
+        # localCheckpoint-heavy queries (roundtrip, embedding_dup_pairs,
+        # lsh_dup_components) stack one checkpoint per pass per query in
+        # the shared 32 GB heap and the session degrades into GC thrash —
+        # observed passes of 37-82 s for queries the bench (which DOES
+        # release) runs in 2-3 s on the same idle host.
+        def _release():
+            for rdd in sc._jsc.getPersistentRDDs().values():
+                rdd.unpersist(True)
+            spark.catalog.clearCache()
+            sc._jvm.System.gc()
+
         passes = []
         for i in range(3):
             sc.setJobDescription(f"profile:{name}:pass{i}")
@@ -92,6 +104,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, args.sf_dir).count()
             passes.append(round(time.perf_counter() - t0, 3))
+            _release()
         rec["passes"] = passes
         rec["min_sec"] = min(passes)
         if args.noop:
