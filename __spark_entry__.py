@@ -71,6 +71,27 @@ _TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 # re-register, or the second sf_dir's views would serve the first's).
 _VIEWS_CURRENT: dict[str, str] = {}
 
+# Growth bound for every construction memo (VERDICT r11 item 7): a
+# long-lived session (the streaming entry points) that touches many
+# sf_dirs would otherwise grow these dicts without limit. The cap is
+# sized far above any one session's working set (~350 queries x a
+# handful of sf_dirs); on overflow, entries from OTHER applicationIds
+# (dead sessions — appId is unique per SparkContext) are dropped first,
+# and only if the CURRENT session alone exceeds the cap is the memo
+# cleared outright. Eviction is always safe: these hold unexecuted
+# plan objects that rebuild in milliseconds — never data.
+_MEMO_CAP = 4096
+
+
+def _memo_put(memo: dict, key: tuple, val) -> None:
+    if len(memo) >= _MEMO_CAP:
+        app = key[0]
+        for k in [k for k in memo if k[0] != app]:
+            del memo[k]
+        if len(memo) >= _MEMO_CAP:
+            memo.clear()
+    memo[key] = val
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -126,7 +147,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     dense = name in ("documents", "embeddings")
     if nbytes > ((4 << 20) if dense else (32 << 20)):
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    _TABLE_MEMO[key] = df
+    _memo_put(_TABLE_MEMO, key, df)
     return df
 
 
@@ -1089,7 +1110,7 @@ def _pure_plan(fn):
         df = _PLAN_MEMO.get(key)
         if df is None:
             df = fn(spark, sf_dir)
-            _PLAN_MEMO[key] = df
+            _memo_put(_PLAN_MEMO, key, df)
         return df
 
     return wrapper
@@ -1116,15 +1137,17 @@ def _envelopes(
         ev = _t(spark, sf_dir, "events")
         if fan:
             ev = ev.repartition(spark.sparkContext.defaultParallelism)
-        _ENV_MEMO[key] = events_to_envelopes(ev)
+        _memo_put(_ENV_MEMO, key, events_to_envelopes(ev))
     return _ENV_MEMO[key]
 
 
 def _routed_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ROUTED_MEMO:
-        _ROUTED_MEMO[key] = route_envelopes(
-            _envelopes(spark, sf_dir), ROUTE_TOPICS
+        _memo_put(
+            _ROUTED_MEMO,
+            key,
+            route_envelopes(_envelopes(spark, sf_dir), ROUTE_TOPICS),
         )
     return _ROUTED_MEMO[key]
 
@@ -1556,7 +1579,7 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _PLAN_MEMO.get(key)
     if df is None:
         df = _build_planted_docs(spark, sf_dir)
-        _PLAN_MEMO[key] = df
+        _memo_put(_PLAN_MEMO, key, df)
     return df
 
 
@@ -1576,7 +1599,7 @@ def _planted_component_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_bands=4,
             dedup_edges=False,
         )
-        _PLAN_MEMO[key] = df
+        _memo_put(_PLAN_MEMO, key, df)
     return df
 
 
@@ -3300,7 +3323,7 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded_plan = _PLAN_MEMO.get(ekey)
     if encoded_plan is None:
         encoded_plan = env.select(sonde_json(env).alias("value"))
-        _PLAN_MEMO[ekey] = encoded_plan
+        _memo_put(_PLAN_MEMO, ekey, encoded_plan)
     encoded = encoded_plan.localCheckpoint(eager=False, storageLevel=level)
     # r11: the count-only tail routes DIRECTLY from the parsed wire
     # struct (route_topic_from_wire) instead of materializing all 14
@@ -3328,7 +3351,7 @@ def q_roundtrip_route_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json(F.col("value"), _decode_read_schema()).alias("_raw"),
             route_topic_from_wire(F.col("_raw"), ROUTE_TOPICS).alias("topic"),
         )
-        _RT_COL_MEMO[ckey] = cols
+        _memo_put(_RT_COL_MEMO, ckey, cols)
     parse_col, topic_col = cols
     return (
         encoded.select(parse_col)
@@ -22957,7 +22980,7 @@ def _shared_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
         if df is None:
             _register_views(spark, sf_dir)
             df = spark.sql(sql)
-            _PLAN_MEMO[key] = df
+            _memo_put(_PLAN_MEMO, key, df)
         return df
 
     return run

@@ -65,3 +65,33 @@ def test_planted_edges_memo_consistency(spark):
     )
     memod = entrymod._planted_component_edges(spark, SF_A)
     assert _rows(fresh) == _rows(memod)
+
+
+def test_memo_growth_bounded_and_dead_sessions_evicted_first():
+    """VERDICT r11 item 7: the construction memos must not grow without
+    bound across many sf_dirs in one long-lived session, and entries
+    from other (dead) applicationIds must be evicted before the live
+    session loses anything."""
+    memo: dict = {}
+    cap = entrymod._MEMO_CAP
+    # fill with a dead session's keys up to the cap
+    for i in range(cap):
+        entrymod._memo_put(memo, ("dead-app", f"sf{i}", "t"), i)
+    assert len(memo) == cap
+    # a live session's insert evicts ONLY the dead session's entries
+    entrymod._memo_put(memo, ("live-app", "sfX", "t"), "x")
+    assert memo == {("live-app", "sfX", "t"): "x"}
+    # a single session exceeding the cap clears rather than grows
+    for i in range(cap + 10):
+        entrymod._memo_put(memo, ("live-app", f"sf{i}", "t"), i)
+    assert len(memo) <= cap
+
+
+def test_memo_put_used_by_table_memo(spark):
+    """_t routes through the bounded put (no raw unbounded insert)."""
+    before = len(entrymod._TABLE_MEMO)
+    entrymod._t(spark, SF_A, "region")
+    entrymod._t(spark, SF_A, "region")  # hit, no growth
+    after = len(entrymod._TABLE_MEMO)
+    assert after <= before + 1
+    assert after <= entrymod._MEMO_CAP
