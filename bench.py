@@ -422,19 +422,16 @@ def _wide_ann_cosine_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
     """expr-vs-BLAS cosine top-k at dim 256 (VERDICT r3 item 6): the
     interpreted JVM fold is O(dim) interpreter dispatches per row, the
     pandas-UDF path is one BLAS matrix-vector product per Arrow batch.
-    min-of-2 each — the identical timed protocol every round since r3."""
+    timed with the canonical _best_of_3 protocol (r12: was min-of-2 — the\n    one metric family whose protocol under-absorbed JIT warm-up; a fresh\n    subprocess pass curve reads expr 3.34/1.02/0.80/0.65/0.54 s, so two\n    passes published whatever slice of the compile curve the host hit)."""
     from kafka_firehose_nozzle_spark.operators import similarity as S
 
     emb = _ann_corpus(spark, n, dim)
     q = S.query_vector(emb, 0)
     out = {}
     for impl in ("expr", "blas"):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            S.cosine_topk(emb, q, k=10, impl=impl).count()
-            best = min(best, time.perf_counter() - t0)
-        out[f"ann_dim{dim}_{impl}_sec"] = round(best, 3)
+        out[f"ann_dim{dim}_{impl}_sec"] = _best_of_3(
+            lambda: S.cosine_topk(emb, q, k=10, impl=impl).count()
+        )
     return out
 
 
@@ -442,21 +439,31 @@ def _wide_ann_pq_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
     """PQ ADC query path: training+encode are offline/ingest-time costs,
     so the benched number is the SCAN — 16 one-byte codes + 16 lookups
     per row instead of dim multiplies; at 100 TB this is also a 64x
-    smaller column read. Same corpus and timed protocol as always
-    (min-of-2 over pq_topk); only the JVM it runs in is now its own."""
+    smaller column read. Same corpus; timed with the
+    canonical _best_of_3 protocol (r12, was min-of-2 — see cosine), in
+    its own JVM."""
     from kafka_firehose_nozzle_spark.operators import similarity as S
 
     emb = _ann_corpus(spark, n, dim)
     cb = S.pq_codebook(emb, num_sub=16, num_codes=16, dim=dim)
-    codes = S.pq_encode(emb, cb, num_sub=16, num_codes=16, dim=dim)
+    # UNTIMED prep: encode via the broadcast/BLAS path — the documented
+    # production mode for wide dims (and equivalence-pinned against the
+    # literal path). The literal form's 8k-literal generated class takes
+    # minutes of background C2 work that then pollutes the TIMED
+    # pq_topk passes below (the r12 JIT-backlog finding); the broadcast
+    # path generates almost no JVM code and preps ~4x faster.
+    codes = S.pq_encode(
+        emb, cb, num_sub=16, num_codes=16, dim=dim, mode="broadcast"
+    )
     codes = codes.localCheckpoint(eager=True)
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        S.pq_topk(codes, cb, qvec, k=10, num_sub=16, num_codes=16).count()
-        best = min(best, time.perf_counter() - t0)
-    return {f"ann_dim{dim}_pq_scan_sec": round(best, 3)}
+    return {
+        f"ann_dim{dim}_pq_scan_sec": _best_of_3(
+            lambda: S.pq_topk(
+                codes, cb, qvec, k=10, num_sub=16, num_codes=16
+            ).count()
+        )
+    }
 
 
 def _wide_ann_bench(spark, n: int = 100_000, dim: int = 256) -> dict:
